@@ -1,0 +1,237 @@
+package graft.hll
+
+import java.security.MessageDigest
+
+/** HyperLogLog sketch with bit-parity to the reference implementation
+  * (PatZoug/HyperLogLog_PySpark, `HLL/HyperLogLog.py`).
+  *
+  * Two variants selected by `bits`:
+  *  - 32: classic Flajolet et al. 2007 HLL (`HyperLogLog`,
+  *    HLL/HyperLogLog.py:43-179) — SHA-1, first 8 hex chars, linear-counting
+  *    low-range and large-range corrections.
+  *  - 64: HLL++-style (`HyperLogLog64`, HLL/HyperLogLog.py:182-255) — SHA-1,
+  *    first 16 hex chars, threshold-selected linear counting + empirical
+  *    6-NN bias correction (Heule et al. EDBT'13).
+  *
+  * Parity-critical quirks deliberately replicated from the reference:
+  *  - elements are hashed as `str(element)` UTF-8 bytes (HLL/HyperLogLog.py:110);
+  *    callers are responsible for producing the Python-`str()`-equivalent string.
+  *  - if `p % 4 != 0` the hash value is right-shifted by `4 - p % 4` BEFORE the
+  *    key/rest split, discarding low bits (HLL/HyperLogLog.py:112-113).
+  *  - the bucket key is the LOW p bits (`val & (m-1)`), the rho-part the
+  *    remaining high bits (HLL/HyperLogLog.py:115-117).
+  *  - register value = hlength - p - bitLength(hval) + 1 (HLL/HyperLogLog.py:118-119).
+  *  - `estimateBias` indexes `biasData` with the *slice-local* index of the
+  *    nearest raw-estimate neighbors (HLL/HyperLogLog.py:226-231 — `enumerate`
+  *    over the slice), and the slice uses Python semantics where a negative
+  *    start wraps (`rED[idx-12:idx+12]`); both faithfully reproduced because
+  *    the reference's golden estimates bake them in.
+  *  - `merge` checks `k` equality, not `m` (HLL/HyperLogLog.py:165-167).
+  *  - the 32-bit large-range branch in the reference crashes on a missing
+  *    import (`log` NameError, HLL/HyperLogLog.py:153); here the documented
+  *    formula `-2^32 * ln(1 - E/2^32)` is implemented correctly instead.
+  *
+  * Registers fit in a byte: max value = hlength - p + 1 <= 61.
+  */
+final class HllSketch private (
+    val k: Int,
+    val bits: Int,
+    val registers: Array[Byte]) extends Serializable {
+
+  val p: Int = HllSketch.pFor(k)
+  val m: Int = 1 << p
+
+  require(registers.length == m, s"register array length ${registers.length} != m=$m")
+
+  /** alpha per HLL/HyperLogLog.py:88-101 */
+  def alpha: Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Theoretical relative standard error, HLL/HyperLogLog.py:86. */
+  def error: Double = 1.04 / math.sqrt(m.toDouble)
+
+  private def shift: Int = if (p % 4 != 0) 4 - p % 4 else 0
+
+  /** Insert one element given its Python-`str()` form as UTF-8 bytes.
+    * Parity with HLL/HyperLogLog.py:103-119.
+    */
+  def updateBytes(strBytes: Array[Byte], off: Int, len: Int): Unit = {
+    val md = HllSketch.localDigest.get()
+    md.reset()
+    md.update(strBytes, off, len)
+    val digest = md.digest()
+    var v: Long =
+      if (bits == 32) {
+        ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      } else {
+        ((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
+        ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
+        ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+      }
+    if (shift != 0) v = v >>> shift
+    val hkey = (v & (m - 1)).toInt
+    val hval = v >>> p
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(hval) // bit_length(0)=0
+    val rho = bits - p - bitLen + 1
+    if (rho > registers(hkey)) registers(hkey) = rho.toByte
+  }
+
+  def update(element: String): Unit = {
+    val b = element.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    updateBytes(b, 0, b.length)
+  }
+
+  /** In-place merge; parity with HLL/HyperLogLog.py:157-169 (k-equality check). */
+  def merge(other: HllSketch): HllSketch = {
+    require(other.k == k, "Number k of hash functions must be equal.")
+    require(other.bits == bits, s"Cannot merge $bits-bit with ${other.bits}-bit sketch")
+    var i = 0
+    while (i < m) {
+      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+    this
+  }
+
+  /** Raw estimate alpha*m^2 / sum(2^-M[j]), summed in register order
+    * (HLL/HyperLogLog.py:132-137; Double addition is order-sensitive).
+    */
+  def rawEstimate: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += HllSketch.invPow2(registers(i).toInt)
+      i += 1
+    }
+    alpha * m.toDouble * m.toDouble / s
+  }
+
+  private def countZero: Int = {
+    var v = 0
+    var i = 0
+    while (i < m) { if (registers(i) == 0) v += 1; i += 1 }
+    v
+  }
+
+  /** Finalized estimate; dispatches on `bits` to the two reference finalizers. */
+  def cardinality: Double = if (bits == 32) cardinality32 else cardinality64
+
+  /** 32-bit finalizer, HLL/HyperLogLog.py:139-155. */
+  private def cardinality32: Double = {
+    val e = rawEstimate
+    if (e <= 5.0 * m / 2) {
+      val v = countZero
+      if (v > 0) return m * math.log(m.toDouble / v)
+    }
+    val two32 = 4294967296.0 // 2^32
+    if (e > two32 / 30.0) return -two32 * math.log(1 - e / two32)
+    e
+  }
+
+  /** 64-bit HLL++ finalizer, HLL/HyperLogLog.py:240-255. */
+  private def cardinality64: Double = {
+    val v = countZero
+    if (v > 0) {
+      val h = m * math.log(m.toDouble / v)
+      if (h <= Hll64Constants.threshold(p - 4)) return h
+    }
+    var e = rawEstimate
+    if (e <= 5.0 * m) e -= estimateBias(e)
+    e
+  }
+
+  /** 6-NN empirical bias, HLL/HyperLogLog.py:201-231, including the
+    * reference's slice-local biasData indexing and Python slice semantics.
+    */
+  def estimateBias(e: Double, kNN: Int = 6): Double = {
+    val rED = Hll64Constants.rawEstimateData(p - 4)
+    val n = rED.length
+    val idx = HllSketch.bisectRight(rED, e)
+    // Python slice rED[idx-2k : idx+2k]: negative start wraps to len+start
+    // (clamped at 0); stop clamps to len; empty if start >= stop.
+    val startRaw = idx - 2 * kNN
+    val start = if (startRaw < 0) math.max(0, n + startRaw) else math.min(startRaw, n)
+    val stop = math.min(idx + 2 * kNN, n)
+    val sliceLen = math.max(0, stop - start)
+    // sort slice-local indices by (squared distance, index) — Python tuple sort
+    val order = Array.tabulate(sliceLen)(i => i).sortBy { i =>
+      val d = e - rED(start + i)
+      (d * d, i)
+    }
+    val bias = Hll64Constants.biasData(p - 4)
+    var s = 0.0
+    var i = 0
+    while (i < math.min(kNN, sliceLen)) {
+      s += bias(order(i)) // slice-local index on purpose — reference parity
+      i += 1
+    }
+    s / kNN.toDouble
+  }
+
+  def copySketch(): HllSketch = new HllSketch(k, bits, registers.clone())
+
+  /** Serialized form: [bits: 1B][p: 1B][k: 4B BE][registers: m B]. */
+  def serialize(): Array[Byte] = {
+    val out = new Array[Byte](6 + m)
+    out(0) = bits.toByte
+    out(1) = p.toByte
+    out(2) = (k >>> 24).toByte
+    out(3) = (k >>> 16).toByte
+    out(4) = (k >>> 8).toByte
+    out(5) = k.toByte
+    System.arraycopy(registers, 0, out, 6, m)
+    out
+  }
+}
+
+object HllSketch {
+  /** p = ceil(log2(k)); proven equal to the reference's float
+    * `ceil(log(k, 2))` for every k in [16, 2^18] (HLL/HyperLogLog.py:81).
+    */
+  def pFor(k: Int): Int = 32 - Integer.numberOfLeadingZeros(k - 1)
+
+  def validateK(k: Int, bits: Int): Unit = {
+    val pmax = if (bits == 32) 16 else 18
+    require(k >= (1 << 4) && k <= (1 << pmax),
+      s"k=$k should be in range [${1 << 4}, ${1 << pmax}]")
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+  }
+
+  def empty(k: Int, bits: Int = 64): HllSketch = {
+    validateK(k, bits)
+    new HllSketch(k, bits, new Array[Byte](1 << pFor(k)))
+  }
+
+  def deserialize(bytes: Array[Byte]): HllSketch = {
+    val bits = bytes(0).toInt & 0xff
+    val k = ((bytes(2) & 0xff) << 24) | ((bytes(3) & 0xff) << 16) |
+            ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+    val m = 1 << pFor(k)
+    val regs = new Array[Byte](m)
+    System.arraycopy(bytes, 6, regs, 0, m)
+    new HllSketch(k, bits, regs)
+  }
+
+  /** 2^-i for i in [0, 63]; exact powers of two, matching Python `2 ** (-i)`. */
+  private val invPow2: Array[Double] = Array.tabulate(64)(i => math.pow(2.0, -i))
+
+  /** Python `bisect.bisect` (= bisect_right): first index where arr(idx) > x. */
+  def bisectRight(arr: Array[Double], x: Double): Int = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (x < arr(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  private val localDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-1"))
+}
