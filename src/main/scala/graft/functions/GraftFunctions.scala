@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types._
+
+/** Public DataFrame/SQL surface of the HLL engine.
+  *
+  * DataFrame: `import graft.functions.GraftFunctions._` then
+  * `df.agg(hll_cardinality($"user_id", 4096))`.
+  *
+  * SQL: `GraftFunctions.registerAll(spark)` once per session, then
+  * `SELECT hll_cardinality(user_id, 4096) FROM events`.
+  *
+  * Every aggregate casts its input to string first, replicating the
+  * reference's `str(element)` coercion before hashing
+  * (HLL/HyperLogLog.py:110) — `hll_cardinality(11L)` and
+  * `hll_cardinality("11")` agree, as in the reference.
+  */
+object GraftFunctions {
+
+  private def aggCol(f: AggregateFunction): Column =
+    GraftShims.column(f.toAggregateExpression())
+
+  private def str(col: Column): Column = col.cast(StringType)
+
+  private def e(col: Column): Expression = GraftShims.expression(col)
+
+  // ---- DataFrame API ----
+
+  /** Approximate distinct count (the reference's flagship query,
+    * HLL/examples.py:16-25, 56-67). k in [16, 65536] for bits=32,
+    * [16, 262144] for bits=64.
+    */
+  def hll_cardinality(col: Column, k: Int = 4096, bits: Int = 64): Column =
+    aggCol(HllCardinality(e(str(col)), k, bits))
+
+  /** Build a re-mergeable sketch as a BinaryType value. */
+  def hll_sketch_agg(col: Column, k: Int = 4096, bits: Int = 64): Column =
+    aggCol(HllSketchAgg(e(str(col)), k, bits))
+
+  /** Merge a column of stored sketches into one sketch. */
+  def hll_union_agg(col: Column): Column =
+    aggCol(HllUnionAgg(e(col)))
+
+  /** Finalize a stored sketch to its cardinality estimate. */
+  def hll_estimate(col: Column): Column =
+    GraftShims.column(HllEstimate(e(col)))
+
+  /** Non-mutating merge of two sketch values (reference `+`). */
+  def hll_union(a: Column, b: Column): Column =
+    GraftShims.column(HllUnion(e(a), e(b)))
+
+  /** Theoretical relative standard error of a stored sketch. */
+  def hll_error(col: Column): Column =
+    GraftShims.column(HllError(e(col)))
+
+  // ---- SQL registration ----
+
+  private def intArg(ex: Expression, what: String): Int = ex match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable =>
+      other.eval().asInstanceOf[Number].intValue()
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  }
+
+  private def kBits(args: Seq[Expression], name: String): (Int, Int) = {
+    val k = if (args.length > 1) intArg(args(1), s"$name k") else 4096
+    val bits = if (args.length > 2) intArg(args(2), s"$name bits") else 64
+    (k, bits)
+  }
+
+  /** Register all functions in the session's FunctionRegistry (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    GraftShims.registerFunction(spark, "hll_cardinality", { args =>
+      val (k, bits) = kBits(args, "hll_cardinality")
+      HllCardinality(Cast(args.head, StringType), k, bits).toAggregateExpression()
+    })
+    GraftShims.registerFunction(spark, "hll_sketch_agg", { args =>
+      val (k, bits) = kBits(args, "hll_sketch_agg")
+      HllSketchAgg(Cast(args.head, StringType), k, bits).toAggregateExpression()
+    })
+    GraftShims.registerFunction(spark, "hll_union_agg",
+      args => HllUnionAgg(args.head).toAggregateExpression())
+    GraftShims.registerFunction(spark, "hll_estimate",
+      args => HllEstimate(args.head))
+    GraftShims.registerFunction(spark, "hll_union",
+      args => HllUnion(args(0), args(1)))
+    GraftShims.registerFunction(spark, "hll_error",
+      args => HllError(args.head))
+  }
+}

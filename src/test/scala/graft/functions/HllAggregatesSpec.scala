@@ -1,0 +1,118 @@
+package graft.functions
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.io.Source
+
+/** End-to-end Catalyst tests: scan -> partial agg -> exchange -> final agg ->
+  * finalize, checking the distributed result matches the reference goldens
+  * bit-for-bit (distribution must not change the estimate — the sketch monoid
+  * is partition-invariant, generalizing ref test_examples.py:88-98).
+  */
+class HllAggregatesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dataTokens: Array[String] = {
+    val in = getClass.getResourceAsStream("/data.txt")
+    try """-?\d+(?:\.\d+)?""".r.findAllIn(Source.fromInputStream(in, "UTF-8").mkString).toArray
+    finally in.close()
+  }
+
+  test("hll_cardinality over DataFrame matches reference golden exactly") {
+    import spark.implicits._
+    val df = spark.createDataset(dataTokens.toSeq).toDF("v").repartition(7)
+    val est = df.agg(hll_cardinality(col("v"), 1 << 12).as("est"))
+      .collect()(0).getDouble(0)
+    assert(est == 645.2579301443818) // ref test_examples.py:86-87
+  }
+
+  test("partition invariance: estimate identical across repartitions") {
+    import spark.implicits._
+    val base = spark.createDataset((0 until 20000).map(i => s"u$i")).toDF("v")
+    val ests = Seq(1, 3, 16).map { n =>
+      base.repartition(n).agg(hll_cardinality(col("v"), 4096)).collect()(0).getDouble(0)
+    }
+    assert(ests.distinct.size == 1)
+    assert(ests.head == 17339.786613077766) // golden card_sweep_k4096_64_n20000
+  }
+
+  test("long input hashes like Python str(int): numeric vs string columns agree") {
+    import spark.implicits._
+    val asLong = spark.createDataset((1L to 5000L)).toDF("v")
+    val asStr = spark.createDataset((1L to 5000L).map(_.toString)).toDF("v")
+    val a = asLong.agg(hll_cardinality(col("v"), 1024)).collect()(0).getDouble(0)
+    val b = asStr.agg(hll_cardinality(col("v"), 1024)).collect()(0).getDouble(0)
+    assert(a == b)
+  }
+
+  test("grouped estimates + sketch re-aggregation equal direct estimates") {
+    import spark.implicits._
+    // two-level rollup: sketch per group, union to total — the stored-sketch
+    // pattern that avoids rescanning raw data at scale
+    val df = spark.createDataset((0 until 9000).map(i => (s"g${i % 3}", s"u${i % 4000}")))
+      .toDF("g", "v")
+    val direct = df.agg(hll_cardinality(col("v"), 4096)).collect()(0).getDouble(0)
+    val viaSketches = df.groupBy("g").agg(GraftFunctions.hll_sketch_agg(col("v"), 4096).as("sk"))
+      .agg(hll_estimate(GraftFunctions.hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getDouble(0)
+    assert(viaSketches == direct)
+    // per-group estimate equals a single-group build
+    val g0 = df.filter($"g" === "g0").agg(hll_cardinality(col("v"), 4096)).collect()(0).getDouble(0)
+    val grouped = df.groupBy("g").agg(hll_cardinality(col("v"), 4096).as("est"))
+      .filter($"g" === "g0").collect()(0).getDouble(1)
+    assert(grouped == g0)
+  }
+
+  test("SQL registration: same results through spark.sql") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    spark.createDataset(dataTokens.toSeq).toDF("v").createOrReplaceTempView("hll_sql_t")
+    val est = spark.sql("SELECT hll_cardinality(v, 4096) AS est FROM hll_sql_t")
+      .collect()(0).getDouble(0)
+    assert(est == 645.2579301443818)
+    val viaSketch = spark.sql(
+      "SELECT hll_estimate(hll_union_agg(sk)) FROM (SELECT hll_sketch_agg(v, 4096) AS sk FROM hll_sql_t GROUP BY length(v))")
+      .collect()(0).getDouble(0)
+    assert(viaSketch == 645.2579301443818)
+    val err = spark.sql(
+      "SELECT hll_error(hll_sketch_agg(v, 4096)) FROM hll_sql_t").collect()(0).getDouble(0)
+    assert(math.abs(err - 1.04 / math.sqrt(4096)) < 1e-15)
+  }
+
+  test("hll_union scalar merges two sketch values (reference + operator)") {
+    import spark.implicits._
+    val (l, r) = dataTokens.splitAt(400)
+    val df = spark.createDataset(l.toSeq).toDF("v").withColumn("side", lit("l"))
+      .union(spark.createDataset(r.toSeq).toDF("v").withColumn("side", lit("r")))
+    val sketches = df.groupBy("side").agg(GraftFunctions.hll_sketch_agg(col("v"), 4096).as("sk"))
+    val row = sketches.agg(collect_list("sk")).collect()(0).getSeq[Array[Byte]](0)
+    val merged = spark.createDataset(Seq((row(0), row(1)))).toDF("a", "b")
+      .select(hll_estimate(GraftFunctions.hll_union(col("a"), col("b"))).as("est"))
+      .collect()(0).getDouble(0)
+    assert(merged == 645.2579301443818)
+  }
+
+  test("32-bit variant reachable and parity-exact") {
+    import spark.implicits._
+    val df = spark.createDataset(dataTokens.toSeq).toDF("v")
+    val est = df.agg(hll_cardinality(col("v"), 250, 32)).collect()(0).getDouble(0)
+    assert(est == 695.1859783711712) // ref test_HyperLogLog.py:178 golden
+  }
+
+  test("nulls are skipped (SQL aggregate semantics)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(Some("a"), None, Some("b"), None, Some("a")))
+      .toDF("v")
+    val withNulls = df.agg(hll_cardinality(col("v"), 16)).collect()(0).getDouble(0)
+    val without = df.na.drop().agg(hll_cardinality(col("v"), 16)).collect()(0).getDouble(0)
+    assert(withNulls == without)
+  }
+}
