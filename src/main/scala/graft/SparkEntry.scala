@@ -203,6 +203,88 @@ object SparkEntry {
       o.rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- training-data pipeline: deduplication ----
+
+    "dd_exact_stats" -> ((s, dir) =>
+      graft.operators.Dedup.exactDupStats(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dd_exact_keep" -> ((s, dir) =>
+      graft.operators.Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    "dd_minhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.minhashNearDupPairs(
+          t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.simhashNearDupPairs(
+          t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
+        .orderBy(col("id1"), col("id2"))),
+
+    // n-gram Jaccard over consecutive-id pairs (deterministic bounded pair set)
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id1"), col("text").as("t1"))
+      val b = d.select(col("doc_id").as("id2"), col("text").as("t2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(graft.operators.Dedup.ngramJaccard(col("t1"), col("t2")), 4).as("jaccard"))
+        .orderBy(col("id1"))
+    }),
+
+    "dd_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // 4 sign bits = 16 buckets: high recall at this threshold; the test
+      // corpus has no true near-dups, so report moderately-similar pairs
+      val planes = graft.operators.Similarity.randomHyperplanes(4, 64)
+      graft.operators.Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+          planes, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---- training-data pipeline: similarity search ----
+
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          q, "qid", "qvec", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = graft.operators.Similarity.fitCentroids(e, "embedding", "vec_id",
+        nlist = 16, sampleSize = 500)
+      graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
+          q, "qid", "qvec", cents, k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- training-data pipeline: text analysis ----
+
+    "tx_token_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens_ws"),
+          graft.operators.TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_lang_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"),
+          graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -253,6 +335,20 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "dd_exact_stats" ->
+      """SELECT COUNT(DISTINCT text) AS n_distinct_texts, COUNT(*) AS n_docs,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
+    "dd_exact_keep" ->
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "sim_bruteforce_topk" ->
+      """SELECT qid AS query_id, rank, vec_id AS neighbor_id, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }

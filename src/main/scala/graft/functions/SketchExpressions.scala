@@ -1,0 +1,322 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenization + hashing shared by the text-sketch expressions. Must match
+  * TextAnalysis.words / TextAnalysis.shingles semantics exactly (lowercase,
+  * split on non-letter runs, n-gram join by single space) so builtin-based
+  * exact verification can re-derive the same shingle sets.
+  */
+object TextSketching {
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+
+  /** 64-bit FNV-1a — deterministic, allocation-free, seed-mixable. */
+  def fnv1a64(s: String, seed: Long = 0L): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingle base-hashes (single pass, one hash per shingle). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val ws = tokenize(text)
+    if (ws.isEmpty) return Array.emptyLongArray
+    if (ws.length < n) return Array(fnv1a64(ws.mkString(" ")))
+    val out = new Array[Long](ws.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      out(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Multiply-shift permutation family: odd multipliers + offsets from a
+    * fixed-seed PRNG (standard universal-hash minhash construction).
+    */
+  def perms(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(0x5eed5eedL)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+}
+
+/** `minhash_signature(text, numHashes, shingleSize)` -> Array[Long].
+  *
+  * One pass over the shingles: base-hash each shingle once, then apply the
+  * multiply-shift permutation family and keep column-wise minima. O(shingles
+  * x numHashes) multiplies, no allocation per shingle. Pure map work — the
+  * scale cost of MinHash dedup lives in the later LSH band join, not here.
+  * Empty text -> all-Long.MaxValue signature (matches "no shingles").
+  */
+case class MinHashSignature(child: Expression, numHashes: Int = 64, shingleSize: Int = 3)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+    else if (numHashes < 1 || numHashes > 1024)
+      TypeCheckResult.TypeCheckFailure(s"numHashes must be in [1,1024], got $numHashes")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (pa, pb) = TextSketching.perms(numHashes)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = TextSketching.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var j = 0
+      while (j < numHashes) {
+        val p = pa(j) * h + pb(j)
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `simhash64(text)` -> Long: 64-bit SimHash over word-unigram hashes
+  * (Charikar 2002). Near-duplicate texts land within small Hamming distance.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = TextSketching.tokenize(v.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ws.length) {
+      val h = TextSketching.fnv1a64(ws(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** `shingle_hashes(text, n)` -> sorted distinct Array[Long]: the base
+  * shingle-hash *set* used for exact Jaccard verification. Sorted so that
+  * [[SortedLongJaccard]] can merge-count in O(n+m) without allocation —
+  * orders of magnitude cheaper than array_intersect/array_union on string
+  * arrays for the LSH verify step (the per-candidate hot path).
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int = 3)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = TextSketching.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleSize)
+    java.util.Arrays.sort(hs)
+    // dedup in place (sorted)
+    var n = 0
+    var i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == hs.length) hs else java.util.Arrays.copyOf(hs, n))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `sorted_jaccard(a, b)` -> Double: Jaccard of two SORTED distinct long
+  * arrays via merge-count. O(n+m), zero allocation.
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx + ny - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_jaccard"
+}
+
+/** `dot_f(a, b)` -> Double: dot product of two float arrays in a tight
+  * primitive loop. The interpreted `aggregate(zip_with(...))` builtin chain
+  * allocates an intermediate array per row pair and dispatches per element —
+  * this is the ANN hot path, so it gets a native expression.
+  */
+case class DotProductF(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_f"
+}
+
+/** `nearest_centroid(vec)` -> Int: argmax dot(vec, centroid) against a
+  * plan-embedded centroid matrix (broadcast with the serialized plan).
+  * Map-only IVF partition assignment in one pass.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * cv(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** `hyperplane_bucket(vec)` -> Int: sign-bit LSH bucket from plan-embedded
+  * hyperplanes (bit b set iff dot(vec, plane_b) >= 0). One pass, map-only.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(x.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * p(i); i += 1 }
+      bucket = (bucket << 1) | (if (s >= 0) 1 else 0)
+      b += 1
+    }
+    java.lang.Integer.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(child = c)
+  override def prettyName: String = "hyperplane_bucket"
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.{MinHashSignature, ShingleHashes, SimHash64, SortedLongJaccard}
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup groups on fixed-width digests (xxhash64 + md5), never on
+  *    raw text — the shuffle carries 24 bytes per doc instead of documents.
+  *  - MinHash-LSH is the standard shingle->signature->band->bucket-join
+  *    pipeline: signatures are pure map work; the only shuffle is the band
+  *    join, keyed by (band index, band hash), whose fan-out is bounded by
+  *    bucket sizes. Oversized buckets (degenerate content) are capped to
+  *    keep the candidate join from exploding on skew.
+  *  - SimHash pigeonholes 64 bits into 4 x 16-bit chunks: pairs within
+  *    Hamming distance 3 must share at least one chunk, so candidates come
+  *    from 4 equi-joins, verified with bit_count(a XOR b).
+  */
+object Dedup {
+
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    GraftShims.column(MinHashSignature(GraftShims.expression(text), numHashes, shingleSize))
+
+  def simhash64(text: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(text)))
+
+  def shingleHashes(text: Column, shingleSize: Int = 3): Column =
+    GraftShims.column(ShingleHashes(GraftShims.expression(text), shingleSize))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftShims.column(SortedLongJaccard(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Exact-duplicate statistics: groups by content digest. */
+  def exactDupStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), xxhash64(col(textCol)).as("h"), md5(col(textCol)).as("m"))
+      .groupBy(col("h"), col("m"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_dup_docs"))
+
+  /** Exact dedup keeping the smallest id per distinct text. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df.select(col(idCol).as("_id"), xxhash64(col(textCol)).as("h"), md5(col(textCol)).as("m"))
+      .groupBy(col("h"), col("m")).agg(min(col("_id")).as("_keep"))
+      .select(col("_keep"))
+    df.join(keep, df(idCol) === keep("_keep"), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs with exact Jaccard verification.
+    *
+    * @param bands      number of LSH bands (numHashes must divide evenly)
+    * @param threshold  keep pairs with exact shingle-set Jaccard >= threshold
+    * @param maxBucket  drop degenerate buckets larger than this (skew guard)
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+
+    // band hash: builtin hash() over the band's slice of the signature
+    val banded = sigs.select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+
+    // skew guard: cap bucket size before the self-join
+    val bucketed = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+
+    val l = bucketed.alias("l")
+    val r = bucketed.alias("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+
+    // exact verification on hashed shingle sets: sorted long arrays +
+    // merge-count Jaccard (native expression — the per-candidate hot path)
+    val sh = df.select(col(idCol).as("vid"),
+      shingleHashes(col(textCol), shingleSize).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("vid", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("vid", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .withColumn("jaccard", sortedJaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4x16-bit pigeonhole blocking + Hamming verify. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "ck")))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.sh").as("sh1"), col("r.sh").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** N-gram Jaccard similarity for a candidate pair set (exact, builtin-only):
+    * self-contained variant for when candidates come from elsewhere.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextAnalysis.shingles(a, n))
+    val sb = array_distinct(TextAnalysis.shingles(b, n))
+    when(size(array_union(sa, sb)) > 0,
+      size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double"))
+      .otherwise(lit(0.0))
+  }
+}

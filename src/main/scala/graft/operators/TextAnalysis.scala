@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All built from codegen'd Spark
+  * builtins (no UDFs) so they stay inside whole-stage codegen and scale as
+  * pure map work — no shuffle, no state, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Words: lowercase, split on non-letters (keeps CJK as letter runs). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}]+"), w => w =!= "")
+
+  /** Whitespace token count (the classic `len(text.split())`). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and isolated
+    * punctuation each count as one token (GPT-2-style pre-tokenizer shape).
+    */
+  def tokenCountBpe(text: Column): Column =
+    coalesce(regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]")), lit(0))
+
+  // Stopword profiles for the n-gram/stopword language-ID heuristic.
+  // Small, high-frequency function words — the standard cheap signal.
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "que", "est", "dans", "pour", "qui", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "su"),
+    "de" -> Seq("der", "die", "das", "und", "in", "von", "zu", "mit", "ist", "den", "nicht", "ein", "eine", "auf", "als"))
+
+  private def stopwordHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => array_contains(typedLit(stopwords(lang)), w)))
+
+  /** Language ID: CJK-character detection plus stopword-profile scoring over
+    * {en, fr, es, de}; ties break by fixed language order, no signal -> "und"
+    * (undetermined). Deterministic, builtin-only.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val cjk = coalesce(regexp_count(text, lit("[\\u4e00-\\u9fff\\u3040-\\u30ff]")), lit(0))
+    val scores = Seq("en", "fr", "es", "de").map(l => l -> stopwordHits(ws, l))
+    val best = greatest(scores.map(_._2): _*)
+    when(cjk > 0, lit("zh"))
+      .otherwise(
+        when(best <= 0, lit("und"))
+          .otherwise(scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+            when(sc === best, lit(l)).otherwise(acc)
+          }))
+  }
+
+  /** Quality components + composite score in [0, 1]:
+    * length signal, alphabetic ratio, punctuation density, stopword ratio,
+    * mean word length sanity. The standard cheap heuristics used to filter
+    * web text for training corpora.
+    */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val nAlpha = coalesce(regexp_count(text, lit("\\p{L}")), lit(0)).cast("double")
+    val nPunct = coalesce(regexp_count(text, lit("[\\p{Punct}]")), lit(0)).cast("double")
+    val allStops = typedLit(stopwords.values.flatten.toSeq.distinct)
+    val nStop = size(filter(ws, w => array_contains(allStops, w))).cast("double")
+    Seq(
+      "n_chars" -> len,
+      "n_words" -> nWords,
+      "alpha_ratio" -> when(len > 0, nAlpha / len).otherwise(lit(0.0)),
+      "punct_ratio" -> when(len > 0, nPunct / len).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nWords > 0, nStop / nWords).otherwise(lit(0.0)),
+      "mean_word_len" -> when(nWords > 0, nAlpha / nWords).otherwise(lit(0.0)))
+  }
+
+  /** Composite quality score: each component mapped to [0,1] and averaged.
+    * Deterministic; thresholds follow common web-text filtering folklore
+    * (length in [200, 50k], alpha>0.6, punct<0.2, stopwords>0.05,
+    * mean word length in [2, 12]).
+    */
+  def qualityScore(text: Column): Column = {
+    val c = qualityComponents(text).toMap
+    val lenOk = when(c("n_chars") >= 200 && c("n_chars") <= 50000, 1.0)
+      .otherwise(least(c("n_chars") / 200.0, lit(1.0)))
+    val alphaOk = least(c("alpha_ratio") / 0.6, lit(1.0))
+    val punctOk = when(c("punct_ratio") <= 0.2, 1.0).otherwise(greatest(lit(0.0), lit(1.0) - (c("punct_ratio") - 0.2) * 5))
+    val stopOk = least(c("stopword_ratio") / 0.05, lit(1.0))
+    val mwlOk = when(c("mean_word_len") >= 2 && c("mean_word_len") <= 12, 1.0).otherwise(0.0)
+    round((lenOk + alphaOk + punctOk + stopOk + mwlOk) / 5.0, 4)
+  }
+
+  /** 64-bit document fingerprint over whitespace-normalized, lowercased text
+    * (xxhash64 — codegen'd). Equal fingerprints = exact near-normalized dups.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Word n-gram shingles as an array column (builtin-only n-gram builder):
+    * shingle i = words[i..i+n-1] joined by space.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    when(size(ws) < n, when(size(ws) > 0, array(concat_ws(" ", ws))).otherwise(array().cast("array<string>")))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+}

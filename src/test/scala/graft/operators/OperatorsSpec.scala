@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base),                                              // exact dup of 1
+      (3L, base.replace("quick", "swift")),                    // near dup of 1
+      (4L, "completely different content about spark query engines and distributed aggregation pipelines at scale"),
+      (5L, "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest today"), // near dup
+      (6L, "")                                                 // empty text edge
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: stats and kept rows") {
+    val stats = Dedup.exactDupStats(docsDf, "text", "doc_id").collect()(0)
+    assert(stats.getAs[Long]("n_docs") == 6)
+    assert(stats.getAs[Long]("n_distinct_texts") == 5)
+    assert(stats.getAs[Long]("n_dup_docs") == 1)
+    val kept = Dedup.exactDedup(docsDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L)) // 2 dropped (dup of 1)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 5L))) // near dups found
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+    // exact-dup pair must carry jaccard 1.0
+    val j12 = Dedup.minhashNearDupPairs(docsDf, "text", "doc_id", threshold = 0.5)
+      .filter(col("id1") === 1 && col("id2") === 2).collect()(0).getDouble(2)
+    assert(j12 == 1.0)
+  }
+
+  test("simhash: identical texts at hamming 0, near-dups within 8 bits") {
+    val pairs = Dedup.simhashNearDupPairs(docsDf, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val p12 = pairs.find(p => p._1 == 1 && p._2 == 2)
+    assert(p12.exists(_._3 == 0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard column function") {
+    import spark.implicits._
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("t1", "t2")
+    val j = df.select(Dedup.ngramJaccard(col("t1"), col("t2")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+
+  test("language ID on real multilingual snippets") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy to be in the sun"),
+      ("fr", "le chat est dans la maison et il ne veut pas sortir pour le moment"),
+      ("es", "el perro corre por la calle y los gatos duermen en una casa"),
+      ("de", "der Hund und die Katze sind in der Stadt mit einem Auto"),
+      ("zh", "今天天气很好我们一起去公园散步吧"),
+      ("und", "zzz qqq xxx")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"lang mismatch: expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    import spark.implicits._
+    val df = Seq("hello world", "  padded   out  ", "", "don't stop, never-stop!").toDF("t")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("t")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("t")).as("bpe")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0) == ((2, 2)))
+    assert(got(1) == ((2, 2)))
+    assert(got(2) == ((0, 0)))
+    // whitespace: [don't, stop,, never-stop!] = 3
+    // BPE-ish: [don,',t] [stop,,] [never,-,stop,!] = 3+2+4 = 9
+    assert(got(3) == ((3, 9)))
+  }
+
+  test("quality score ranks clean text above junk") {
+    import spark.implicits._
+    val clean = "The quick brown fox jumps over the lazy dog. " * 10
+    val junk = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____ ++++"
+    val df = Seq(clean, junk).toDF("t")
+    val s = df.select(TextAnalysis.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(s(0) > 0.9 && s(1) < 0.5 && s(0) > s(1))
+  }
+
+  test("fingerprint: whitespace/case-insensitive equality") {
+    import spark.implicits._
+    val df = Seq(("A  B\tC", "a b c"), ("abc", "abd")).toDF("t1", "t2")
+    val got = df.select(
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(got(0) && !got(1))
+  }
+
+  test("similarity: brute-force top-k exact on crafted vectors") {
+    import spark.implicits._
+    // orthonormal-ish: v0 near v1, far from v2
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 2).collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L) // rank 1 = closest
+    assert(top(1).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("IVF recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cents = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", cents, k = 10, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall") // nprobe=3/8 buckets
+    // determinism: same centroids on refit
+    val cents2 = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
+  test("embedding near-dup finds planted duplicates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant: vec 9001 = copy of vec 1, vec 9002 = copy of vec 2
+    val planted = emb.union(
+      emb.filter(col("vec_id").isin(1, 2))
+        .withColumn("vec_id", col("vec_id") + 9000))
+    val planes = Similarity.randomHyperplanes(6, 64)
+    val pairs = Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        planes, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 9001L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 9002L && p._3 == 1.0))
+    pairs.foreach(p => assert(p._1 < p._2 && p._3 >= 0.99))
+  }
+}
