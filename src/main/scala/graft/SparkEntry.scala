@@ -278,6 +278,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- training-data pipeline: multimodal (stubbed decode, real plumbing) ----
+
+    "mm_image_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
+      graft.operators.Multimodal.decodeImages(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
+      graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     "tx_lang_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -341,6 +357,10 @@ object SparkEntry {
         |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
     "dd_exact_keep" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
     "sim_bruteforce_topk" ->
       """SELECT qid AS query_id, rank, vec_id AS neighbor_id, cos FROM (
         |  SELECT q.vec_id AS qid, c.vec_id,

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface for the HLL capability: incremental
+  * approximate distinct counts over event-time windows.
+  *
+  * The sketch monoid is exactly what streaming state wants: each window's
+  * state is a fixed-size register array (4 KiB at k=4096), merged
+  * incrementally per micro-batch by the same TypedImperativeAggregate the
+  * batch path uses — state size is O(windows x groups x m), independent of
+  * event volume, so a 100 TB/day stream holds the same state as a 1 GB/day
+  * one. Watermarking bounds the number of open windows.
+  */
+object StreamingHll {
+
+  /** Windowed approximate distinct: `df` must be a streaming DataFrame with
+    * an event-time column. Emits one row per (window, extra groups) with the
+    * HLL estimate; append mode once the watermark passes.
+    */
+  def windowedDistinct(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 4096,
+      extraGroups: Seq[String] = Nil): DataFrame = {
+    val grouped = df
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
+    grouped.agg(GraftFunctions.hll_cardinality(col(valueCol), k).as("approx_distinct"))
+  }
+
+  /** Same, but emitting the mergeable sketch itself — downstream consumers
+    * can re-aggregate across windows/groups without reprocessing the stream.
+    */
+  def windowedSketch(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 4096,
+      extraGroups: Seq[String] = Nil): DataFrame = {
+    val grouped = df
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
+    grouped.agg(GraftFunctions.hll_sketch_agg(col(valueCol), k).as("sketch"))
+  }
+}

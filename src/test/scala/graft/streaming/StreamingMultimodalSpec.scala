@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming windowed HLL matches batch estimate on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = (0 until 5000).map { i =>
+      // two 1-hour windows, user ids overlap across windows
+      val hour = if (i % 2 == 0) 10 else 11
+      (new Timestamp(1700000000000L + hour * 3600000L + (i % 600) * 1000L), s"u${i % 700}")
+    }
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = StreamingHll.windowedDistinct(
+      stream.toDF().toDF("ts", "user"), "ts", "user", "1 hour", "10 minutes", k = 1024)
+
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hll_stream_out")
+      .start()
+    try {
+      // feed in three micro-batches to force incremental state merges
+      events.grouped(2000).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("hll_stream_out")
+        .select(col("window.start").cast("long").as("w"), col("approx_distinct"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // batch reference over identical data with the identical aggregate
+      val batch = events.toDF("ts", "user")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.GraftFunctions.hll_cardinality(col("user"), 1024).as("est"))
+        .select(col("window.start").cast("long"), col("est"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      assert(streamed.keySet == batch.keySet)
+      assert(streamed.size == 2)
+      streamed.foreach { case (w, est) =>
+        assert(est == batch(w), s"window $w: streaming $est != batch ${batch(w)}")
+      }
+    } finally query.stop()
+  }
+
+  test("streaming sketch output re-aggregates to the global estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = (0 until 3000).map { i =>
+      (new Timestamp(1700000000000L + (i % 7200) * 1000L), s"v${i % 911}")
+    }
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = StreamingHll.windowedSketch(
+      stream.toDF().toDF("ts", "user"), "ts", "user", "30 minutes", "5 minutes", k = 1024)
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_sk").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      val reagg = spark.table("hll_stream_sk")
+        .agg(graft.functions.GraftFunctions.hll_estimate(
+          graft.functions.GraftFunctions.hll_union_agg(col("sketch"))).as("est"))
+        .collect()(0).getDouble(0)
+      val direct = events.toDF("ts", "user")
+        .agg(graft.functions.GraftFunctions.hll_cardinality(col("user"), 1024).as("est"))
+        .collect()(0).getDouble(0)
+      assert(reagg == direct)
+    } finally query.stop()
+  }
+
+  test("multimodal: per-partition batch decode with projected features") {
+    val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(5)
+    val feats = Multimodal.decodeImages(media)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    // dims follow the deterministic fabrication rule
+    val r7 = rows.find(_.media_id == 7L).get
+    assert(r7.width == 8 * 16 && r7.height == 8 * 16 && r7.channels == 3)
+    // ahash is deterministic: re-decode gives identical hashes
+    val again = Multimodal.decodeImages(media).collect()
+    assert(rows.map(r => r.media_id -> r.ahash).toMap == again.map(r => r.media_id -> r.ahash).toMap)
+  }
+
+  test("multimodal: frame sampling yields one row per chunk") {
+    val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(media, everyN = 50)
+    val byId = frames.collect().groupBy(_.media_id)
+    assert(byId.size == 500)
+    // frame count = ceil(payload/50); payload = n_chars (ASCII text)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { case (id, fs) =>
+      val expected = math.ceil(docs(id).toDouble / 50).toInt
+      assert(fs.length == expected, s"doc $id: ${fs.length} frames != $expected")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+    }
+  }
+}
