@@ -1,0 +1,16 @@
+package graftdrive
+import org.apache.spark.sql.SparkSession
+object PlanDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q_filter_pushdown", "q_revenue_by_nation", "hll_users_total", "hll_parts_by_returnflag")) {
+      println(s"===== $name =====")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
