@@ -205,6 +205,53 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // set operations: intersect / except / union distinct
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val highPri = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val openStatus = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = highPri.intersect(openStatus).agg(count(lit(1)).as("n"))
+        .select(lit("urgent_and_open").as("bucket"), col("n"))
+      val onlyUrgent = highPri.except(openStatus).agg(count(lit(1)).as("n"))
+        .select(lit("urgent_not_open").as("bucket"), col("n"))
+      val either = highPri.union(openStatus).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("urgent_or_open").as("bucket"), col("n"))
+      both.union(onlyUrgent).union(either).orderBy(col("bucket"))
+    }),
+
+    // cube with grouping_id (grouping-sets family beyond rollup)
+    "q_cube_status_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // scalar function surface: string/date/math builtins
+    "q_scalar_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          length(col("o_orderstatus")).as("status_len"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          round(sqrt(abs(col("o_totalprice"))), 4).as("sqrt_price"),
+          (col("o_orderkey") % 7).as("key_mod"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // dropDuplicates on a column subset (first-wins semantics made
+    // deterministic by reducing to min orderkey per group)
+    "q_dropdup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(min(col("o_orderkey")).as("first_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    }),
+
     // ---- training-data pipeline: deduplication ----
 
     "dd_exact_stats" -> ((s, dir) =>
@@ -352,6 +399,36 @@ object SparkEntry {
         |  ROUND(SUM(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """SELECT * FROM (
+        |  SELECT 'urgent_and_open' AS bucket, COUNT(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'urgent_not_open' AS bucket, COUNT(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'urgent_or_open' AS bucket, COUNT(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |) ORDER BY bucket""".stripMargin,
+    "q_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey, UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS pri3,
+        |  LENGTH(o_orderstatus) AS status_len,
+        |  YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+        |  ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
+        |  o_orderkey % 7 AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_dropdup" ->
+      """SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_orderkey
+        |FROM orders GROUP BY o_custkey, o_orderstatus
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
     "dd_exact_stats" ->
       """SELECT COUNT(DISTINCT text) AS n_distinct_texts, COUNT(*) AS n_docs,
         |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,

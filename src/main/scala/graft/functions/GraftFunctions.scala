@@ -57,6 +57,17 @@ object GraftFunctions {
   def hll_error(col: Column): Column =
     GraftShims.column(HllError(e(col)))
 
+  /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
+    * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
+    * Same algorithm family and error bound, different hash — use when raw
+    * throughput matters more than bit-parity with the reference (SHA-1 is
+    * the parity path's dominant per-row cost).
+    */
+  def hll_cardinality_fast(col: Column, k: Int = 4096): Column = {
+    val m = 1 << graft.hll.HllSketch.pFor(k)
+    org.apache.spark.sql.functions.approx_count_distinct(col, 1.04 / math.sqrt(m.toDouble))
+  }
+
   // ---- SQL registration ----
 
   private def intArg(ex: Expression, what: String): Int = ex match {

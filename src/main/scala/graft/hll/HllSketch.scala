@@ -63,7 +63,8 @@ final class HllSketch private (
     val md = HllSketch.localDigest.get()
     md.reset()
     md.update(strBytes, off, len)
-    val digest = md.digest()
+    val digest = HllSketch.localDigestBuf.get()
+    md.digest(digest, 0, 20) // reuse output buffer: no 20-byte alloc per row
     var v: Long =
       if (bits == 32) {
         ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
@@ -234,4 +235,7 @@ object HllSketch {
 
   private val localDigest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-1"))
+
+  private val localDigestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](20))
 }
