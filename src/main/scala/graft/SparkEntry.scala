@@ -325,6 +325,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // as-of join: latest order at-or-before each event per customer
+    // (right side deduplicated to one row per (custkey, date) so the
+    // at-equal-time winner is deterministic)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsofJoin.asofJoin(
+          ev, o,
+          leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("asof_o_orderkey"),
+          date_format(col("asof_o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // winnowing fingerprints: substring-level near-dup pairs among
+    // consecutive doc ids (bounded deterministic pair set)
+    "tx_winnow_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fp = d.select(col("doc_id"),
+        graft.operators.TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      val a = fp.select(col("doc_id").as("id1"), col("fp").as("fp1"))
+      val b = fp.select(col("doc_id").as("id2"), col("fp").as("fp2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(graft.operators.Dedup.sortedJaccard(col("fp1"), col("fp2")), 4).as("overlap"))
+        .orderBy(col("id1"))
+    }),
+
     // ---- training-data pipeline: multimodal (stubbed decode, real plumbing) ----
 
     "mm_image_features" -> ((s, dir) => {
@@ -434,6 +466,15 @@ object SparkEntry {
         |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
     "dd_exact_keep" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q_asof_join" ->
+      """SELECT e.event_id, o.o_orderkey AS asof_o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS asof_date
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames

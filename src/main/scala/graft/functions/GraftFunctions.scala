@@ -102,5 +102,25 @@ object GraftFunctions {
       args => HllUnion(args(0), args(1)))
     GraftShims.registerFunction(spark, "hll_error",
       args => HllError(args.head))
+    GraftShims.registerFunction(spark, "minhash_signature", { args =>
+      val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
+      val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3
+      MinHashSignature(args.head, nh, sh)
+    })
+    GraftShims.registerFunction(spark, "simhash64",
+      args => SimHash64(args.head))
+    GraftShims.registerFunction(spark, "shingle_hashes", { args =>
+      val sh = if (args.length > 1) intArg(args(1), "shingleSize") else 3
+      ShingleHashes(args.head, sh)
+    })
+    GraftShims.registerFunction(spark, "sorted_jaccard",
+      args => SortedLongJaccard(args(0), args(1)))
+    GraftShims.registerFunction(spark, "winnowing_fingerprint", { args =>
+      val k = if (args.length > 1) intArg(args(1), "kGram") else 8
+      val w = if (args.length > 2) intArg(args(2), "window") else 4
+      WinnowingFingerprint(args.head, k, w)
+    })
+    GraftShims.registerFunction(spark, "dot_f",
+      args => DotProductF(args(0), args(1)))
   }
 }

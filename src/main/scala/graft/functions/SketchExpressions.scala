@@ -253,6 +253,82 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** `winnowing_fingerprint(text, kGram, window)` -> sorted distinct
+  * Array[Long]: the MOSS document-fingerprinting scheme (Schleimer,
+  * Wilkerson, Aiken, SIGMOD 2003). Rabin-Karp rolling hash over character
+  * k-grams of the normalized text, then winnowing: keep the minimum hash of
+  * each sliding window (rightmost on ties), guaranteeing any shared
+  * substring of length >= window+kGram-1 produces a shared fingerprint.
+  * Near-dup detection = fingerprint-set overlap ([[SortedLongJaccard]]).
+  */
+case class WinnowingFingerprint(child: Expression, kGram: Int = 8, window: Int = 4)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+    else if (kGram < 2 || window < 1)
+      TypeCheckResult.TypeCheckFailure(s"need kGram >= 2 and window >= 1, got ($kGram, $window)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val B = 1000000007L // rolling-hash base
+
+  override def nullSafeEval(v: Any): Any = {
+    // normalize like the other text sketches: lowercase, collapse non-letters
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+      .replaceAll("[^\\p{L}]+", " ").trim
+    if (s.length < kGram) return new GenericArrayData(Array.emptyLongArray)
+    val n = s.length - kGram + 1
+    val gramHashes = new Array[Long](n)
+    // Rabin-Karp: h(i+1) = (h(i) - s(i)*B^(k-1)) * B + s(i+k)
+    var pow = 1L
+    var j = 1
+    while (j < kGram) { pow *= B; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < kGram) { h = h * B + s.charAt(i); i += 1 }
+    gramHashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + kGram - 1)
+      gramHashes(i) = h
+      i += 1
+    }
+    // winnowing: min of each window of `window` consecutive gram hashes,
+    // rightmost minimum on ties; record each selected position once
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    val lastWindow = n - window
+    if (lastWindow < 0) {
+      var m = gramHashes(0)
+      i = 1
+      while (i < n) { if (gramHashes(i) <= m) m = gramHashes(i); i += 1 }
+      selected.add(m)
+    } else {
+      while (w <= lastWindow) {
+        var minIdx = w
+        i = w + 1
+        while (i < w + window) {
+          if (gramHashes(i) <= gramHashes(minIdx)) minIdx = i
+          i += 1
+        }
+        selected.add(gramHashes(minIdx))
+        w += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out) // TreeSet iteration = sorted ascending
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowingFingerprint = copy(child = c)
+  override def prettyName: String = "winnowing_fingerprint"
+}
+
 /** `nearest_centroid(vec)` -> Int: argmax dot(vec, centroid) against a
   * plan-embedded centroid matrix (broadcast with the serialized plan).
   * Map-only IVF partition assignment in one pass.

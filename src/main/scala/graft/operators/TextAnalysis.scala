@@ -96,6 +96,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** MOSS winnowing fingerprint set (rolling Rabin-Karp k-gram hashes,
+    * per-window minima) — substring-level near-dup detection; overlap via
+    * [[Dedup.sortedJaccard]].
+    */
+  def winnowingFingerprint(text: Column, kGram: Int = 8, window: Int = 4): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.WinnowingFingerprint(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text), kGram, window))
+
   /** Word n-gram shingles as an array column (builtin-only n-gram builder):
     * shingle i = words[i..i+n-1] joined by space.
     */
