@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are asserted on the optimized physical plan, so a refactor that
+  * silently loses pushdown, broadcast, or partial aggregation fails CI.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // projection pruned: quantity/discount read for the filter, but no
+    // unrelated wide columns (e.g. l_shipdate, l_returnflag)
+    assert(!p.contains("l_shipdate"), "column pruning lost: l_shipdate read")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ at tiny SF")
+  }
+
+  test("hll aggregate plans as partial/final around one exchange") {
+    val p = plan("hll_parts_by_returnflag")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(p.contains("hll_cardinality"), "custom aggregate missing from plan")
+    // scan must prune to the two columns used
+    assert(!p.contains("l_extendedprice"), "column pruning lost on lineitem")
+  }
+
+  test("exact dedup shuffles digests, not text") {
+    val df = operators.Dedup.exactDupStats(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    // the exchange partitions on the digest columns, never raw text
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach(l => assert(!l.contains("text#"),
+      s"shuffle carries raw text: $l"))
+  }
+
+  test("asof join uses a single hash shuffle, no nested-loop join") {
+    val ev = SparkEntry.queries("q_asof_join")(spark, dir)
+    val p = ev.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof join degraded to cross product:\n$p")
+  }
+}
