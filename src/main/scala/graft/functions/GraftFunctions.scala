@@ -57,6 +57,12 @@ object GraftFunctions {
   def hll_error(col: Column): Column =
     GraftShims.column(HllError(e(col)))
 
+  /** Sketch parameter struct (k, m, p, bits, alpha, error) — the reference's
+    * instance attributes as a column.
+    */
+  def hll_info(col: Column): Column =
+    GraftShims.column(HllInfo(e(col)))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -102,6 +108,8 @@ object GraftFunctions {
       args => HllUnion(args(0), args(1)))
     GraftShims.registerFunction(spark, "hll_error",
       args => HllError(args.head))
+    GraftShims.registerFunction(spark, "hll_info",
+      args => HllInfo(args.head))
     GraftShims.registerFunction(spark, "minhash_signature", { args =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

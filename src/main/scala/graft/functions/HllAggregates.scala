@@ -209,6 +209,35 @@ case class HllUnion(left: Expression, right: Expression)
   override def prettyName: String = "hll_union"
 }
 
+/** Scalar `hll_info(sketchCol)` -> struct: the sketch parameters the
+  * reference exposes as instance attributes (k, effective_k=m, p, bits,
+  * alpha, error; HLL/HyperLogLog.py:76-86).
+  */
+case class HllInfo(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("m", IntegerType, nullable = false),
+    StructField("p", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("alpha", DoubleType, nullable = false),
+    StructField("error", DoubleType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = HllSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(s.k, s.m, s.p, s.bits, s.alpha, s.error)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HllInfo = copy(child = c)
+  override def prettyName: String = "hll_info"
+}
+
 /** Scalar `hll_error(sketchCol)` -> Double: theoretical relative standard
   * error 1.04/sqrt(m) of a stored sketch (HLL/HyperLogLog.py:86).
   */
