@@ -292,6 +292,45 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // complete dedup pipeline: LSH pairs -> components -> keep one per cluster
+    "dd_neardedup_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.nearDedup(d, "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // composed curation pipeline: quality gate + lang filter + near-dedup,
+    // reporting per-stage survivor counts
+    "dd_pipeline_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", graft.operators.TextAnalysis.langId(col("text")))
+      val qualityKept = scored.filter(col("q") >= 0.5)
+      val langKept = qualityKept.filter(col("lang_pred") =!= "und")
+      val deduped = graft.operators.Dedup.nearDedup(langKept, "text", "doc_id", threshold = 0.5)
+      val stages = Seq(
+        ("0_input", d.count()),
+        ("1_quality", qualityKept.count()),
+        ("2_lang", langKept.count()),
+        ("3_neardedup", deduped.count()))
+      s.createDataFrame(stages).toDF("stage", "n_docs").orderBy(col("stage"))
+    }),
+
+    // sketch-algebra intersection: distinct users seen in BOTH halves of the
+    // event stream (inclusion-exclusion over stored sketches)
+    "hll_intersect_halves" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+      val sketches = half.groupBy(col("half"))
+        .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("sk"))
+      val a = sketches.filter(col("half") === 0).select(col("sk").as("sk_a"))
+      val b = sketches.filter(col("half") === 1).select(col("sk").as("sk_b"))
+      a.crossJoin(b).select(
+        round(GraftFunctions.hll_estimate(col("sk_a")), 4).as("est_a"),
+        round(GraftFunctions.hll_estimate(col("sk_b")), 4).as("est_b"),
+        round(GraftFunctions.hll_intersect_estimate(col("sk_a"), col("sk_b")), 4).as("est_intersect"))
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "sim_bruteforce_topk" -> ((s, dir) => {

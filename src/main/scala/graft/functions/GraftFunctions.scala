@@ -63,6 +63,14 @@ object GraftFunctions {
   def hll_info(col: Column): Column =
     GraftShims.column(HllInfo(e(col)))
 
+  /** Inclusion-exclusion intersection estimate over two sketch values:
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). Standard HLL extension (the
+    * monoid only supports union natively); error grows when the true
+    * intersection is small relative to the union.
+    */
+  def hll_intersect_estimate(a: Column, b: Column): Column =
+    hll_estimate(a) + hll_estimate(b) - hll_estimate(hll_union(a, b))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw

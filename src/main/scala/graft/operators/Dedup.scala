@@ -130,6 +130,63 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Connected components over a near-dup pair list: assigns every node the
+    * minimum id in its component (min-label propagation). Near-dup clusters
+    * have tiny diameter, so convergence takes a handful of rounds; `maxIters`
+    * caps the worst case. Per round: one shuffle (the groupBy-min). At very
+    * large scale swap in large-star/small-star; min-propagation is the same
+    * fixed point with more rounds on long chains.
+    *
+    * @param pairs DataFrame with columns (id1, id2), id1 < id2
+    * @return DataFrame (id, cluster) for every id appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("id")).agg(min(col("cluster")).as("nmin"))
+      // localCheckpoint truncates the lineage — iterative self-joins
+      // otherwise grow the logical plan exponentially per round
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: MinHash-LSH pairs -> connected components -> keep
+    * the smallest id per cluster (singletons kept implicitly). Returns the
+    * kept rows of `df`.
+    */
+  def nearDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashNearDupPairs(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
+    val clusters = connectedComponents(pairs)
+    val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("_drop"))
+    df.join(drop, df(idCol) === col("_drop"), "left_anti")
+  }
+
   /** N-gram Jaccard similarity for a candidate pair set (exact, builtin-only):
     * self-contained variant for when candidates come from elsewhere.
     */
