@@ -305,14 +305,22 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val scored = d.withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
         .withColumn("lang_pred", graft.operators.TextAnalysis.langId(col("text")))
-      val qualityKept = scored.filter(col("q") >= 0.5)
-      val langKept = qualityKept.filter(col("lang_pred") =!= "und")
-      val deduped = graft.operators.Dedup.nearDedup(langKept, "text", "doc_id", threshold = 0.5)
+        .localCheckpoint(true) // scan once; filters below reuse it
+      // stage counts 0-2 in ONE aggregation pass (conditional sums), so the
+      // scored scan isn't re-run per stage
+      val funnel = scored.agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q") >= 0.5 && col("lang_pred") =!= "und", 1L).otherwise(0L)).as("n_lang"))
+        .collect()(0)
+      val langKept = scored.filter(col("q") >= 0.5 && col("lang_pred") =!= "und")
+      val nDedup = graft.operators.Dedup
+        .nearDedup(langKept, "text", "doc_id", threshold = 0.5).count()
       val stages = Seq(
-        ("0_input", d.count()),
-        ("1_quality", qualityKept.count()),
-        ("2_lang", langKept.count()),
-        ("3_neardedup", deduped.count()))
+        ("0_input", funnel.getLong(0)),
+        ("1_quality", funnel.getLong(1)),
+        ("2_lang", funnel.getLong(2)),
+        ("3_neardedup", nDedup))
       s.createDataFrame(stages).toDF("stage", "n_docs").orderBy(col("stage"))
     }),
 

@@ -141,6 +141,38 @@ object Dedup {
     * @return DataFrame (id, cluster) for every id appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // Hybrid: near-dup pair graphs are tiny relative to the corpus (pairs ~=
+    // number of duplicates). Up to `smallGraphLimit` edges, a driver-side
+    // union-find in one collect beats N rounds of distributed jobs; past it,
+    // fall through to distributed min-label propagation.
+    val smallGraphLimit = 1000000L
+    val edgeCount = pairs.limit((smallGraphLimit + 1).toInt).count()
+    if (edgeCount <= smallGraphLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.map(id => (id, find(id))).toSeq
+      return spark.createDataset(out).toDF("id", "cluster")
+    }
+    distributedComponents(pairs, maxIters)
+  }
+
+  /** Distributed min-label propagation (the >1M-edge path). */
+  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
