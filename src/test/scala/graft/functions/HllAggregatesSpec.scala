@@ -107,6 +107,26 @@ class HllAggregatesSpec extends AnyFunSuite {
     assert(est == 695.1859783711712) // ref test_HyperLogLog.py:178 golden
   }
 
+  test("empty input edge cases: estimate 0.0, null sketch union, null scalars") {
+    import spark.implicits._
+    val empty = spark.createDataset(Seq.empty[String]).toDF("v")
+    // aggregate over zero rows: empty sketch -> estimate 0.0 (ref: V=m path)
+    val est = empty.agg(hll_cardinality(col("v"), 16)).collect()(0).getDouble(0)
+    assert(est == 0.0)
+    // hll_union_agg over zero rows -> null sketch; hll_estimate(null) -> null
+    val u = empty.withColumn("sk", lit(null).cast("binary"))
+      .agg(GraftFunctions.hll_union_agg(col("sk")).as("u"))
+      .select(hll_estimate(col("u")))
+      .collect()(0)
+    assert(u.isNullAt(0))
+    // hll_union with one null side -> null (binary expression null semantics)
+    val df = spark.createDataset(Seq("x")).toDF("v")
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 16).as("sk"))
+      .select(hll_estimate(GraftFunctions.hll_union(col("sk"), lit(null).cast("binary"))))
+      .collect()(0)
+    assert(df.isNullAt(0))
+  }
+
   test("nulls are skipped (SQL aggregate semantics)") {
     import spark.implicits._
     val df = spark.createDataset(Seq(Some("a"), None, Some("b"), None, Some("a")))
