@@ -292,6 +292,33 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // sessionization: lag + cumulative-sum windows over the event stream
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "ts", gapSeconds = 3600)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // range join: events bucketed into price-derived integer intervals of
+    // orders (synthetic intervals exercise the bucketed composition; the
+    // plan must not contain a nested-loop join)
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"))
+      val iv = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") * 10).as("lo"),
+          (col("o_custkey") * 10 + 5).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.withColumn("pt", col("user_id") * 10 + 2), iv,
+          "pt", "lo", "hi", bucketWidth = 16)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_intervals"))
+        .orderBy(col("event_id"))
+    }),
+
     // complete dedup pipeline: LSH pairs -> components -> keep one per cluster
     "dd_neardedup_keep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -513,6 +540,24 @@ object SparkEntry {
         |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
     "dd_exact_keep" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q_sessionize" ->
+      """SELECT user_id, session_seq,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 3600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events))
+        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_id, COUNT(*) AS n_intervals
+        |FROM (SELECT event_id, user_id * 10 + 2 AS pt FROM events) e
+        |JOIN (SELECT o_custkey * 10 AS lo, o_custkey * 10 + 5 AS hi FROM orders) o
+        |  ON e.pt BETWEEN o.lo AND o.hi
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, o.o_orderkey AS asof_o_orderkey,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS asof_date

@@ -58,6 +58,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"shuffle carries raw text: $l"))
   }
 
+  test("range join is an equi-join on buckets, not a nested-loop join") {
+    val df = SparkEntry.queries("q_range_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to cross product:\n$p")
+  }
+
   test("asof join uses a single hash shuffle, no nested-loop join") {
     val ev = SparkEntry.queries("q_asof_join")(spark, dir)
     val p = ev.queryExecution.executedPlan.toString
