@@ -111,6 +111,16 @@ object SparkEntry {
           GraftFunctions.hll_estimate(col("sk")).as("est"))
     }),
 
+    // approximate top-k (Misra-Gries); capacity >= distinct -> exact, so
+    // the exploded output is oracle-checkable against GROUP BY ... LIMIT
+    "hll_top_event_types" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.agg(GraftFunctions.approx_top_k(col("event_type"), 5, 64).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
     // ---- standard relational categories (SURVEY.md §2b), DuckDB oracles ----
 
     // scan + filter + group-agg + sort (TPC-H Q1 shape)
@@ -505,6 +515,9 @@ object SparkEntry {
         |  ROUND(SUM(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "hll_top_event_types" ->
+      """SELECT event_type AS item, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
     "q_setops" ->
       """SELECT * FROM (
         |  SELECT 'urgent_and_open' AS bucket, COUNT(*) AS n FROM (

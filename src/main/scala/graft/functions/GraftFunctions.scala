@@ -71,6 +71,13 @@ object GraftFunctions {
   def hll_intersect_estimate(a: Column, b: Column): Column =
     hll_estimate(a) + hll_estimate(b) - hll_estimate(hll_union(a, b))
 
+  /** Approximate top-k frequent items (mergeable Misra-Gries): items with
+    * frequency > n/capacity are guaranteed present; exact when capacity >=
+    * distinct count. Input cast to string like the HLL family.
+    */
+  def approx_top_k(col: Column, k: Int = 10, capacity: Int = 1024): Column =
+    aggCol(ApproxTopK(e(str(col)), k, capacity))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -118,6 +125,11 @@ object GraftFunctions {
       args => HllError(args.head))
     GraftShims.registerFunction(spark, "hll_info",
       args => HllInfo(args.head))
+    GraftShims.registerFunction(spark, "approx_top_k_mg", { args =>
+      val k = if (args.length > 1) intArg(args(1), "k") else 10
+      val cap = if (args.length > 2) intArg(args(2), "capacity") else 1024
+      ApproxTopK(Cast(args.head, StringType), k, cap).toAggregateExpression()
+    })
     GraftShims.registerFunction(spark, "minhash_signature", { args =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable Misra-Gries frequency sketch (heavy hitters / approximate
+  * top-k). Bounded state: at most `capacity` counters; any item with true
+  * frequency > n/capacity is guaranteed present, and reported counts
+  * undercount by at most n/capacity. When capacity >= distinct items the
+  * counts are EXACT. Merge sums counters then re-truncates (the standard
+  * mergeable-MG construction), so partial/final aggregation and stored-
+  * sketch re-aggregation work like the HLL family.
+  */
+final class TopKSketch(val capacity: Int) extends Serializable {
+  val counts = new java.util.HashMap[String, Long]()
+
+  def add(item: String, n: Long = 1L): Unit = {
+    val cur = counts.get(item)
+    if (counts.containsKey(item)) counts.put(item, cur + n)
+    else {
+      counts.put(item, n)
+      if (counts.size > capacity) truncate(counts.size - capacity)
+    }
+  }
+
+  /** Subtract the k-th-largest-beyond-capacity offset and drop <=0 (batch
+    * decrement — equivalent to repeated MG decrements).
+    */
+  private def truncate(excess: Int): Unit = {
+    val vals = new Array[Long](counts.size)
+    val it0 = counts.values().iterator()
+    var i = 0
+    while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val dec = vals(excess - 1) // smallest `excess` counters die
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - dec
+      if (nv <= 0) it.remove() else e.setValue(nv)
+    }
+  }
+
+  def merge(other: TopKSketch): TopKSketch = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      counts.put(e.getKey, (if (counts.containsKey(e.getKey)) cur else 0L) + e.getValue)
+    }
+    if (counts.size > capacity) truncate(counts.size - capacity)
+    this
+  }
+
+  /** Top-k by (count desc, item asc) — deterministic. */
+  def topK(k: Int): Array[(String, Long)] = {
+    val arr = new Array[(String, Long)](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
+    arr.sortBy { case (item, c) => (-c, item) }.take(k)
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(capacity)
+    out.writeInt(counts.size)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(e.getValue)
+    }
+    bos.toByteArray
+  }
+}
+
+object TopKSketch {
+  def deserialize(bytes: Array[Byte]): TopKSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new TopKSketch(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    s
+  }
+}
+
+/** `approx_top_k(col, k, capacity)` -> array<struct<item string, count
+  * long>> sorted by (count desc, item asc).
+  */
+case class ApproxTopK(
+    child: Expression,
+    k: Int = 10,
+    capacity: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
+    else if (k < 1 || capacity < k)
+      TypeCheckResult.TypeCheckFailure(s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKSketch = new TopKSketch(capacity)
+
+  override def update(buffer: TopKSketch, input: InternalRow): TopKSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(b1: TopKSketch, b2: TopKSketch): TopKSketch = b1.merge(b2)
+
+  override def eval(buffer: TopKSketch): Any =
+    new GenericArrayData(buffer.topK(k).map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+
+  override def serialize(buffer: TopKSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKSketch = TopKSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): ApproxTopK = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ApproxTopK = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ApproxTopK = copy(child = c)
+  override def prettyName: String = "approx_top_k"
+}
