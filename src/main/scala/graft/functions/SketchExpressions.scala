@@ -253,6 +253,31 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** `bloom_might_contain(col)` against a plan-embedded serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (built with the public
+  * `df.stat.bloomFilter`). Deserialized once per task (lazy), then each row
+  * is a hash probe — map-only membership filtering for "seen-set" problems.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainString(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** `winnowing_fingerprint(text, kGram, window)` -> sorted distinct
   * Array[Long]: the MOSS document-fingerprinting scheme (Schleimer,
   * Wilkerson, Aiken, SIGMOD 2003). Rabin-Karp rolling hash over character
