@@ -215,6 +215,29 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // exact percentiles (sort-based, matches ANSI percentile_cont)
+    "q_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // pivot: order counts per status x priority matrix
+    "q_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("o_orderstatus", "urgent", "high", "medium", "notspec", "low")
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // set operations: intersect / except / union distinct
     "q_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -532,6 +555,20 @@ object SparkEntry {
     "hll_top_event_types" ->
       """SELECT event_type AS item, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_setops" ->
       """SELECT * FROM (
         |  SELECT 'urgent_and_open' AS bucket, COUNT(*) AS n FROM (
