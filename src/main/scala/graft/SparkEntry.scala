@@ -478,6 +478,27 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // deterministic training-mix: per-source rates + stable hash sampling,
+    // with a reproducible train/val/test split column
+    "tx_training_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+      graft.operators.Sampling.trainingMix(d, "source", "doc_id", rates)
+        .withColumn("split", graft.operators.Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // corpus length histogram (fixed-width buckets, oracle-checkable)
+    "tx_length_histogram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(width_bucket(col("n_chars"), lit(0), lit(1000), lit(20)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- training-data pipeline: multimodal (stubbed decode, real plumbing) ----
 
     "mm_image_features" -> ((s, dir) => {
@@ -635,6 +656,11 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "tx_length_histogram" ->
+      """SELECT CASE WHEN n_chars >= 1000 THEN 21
+        |  ELSE CAST(FLOOR(n_chars / 50.0) + 1 AS BIGINT) END AS bucket,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data composition.
+  *
+  * Everything is keyed on content/id hashes, never RNG state: the same row
+  * always makes the same decision regardless of partitioning, retries, or
+  * cluster size — the property training-data pipelines need for exact
+  * reproducibility and for consistent train/test splits across reruns.
+  */
+object Sampling {
+
+  /** Keep a row iff xxhash64(key, seed) falls under `rate` of the hash
+    * space. Deterministic, partition-invariant, O(1) per row, no shuffle.
+    */
+  def hashSampleCond(key: Column, rate: Double, seed: Long = 42L): Column = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    // map hash to [0,1): shift to non-negative then scale
+    val u = (shiftrightunsigned(xxhash64(key, lit(seed)), 11)).cast("double") / lit((1L << 53).toDouble)
+    u < lit(rate)
+  }
+
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 42L): DataFrame =
+    df.filter(hashSampleCond(col(keyCol), rate, seed))
+
+  /** Deterministic train/validation/test split: assigns each key a stable
+    * bucket from fractions that must sum to <= 1 (remainder -> last bucket).
+    */
+  def hashSplit(key: Column, fractions: Seq[(String, Double)], seed: Long = 42L): Column = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val u = (shiftrightunsigned(xxhash64(key, lit(seed)), 11)).cast("double") / lit((1L << 53).toDouble)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.zip(cum).foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Weighted training mix: per-source sampling rates composed into one
+    * corpus, tagged with the mix weight used. `rates` maps source-column
+    * value -> keep rate; unlisted sources are dropped.
+    */
+  def trainingMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    val u = (shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 11)).cast("double") / lit((1L << 53).toDouble)
+    df.withColumn("_rate", rateCol)
+      .filter(col("_rate") > 0 && u < col("_rate"))
+      .withColumn("mix_rate", col("_rate"))
+      .drop("_rate")
+  }
+}

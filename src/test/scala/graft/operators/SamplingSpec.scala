@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hash sampling: deterministic, partition-invariant, near target rate") {
+    import spark.implicits._
+    val df = (0 until 100000).map(_.toString).toDF("k")
+    val a = Sampling.hashSample(df.repartition(3), "k", 0.3).collect().map(_.getString(0)).toSet
+    val b = Sampling.hashSample(df.repartition(11), "k", 0.3).collect().map(_.getString(0)).toSet
+    assert(a == b) // same rows regardless of partitioning
+    assert(math.abs(a.size - 30000) < 1000, s"rate off: ${a.size}")
+    // nested property: rate 0.1 sample is a subset of rate 0.3 sample
+    val c = Sampling.hashSample(df, "k", 0.1).collect().map(_.getString(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("hash split: stable, complete, near fractions") {
+    import spark.implicits._
+    val df = (0 until 50000).map(_.toString).toDF("k")
+    val splits = df.withColumn("s", Sampling.hashSplit(col("k"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == 50000L) // every row assigned exactly once
+    assert(math.abs(splits("train") - 40000) < 800)
+    assert(math.abs(splits("val") - 5000) < 400)
+  }
+
+  test("training mix: per-source rates honored, unlisted sources dropped") {
+    import spark.implicits._
+    val df = (0 until 40000).map(i => (s"src${i % 4}", i.toLong)).toDF("source", "doc_id")
+    val mixed = Sampling.trainingMix(df, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src3" -> 0.0))
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 10000L)                 // rate 1.0 keeps all
+    assert(math.abs(bySrc("src1") - 5000) < 400)    // rate 0.5
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3")) // unlisted/zero dropped
+  }
+}
