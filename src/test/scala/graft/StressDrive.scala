@@ -1,0 +1,32 @@
+package graftdrive
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object StressDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","64")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 100M rows, 1000 groups, 10M distinct users: grouped sketch aggregation
+    val n = 100000000L
+    val df = spark.range(n).select(
+      (col("id") % 1000).as("g"),
+      concat(lit("u"), (col("id") % 10000000L)).as("v"))
+    var t0 = System.nanoTime()
+    val rows = df.groupBy("g").agg(
+      graft.functions.GraftFunctions.hll_cardinality(col("v"), 4096).as("est"))
+      .collect()
+    val t1 = (System.nanoTime()-t0)/1e9
+    val avgEst = rows.map(_.getDouble(1)).sum / rows.length
+    println(f"DRIVE hll-grouped-100M: $t1%.1f s = ${n/t1/1e6}%.1f M rows/s, 1000 groups, avg est $avgEst%.0f (true 10k per group... distinct/group = 10000000/1000 interleaved -> each group sees 10k... actually id%%1000 x id%%1e7 -> each group sees 10000 distinct)")
+    // minhash signatures over 1M synthetic docs
+    val docs = spark.range(1000000L).select(col("id"),
+      concat_ws(" ", (0 until 30).map(i => concat(lit("w"), pmod(col("id") * (i + 7), lit(997)))): _*).as("text"))
+    t0 = System.nanoTime()
+    val c = docs.select(graft.operators.Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
+      .select(element_at(col("sig"), 1)).agg(count(lit(1))).collect()(0).getLong(0)
+    val t2 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE minhash-1M-docs: $t2%.1f s = ${1000000/t2/1e3}%.0f K docs/s (n=$c)")
+    spark.stop()
+  }
+}
