@@ -491,6 +491,15 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // PII audit + compression-ratio quality signal over the corpus
+    "tx_pii_compression" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.piiCount(col("text")).as("pii_hits"),
+          round(graft.operators.TextAnalysis.compressionRatio(col("text")), 4).as("compress_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus length histogram (fixed-width buckets, oracle-checkable)
     "tx_length_histogram" -> ((s, dir) => {
       val d = t(s, dir, "documents")

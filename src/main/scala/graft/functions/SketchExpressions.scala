@@ -253,6 +253,39 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** `compression_ratio(text)` -> Double: deflate-compressed size / raw size
+  * of the UTF-8 bytes (level 6). Low ratios signal repetitive/boilerplate
+  * text, high ratios near-random noise — a standard cheap quality signal for
+  * corpus filtering. Deterministic (zlib output is fixed for fixed input and
+  * level). Empty text -> 1.0.
+  */
+case class CompressionRatio(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val raw = v.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(c: Expression): CompressionRatio = copy(child = c)
+  override def prettyName: String = "compression_ratio"
+}
+
 /** `bloom_might_contain(col)` against a plan-embedded serialized
   * `org.apache.spark.util.sketch.BloomFilter` (built with the public
   * `df.stat.bloomFilter`). Deserialized once per task (lazy), then each row

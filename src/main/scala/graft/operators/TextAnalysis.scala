@@ -96,6 +96,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Deflate compression ratio: low = repetitive/boilerplate, high =
+    * noise-like. Cheap corpus-quality signal (native expression).
+    */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.CompressionRatio(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text)))
+
+  // PII patterns kept RE2-compatible (no lookarounds) so the same regexes
+  // run in other engines; word boundaries via explicit delimiters.
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Redact common PII shapes (emails, phone numbers, SSN-format ids, IPv4
+    * addresses) with typed placeholders — standard pre-training scrub pass,
+    * pure regexp_replace chain (codegen'd, map-only).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of PII matches found (for corpus audits). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      coalesce(regexp_count(text, lit(pat)), lit(0))
+    }.reduce(_ + _)
+
   /** MOSS winnowing fingerprint set (rolling Rabin-Karp k-gram hashes,
     * per-window minima) — substring-level near-dup detection; overlap via
     * [[Dedup.sortedJaccard]].
