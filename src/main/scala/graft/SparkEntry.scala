@@ -491,6 +491,37 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // contamination audit: doc-vs-doc substring overlap between two source
+    // partitions of the corpus (deterministic; self-pairs excluded by side)
+    "tx_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("source").isin("src0", "src1"))
+      val b = d.filter(col("source").isin("src2", "src3"))
+      // audit summary (always >= 1 row): contaminated pairs at several
+      // thresholds; the clean synthetic corpus legitimately reports zeros
+      val pairs = graft.operators.Contamination.overlap(
+        a, "doc_id", "text", b, "doc_id", "text", threshold = 0.05)
+      pairs.agg(
+          count(lit(1)).as("pairs_at_005"),
+          sum(when(col("overlap") >= 0.3, 1L).otherwise(0L)).as("pairs_at_03"),
+          sum(when(col("overlap") >= 0.8, 1L).otherwise(0L)).as("pairs_at_08"))
+        .na.fill(0L)
+    }),
+
+    // deterministic per-group sample: 3 docs per source by scrambled-id
+    // order (stable across partitionings; arithmetic scramble is engine-
+    // portable so the oracle can replicate it)
+    "q_group_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // PII audit + compression-ratio quality signal over the corpus
     "tx_pii_compression" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -665,6 +696,12 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_group_sample" ->
+      """SELECT source, rn, doc_id FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin,
     "tx_length_histogram" ->
       """SELECT CASE WHEN n_chars >= 1000 THEN 21
         |  ELSE CAST(FLOOR(n_chars / 50.0) + 1 AS BIGINT) END AS bucket,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination detection: find documents in corpus A sharing
+  * substring-level content with corpus B (the check run before any
+  * evaluation — did benchmark text leak into training data?).
+  *
+  * Implementation: winnowing fingerprints on both sides, exploded into an
+  * inverted index (fingerprint -> doc), equi-joined on fingerprint, overlap
+  * scored as |shared fingerprints| / |A-doc fingerprints|. One shuffle on
+  * the fingerprint hash; ultra-common fingerprints (boilerplate shared by
+  * >maxPostings docs) are dropped the same way LSH caps buckets — they
+  * carry no discriminative signal and would quadratically blow up the join.
+  */
+object Contamination {
+
+  /** @return (a_id, b_id, shared, a_total, overlap) for pairs with
+    *         overlap >= threshold
+    */
+  def overlap(
+      corpusA: DataFrame, aId: String, aText: String,
+      corpusB: DataFrame, bId: String, bText: String,
+      threshold: Double = 0.2,
+      kGram: Int = 8,
+      window: Int = 4,
+      maxPostings: Int = 1000): DataFrame = {
+    def fps(df: DataFrame, id: String, text: String, side: String) =
+      df.select(col(id).as(s"${side}_id"),
+          TextAnalysis.winnowingFingerprint(col(text), kGram, window).as("fp"))
+        .select(col(s"${side}_id"), explode(col("fp")).as("f"))
+
+    val aIdx = fps(corpusA, aId, aText, "a")
+    val aTotals = aIdx.groupBy("a_id").agg(count(lit(1)).as("a_total"))
+    val bIdx = fps(corpusB, bId, bText, "b")
+
+    // drop non-discriminative fingerprints (boilerplate) before the join
+    val bFiltered = bIdx
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+      .filter(col("_n") <= maxPostings)
+      .drop("_n")
+
+    aIdx.join(bFiltered, "f")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(aTotals, "a_id")
+      .withColumn("overlap", round(col("shared") / col("a_total"), 4))
+      .filter(col("overlap") >= threshold)
+      .select(col("a_id"), col("b_id"), col("shared"), col("a_total"), col("overlap"))
+  }
+}

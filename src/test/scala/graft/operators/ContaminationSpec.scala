@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContaminationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("planted eval-set leakage is detected; disjoint content is not") {
+    import spark.implicits._
+    val benchmark = "what is the capital of france paris is the capital and largest city of france"
+    val train = Seq(
+      (1L, s"some web page content $benchmark and then more unrelated trailing text"),
+      (2L, "completely independent document about distributed systems and consensus protocols"),
+      (3L, "another clean doc discussing columnar storage and vectorized execution engines")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, benchmark),
+      (101L, "how many moons does jupiter have in total as of current astronomical surveys")
+    ).toDF("doc_id", "text")
+    val hits = Contamination.overlap(eval, "doc_id", "text", train, "doc_id", "text",
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(hits.exists(h => h._1 == 100L && h._2 == 1L && h._3 > 0.5),
+      s"leaked benchmark not detected: ${hits.mkString(",")}")
+    assert(!hits.exists(h => h._1 == 101L), "false positive on clean eval doc")
+    assert(!hits.exists(h => h._2 == 2L || h._2 == 3L), "false positive on clean train docs")
+  }
+}
