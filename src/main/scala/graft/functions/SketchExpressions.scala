@@ -218,10 +218,13 @@ case class SortedLongJaccard(left: Expression, right: Expression)
 /** `dot_f(a, b)` -> Double: dot product of two float arrays in a tight
   * primitive loop. The interpreted `aggregate(zip_with(...))` builtin chain
   * allocates an intermediate array per row pair and dispatches per element —
-  * this is the ANN hot path, so it gets a native expression.
+  * this is the ANN hot path, so it gets a native expression WITH real
+  * codegen (`doGenCode` emits the loop inline into the stage body, keeping
+  * the crossJoin+score pipeline inside one WholeStageCodegen span instead of
+  * falling back to interpreted eval per row pair).
   */
 case class DotProductF(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(t: DataType): Boolean = t match {
@@ -246,6 +249,25 @@ case class DotProductF(left: Expression, right: Expression)
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
