@@ -121,6 +121,19 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("item"))
     }),
 
+    // composite-key distinct: sketch over a canonical key encoding, paired
+    // with the exact multi-column count
+    "hll_distinct_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // separator prevents cross-column collisions ("12|34" vs "123|4");
+      // k chosen so n/m > 5 stays clear of the reference's inherited
+      // mid-range bias band (see BASELINE.md accuracy caveat)
+      val key = concat_ws("|", col("l_partkey"), col("l_suppkey"))
+      li.agg(
+        GraftFunctions.hll_cardinality(key, 1 << 12).as("est_pairs"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("exact_pairs"))
+    }),
+
     // ---- standard relational categories (SURVEY.md §2b), DuckDB oracles ----
 
     // scan + filter + group-agg + sort (TPC-H Q1 shape)
@@ -177,6 +190,23 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"), col("rk"))
         .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+
+    // range-frame window: revenue within a +/-5-day value window around
+    // each order date per customer (RANGE BETWEEN, not ROWS BETWEEN)
+    "q_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val day = 86400L
+      // o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+      // NTZ won't cast straight to long — hop through TIMESTAMP first
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-5 * day, 5 * day)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("nearby_revenue"),
+          count(lit(1)).over(w).as("nearby_orders"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // sort + limit (top-k)
@@ -632,6 +662,14 @@ object SparkEntry {
     "q_top20_orders" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER w, 2) AS nearby_revenue,
+        |  COUNT(*) OVER w AS nearby_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 432000 PRECEDING AND 432000 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_cust_order_existence" ->
       """SELECT * FROM (
         |  SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
