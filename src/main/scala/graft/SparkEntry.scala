@@ -443,8 +443,10 @@ object SparkEntry {
     // reporting per-stage survivor counts
     "dd_pipeline_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val scored = d.withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
-        .withColumn("lang_pred", graft.operators.TextAnalysis.langId(col("text")))
+      val scored = d.withColumn("_ts", graft.operators.TextAnalysis.textStats(col("text")))
+        .withColumn("q", graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")))
+        .withColumn("lang_pred", graft.operators.TextAnalysis.langIdFrom(col("_ts")))
+        .drop("_ts")
         .localCheckpoint(true) // scan once; filters below reuse it
       // stage counts 0-2 in ONE aggregation pass (conditional sums), so the
       // scored scan isn't re-run per stage
@@ -623,9 +625,11 @@ object SparkEntry {
 
     "tx_lang_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-          graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"),
-          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"),
+      // one text_stats pass feeds both language-ID and quality
+      d.withColumn("_ts", graft.operators.TextAnalysis.textStats(col("text")))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.langIdFrom(col("_ts")).as("lang_pred"),
+          graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")).as("quality"),
           graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
     })

@@ -26,14 +26,14 @@ object Contamination {
       kGram: Int = 8,
       window: Int = 4,
       maxPostings: Int = 1000): DataFrame = {
-    def fps(df: DataFrame, id: String, text: String, side: String) =
-      df.select(col(id).as(s"${side}_id"),
-          TextAnalysis.winnowingFingerprint(col(text), kGram, window).as("fp"))
-        .select(col(s"${side}_id"), explode(col("fp")).as("f"))
-
-    val aIdx = fps(corpusA, aId, aText, "a")
-    val aTotals = aIdx.groupBy("a_id").agg(count(lit(1)).as("a_total"))
-    val bIdx = fps(corpusB, bId, bText, "b")
+    // A side carries its per-doc fingerprint count (size of the array) through
+    // the explode, so totals need no second fingerprint pass or extra join
+    val aIdx = corpusA.select(col(aId).as("a_id"),
+        TextAnalysis.winnowingFingerprint(col(aText), kGram, window).as("fp"))
+      .select(col("a_id"), size(col("fp")).as("a_total"), explode(col("fp")).as("f"))
+    val bIdx = corpusB.select(col(bId).as("b_id"),
+        TextAnalysis.winnowingFingerprint(col(bText), kGram, window).as("fp"))
+      .select(col("b_id"), explode(col("fp")).as("f"))
 
     // drop non-discriminative fingerprints (boilerplate) before the join
     val bFiltered = bIdx
@@ -44,8 +44,7 @@ object Contamination {
 
     aIdx.join(bFiltered, "f")
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared"))
-      .join(aTotals, "a_id")
+      .agg(count(lit(1)).as("shared"), first(col("a_total")).as("a_total"))
       .withColumn("overlap", round(col("shared") / col("a_total"), 4))
       .filter(col("overlap") >= threshold)
       .select(col("a_id"), col("b_id"), col("shared"), col("a_total"), col("overlap"))

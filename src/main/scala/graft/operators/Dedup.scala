@@ -146,12 +146,17 @@ object Dedup {
     // union-find in one collect beats N rounds of distributed jobs; past it,
     // fall through to distributed min-label propagation.
     val smallGraphLimit = 1000000L
-    val edgeCount = pairs.limit((smallGraphLimit + 1).toInt).count()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialize the edge list once: pair generation (LSH + verify) is the
+    // expensive upstream, and both the size probe and the collect/iteration
+    // below would otherwise recompute it. A global limit+collect would be
+    // worse still — it forces the pipeline into one partition.
+    val mat = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .localCheckpoint(true)
+    val edgeCount = mat.count()
     if (edgeCount <= smallGraphLimit) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-        .as[(Long, Long)].collect()
+      val es = mat.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -168,7 +173,7 @@ object Dedup {
       val out = parent.keys.map(id => (id, find(id))).toSeq
       return spark.createDataset(out).toDF("id", "cluster")
     }
-    distributedComponents(pairs, maxIters)
+    distributedComponents(mat.toDF("id1", "id2"), maxIters)
   }
 
   /** Distributed min-label propagation (the >1M-edge path). */

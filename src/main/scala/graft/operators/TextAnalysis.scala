@@ -35,22 +35,34 @@ object TextAnalysis {
   private def stopwordHits(ws: Column, lang: String): Column =
     size(filter(ws, w => array_contains(typedLit(stopwords(lang)), w)))
 
-  /** Language ID: CJK-character detection plus stopword-profile scoring over
-    * {en, fr, es, de}; ties break by fixed language order, no signal -> "und"
-    * (undetermined). Deterministic, builtin-only.
+  /** All character/word/stopword statistics in one native single-pass
+    * expression ([[graft.functions.TextStats]]) — the builtin-composed
+    * equivalents re-scan the text ~10 times through interpreted
+    * (CodegenFallback) array lambdas. Compute this struct once per document
+    * and derive language/quality from its fields.
     */
-  def langId(text: Column): Column = {
-    val ws = words(text)
-    val cjk = coalesce(regexp_count(text, lit("[\\u4e00-\\u9fff\\u3040-\\u30ff]")), lit(0))
-    val scores = Seq("en", "fr", "es", "de").map(l => l -> stopwordHits(ws, l))
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text)))
+
+  /** Language ID from a [[textStats]] struct (cheap field arithmetic). */
+  def langIdFrom(ts: Column): Column = {
+    val scores = Seq("en", "fr", "es", "de").map(l => l -> ts.getField(s"stop_$l"))
     val best = greatest(scores.map(_._2): _*)
-    when(cjk > 0, lit("zh"))
+    when(ts.getField("n_cjk") > 0, lit("zh"))
       .otherwise(
         when(best <= 0, lit("und"))
           .otherwise(scores.foldRight(lit("und")) { case ((l, sc), acc) =>
             when(sc === best, lit(l)).otherwise(acc)
           }))
   }
+
+  /** Language ID: CJK-character detection plus stopword-profile scoring over
+    * {en, fr, es, de}; ties break by fixed language order, no signal -> "und"
+    * (undetermined). Deterministic.
+    */
+  def langId(text: Column): Column = langIdFrom(textStats(text))
 
   /** Quality components + composite score in [0, 1]:
     * length signal, alphabetic ratio, punctuation density, stopword ratio,
@@ -74,13 +86,27 @@ object TextAnalysis {
       "mean_word_len" -> when(nWords > 0, nAlpha / nWords).otherwise(lit(0.0)))
   }
 
-  /** Composite quality score: each component mapped to [0,1] and averaged.
-    * Deterministic; thresholds follow common web-text filtering folklore
-    * (length in [200, 50k], alpha>0.6, punct<0.2, stopwords>0.05,
-    * mean word length in [2, 12]).
+  /** Quality-component columns derived from a [[textStats]] struct — same
+    * definitions as [[qualityComponents]], one text pass instead of many.
     */
-  def qualityScore(text: Column): Column = {
-    val c = qualityComponents(text).toMap
+  def qualityComponentsFrom(ts: Column): Map[String, Column] = {
+    val len = ts.getField("n_chars").cast("double")
+    val nWords = ts.getField("n_words").cast("double")
+    val nAlpha = ts.getField("n_alpha").cast("double")
+    val nPunct = ts.getField("n_punct").cast("double")
+    val nStop = ts.getField("stop_all").cast("double")
+    Map(
+      "n_chars" -> len,
+      "n_words" -> nWords,
+      "alpha_ratio" -> when(len > 0, nAlpha / len).otherwise(lit(0.0)),
+      "punct_ratio" -> when(len > 0, nPunct / len).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nWords > 0, nStop / nWords).otherwise(lit(0.0)),
+      "mean_word_len" -> when(nWords > 0, nAlpha / nWords).otherwise(lit(0.0)))
+  }
+
+  /** Composite quality score from a [[textStats]] struct. */
+  def qualityScoreFrom(ts: Column): Column = {
+    val c = qualityComponentsFrom(ts)
     val lenOk = when(c("n_chars") >= 200 && c("n_chars") <= 50000, 1.0)
       .otherwise(least(c("n_chars") / 200.0, lit(1.0)))
     val alphaOk = least(c("alpha_ratio") / 0.6, lit(1.0))
@@ -89,6 +115,13 @@ object TextAnalysis {
     val mwlOk = when(c("mean_word_len") >= 2 && c("mean_word_len") <= 12, 1.0).otherwise(0.0)
     round((lenOk + alphaOk + punctOk + stopOk + mwlOk) / 5.0, 4)
   }
+
+  /** Composite quality score: each component mapped to [0,1] and averaged.
+    * Deterministic; thresholds follow common web-text filtering folklore
+    * (length in [200, 50k], alpha>0.6, punct<0.2, stopwords>0.05,
+    * mean word length in [2, 12]).
+    */
+  def qualityScore(text: Column): Column = qualityScoreFrom(textStats(text))
 
   /** 64-bit document fingerprint over whitespace-normalized, lowercased text
     * (xxhash64 — codegen'd). Equal fingerprints = exact near-normalized dups.

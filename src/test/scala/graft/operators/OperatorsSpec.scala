@@ -103,6 +103,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s(0) > 0.9 && s(1) < 0.5 && s(0) > s(1))
   }
 
+  test("text_stats native expression matches builtin-composed formulas") {
+    // parity gate for the single-pass TextStats path: compare against the
+    // original builtin formulation (regex counts + array-lambda stopword
+    // filters) on the real documents table plus crafted edge cases
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "   ", "a", "今天天气 mixed latin 123!?",
+        "don't; stop--never. 'quoted' (parens) [brackets]").toDF("text"))
+    val ws = TextAnalysis.words(col("text"))
+    val allStops = graft.functions.TextStatsProfiles.stopwords.values.flatten.toSeq.distinct
+    val builtin = docs.select(
+      length(col("text")).as("n_chars"),
+      size(ws).as("n_words"),
+      coalesce(regexp_count(col("text"), lit("\\p{L}")), lit(0)).as("n_alpha"),
+      coalesce(regexp_count(col("text"), lit("[\\p{Punct}]")), lit(0)).as("n_punct"),
+      coalesce(regexp_count(col("text"), lit("[\\u4e00-\\u9fff\\u3040-\\u30ff]")), lit(0)).as("n_cjk"),
+      size(filter(ws, w => array_contains(typedLit(allStops), w))).as("stop_all"))
+    val native = docs.select(TextAnalysis.textStats(col("text")).as("ts"))
+      .select(col("ts.n_chars"), col("ts.n_words"), col("ts.n_alpha"),
+        col("ts.n_punct"), col("ts.n_cjk"), col("ts.stop_all"))
+    val b = builtin.collect().map(_.toSeq)
+    val n = native.collect().map(_.toSeq)
+    assert(b.length == n.length)
+    b.zip(n).foreach { case (x, y) => assert(x == y, s"builtin $x != native $y") }
+  }
+
   test("fingerprint: whitespace/case-insensitive equality") {
     import spark.implicits._
     val df = Seq(("A  B\tC", "a b c"), ("abc", "abd")).toDF("t1", "t2")
