@@ -503,6 +503,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LSH-bucketed ANN (the no-corpus-shuffle scale path): multi-table
+    // sign-bit hyperplane buckets + Hamming-1 multi-probe on the broadcast
+    // query side; only candidate pairs are ever shuffled
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val planes = graft.operators.Similarity.randomHyperplaneTables(4, 4, 64)
+      graft.operators.Similarity.lshTopK(e, "vec_id", "embedding",
+          q, "qid", "qvec", planes, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- training-data pipeline: text analysis ----
 
     "tx_token_counts" -> ((s, dir) => {

@@ -133,6 +133,66 @@ object Similarity {
         col(corpusId).as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Per-table hyperplane sets for multi-table LSH (deterministic seeds). */
+  def randomHyperplaneTables(
+      tables: Int, nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(t => randomHyperplanes(nBits, dim, seed + 0x51_7c_c1_b7L * t))
+
+  /** LSH-bucketed top-k: multi-table sign-bit hyperplane buckets with
+    * Hamming-1 multi-probe. A corpus row is a candidate for a query if they
+    * share a bucket in ANY table, where the query also probes every bucket
+    * one bit-flip away (the standard multi-probe trick — most of the recall
+    * of extra tables at no index cost).
+    *
+    * Scale shape: corpus bucketing is map-only (plan-embedded hyperplanes,
+    * one `tables`-element array per row, posexploded — no shuffle). Probe
+    * lists explode on the (small, broadcast) query side, so candidates come
+    * from a broadcast equi-join on (table, bucket); the only shuffled data is
+    * the candidate pair set (grouped to dedupe multi-table hits), which is
+    * tiny relative to the corpus. Recall/scan-fraction is data-dependent:
+    * on near-isotropic vectors (no cluster structure) sign-bit LSH needs
+    * many tables to reach high recall — prefer IVF there.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      tablePlanes: Array[Array[Array[Double]]],
+      k: Int = 10): DataFrame = {
+    val nbits = tablePlanes.head.length
+    def bucketOf(vec: Column, t: Int) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.HyperplaneBucket(
+          org.apache.spark.sql.graftshim.GraftShims.expression(vec), tablePlanes(t)))
+    val nt = tablePlanes.length
+    // corpus: one (table, bucket) row per table, map-only
+    val bucketed = corpus.select(col(corpusId), col(corpusVec),
+      posexplode(array((0 until nt).map(t => bucketOf(col(corpusVec), t)): _*))
+        .as(Seq("_tbl", "_bucket")))
+    // queries: per table, own bucket + all Hamming-1 neighbors
+    val probeCols = (0 until nt).flatMap { t =>
+      val qb = bucketOf(col(queryVec), t)
+      (qb +: (0 until nbits).map(b => qb.bitwiseXOR(lit(1 << b))))
+        .map(p => struct(lit(t).as("_tbl"), p.as("_probe")))
+    }
+    val qProbes = broadcast(
+      queries.select(col(queryId), col(queryVec),
+        explode(array(probeCols: _*)).as("_p"))
+      .select(col(queryId), col(queryVec),
+        col("_p._tbl").as("_tbl"), col("_p._probe").as("_probe")))
+    // dedupe multi-table hits on the candidate PAIR set (small), then verify
+    val candidates = bucketed.join(qProbes,
+        bucketed("_tbl") === qProbes("_tbl") && col("_bucket") === col("_probe") &&
+        col(corpusId) =!= col(queryId))
+      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .groupBy(col(queryId), col(corpusId))
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic Gaussian hyperplanes for sign-bit LSH (fixed seed). */
   def randomHyperplanes(nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

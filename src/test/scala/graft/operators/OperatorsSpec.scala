@@ -172,6 +172,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 
+  test("LSH-bucketed ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val planes = Similarity.randomHyperplaneTables(4, 4, 64)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", planes, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // these embeddings are near-isotropic (true neighbors at cos ~0.3), the
+    // hard case for sign-bit LSH: 4 tables x 4 bits + H<=1 probing is sized
+    // for high recall on it; clustered data gets the same recall much cheaper
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH ANN recall too low: $recall")
+    // every reported neighbor must carry its true cosine (verify step is exact):
+    // re-derive one row's cosine via the builtin formulation
+    val one = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", planes, k = 1)
+      .orderBy(col("query_id")).limit(1).collect()(0)
+    val qv = emb.filter(col("vec_id") === one.getAs[Long]("query_id"))
+    val nv = emb.filter(col("vec_id") === one.getAs[Long]("neighbor_id"))
+    val expect = qv.crossJoin(nv.select(col("embedding").as("nvec")))
+      .select(round(Similarity.cosine(col("embedding"), col("nvec")), 4))
+      .collect()(0).getDouble(0)
+    assert(one.getAs[Double]("cos") == expect)
+  }
+
   test("embedding near-dup finds planted duplicates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant: vec 9001 = copy of vec 1, vec 9002 = copy of vec 2
