@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication for ingest pipelines: drop re-deliveries and
+  * content duplicates as data arrives, before anything lands in the lake.
+  *
+  * Scale design (100 TB/day streams):
+  *  - state per retained key is just the key + event-time (no payload), and
+  *    the watermark bounds retention — state is O(distinct keys inside the
+  *    watermark horizon), not O(stream history).
+  *  - content dedup keys on the 64-bit normalized fingerprint, so state and
+  *    the dedup shuffle carry 8-byte keys, never document text — the same
+  *    "digest, don't ship text" rule the batch path uses.
+  *  - exactly the same normalization as batch [[TextAnalysis.fingerprint]],
+  *    so a stream-deduped corpus and a batch-deduped corpus agree.
+  */
+object StreamingDedup {
+
+  /** Drop events whose key columns repeat within the watermark horizon.
+    * Re-deliveries later than `watermarkDelay` are pruned from state and
+    * would pass again — the standard bounded-state trade-off.
+    */
+  def dedupByKey(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-based streaming dedup: key = normalized 64-bit text fingerprint
+    * (case/whitespace-insensitive), computed map-side so state never holds
+    * text. Emits first-seen documents only.
+    */
+  def dedupByContent(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      textCol: String): DataFrame =
+    df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .drop("_fp")
+}

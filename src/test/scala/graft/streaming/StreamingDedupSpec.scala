@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("key dedup drops re-deliveries across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val stream = MemoryStream[(Long, Long)]
+    val events = stream.toDS().toDF("event_id", "tsMillis")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+    val deduped = StreamingDedup.dedupByKey(events, "eventTime", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_keys").start()
+    try {
+      stream.addData(Seq((1L, base), (2L, base + 1000), (1L, base + 2000)))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 and 2 (inside watermark) and adds 3
+      stream.addData(Seq((1L, base + 5000), (2L, base + 6000), (3L, base + 7000)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_keys").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("content dedup keys on the normalized fingerprint, not the raw text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDS().toDF("doc_id", "text", "tsMillis")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+    val deduped = StreamingDedup.dedupByContent(docs, "eventTime", "10 minutes", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_content").start()
+    try {
+      stream.addData(Seq(
+        (1L, "Hello  World", base),
+        (2L, "hello world", base + 1000), // same after normalization -> dropped
+        (3L, "different document", base + 2000)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (4L, "HELLO\tWORLD", base + 5000), // still a dup of doc 1
+        (5L, "brand new content", base + 6000)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_content")
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+      // the helper fingerprint column must not leak into the output schema
+      assert(!out.columns.contains("_fp"))
+    } finally q.stop()
+  }
+}
