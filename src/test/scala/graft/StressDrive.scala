@@ -27,6 +27,16 @@ object StressDrive {
       .select(element_at(col("sig"), 1)).agg(count(lit(1))).collect()(0).getLong(0)
     val t2 = (System.nanoTime()-t0)/1e9
     println(f"DRIVE minhash-1M-docs: $t2%.1f s = ${1000000/t2/1e3}%.0f K docs/s (n=$c)")
+    // single-pass text_stats scoring (quality + langId) over the same 1M docs
+    t0 = System.nanoTime()
+    val scored = docs
+      .withColumn("_ts", graft.operators.TextAnalysis.textStats(col("text")))
+      .select(
+        graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")).as("q"),
+        graft.operators.TextAnalysis.langIdFrom(col("_ts")).as("lang"))
+      .agg(avg(col("q")), count(when(col("lang") =!= "und", 1))).collect()(0)
+    val t3 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE textstats-1M-docs: $t3%.1f s = ${1000000/t3/1e3}%.0f K docs/s (avg q ${scored.getDouble(0)}%.3f)")
     spark.stop()
   }
 }
