@@ -649,6 +649,31 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "tx_token_counts" ->
+      """SELECT doc_id,
+        |  LENGTH(text) AS n_chars,
+        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+        |    FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |    THEN CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))
+        |    ELSE 0.0 END, 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
