@@ -150,5 +150,9 @@ object GraftFunctions {
     })
     GraftShims.registerFunction(spark, "dot_f",
       args => DotProductF(args(0), args(1)))
+    GraftShims.registerFunction(spark, "text_stats",
+      args => TextStats(args.head))
+    GraftShims.registerFunction(spark, "compression_ratio",
+      args => CompressionRatio(args.head))
   }
 }

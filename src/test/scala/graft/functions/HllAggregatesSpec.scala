@@ -85,6 +85,14 @@ class HllAggregatesSpec extends AnyFunSuite {
     val err = spark.sql(
       "SELECT hll_error(hll_sketch_agg(v, 4096)) FROM hll_sql_t").collect()(0).getDouble(0)
     assert(math.abs(err - 1.04 / math.sqrt(4096)) < 1e-15)
+    // text expressions reachable from SQL too
+    val ts = spark.sql(
+      "SELECT text_stats('the cat and the hat').n_words, text_stats('a b!').n_punct")
+      .collect()(0)
+    assert(ts.getInt(0) == 5 && ts.getInt(1) == 1)
+    val cr = spark.sql("SELECT compression_ratio('aaaaaaaaaaaaaaaaaaaaaaaa')")
+      .collect()(0).getDouble(0)
+    assert(cr < 0.5) // repetitive text compresses well
   }
 
   test("hll_union scalar merges two sketch values (reference + operator)") {
