@@ -177,17 +177,58 @@ final class HllSketch private (
 
   def copySketch(): HllSketch = new HllSketch(k, bits, registers.clone())
 
-  /** Serialized form: [bits: 1B][p: 1B][k: 4B BE][registers: m B]. */
+  /** Serialized form, chosen per sketch by occupancy:
+    *  - dense:  [bits: 1B][p: 1B][k: 4B BE][registers: m B]
+    *  - sparse: [bits|0x80: 1B][p: 1B][k: 4B BE][count: 4B BE]
+    *            [(index: 3B BE, value: 1B) x count]
+    * Sparse wins while occupancy < ~25%: a k=2^18 sketch holding 10 distinct
+    * values ships ~50 B instead of 256 KiB across the exchange — the sparse
+    * representation the reference explicitly declined for lack of low-level
+    * memory control in Python (README.md:22). The in-memory register array
+    * stays dense (update/merge/estimate are unchanged — bit-parity intact);
+    * only the wire format adapts. p <= 18 so 3-byte indexes always fit.
+    */
   def serialize(): Array[Byte] = {
-    val out = new Array[Byte](6 + m)
-    out(0) = bits.toByte
-    out(1) = p.toByte
-    out(2) = (k >>> 24).toByte
-    out(3) = (k >>> 16).toByte
-    out(4) = (k >>> 8).toByte
-    out(5) = k.toByte
-    System.arraycopy(registers, 0, out, 6, m)
-    out
+    var nz = 0
+    var i = 0
+    while (i < m) { if (registers(i) != 0) nz += 1; i += 1 }
+    val sparseSize = 10 + 4 * nz
+    if (sparseSize < 6 + m) {
+      val out = new Array[Byte](sparseSize)
+      out(0) = (bits | 0x80).toByte
+      out(1) = p.toByte
+      out(2) = (k >>> 24).toByte
+      out(3) = (k >>> 16).toByte
+      out(4) = (k >>> 8).toByte
+      out(5) = k.toByte
+      out(6) = (nz >>> 24).toByte
+      out(7) = (nz >>> 16).toByte
+      out(8) = (nz >>> 8).toByte
+      out(9) = nz.toByte
+      var o = 10
+      i = 0
+      while (i < m) {
+        if (registers(i) != 0) {
+          out(o) = (i >>> 16).toByte
+          out(o + 1) = (i >>> 8).toByte
+          out(o + 2) = i.toByte
+          out(o + 3) = registers(i)
+          o += 4
+        }
+        i += 1
+      }
+      out
+    } else {
+      val out = new Array[Byte](6 + m)
+      out(0) = bits.toByte
+      out(1) = p.toByte
+      out(2) = (k >>> 24).toByte
+      out(3) = (k >>> 16).toByte
+      out(4) = (k >>> 8).toByte
+      out(5) = k.toByte
+      System.arraycopy(registers, 0, out, 6, m)
+      out
+    }
   }
 }
 
@@ -210,12 +251,26 @@ object HllSketch {
   }
 
   def deserialize(bytes: Array[Byte]): HllSketch = {
-    val bits = bytes(0).toInt & 0xff
+    val sparse = (bytes(0) & 0x80) != 0
+    val bits = bytes(0).toInt & 0x7f
     val k = ((bytes(2) & 0xff) << 24) | ((bytes(3) & 0xff) << 16) |
             ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
     val m = 1 << pFor(k)
     val regs = new Array[Byte](m)
-    System.arraycopy(bytes, 6, regs, 0, m)
+    if (sparse) {
+      val count = ((bytes(6) & 0xff) << 24) | ((bytes(7) & 0xff) << 16) |
+                  ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
+      var e = 0
+      var o = 10
+      while (e < count) {
+        val idx = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+        regs(idx) = bytes(o + 3)
+        o += 4
+        e += 1
+      }
+    } else {
+      System.arraycopy(bytes, 6, regs, 0, m)
+    }
     new HllSketch(k, bits, regs)
   }
 

@@ -82,4 +82,35 @@ class HllPropertiesSpec extends AnyFunSuite {
       assert(rt.k == h.k && rt.bits == h.bits && rt.registers.toSeq == h.registers.toSeq)
     }
   }
+
+  test("sparse wire format: low-occupancy sketches shrink, all occupancies round-trip") {
+    // empty and tiny sketches serialize sparse: size tracks occupancy not m
+    val k = 1 << 18
+    val empty = HllSketch.empty(k, 64)
+    assert(empty.serialize().length == 10, "empty sketch should be header-only sparse")
+    val tiny = HllSketch.empty(k, 64)
+    (0 until 10).foreach(i => tiny.update(s"v$i"))
+    val tinyBytes = tiny.serialize()
+    assert(tinyBytes.length <= 10 + 4 * 10, s"10-distinct sketch was ${tinyBytes.length} B")
+    val rtTiny = HllSketch.deserialize(tinyBytes)
+    assert(rtTiny.registers.toSeq == tiny.registers.toSeq && rtTiny.bits == 64)
+    assert(rtTiny.cardinality == tiny.cardinality)
+    // a full sketch falls back to dense (6 + m) and round-trips too
+    val full = HllSketch.empty(1 << 6, 64)
+    (0 until 10000).foreach(i => full.update(s"x$i"))
+    assert(full.serialize().length == 6 + (1 << 6))
+    val rtFull = HllSketch.deserialize(full.serialize())
+    assert(rtFull.registers.toSeq == full.registers.toSeq)
+    // crossover: sparse never larger than dense would have been
+    (1 to 5).foreach { scale =>
+      val h = HllSketch.empty(4096, 64)
+      (0 until scale * 300).foreach(i => h.update(s"c$i"))
+      assert(h.serialize().length <= 6 + 4096)
+    }
+    // 32-bit flag survives the sparse marker bit
+    val h32 = HllSketch.empty(256, 32)
+    h32.update("abc")
+    val rt32 = HllSketch.deserialize(h32.serialize())
+    assert(rt32.bits == 32 && rt32.registers.toSeq == h32.registers.toSeq)
+  }
 }
