@@ -37,6 +37,18 @@ object StressDrive {
       .agg(avg(col("q")), count(when(col("lang") =!= "und", 1))).collect()(0)
     val t3 = (System.nanoTime()-t0)/1e9
     println(f"DRIVE textstats-1M-docs: $t3%.1f s = ${1000000/t3/1e3}%.0f K docs/s (avg q ${scored.getDouble(0)}%.3f)")
+    // sparse wire format: max-precision sketches over many small groups.
+    // 10M rows, 100k groups x ~100 distinct each, k=2^18 (dense = 256 KiB):
+    // without the sparse format this exchange would carry ~25 GB of buffers.
+    t0 = System.nanoTime()
+    val sk = spark.range(10000000L).select(
+      (col("id") % 100000).as("g"), concat(lit("u"), col("id")).as("v"))
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.hll_sketch_agg(col("v"), 1 << 18).as("sk"))
+      .select(avg(length(col("sk"))).as("avg_bytes"), count(lit(1)).as("groups"))
+      .collect()(0)
+    val t4 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE sparse-sketch-10M-100kgroups: $t4%.1f s, avg serialized sketch ${sk.getDouble(0)}%.0f B (dense would be ${(1 << 18) + 6} B)")
     spark.stop()
   }
 }
