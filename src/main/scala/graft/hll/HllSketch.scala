@@ -32,16 +32,84 @@ import java.security.MessageDigest
   *    formula `-2^32 * ln(1 - E/2^32)` is implemented correctly instead.
   *
   * Registers fit in a byte: max value = hlength - p + 1 <= 61.
+  *
+  * Memory representation is hybrid: large sketches (m >= 1024) start as an
+  * open-addressing (index -> value) map and densify to the flat register
+  * array once occupancy crosses m/16 — so a million small groups at k=2^18
+  * hold bytes each, not 256 KiB each, during partial aggregation. Estimators
+  * densify first (the reference sums 2^-M[j] in register-index order and
+  * Double addition is order-sensitive — parity requires the dense loop).
   */
 final class HllSketch private (
     val k: Int,
     val bits: Int,
-    val registers: Array[Byte]) extends Serializable {
+    private var dense: Array[Byte],
+    private var skeys: Array[Int],
+    private var svals: Array[Byte],
+    private var soccupied: Int) extends Serializable {
 
   val p: Int = HllSketch.pFor(k)
   val m: Int = 1 << p
 
-  require(registers.length == m, s"register array length ${registers.length} != m=$m")
+  require(dense == null || dense.length == m,
+    s"register array length ${dense.length} != m=$m")
+  require(dense != null || skeys != null, "sketch needs a representation")
+
+  /** Dense register array (densifies a sparse sketch on first access). */
+  def registers: Array[Byte] = { densify(); dense }
+
+  private def sparseLimit: Int = m >>> 4 // densify at 1/16 occupancy
+
+  private def densify(): Unit = {
+    if (dense == null) {
+      val d = new Array[Byte](m)
+      var i = 0
+      while (i < skeys.length) {
+        if (skeys(i) >= 0) d(skeys(i)) = svals(i)
+        i += 1
+      }
+      dense = d
+      skeys = null
+      svals = null
+    }
+  }
+
+  /** register := max(register, value) under either representation. */
+  private def setMax(idx: Int, value: Byte): Unit = {
+    if (dense != null) {
+      if (value > dense(idx)) dense(idx) = value
+    } else {
+      val mask = skeys.length - 1
+      var slot = (idx * 0x9e3779b1) >>> 1 & mask
+      while (skeys(slot) >= 0 && skeys(slot) != idx) slot = (slot + 1) & mask
+      if (skeys(slot) == idx) {
+        if (value > svals(slot)) svals(slot) = value
+      } else {
+        skeys(slot) = idx
+        svals(slot) = value
+        soccupied += 1
+        if (soccupied >= sparseLimit) densify()
+        else if (2 * soccupied > skeys.length) growSparse()
+      }
+    }
+  }
+
+  private def growSparse(): Unit = {
+    val ok = skeys; val ov = svals
+    skeys = Array.fill(ok.length * 2)(-1)
+    svals = new Array[Byte](ok.length * 2)
+    val mask = skeys.length - 1
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) >= 0) {
+        var slot = (ok(i) * 0x9e3779b1) >>> 1 & mask
+        while (skeys(slot) >= 0) slot = (slot + 1) & mask
+        skeys(slot) = ok(i)
+        svals(slot) = ov(i)
+      }
+      i += 1
+    }
+  }
 
   /** alpha per HLL/HyperLogLog.py:88-101 */
   def alpha: Double = m match {
@@ -80,7 +148,7 @@ final class HllSketch private (
     val hval = v >>> p
     val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(hval) // bit_length(0)=0
     val rho = bits - p - bitLen + 1
-    if (rho > registers(hkey)) registers(hkey) = rho.toByte
+    setMax(hkey, rho.toByte)
   }
 
   def update(element: String): Unit = {
@@ -92,10 +160,20 @@ final class HllSketch private (
   def merge(other: HllSketch): HllSketch = {
     require(other.k == k, "Number k of hash functions must be equal.")
     require(other.bits == bits, s"Cannot merge $bits-bit with ${other.bits}-bit sketch")
-    var i = 0
-    while (i < m) {
-      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
-      i += 1
+    if (other.dense == null) {
+      // iterate the other side's sparse entries; stays sparse if we are
+      var i = 0
+      while (i < other.skeys.length) {
+        if (other.skeys(i) >= 0) setMax(other.skeys(i), other.svals(i))
+        i += 1
+      }
+    } else {
+      densify()
+      var i = 0
+      while (i < m) {
+        if (other.dense(i) > dense(i)) dense(i) = other.dense(i)
+        i += 1
+      }
     }
     this
   }
@@ -104,19 +182,21 @@ final class HllSketch private (
     * (HLL/HyperLogLog.py:132-137; Double addition is order-sensitive).
     */
   def rawEstimate: Double = {
+    densify()
     var s = 0.0
     var i = 0
     while (i < m) {
-      s += HllSketch.invPow2(registers(i).toInt)
+      s += HllSketch.invPow2(dense(i).toInt)
       i += 1
     }
     alpha * m.toDouble * m.toDouble / s
   }
 
   private def countZero: Int = {
+    if (dense == null) return m - soccupied
     var v = 0
     var i = 0
-    while (i < m) { if (registers(i) == 0) v += 1; i += 1 }
+    while (i < m) { if (dense(i) == 0) v += 1; i += 1 }
     v
   }
 
@@ -175,7 +255,9 @@ final class HllSketch private (
     s / kNN.toDouble
   }
 
-  def copySketch(): HllSketch = new HllSketch(k, bits, registers.clone())
+  def copySketch(): HllSketch =
+    if (dense != null) new HllSketch(k, bits, dense.clone(), null, null, 0)
+    else new HllSketch(k, bits, null, skeys.clone(), svals.clone(), soccupied)
 
   /** Serialized form, chosen per sketch by occupancy:
     *  - dense:  [bits: 1B][p: 1B][k: 4B BE][registers: m B]
@@ -188,19 +270,52 @@ final class HllSketch private (
     * stays dense (update/merge/estimate are unchanged — bit-parity intact);
     * only the wire format adapts. p <= 18 so 3-byte indexes always fit.
     */
+  private def writeHeader(out: Array[Byte], sparse: Boolean): Unit = {
+    out(0) = (if (sparse) bits | 0x80 else bits).toByte
+    out(1) = p.toByte
+    out(2) = (k >>> 24).toByte
+    out(3) = (k >>> 16).toByte
+    out(4) = (k >>> 8).toByte
+    out(5) = k.toByte
+  }
+
   def serialize(): Array[Byte] = {
+    if (dense == null) {
+      // emit straight from the map, entries sorted by register index so the
+      // bytes are deterministic for a given register state
+      val idxs = new Array[Int](soccupied)
+      var i = 0; var n = 0
+      while (i < skeys.length) { if (skeys(i) >= 0) { idxs(n) = skeys(i); n += 1 }; i += 1 }
+      java.util.Arrays.sort(idxs)
+      val out = new Array[Byte](10 + 4 * soccupied)
+      writeHeader(out, sparse = true)
+      out(6) = (soccupied >>> 24).toByte
+      out(7) = (soccupied >>> 16).toByte
+      out(8) = (soccupied >>> 8).toByte
+      out(9) = soccupied.toByte
+      var o = 10
+      i = 0
+      while (i < soccupied) {
+        val idx = idxs(i)
+        val mask = skeys.length - 1
+        var slot = (idx * 0x9e3779b1) >>> 1 & mask
+        while (skeys(slot) != idx) slot = (slot + 1) & mask
+        out(o) = (idx >>> 16).toByte
+        out(o + 1) = (idx >>> 8).toByte
+        out(o + 2) = idx.toByte
+        out(o + 3) = svals(slot)
+        o += 4
+        i += 1
+      }
+      return out
+    }
     var nz = 0
     var i = 0
-    while (i < m) { if (registers(i) != 0) nz += 1; i += 1 }
+    while (i < m) { if (dense(i) != 0) nz += 1; i += 1 }
     val sparseSize = 10 + 4 * nz
     if (sparseSize < 6 + m) {
       val out = new Array[Byte](sparseSize)
-      out(0) = (bits | 0x80).toByte
-      out(1) = p.toByte
-      out(2) = (k >>> 24).toByte
-      out(3) = (k >>> 16).toByte
-      out(4) = (k >>> 8).toByte
-      out(5) = k.toByte
+      writeHeader(out, sparse = true)
       out(6) = (nz >>> 24).toByte
       out(7) = (nz >>> 16).toByte
       out(8) = (nz >>> 8).toByte
@@ -208,11 +323,11 @@ final class HllSketch private (
       var o = 10
       i = 0
       while (i < m) {
-        if (registers(i) != 0) {
+        if (dense(i) != 0) {
           out(o) = (i >>> 16).toByte
           out(o + 1) = (i >>> 8).toByte
           out(o + 2) = i.toByte
-          out(o + 3) = registers(i)
+          out(o + 3) = dense(i)
           o += 4
         }
         i += 1
@@ -220,13 +335,8 @@ final class HllSketch private (
       out
     } else {
       val out = new Array[Byte](6 + m)
-      out(0) = bits.toByte
-      out(1) = p.toByte
-      out(2) = (k >>> 24).toByte
-      out(3) = (k >>> 16).toByte
-      out(4) = (k >>> 8).toByte
-      out(5) = k.toByte
-      System.arraycopy(registers, 0, out, 6, m)
+      writeHeader(out, sparse = false)
+      System.arraycopy(dense, 0, out, 6, m)
       out
     }
   }
@@ -245,9 +355,18 @@ object HllSketch {
     require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
   }
 
+  /** Sketches at m >= this start in the sparse in-memory representation;
+    * below it the dense array is at most 512 B and the map saves nothing.
+    */
+  private val sparseMinM = 1024
+
   def empty(k: Int, bits: Int = 64): HllSketch = {
     validateK(k, bits)
-    new HllSketch(k, bits, new Array[Byte](1 << pFor(k)))
+    val m = 1 << pFor(k)
+    if (m >= sparseMinM)
+      new HllSketch(k, bits, null, Array.fill(16)(-1), new Array[Byte](16), 0)
+    else
+      new HllSketch(k, bits, new Array[Byte](m), null, null, 0)
   }
 
   def deserialize(bytes: Array[Byte]): HllSketch = {
@@ -256,22 +375,27 @@ object HllSketch {
     val k = ((bytes(2) & 0xff) << 24) | ((bytes(3) & 0xff) << 16) |
             ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
     val m = 1 << pFor(k)
-    val regs = new Array[Byte](m)
     if (sparse) {
       val count = ((bytes(6) & 0xff) << 24) | ((bytes(7) & 0xff) << 16) |
                   ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
+      // rebuild sparse in memory while it's worth it, else straight to dense
+      val h =
+        if (m >= sparseMinM && count < (m >>> 4)) HllSketch.empty(k, bits)
+        else new HllSketch(k, bits, new Array[Byte](m), null, null, 0)
       var e = 0
       var o = 10
       while (e < count) {
         val idx = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
-        regs(idx) = bytes(o + 3)
+        h.setMax(idx, bytes(o + 3))
         o += 4
         e += 1
       }
+      h
     } else {
+      val regs = new Array[Byte](m)
       System.arraycopy(bytes, 6, regs, 0, m)
+      new HllSketch(k, bits, regs, null, null, 0)
     }
-    new HllSketch(k, bits, regs)
   }
 
   /** 2^-i for i in [0, 63]; exact powers of two, matching Python `2 ** (-i)`. */
