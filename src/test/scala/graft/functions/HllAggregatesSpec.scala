@@ -95,6 +95,25 @@ class HllAggregatesSpec extends AnyFunSuite {
     assert(cr < 0.5) // repetitive text compresses well
   }
 
+  test("sparse-path grouped aggregation hits the reference golden at k=2^17") {
+    // 3 distinct values in a 2^17-register sketch: the buffer stays sparse
+    // through update, serialize, exchange, merge, and finalize — and must
+    // still produce the reference's exact golden (test_HyperLogLog.py:170-171)
+    import spark.implicits._
+    val df = spark.createDataset(Seq("abc", "def", "ghi", "abc", "def"))
+      .toDF("v").repartition(3)
+    val est = df.agg(hll_cardinality(col("v"), 1 << 17)).collect()(0).getDouble(0)
+    assert(est == 3.0000343327992325)
+    // grouped: many tiny groups at max precision, each sparse end-to-end
+    val g = spark.createDataset((0 until 300).map(i => (i % 100, s"x$i")))
+      .toDF("g", "v").repartition(4)
+      .groupBy("g").agg(hll_cardinality(col("v"), 1 << 18).as("est"))
+      .collect().map(_.getDouble(1))
+    val m = (1 << 18).toDouble
+    val expected = m * math.log(m / (m - 3.0)) // linear counting, 3 distinct
+    assert(g.length == 100 && g.forall(_ == expected))
+  }
+
   test("hll_union scalar merges two sketch values (reference + operator)") {
     import spark.implicits._
     val (l, r) = dataTokens.splitAt(400)
