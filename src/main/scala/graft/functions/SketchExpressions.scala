@@ -356,9 +356,24 @@ case class WinnowingFingerprint(child: Expression, kGram: Int = 8, window: Int =
   private val B = 1000000007L // rolling-hash base
 
   override def nullSafeEval(v: Any): Any = {
-    // normalize like the other text sketches: lowercase, collapse non-letters
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
-      .replaceAll("[^\\p{L}]+", " ").trim
+    // normalize like the other text sketches: lowercase, collapse non-letter
+    // runs to one space, trim — built in a single pass (equivalent to
+    // `.replaceAll("[^\\p{L}]+", " ").trim`, parity-tested, no regex engine
+    // or intermediate strings on this map-side hot path)
+    val lowered = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var ni = 0
+    var pendingSpace = false
+    while (ni < lowered.length) {
+      val cp = lowered.codePointAt(ni)
+      if (Character.isLetter(cp)) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.appendCodePoint(cp)
+      } else pendingSpace = true
+      ni += Character.charCount(cp)
+    }
+    val s = sb.toString
     if (s.length < kGram) return new GenericArrayData(Array.emptyLongArray)
     val n = s.length - kGram + 1
     val gramHashes = new Array[Long](n)

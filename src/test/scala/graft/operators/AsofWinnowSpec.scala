@@ -84,4 +84,30 @@ class AsofWinnowSpec extends AnyFunSuite {
     assert(got(2L).isEmpty)  // shorter than kGram
     assert(got(3L) == got(4L) && got(3L).nonEmpty)
   }
+
+  test("winnowing normalization matches the regex formulation") {
+    // the expression normalizes in a single pass; this is the spec it must
+    // match (lowercase, collapse non-letter runs to one space, trim)
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "  --Leading!! and TRAILING??  "),
+        (9002L, "mixed2案例 CASE with «odd» sïgns\t\nnewlines"),
+        (9003L, "a;b.c,d e")).toDF("doc_id", "text"))
+    val viaExpr = docs.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // re-derive through the documented regex normalization + the same
+    // rolling-hash/winnow params by pre-normalizing in the driver
+    val preNormed = docs.collect().map { r =>
+      val norm = r.getString(1).toLowerCase.replaceAll("[^\\p{L}]+", " ").trim
+      (r.getLong(0), norm)
+    }.toSeq.toDF("doc_id", "text")
+    val viaRegex = preNormed.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == viaRegex.keySet)
+    viaExpr.foreach { case (id, fp) =>
+      assert(fp == viaRegex(id), s"normalization divergence for doc $id") }
+  }
 }
