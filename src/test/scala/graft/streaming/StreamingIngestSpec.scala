@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("two-tier dedup: state catches in-horizon dups, history catches evicted ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toFile
+    val out = new java.io.File(tmp, "sink").getAbsolutePath
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDS().toDF("doc_id", "text", "tsMillis")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+
+    val q = StreamingIngest.dedupedIngest(
+      docs, "eventTime", "1 second", "text", out, ckpt)
+    try {
+      // batch 1: A, B, and an immediate duplicate of A (state-level dedup)
+      stream.addData(Seq(
+        (1L, "document alpha", base),
+        (2L, "document beta", base + 100),
+        (3L, "document alpha", base + 200)))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark well past batch 1,
+      // evicting its dedup state
+      stream.addData(Seq((4L, "document gamma", base + 600000)))
+      q.processAllAvailable()
+      // batch 3: A re-delivered AFTER its state was evicted — the in-flight
+      // tier passes it; the history anti-join must drop it. delta is new.
+      stream.addData(Seq(
+        (5L, "document alpha", base + 700000),
+        (6L, "document delta", base + 700100)))
+      q.processAllAvailable()
+
+      val sink = spark.read.parquet(out)
+      val texts = sink.select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("document alpha", "document beta", "document delta", "document gamma"),
+        s"got $texts")
+      // fingerprints are persisted for the history check
+      assert(sink.columns.contains("_fp"))
+      val ids = sink.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L, 6L), s"got $ids")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+}
