@@ -245,6 +245,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // explicit GROUPING SETS (beyond rollup/cube): two unrelated groupings
+    // plus grand total in one pass, with grouping_id disambiguation
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("gs_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id() AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // TPC-H Q3 shape: shipping priority (3-way join, filter both sides,
     // group, sort by revenue, limit)
     "q_tpch_q3" -> ((s, dir) => {
@@ -724,6 +739,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_rollup_order_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS total
