@@ -245,6 +245,17 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // skew-safe exact distinct: value-hash salting splits a hot group's
+    // dedup across cells whose disjoint counts sum exactly (oracle = plain
+    // COUNT(DISTINCT)) — the rewrite used when one group dominates at scale
+    "q_salted_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.SkewTools.saltedCountDistinct(
+          li, Seq("l_returnflag"), "l_partkey", buckets = 32)
+        .withColumnRenamed("l_partkey_distinct", "n_parts")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // explicit GROUPING SETS (beyond rollup/cube): two unrelated groupings
     // plus grand total in one pass, with grouping_id disambiguation
     "q_grouping_sets" -> ((s, dir) => {
@@ -739,6 +750,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_salted_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
