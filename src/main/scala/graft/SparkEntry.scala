@@ -458,6 +458,16 @@ object SparkEntry {
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     }),
 
+    // incremental dedup: treat src3 as the newly arrived batch and keep only
+    // docs that aren't near-dups of the existing corpus (src0-src2)
+    "dd_incremental_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("source") =!= "src3")
+      val batch = d.filter(col("source") === "src3")
+      graft.operators.Dedup.dedupAgainst(corpus, batch, "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // complete dedup pipeline: LSH pairs -> components -> keep one per cluster
     "dd_neardedup_keep" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -106,6 +106,69 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus MinHash-LSH near-dup pairs: candidates only BETWEEN the
+    * two corpora (never within one) — the incremental-pipeline shape, where
+    * a new batch is deduped against the existing corpus without re-pairing
+    * the corpus with itself. Same banding/verification as
+    * [[minhashNearDupPairs]]; the bucket join is A-bands against B-bands, so
+    * candidate cost is |A ∩ B buckets|, and the (typically small) new batch
+    * side broadcasts.
+    *
+    * @return (a_id, b_id, jaccard) with exact Jaccard >= threshold
+    */
+  def minhashCrossDupPairs(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"),
+          minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+        .select(col(s"${side}_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+    val a = banded(corpusA, "a")
+    // skew guard on the (large) corpus side only; degenerate buckets carry
+    // no discriminative signal either way
+    val aCapped = a
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val b = banded(corpusB, "b")
+    val candidates = aCapped.join(b, Seq("band", "bh"))
+      .select(col("a_id"), col("b_id")).distinct()
+    def sh(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), shingleHashes(col(textCol), shingleSize).as(s"sh_$side"))
+    candidates
+      .join(sh(corpusA, "a"), "a_id")
+      .join(sh(corpusB, "b"), "b_id")
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Incremental dedup: rows of `newBatch` that are NOT near-duplicates of
+    * anything in `corpus` (exact dups included — Jaccard 1.0 >= threshold).
+    */
+  def dedupAgainst(
+      corpus: DataFrame,
+      newBatch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashCrossDupPairs(corpus, newBatch, textCol, idCol, threshold = threshold)
+      .select(col("b_id").as("_dup"))
+    newBatch.join(dupIds, newBatch(idCol) === col("_dup"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 4x16-bit pigeonhole blocking + Hamming verify. */
   def simhashNearDupPairs(
       df: DataFrame,

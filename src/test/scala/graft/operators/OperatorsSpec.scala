@@ -48,6 +48,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j12 == 1.0)
   }
 
+  test("cross-corpus dedup: new batch loses planted dups, keeps fresh docs") {
+    import spark.implicits._
+    val corpus = docsDf.filter(col("doc_id") <= 4)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"), // dup of corpus 1
+      (11L, "entirely novel text about sparse register arrays and wire formats for cardinality sketches today"),
+      (12L, "completely different content about spark query engines and distributed aggregation pipelines at scale") // dup of corpus 4
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCrossDupPairs(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)) || pairs.contains((2L, 10L)))
+    assert(pairs.contains((4L, 12L)))
+    assert(!pairs.exists(_._2 == 11L))
+    // within-corpus dups (1 vs 2) must NOT pair — cross-corpus only
+    assert(pairs.forall { case (a, b) => a <= 4 && b >= 10 })
+    val kept = Dedup.dedupAgainst(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L), s"got $kept")
+  }
+
   test("simhash: identical texts at hamming 0, near-dups within 8 bits") {
     val pairs = Dedup.simhashNearDupPairs(docsDf, "text", "doc_id", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
