@@ -71,4 +71,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"asof join degraded to cross product:\n$p")
   }
+
+  test("LSH ANN candidates come from an equi-join, not a per-row predicate scan") {
+    val p = plan("sim_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH ANN degraded to cross product:\n$p")
+    assert(p.contains("hyperplane_bucket"), "bucket expression missing from plan")
+  }
+
+  test("salted distinct is two aggregation phases, shuffled on (group, salt)") {
+    val p = plan("q_salted_distinct")
+    // the inner shuffle must include the salt so a hot group spreads out
+    assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("_salt")),
+      s"salt missing from the dedup exchange:\n$p")
+  }
+
+  test("cross-corpus dedup bucket join is an equi-join on (band, hash)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter(org.apache.spark.sql.functions.col("source") =!= "src3")
+    val batch = d.filter(org.apache.spark.sql.functions.col("source") === "src3")
+    val p = operators.Dedup.minhashCrossDupPairs(corpus, batch, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cross dedup degraded to cross product:\n$p")
+  }
 }
