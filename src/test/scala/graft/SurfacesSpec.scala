@@ -73,6 +73,26 @@ class SurfacesSpec extends AnyFunSuite {
     assert(est(spark.read.option("header", "true").csv(s"$base/c")) == 645.2579301443818)
   }
 
+  test("stored sketch tables re-aggregate after a parquet round-trip") {
+    // the big scale lever: persist per-group sketches once, answer coarser
+    // rollups later from the stored (possibly sparse-serialized) bytes
+    import spark.implicits._
+    val df = spark.createDataset(dataTokens.toSeq).toDF("v")
+    val base = s"/tmp/graft_sketch_store_${System.nanoTime()}"
+    df.groupBy(length(col("v")).as("g"))
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 1 << 12).as("sk"))
+      .write.parquet(base)
+    val rolled = spark.read.parquet(base)
+      .agg(GraftFunctions.hll_estimate(GraftFunctions.hll_union_agg(col("sk"))))
+      .collect()(0).getDouble(0)
+    assert(rolled == 645.2579301443818)
+    // a max-precision sketch of few values must store sparse (small bytes)
+    val tiny = spark.createDataset(Seq("a", "b", "c")).toDF("v")
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 1 << 18).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(tiny.length < 100, s"expected sparse bytes, got ${tiny.length}")
+  }
+
   test("bucketed tables co-locate the join: no exchange before the join") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
