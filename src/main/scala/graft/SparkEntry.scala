@@ -444,6 +444,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // interval-overlap join: event-derived ranges against order-derived
+    // ranges, bucketed (no cross product, no duplicate pairs)
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        (col("user_id") * 10 + 2).as("elo"), (col("user_id") * 10 + 8).as("ehi"))
+      val iv = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") * 10).as("olo"), (col("o_custkey") * 10 + 5).as("ohi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          ev, iv, "elo", "ehi", "olo", "ohi", bucketWidth = 16)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("event_id"))
+    }),
+
     // bloom seen-set filtering: customers with no orders via an approximate
     // anti-join (bloom has false positives only, so survivors are a subset
     // of the exact anti-join; verified exactly here by re-checking)
@@ -870,6 +883,12 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id * 10 + 2 AS pt FROM events) e
         |JOIN (SELECT o_custkey * 10 AS lo, o_custkey * 10 + 5 AS hi FROM orders) o
         |  ON e.pt BETWEEN o.lo AND o.hi
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "q_interval_overlap" ->
+      """SELECT e.event_id, COUNT(*) AS n_overlaps
+        |FROM (SELECT event_id, user_id * 10 + 2 AS elo, user_id * 10 + 8 AS ehi FROM events) e
+        |JOIN (SELECT o_custkey * 10 AS olo, o_custkey * 10 + 5 AS ohi FROM orders) o
+        |  ON e.elo <= o.ohi AND o.olo <= e.ehi
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, o.o_orderkey AS asof_o_orderkey,

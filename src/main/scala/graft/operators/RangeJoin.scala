@@ -32,6 +32,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap (range x range) join: pairs where
+    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅. Same bucketing trick, both sides
+    * explode into covered buckets; a pair sharing several buckets would
+    * duplicate, so each candidate is kept only in the FIRST shared bucket
+    * (the bucket of the later of the two starts) — dedup without a distinct
+    * shuffle. One hash shuffle on bucket, never a cross product.
+    *
+    * Left/right column name sets must be disjoint.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val l = left.withColumn("_bucket",
+      explode(sequence(floor(col(lStart) / bucketWidth), floor(col(lEnd) / bucketWidth))))
+    val r = right.withColumn("_bucket",
+      explode(sequence(floor(col(rStart) / bucketWidth), floor(col(rEnd) / bucketWidth))))
+    l.join(r, Seq("_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // first-shared-bucket rule: emit only where the bucket holds the later start
+      .filter(col("_bucket") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("_bucket")
+  }
 }
 
 /** Event sessionization: consecutive events of the same key belong to one

@@ -84,6 +84,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j(0) == 1.0 && j(1) == 0.0)
   }
 
+  test("interval overlap join equals naive theta join, incl. multi-bucket spans") {
+    import spark.implicits._
+    // spans chosen to cross several width-8 buckets and to include: nested,
+    // partial, touching-at-endpoint, and disjoint interval pairs
+    val l = Seq((1L, 0L, 30L), (2L, 5L, 7L), (3L, 40L, 41L), (4L, 16L, 16L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 6L, 50L), (11L, 31L, 39L), (12L, 0L, 4L), (13L, 16L, 24L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 8)
+      .select("lid", "rid").collect().map(rr => (rr.getLong(0), rr.getLong(1))).sorted.toSeq
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(rr => (rr.getLong(0), rr.getLong(1))).sorted.toSeq
+    assert(got == naive, s"bucketed $got != naive $naive")
+    assert(got.distinct == got, "duplicate pairs from multi-bucket spans")
+  }
+
   test("language ID on real multilingual snippets") {
     import spark.implicits._
     val df = Seq(
