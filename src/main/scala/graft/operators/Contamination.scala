@@ -35,14 +35,16 @@ object Contamination {
         TextAnalysis.winnowingFingerprint(col(bText), kGram, window).as("fp"))
       .select(col("b_id"), explode(col("fp")).as("f"))
 
-    // drop non-discriminative fingerprints (boilerplate) before the join
-    val bFiltered = bIdx
+    // drop non-discriminative fingerprints (boilerplate) before the join —
+    // on BOTH sides: an uncapped hot posting list on either side multiplies
+    // against the other (|A_f| x |B_f| candidate rows per fingerprint)
+    def cap(df: DataFrame) = df
       .withColumn("_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
       .filter(col("_n") <= maxPostings)
       .drop("_n")
 
-    aIdx.join(bFiltered, "f")
+    cap(aIdx).join(cap(bIdx), "f")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"), first(col("a_total")).as("a_total"))
       .withColumn("overlap", round(col("shared") / col("a_total"), 4))
