@@ -34,6 +34,23 @@ object StreamingHll {
     grouped.agg(GraftFunctions.hll_cardinality(col(valueCol), k).as("approx_distinct"))
   }
 
+  /** Windowed approximate top-k heavy hitters (Misra-Gries): the same
+    * mergeable [[graft.functions.ApproxTopK]] aggregate the batch path uses,
+    * as streaming state — bounded at `capacity` counters per (window, group)
+    * regardless of stream volume.
+    */
+  def windowedTopK(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 10,
+      capacity: Int = 1024): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(GraftFunctions.approx_top_k(col(valueCol), k, capacity).as("top_k"))
+
   /** Same, but emitting the mergeable sketch itself — downstream consumers
     * can re-aggregate across windows/groups without reprocessing the stream.
     */

@@ -16,6 +16,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming windowed top-k matches batch Misra-Gries on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed stream: item popularity ~ 1/(i%7+1), two hourly windows
+    val events = (0 until 3000).map { i =>
+      val hour = if (i % 2 == 0) 10 else 11
+      (new Timestamp(1700000000000L + hour * 3600000L + (i % 600) * 1000L),
+        s"item${i % ((i % 7) + 3)}")
+    }
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = StreamingHll.windowedTopK(
+      stream.toDF().toDF("ts", "item"), "ts", "item", "1 hour", "10 minutes", k = 5)
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream_out").start()
+    try {
+      events.grouped(1000).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("topk_stream_out")
+        .select(col("window.start").cast("long").as("w"), to_json(col("top_k")).as("tk"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = events.toDF("ts", "item")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.GraftFunctions.approx_top_k(col("item"), 5).as("top_k"))
+        .select(col("window.start").cast("long"), to_json(col("top_k")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.keySet == batch.keySet && streamed.size == 2)
+      streamed.foreach { case (w, tk) =>
+        assert(tk == batch(w), s"window $w: streaming $tk != batch ${batch(w)}") }
+    } finally query.stop()
+  }
+
   test("streaming windowed HLL matches batch estimate on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
