@@ -179,13 +179,14 @@ object Similarity {
         explode(array(probeCols: _*)).as("_p"))
       .select(col(queryId), col(queryVec),
         col("_p._tbl").as("_tbl"), col("_p._probe").as("_probe")))
-    // dedupe multi-table hits on the candidate PAIR set (small), then verify
+    // dedupe multi-table hits on the candidate PAIR set (small) FIRST, so a
+    // pair matching in several tables pays for one cosine, not one per table
     val candidates = bucketed.join(qProbes,
         bucketed("_tbl") === qProbes("_tbl") && col("_bucket") === col("_probe") &&
         col(corpusId) =!= col(queryId))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
       .groupBy(col(queryId), col(corpusId))
-      .agg(first(col("cos")).as("cos"))
+      .agg(first(col(corpusVec)).as("_cv"), first(col(queryVec)).as("_qv"))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

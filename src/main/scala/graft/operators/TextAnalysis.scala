@@ -24,13 +24,11 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     coalesce(regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]")), lit(0))
 
-  // Stopword profiles for the n-gram/stopword language-ID heuristic.
-  // Small, high-frequency function words — the standard cheap signal.
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
-    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "que", "est", "dans", "pour", "qui", "pas"),
-    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "su"),
-    "de" -> Seq("der", "die", "das", "und", "in", "von", "zu", "mit", "ist", "den", "nicht", "ein", "eine", "auf", "als"))
+  // Stopword profiles for the n-gram/stopword language-ID heuristic — the
+  // single source of truth lives next to the native expression so the two
+  // paths cannot drift.
+  private def stopwords: Map[String, Seq[String]] =
+    graft.functions.TextStatsProfiles.stopwords
 
   private def stopwordHits(ws: Column, lang: String): Column =
     size(filter(ws, w => array_contains(typedLit(stopwords(lang)), w)))

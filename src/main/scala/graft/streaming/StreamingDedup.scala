@@ -34,14 +34,20 @@ object StreamingDedup {
   /** Content-based streaming dedup: key = normalized 64-bit text fingerprint
     * (case/whitespace-insensitive), computed map-side so state never holds
     * text. Emits first-seen documents only.
+    *
+    * @param keepFingerprint keep the `_fp` column in the output so downstream
+    *                        stages (e.g. a sink-history check) can reuse it
+    *                        instead of re-hashing every document
     */
   def dedupByContent(
       df: DataFrame,
       tsCol: String,
       watermarkDelay: String,
-      textCol: String): DataFrame =
-    df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      textCol: String,
+      keepFingerprint: Boolean = false): DataFrame = {
+    val deduped = df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("_fp"))
-      .drop("_fp")
+    if (keepFingerprint) deduped else deduped.drop("_fp")
+  }
 }

@@ -46,9 +46,10 @@ object StreamingHll {
       windowDuration: String,
       watermarkDelay: String,
       k: Int = 10,
-      capacity: Int = 1024): DataFrame =
+      capacity: Int = 1024,
+      extraGroups: Seq[String] = Nil): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration))
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
       .agg(GraftFunctions.approx_top_k(col(valueCol), k, capacity).as("top_k"))
 
   /** Same, but emitting the mergeable sketch itself — downstream consumers

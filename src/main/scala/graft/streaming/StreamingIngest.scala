@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.TextAnalysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -31,16 +30,23 @@ object StreamingIngest {
       outPath: String,
       checkpointPath: String): StreamingQuery = {
     val spark = docs.sparkSession
-    val inFlight = StreamingDedup.dedupByContent(docs, tsCol, watermarkDelay, textCol)
+    // keep the fingerprint the in-flight tier already computed — no second
+    // normalization+hash pass over the document text per batch
+    val inFlight = StreamingDedup.dedupByContent(
+      docs, tsCol, watermarkDelay, textCol, keepFingerprint = true)
     inFlight.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withFp = batch.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+        // filesystem-agnostic existence check (local, HDFS, s3a, ...) — a
+        // driver-local java.io.File test would silently disable this tier
+        // for any non-local sink URI
+        val sinkPath = new org.apache.hadoop.fs.Path(outPath)
+        val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (new java.io.File(outPath).exists()) {
+          if (fs.exists(sinkPath)) {
             val seen = spark.read.parquet(outPath).select(col("_fp")).distinct()
-            withFp.join(seen, Seq("_fp"), "left_anti")
-          } else withFp
+            batch.join(seen, Seq("_fp"), "left_anti")
+          } else batch
         fresh.write.mode("append").parquet(outPath)
       }
       .start()
