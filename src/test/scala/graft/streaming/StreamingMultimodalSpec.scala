@@ -47,6 +47,22 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       streamed.foreach { case (w, tk) =>
         assert(tk == batch(w), s"window $w: streaming $tk != batch ${batch(w)}") }
     } finally query.stop()
+
+    // per-group variant: one top-k per (window, parity-of-item)
+    val stream2 = MemoryStream[(Timestamp, String)]
+    val agg2 = StreamingHll.windowedTopK(
+      stream2.toDF().toDF("ts", "item")
+        .withColumn("grp", substring(col("item"), 5, 1).cast("int") % 2),
+      "ts", "item", "1 hour", "10 minutes", k = 3, extraGroups = Seq("grp"))
+    val q2 = agg2.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_grouped_out").start()
+    try {
+      stream2.addData(events)
+      q2.processAllAvailable()
+      val rows = spark.table("topk_grouped_out")
+        .select(col("window.start").cast("long"), col("grp")).collect()
+      assert(rows.length == 4, s"expected 2 windows x 2 groups, got ${rows.length}")
+    } finally q2.stop()
   }
 
   test("streaming windowed HLL matches batch estimate on the same data") {
