@@ -10,16 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // force FULL output materialization: count() lets Catalyst prune every
+    // unreferenced projection, so map-heavy queries would be timed as little
+    // more than a scan; the noop sink evaluates every output column
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warm-up lap: JVM/codegen/parquet-footer caches, so timed numbers
     // reflect steady-state per-query cost rather than first-query startup
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try run(fn) catch { case _: Throwable => }
     }
     // two timed laps, keep the per-query minimum: damps scheduler/GC noise
     // on shared hosts without hiding real per-query cost
     def lap(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (l1, l2) = (lap(), lap())

@@ -409,11 +409,16 @@ object SparkEntry {
 
     "dd_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // 4 sign bits = 16 buckets: high recall at this threshold; the test
-      // corpus has no true near-dups, so report moderately-similar pairs
-      val planes = graft.operators.Similarity.randomHyperplanes(4, 64)
-      graft.operators.Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
-          planes, threshold = 0.3)
+      // the synthetic corpus has no natural near-dups, so plant exact copies
+      // of the first 20 vectors (deterministic, oracle-replicable); the
+      // operator must recover exactly those pairs. Copies collide in every
+      // LSH table regardless of bit count, so 16-bit multi-table blocking
+      // (the scale-safe config) has guaranteed recall here.
+      val planted = e.union(
+        e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000L))
+      val planes = graft.operators.Similarity.randomHyperplaneTables(4, 16, 64)
+      graft.operators.Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding",
+          planes, threshold = 0.95)
         .orderBy(col("id1"), col("id2"))
     }),
 

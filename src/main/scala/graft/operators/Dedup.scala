@@ -169,17 +169,30 @@ object Dedup {
     newBatch.join(dupIds, newBatch(idCol) === col("_dup"), "left_anti")
   }
 
-  /** SimHash near-dup pairs: 4x16-bit pigeonhole blocking + Hamming verify. */
+  /** SimHash near-dup pairs: 4x16-bit pigeonhole blocking + Hamming verify.
+    *
+    * @param maxBucket skew guard: chunk buckets larger than this are dropped
+    *                  before the self-join. Boilerplate/empty documents share
+    *                  simhash chunks, and an uncapped hot chunk value turns
+    *                  the blocking join quadratic; capped buckets carry no
+    *                  discriminative signal anyway (same trade-off as the
+    *                  minhash band cap above).
+    */
   def simhashNearDupPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "ck")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("ck"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val l = chunked.alias("l")
     val r = chunked.alias("r")
     l.join(r,

@@ -41,19 +41,26 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * queryDf must be small (it is broadcast).
+    *
+    * @param excludeSelf drop corpus rows whose id equals the query id — only
+    *                    meaningful when queries are drawn from the corpus;
+    *                    set false for unrelated id spaces (a coincidental id
+    *                    match would otherwise silently drop a true neighbor).
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
-      .filter(col(corpusId) =!= col(queryId))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.alias("c")
+    val q = queries.alias("q")
+    val joined = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col(s"c.$corpusVec"), col(s"q.$queryVec")))
+      .filter(if (excludeSelf) col(s"c.$corpusId") =!= col(s"q.$queryId") else lit(true))
+    val w = Window.partitionBy(col(s"q.$queryId")).orderBy(col("cos").desc, col(s"c.$corpusId"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col(s"q.$queryId").as("query_id"), col("rank"),
+        col(s"c.$corpusId").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Deterministic k-means on a driver-side sample: seeds chosen evenly from
@@ -113,8 +120,8 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: Array[Array[Double]],
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val bucketed = corpus.withColumn("_bucket", assignBucket(col(corpusVec), centroids))
+      k: Int = 10, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val bucketed = corpus.withColumn("_bucket", assignBucket(col(corpusVec), centroids)).alias("c")
     // probe list per query: nprobe nearest centroids (small; computed as columns)
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
     val qDots = transform(cLit, c =>
@@ -122,15 +129,18 @@ object Similarity {
     val probes = slice(reverse(array_sort(zip_with(qDots,
         sequence(lit(0), lit(centroids.length - 1)),
         (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)
-    val qWithProbes = broadcast(queries.withColumn("_probes", transform(probes, p => p.getField("i"))))
+    val qWithProbes = broadcast(
+      queries.withColumn("_probes", transform(probes, p => p.getField("i"))).alias("q"))
+    val selfGuard =
+      if (excludeSelf) col(s"c.$corpusId") =!= col(s"q.$queryId") else lit(true)
     val joined = bucketed.join(qWithProbes,
-        array_contains(col("_probes"), col("_bucket")) && col(corpusId) =!= col(queryId))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+        array_contains(col("_probes"), col("_bucket")) && selfGuard)
+      .withColumn("cos", cosine(col(s"c.$corpusVec"), col(s"q.$queryVec")))
+    val w = Window.partitionBy(col(s"q.$queryId")).orderBy(col("cos").desc, col(s"c.$corpusId"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col(s"q.$queryId").as("query_id"), col("rank"),
+        col(s"c.$corpusId").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Per-table hyperplane sets for multi-table LSH (deterministic seeds). */
@@ -157,7 +167,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       tablePlanes: Array[Array[Array[Double]]],
-      k: Int = 10): DataFrame = {
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val nbits = tablePlanes.head.length
     def bucketOf(vec: Column, t: Int) =
       org.apache.spark.sql.graftshim.GraftShims.column(
@@ -168,6 +178,7 @@ object Similarity {
     val bucketed = corpus.select(col(corpusId), col(corpusVec),
       posexplode(array((0 until nt).map(t => bucketOf(col(corpusVec), t)): _*))
         .as(Seq("_tbl", "_bucket")))
+      .alias("c")
     // queries: per table, own bucket + all Hamming-1 neighbors
     val probeCols = (0 until nt).flatMap { t =>
       val qb = bucketOf(col(queryVec), t)
@@ -178,20 +189,22 @@ object Similarity {
       queries.select(col(queryId), col(queryVec),
         explode(array(probeCols: _*)).as("_p"))
       .select(col(queryId), col(queryVec),
-        col("_p._tbl").as("_tbl"), col("_p._probe").as("_probe")))
+        col("_p._tbl").as("_tbl"), col("_p._probe").as("_probe"))
+      .alias("q"))
+    val selfGuard =
+      if (excludeSelf) col(s"c.$corpusId") =!= col(s"q.$queryId") else lit(true)
     // dedupe multi-table hits on the candidate PAIR set (small) FIRST, so a
     // pair matching in several tables pays for one cosine, not one per table
     val candidates = bucketed.join(qProbes,
-        bucketed("_tbl") === qProbes("_tbl") && col("_bucket") === col("_probe") &&
-        col(corpusId) =!= col(queryId))
-      .groupBy(col(queryId), col(corpusId))
-      .agg(first(col(corpusVec)).as("_cv"), first(col(queryVec)).as("_qv"))
+        col("c._tbl") === col("q._tbl") && col("_bucket") === col("_probe") && selfGuard)
+      .groupBy(col(s"q.$queryId").as("_qid"), col(s"c.$corpusId").as("_cid"))
+      .agg(first(col(s"c.$corpusVec")).as("_cv"), first(col(s"q.$queryVec")).as("_qv"))
       .withColumn("cos", cosine(col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("cos").desc, col("_cid"))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col("_qid").as("query_id"), col("rank"),
+        col("_cid").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Deterministic Gaussian hyperplanes for sign-bit LSH (fixed seed). */
@@ -200,24 +213,50 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking:
-    * sign-bit bucket from `nbits` fixed hyperplanes (derived from the
-    * centroid fit or any deterministic source), verify cosine >= threshold.
-    * Map-only bucketing; the only shuffle is the bucket self-join.
+  /** Embedding-cosine near-duplicate pairs via multi-table hyperplane-LSH
+    * blocking. Each table hashes a vector to a sign-bit bucket from its own
+    * `nbits >= 16` hyperplanes; a pair is a candidate if it collides in ANY
+    * table (recall comes from table count, selectivity from bit count — the
+    * standard trade instead of few-bits/one-table, which degenerates into an
+    * n²/2^bits self-join). Candidates are deduped across tables before the
+    * cosine verify, so a pair colliding in several tables pays once.
+    *
+    * Scale shape: bucketing is map-only (plan-embedded hyperplanes, one
+    * posexplode per row); the only shuffle is the per-(table,bucket)
+    * self-join, whose fan-out is bounded by `maxBucket` — oversized buckets
+    * (duplicate-heavy or degenerate embeddings) are dropped, same skew guard
+    * as the minhash band join.
     */
   def embeddingNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      hyperplanes: Array[Array[Double]],
-      threshold: Double = 0.95): DataFrame = {
-    val bucketedDf = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("_bucket", org.apache.spark.sql.graftshim.GraftShims.column(
+      tablePlanes: Array[Array[Array[Double]]],
+      threshold: Double = 0.95,
+      maxBucket: Int = 1000): DataFrame = {
+    require(tablePlanes.forall(_.length >= 16),
+      s"each LSH table needs >= 16 bits (got ${tablePlanes.map(_.length).mkString(",")}) — " +
+        "fewer bits makes the bucket self-join quadratic at scale")
+    def bucketOf(vec: Column, t: Int) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
         graft.functions.HyperplaneBucket(
-          org.apache.spark.sql.graftshim.GraftShims.expression(col("v")), hyperplanes)))
+          org.apache.spark.sql.graftshim.GraftShims.expression(vec), tablePlanes(t)))
+    val nt = tablePlanes.length
+    val bucketedDf = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until nt).map(t => bucketOf(col("v"), t)): _*))
+          .as(Seq("_tbl", "_bucket")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("_tbl"), col("_bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val l = bucketedDf.alias("l")
     val r = bucketedDf.alias("r")
-    l.join(r, col("l._bucket") === col("r._bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+    l.join(r,
+        col("l._tbl") === col("r._tbl") && col("l._bucket") === col("r._bucket") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+      .agg(first(col("l.v")).as("v1"), first(col("r.v")).as("v2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
-      .select(col("l.id").as("id1"), col("r.id").as("id2"), round(col("cos"), 4).as("cos"))
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
 }

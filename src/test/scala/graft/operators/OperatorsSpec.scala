@@ -238,18 +238,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.getAs[Double]("cos") == expect)
   }
 
-  test("embedding near-dup finds planted duplicates") {
+  test("embedding near-dup finds planted duplicates (multi-table, capped)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant: vec 9001 = copy of vec 1, vec 9002 = copy of vec 2
     val planted = emb.union(
       emb.filter(col("vec_id").isin(1, 2))
         .withColumn("vec_id", col("vec_id") + 9000))
-    val planes = Similarity.randomHyperplanes(6, 64)
+    val planes = Similarity.randomHyperplaneTables(4, 16, 64)
     val pairs = Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding",
         planes, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 9001L && p._3 == 1.0))
     assert(pairs.exists(p => p._1 == 2L && p._2 == 9002L && p._3 == 1.0))
     pairs.foreach(p => assert(p._1 < p._2 && p._3 >= 0.99))
+    // recall vs brute force at this threshold: identical copies collide in
+    // every table, so LSH must find the full exact pair set here
+    val bf = planted.alias("a").crossJoin(planted.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.99)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == bf, "LSH pair set != brute-force pair set")
+    // sub-16-bit tables are rejected (the n²/2^bits scale trap)
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        Similarity.randomHyperplaneTables(2, 4, 64))
+    }
+  }
+
+  test("embedding near-dup bucket cap bounds degenerate corpora") {
+    import spark.implicits._
+    // 500 identical vectors: uncapped this is C(500,2) ≈ 125k pairs; the
+    // bucket cap must drop the degenerate bucket entirely
+    val vec = Array.fill(8)(0.5f)
+    val degenerate = (0 until 500).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val planes = Similarity.randomHyperplaneTables(2, 16, 8)
+    val pairs = Similarity.embeddingNearDupPairs(degenerate, "vec_id", "embedding",
+      planes, threshold = 0.9, maxBucket = 100)
+    assert(pairs.count() == 0L, "capped degenerate bucket must produce no candidate pairs")
+  }
+
+  test("simhash bucket cap bounds identical-doc blowup") {
+    import spark.implicits._
+    // 1k identical docs share ALL simhash chunks: uncapped that is a
+    // C(1000,2)x4-row candidate explosion; the cap drops the hot buckets
+    val docs = (0 until 1000).map(i => (i.toLong, "same text for every single document here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3, maxBucket = 100)
+    assert(capped.count() == 0L, "capped hot chunk buckets must produce no candidates")
+    // and a mixed corpus still finds its small-bucket pairs under the cap
+    val mixed = docsDf
+    val pairs = Dedup.simhashNearDupPairs(mixed, "text", "doc_id", maxHamming = 8, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
   }
 }
