@@ -51,16 +51,21 @@ object SparkEntry {
     // ---- reference operator surface (SURVEY.md §2a) ----
 
     // ops #1-5,#10,#12,#13,#14: build sketch, finalize, pair with exact count
-    // and accuracy metrics (EP2+EP3, HLL/examples.py:56-83)
+    // and accuracy metrics (EP2+EP3, HLL/examples.py:56-83).
+    // Oracle shape for every estimate query: the estimate itself is a custom
+    // sketch DuckDB cannot reproduce, so the query emits the EXACT side (an
+    // oracle-computable value) plus a tolerance boolean over the estimate —
+    // deterministic (fixed SHA-1, fixed data), so the boolean is a hard
+    // invariant, not a flaky statistical check. The raw estimates stay
+    // golden-locked (exact doubles) in the ScalaTest suites.
     "hll_users_total" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.agg(
-          GraftFunctions.hll_cardinality(col("user_id"), 1 << 12).as("est"),
-          countDistinct(col("user_id")).as("exact"))
+          GraftFunctions.hll_cardinality(col("user_id"), 1 << 12).as("_est"),
+          countDistinct(col("user_id")).as("exact_users"))
         .select(
-          col("est"), col("exact"),
-          (col("exact") - col("est")).as("abs_err"),
-          ((col("exact") - col("est")) / col("exact")).as("rel_err"))
+          col("exact_users"),
+          (abs(col("_est") - col("exact_users")) / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
     // op #12 grouped: one sketch per group under partial/final agg
@@ -68,28 +73,42 @@ object SparkEntry {
       val ev = events(s, dir)
       ev.groupBy(col("event_type"))
         .agg(
-          GraftFunctions.hll_cardinality(col("user_id"), 1 << 12).as("est"),
-          countDistinct(col("user_id")).as("exact"))
+          GraftFunctions.hll_cardinality(col("user_id"), 1 << 12).as("_est"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_est") - col("exact_users")) / col("exact_users") <= 0.05).as("est_ok"))
         .orderBy(col("event_type"))
     }),
 
-    // ops #8,#9,#11: sketches as stored values, re-aggregated (daily -> total)
+    // ops #8,#9,#11: sketches as stored values, re-aggregated (daily ->
+    // total). merge_ok asserts the monoid law end-to-end: the union of the
+    // daily sketches must estimate EXACTLY what one direct sketch does.
     "hll_sketch_reagg" -> ((s, dir) => {
       val ev = events(s, dir)
       val daily = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("sk"))
-      daily.agg(
-          GraftFunctions.hll_estimate(GraftFunctions.hll_union_agg(col("sk"))).as("reagg_est"),
-          count(lit(1)).as("n_days"))
+      val reagg = daily.agg(
+        GraftFunctions.hll_estimate(GraftFunctions.hll_union_agg(col("sk"))).as("_reagg"),
+        count(lit(1)).as("n_days"))
+      val direct = ev.agg(
+        GraftFunctions.hll_cardinality(col("user_id"), 1 << 12).as("_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+      reagg.crossJoin(direct).select(
+        col("n_days"), col("exact_users"),
+        (col("_reagg") === col("_direct")).as("merge_ok"),
+        (abs(col("_reagg") - col("exact_users")) / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
     // op #5 (32-bit finalizer) + #6 (64-bit) side by side on the same column
     "hll_both_widths" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.agg(
-        GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 32).as("est32"),
-        GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 64).as("est64"),
-        countDistinct(col("l_partkey")).as("exact"))
+          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 32).as("_est32"),
+          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 64).as("_est64"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("exact"),
+          (abs(col("_est32") - col("exact")) / col("exact") <= 0.05).as("est32_ok"),
+          (abs(col("_est64") - col("exact")) / col("exact") <= 0.05).as("est64_ok"))
     }),
 
     // grouped distinct parts per returnflag: estimate + exact
@@ -97,18 +116,26 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
         .agg(
-          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12).as("est"),
+          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12).as("_est"),
           countDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"), col("exact"),
+          (abs(col("_est") - col("exact")) / col("exact") <= 0.05).as("est_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
-    // op #7 metadata: error bound surfaced from a stored sketch
+    // op #7 metadata: error bound surfaced from a stored sketch. The bound
+    // itself is the closed-form 1.04/sqrt(m) (oracle-computable); the
+    // estimate check uses 3x that bound (p=10 sits in the reference's
+    // inherited mid-range-bias band, see BASELINE.md).
     "hll_error_bound" -> ((s, dir) => {
       val ev = events(s, dir)
-      ev.agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 10).as("sk"))
+      ev.agg(
+          GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 10).as("sk"),
+          countDistinct(col("user_id")).as("_exact"))
         .select(
-          GraftFunctions.hll_error(col("sk")).as("rel_std_err"),
-          GraftFunctions.hll_estimate(col("sk")).as("est"))
+          round(GraftFunctions.hll_error(col("sk")), 6).as("rel_std_err"),
+          (abs(GraftFunctions.hll_estimate(col("sk")) - col("_exact")) / col("_exact")
+            <= GraftFunctions.hll_error(col("sk")) * 3).as("est_ok"))
     }),
 
     // approximate top-k (Misra-Gries); capacity >= distinct -> exact, so
@@ -130,8 +157,10 @@ object SparkEntry {
       // mid-range bias band (see BASELINE.md accuracy caveat)
       val key = concat_ws("|", col("l_partkey"), col("l_suppkey"))
       li.agg(
-        GraftFunctions.hll_cardinality(key, 1 << 12).as("est_pairs"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("exact_pairs"))
+          GraftFunctions.hll_cardinality(key, 1 << 12).as("_est"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("exact_pairs"))
+        .select(col("exact_pairs"),
+          (abs(col("_est") - col("exact_pairs")) / col("exact_pairs") <= 0.05).as("est_ok"))
     }),
 
     // ---- standard relational categories (SURVEY.md §2b), DuckDB oracles ----
@@ -391,10 +420,26 @@ object SparkEntry {
           t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
         .orderBy(col("id1"), col("id2"))),
 
-    "dd_simhash_pairs" -> ((s, dir) =>
-      graft.operators.Dedup.simhashNearDupPairs(
-          t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
-        .orderBy(col("id1"), col("id2"))),
+    // simhash summary: the hamming values come from our token-hash simhash,
+    // which no SQL oracle can recompute — so the contract emits (a) the
+    // exact-Jaccard near-dup count, which DuckDB computes independently from
+    // raw text, (b) how many of those the simhash blocking recovered
+    // (golden-locked: 4x16-bit pigeonhole only GUARANTEES hamming<=3, the
+    // rest is heuristic recall), and (c) the pair/hamming-0 counts
+    // golden-locked at sf0.01.
+    "dd_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sim = graft.operators.Dedup.simhashNearDupPairs(d, "text", "doc_id", maxHamming = 10)
+      val near = graft.operators.Dedup.minhashNearDupPairs(d, "text", "doc_id", threshold = 0.5)
+        .select(col("id1"), col("id2"))
+      val simPairs = sim.select(col("id1"), col("id2"))
+      sim.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_hamming0"))
+        .crossJoin(near.agg(count(lit(1)).as("n_neardups")))
+        .crossJoin(near.join(simPairs, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_neardups_covered")))
+    }),
 
     // n-gram Jaccard over consecutive-id pairs (deterministic bounded pair set)
     "dd_ngram_jaccard" -> ((s, dir) => {
@@ -521,7 +566,9 @@ object SparkEntry {
     }),
 
     // sketch-algebra intersection: distinct users seen in BOTH halves of the
-    // event stream (inclusion-exclusion over stored sketches)
+    // event stream (inclusion-exclusion over stored sketches). Exact sides
+    // are oracle-computable; the intersection estimate is a DIFFERENCE of
+    // estimates so its tolerance is wider than a single sketch's.
     "hll_intersect_halves" -> ((s, dir) => {
       val ev = events(s, dir)
       val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
@@ -529,10 +576,15 @@ object SparkEntry {
         .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("sk"))
       val a = sketches.filter(col("half") === 0).select(col("sk").as("sk_a"))
       val b = sketches.filter(col("half") === 1).select(col("sk").as("sk_b"))
-      a.crossJoin(b).select(
-        round(GraftFunctions.hll_estimate(col("sk_a")), 4).as("est_a"),
-        round(GraftFunctions.hll_estimate(col("sk_b")), 4).as("est_b"),
-        round(GraftFunctions.hll_intersect_estimate(col("sk_a"), col("sk_b")), 4).as("est_intersect"))
+      val exact = half.groupBy(col("user_id"))
+        .agg(countDistinct(col("half")).as("_nh"))
+        .agg(
+          count(lit(1)).as("exact_union"),
+          sum(when(col("_nh") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+      a.crossJoin(b).crossJoin(exact).select(
+        col("exact_union"), col("exact_intersect"),
+        (abs(GraftFunctions.hll_intersect_estimate(col("sk_a"), col("sk_b"))
+          - col("exact_intersect")) / col("exact_intersect") <= 0.15).as("intersect_ok"))
     }),
 
     // ---- training-data pipeline: similarity search ----
@@ -546,15 +598,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN contract shape: approximate top-k joined against the exact
+    // brute-force top-k computed in the same query (cheap — 5 query vectors),
+    // emitting per-query result count and recall@10. The recall values are
+    // deterministic (fixed seeds/centroids) and golden-locked in the oracle;
+    // n_results is structurally k. DuckDB cannot reproduce the index side,
+    // but it CAN attest the locked recall stays put run over run.
     "sim_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cents = graft.operators.Similarity.fitCentroids(e, "embedding", "vec_id",
         nlist = 16, sampleSize = 500)
-      graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
-          q, "qid", "qvec", cents, k = 10, nprobe = 4)
-        .orderBy(col("query_id"), col("rank"))
+      val approx = graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", cents, k = 10, nprobe = 4)
+      val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+        .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
+        .select(col("query_id"), col("n_results"),
+          round(col("_hits") / 10.0, 2).as("recall_at_10"))
+        .orderBy(col("query_id"))
     }),
 
     // LSH-bucketed ANN (the no-corpus-shuffle scale path): multi-table
@@ -565,9 +630,16 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val planes = graft.operators.Similarity.randomHyperplaneTables(4, 4, 64)
-      graft.operators.Similarity.lshTopK(e, "vec_id", "embedding",
-          q, "qid", "qvec", planes, k = 10)
-        .orderBy(col("query_id"), col("rank"))
+      val approx = graft.operators.Similarity.lshTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", planes, k = 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+        .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
+        .select(col("query_id"), col("n_results"),
+          round(col("_hits") / 10.0, 2).as("recall_at_10"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -599,8 +671,11 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // winnowing fingerprints: substring-level near-dup pairs among
-    // consecutive doc ids (bounded deterministic pair set)
+    // winnowing fingerprints: substring-level overlap among consecutive doc
+    // ids (bounded deterministic pair set), summarized — the fingerprint
+    // hashes are ours (no SQL oracle can recompute them), so the contract
+    // emits the pair count (oracle-computable) plus golden-locked overlap
+    // statistics; per-pair behavior is unit-tested in AsofWinnowSpec.
     "tx_winnow_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val fp = d.select(col("doc_id"),
@@ -608,9 +683,12 @@ object SparkEntry {
       val a = fp.select(col("doc_id").as("id1"), col("fp").as("fp1"))
       val b = fp.select(col("doc_id").as("id2"), col("fp").as("fp2"))
       a.join(b, col("id2") === col("id1") + 1)
-        .select(col("id1"), col("id2"),
-          round(graft.operators.Dedup.sortedJaccard(col("fp1"), col("fp2")), 4).as("overlap"))
-        .orderBy(col("id1"))
+        .select(graft.operators.Dedup.sortedJaccard(col("fp1"), col("fp2")).as("overlap"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("overlap") > 0, 1L).otherwise(0L)).as("n_pos_overlap"),
+          round(avg(col("overlap")), 4).as("mean_overlap"),
+          round(max(col("overlap")), 4).as("max_overlap"))
     }),
 
     // deterministic training-mix: per-source rates + stable hash sampling,
@@ -657,12 +735,16 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))
     }),
 
-    // PII audit + compression-ratio quality signal over the corpus
+    // PII audit + compression-ratio quality signal over the corpus. The PII
+    // regexes are RE2-compatible on purpose, so DuckDB recomputes pii_hits
+    // from raw text; the deflate ratio is JVM-side, surfaced as a sanity
+    // boolean (plain text compresses: ratio strictly inside (0, 1.5)).
     "tx_pii_compression" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      val ratio = graft.operators.TextAnalysis.compressionRatio(col("text"))
       d.select(col("doc_id"),
           graft.operators.TextAnalysis.piiCount(col("text")).as("pii_hits"),
-          round(graft.operators.TextAnalysis.compressionRatio(col("text")), 4).as("compress_ratio"))
+          (ratio > 0.0 && ratio < 1.5).as("compress_ok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -674,11 +756,18 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
-    // ---- training-data pipeline: multimodal (stubbed decode, real plumbing) ----
+    // ---- training-data pipeline: multimodal (REAL PNG decode via
+    // javax.imageio; audio/video remain declared stubs) ----
 
+    // real codec round-trip: deterministic PNGs (dims derived from doc_id)
+    // encoded then decoded through ImageIO; the oracle predicts the decoded
+    // geometry independently. ahash/size_bytes are byte-level artifacts of
+    // the PNG writer, asserted in MultimodalSpec instead.
     "mm_image_features" -> ((s, dir) => {
-      val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
-      graft.operators.Multimodal.decodeImages(media).toDF()
+      val media = graft.operators.Multimodal.pngMediaFromDocuments(s, dir)
+      graft.operators.Multimodal.decodeImages(media,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
         .orderBy(col("media_id"))
     }),
 
@@ -692,17 +781,215 @@ object SparkEntry {
 
     "tx_lang_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      // one text_stats pass feeds both language-ID and quality
+      // one text_stats pass feeds both language-ID and quality; both are
+      // deterministic closed-form heuristics, so the DuckDB oracle recomputes
+      // them from raw text (same stopword profiles, same component formulas)
       d.withColumn("_ts", graft.operators.TextAnalysis.textStats(col("text")))
         .select(col("doc_id"),
           graft.operators.TextAnalysis.langIdFrom(col("_ts")).as("lang_pred"),
-          graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")).as("quality"),
-          graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")).as("quality"))
         .orderBy(col("doc_id"))
     })
   )
 
+  /** Shared DuckDB CTE: word-3-shingle sets per document (the exact-Jaccard
+    * ground truth the minhash/dedup oracles verify against).
+    */
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id, source,
+      |    LIST_DISTINCT(
+      |      CASE WHEN LEN(ws) < 3
+      |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+      |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+      |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |      END) AS sh
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+      |    FROM documents))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // ---- estimate queries: exact side computed by DuckDB, tolerance
+    // booleans are hard TRUE (deterministic sketches, fixed data) ----
+    "hll_users_total" ->
+      "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok FROM events",
+    "hll_users_by_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hll_sketch_reagg" ->
+      """SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_ok, TRUE AS est_ok
+        |FROM events""".stripMargin,
+    "hll_both_widths" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact,
+        |  TRUE AS est32_ok, TRUE AS est64_ok FROM lineitem""".stripMargin,
+    "hll_parts_by_returnflag" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact, TRUE AS est_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_error_bound" ->
+      "SELECT ROUND(1.04 / SQRT(1024), 6) AS rel_std_err, TRUE AS est_ok",
+    "hll_distinct_pairs" ->
+      """SELECT COUNT(*) AS exact_pairs, TRUE AS est_ok
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)""".stripMargin,
+    "hll_intersect_halves" ->
+      """SELECT COUNT(*) AS exact_union,
+        |  COUNT(*) FILTER (nh = 2) AS exact_intersect,
+        |  TRUE AS intersect_ok
+        |FROM (SELECT user_id, COUNT(DISTINCT event_id % 2) AS nh
+        |      FROM events GROUP BY user_id)""".stripMargin,
+
+    // ---- dedup family: exact-Jaccard ground truth recomputed from raw
+    // text (LSH recall is total on this corpus: every true pair sits far
+    // above the threshold, so the candidate sets coincide) ----
+    "dd_minhash_pairs" ->
+      s"""WITH $shingleCte
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "dd_neardedup_keep" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |drops AS (
+        |  SELECT src AS id FROM reach GROUP BY src HAVING src > MIN(dst))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+    "dd_incremental_keep" ->
+      s"""WITH $shingleCte,
+        |cross_dups AS (
+        |  SELECT b.doc_id AS bid
+        |  FROM sh a JOIN sh b ON a.source != 'src3' AND b.source = 'src3'
+        |  WHERE LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE source = 'src3' AND doc_id NOT IN (SELECT bid FROM cross_dups)
+        |ORDER BY doc_id""".stripMargin,
+    // simhash summary: n_neardups is recomputed exactly; the coverage and
+    // pair counts are golden-locked at sf0.01 (heuristic recall, see query)
+    "dd_simhash_pairs" ->
+      s"""WITH $shingleCte,
+        |near AS (
+        |  SELECT COUNT(*) AS n_neardups
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5)
+        |SELECT 956 AS n_pairs, 2 AS n_hamming0, n_neardups,
+        |  21 AS n_neardups_covered FROM near""".stripMargin,
+    "dd_embedding_neardup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |ORDER BY id1, id2""".stripMargin,
+
+    // ---- text analysis: heuristics recomputed from raw text ----
+    "tx_lang_quality" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    LENGTH(text) AS n_chars,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '\p{L}')) AS n_alpha,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '[[:punct:]]')) AS n_punct,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]')) AS n_cjk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, n_chars, n_alpha, n_punct, n_cjk,
+        |    LEN(ws) AS n_words,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'], w))) AS stop_en,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['le','la','les','de','des','et','un','une','du','que','est','dans','pour','qui','pas'], w))) AS stop_fr,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['el','la','los','las','de','y','que','en','un','una','es','por','con','para','su'], w))) AS stop_es,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['der','die','das','und','in','von','zu','mit','ist','den','nicht','ein','eine','auf','als'], w))) AS stop_de,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['als','and','auf','as','be','con','dans','das','de','den','der','des','die','du','ein','eine','el','en','es','est','et','for','his','in','is','ist','it','la','las','le','les','los','mit','nicht','of','on','para','pas','por','pour','que','qui','su','that','the','to','un','una','und','une','von','was','with','y','zu'], w))) AS stop_all
+        |  FROM stats),
+        |ratios AS (
+        |  SELECT doc_id, n_cjk, stop_en, stop_fr, stop_es, stop_de,
+        |    GREATEST(stop_en, stop_fr, stop_es, stop_de) AS best,
+        |    CAST(n_chars AS DOUBLE) AS len,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(stop_all AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS mwl
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN n_cjk > 0 THEN 'zh'
+        |       WHEN best <= 0 THEN 'und'
+        |       WHEN stop_en = best THEN 'en'
+        |       WHEN stop_fr = best THEN 'fr'
+        |       WHEN stop_es = best THEN 'es'
+        |       WHEN stop_de = best THEN 'de'
+        |       ELSE 'und' END AS lang_pred,
+        |  ROUND((
+        |    (CASE WHEN len >= 200 AND len <= 50000 THEN 1.0 ELSE LEAST(len / 200.0, 1.0) END
+        |     + LEAST(alpha_ratio / 0.6, 1.0))
+        |     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 5) END)
+        |     + LEAST(stop_ratio / 0.05, 1.0)
+        |     + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |  ) / 5.0, 4) AS quality
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+    "tx_pii_compression" ->
+      """SELECT doc_id,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + LEN(REGEXP_EXTRACT_ALL(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+        |  + LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+        |  + LEN(REGEXP_EXTRACT_ALL(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS pii_hits,
+        |  TRUE AS compress_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // golden-locked summaries (values fixed by deterministic hashes at
+    // sf0.01; n_pairs/counts that ARE text-derivable are computed)
+    "tx_winnow_overlap" ->
+      """SELECT COUNT(*) - 1 AS n_pairs, 473 AS n_pos_overlap,
+        |  0.0337 AS mean_overlap, 0.1223 AS max_overlap FROM documents""".stripMargin,
+    "tx_training_mix" ->
+      """SELECT * FROM (VALUES
+        |  ('src0', 'test', CAST(1 AS BIGINT)), ('src0', 'train', 21), ('src0', 'val', 3),
+        |  ('src1', 'train', 10), ('src2', 'train', 6), ('src3', 'train', 4))
+        |t(source, split, n_docs) ORDER BY source, split""".stripMargin,
+    "tx_contamination" ->
+      """SELECT CAST(1694 AS BIGINT) AS pairs_at_005, CAST(0 AS BIGINT) AS pairs_at_03,
+        |  CAST(0 AS BIGINT) AS pairs_at_08""".stripMargin,
+    "dd_pipeline_stats" ->
+      """SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_quality', 500
+        |UNION ALL SELECT '2_lang', 382
+        |UNION ALL SELECT '3_neardedup', 365
+        |ORDER BY stage""".stripMargin,
+    "sim_ann_ivf" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
+        |  (1, 10, 0.7), (2, 10, 0.6), (3, 10, 0.6), (4, 10, 0.6))
+        |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+    "sim_ann_lsh" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
+        |  (1, 10, 0.8), (2, 10, 0.9), (3, 10, 1.0), (4, 10, 0.9))
+        |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+
     "tx_token_counts" ->
       """SELECT doc_id,
         |  LENGTH(text) AS n_chars,
@@ -915,6 +1202,12 @@ object SparkEntry {
         |  ELSE CAST(FLOOR(n_chars / 50.0) + 1 AS BIGINT) END AS bucket,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "mm_image_features" ->
+      """SELECT doc_id AS media_id,
+        |  ((doc_id % 16) + 1) * 4 AS width,
+        |  ((doc_id % 12) + 1) * 4 AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, processed in per-partition
   * batches (the Scala analogue of PySpark's mapInPandas batch shape).
   *
-  * The actual media decoding is STUBBED — this container has no image/audio
-  * codecs — behind [[MediaDecoder]]: a deterministic fake that parses the
-  * 16-byte header convention below. Everything around the stub is real and
-  * tested: schema, Dataset encoders, per-partition decoder lifecycle
-  * (expensive init once per partition, not per row), batch iteration, and
-  * the downstream feature columns.
+  * IMAGE decoding is REAL: [[ImageIoDecoder]] parses PNG/BMP/GIF/JPEG via
+  * `javax.imageio` (in the JVM, zero extra dependencies) and computes an 8x8
+  * average perceptual hash. AUDIO/VIDEO decoding remains STUBBED — this
+  * container has no such codecs — behind the same [[MediaDecoder]] seam: a
+  * deterministic fake that parses the 16-byte header convention below.
+  * Everything around the decoders is real and tested: schema, Dataset
+  * encoders, per-partition decoder lifecycle (expensive init once per
+  * partition, not per row), batch iteration, and the downstream feature
+  * columns.
   *
   * Scale notes (100 TB of media):
   *  - binary payloads ride in their own column; feature extraction projects
@@ -81,6 +84,51 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder on `javax.imageio` (PNG/BMP/GIF/JPEG — whatever the
+    * JVM's registered readers handle). The perceptual hash is the standard
+    * 8x8 average hash: downsample luminance to an 8x8 grid, threshold each
+    * cell against the grid mean, pack the 64 bits row-major. Frame sampling
+    * (a video concern) falls back to the stub chunking.
+    */
+  final class ImageIoDecoder extends MediaDecoder {
+    // ImageIO's plugin scan is the expensive part — the per-partition
+    // lifecycle in decodeImages amortizes it
+    private val stub = new StubDecoder
+
+    override def decodeImage(bytes: Array[Byte]): ImageFeatures0 = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = new Array[Double](64)
+      var mean = 0.0
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          // nearest-pixel sample at the cell center (images smaller than
+          // 8x8 sample pixels repeatedly — still deterministic)
+          val x = math.min(w - 1, (gx * 2 + 1) * w / 16)
+          val y = math.min(h - 1, (gy * 2 + 1) * h / 16)
+          val rgb = img.getRGB(x, y)
+          val l = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          lum(gy * 8 + gx) = l
+          mean += l
+          gx += 1
+        }
+        gy += 1
+      }
+      mean /= 64.0
+      var hash = 0L
+      var i = 0
+      while (i < 64) { if (lum(i) > mean) hash |= (1L << i); i += 1 }
+      ImageFeatures0(w, h, img.getColorModel.getNumComponents, hash)
+    }
+
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] =
+      stub.sampleFrames(bytes, everyN)
+  }
+
   /** Encode the fake header + payload (used by tests / the demo query to
     * fabricate deterministic media bytes from any seed payload).
     */
@@ -126,6 +174,49 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Deterministic REAL PNG bytes: dims + pixels derived purely from the
+    * seed (no RNG), encoded through the JVM's PNG writer — so decode tests
+    * and the image contract query exercise a genuine codec path.
+    */
+  def deterministicPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (x * 31 + y * 17 + seed) & 0xff
+        val g = (x * 13 + y * 29 + seed * 7) & 0xff
+        val b = (x * 7 + y * 11 + seed * 3) & 0xff
+        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Image demo corpus: one real PNG per document, dims derived from doc_id
+    * (so an external oracle can predict width/height/channels), pixels from
+    * the deterministic generator above.
+    */
+  def pngMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.png",
+          media_type = "image/png",
+          content = deterministicPng(id, ((id % 16) + 1).toInt * 4, ((id % 12) + 1).toInt * 4),
+          meta = Map("source" -> source))
+      }
   }
 
   /** Demo corpus: deterministic fake media fabricated from the documents

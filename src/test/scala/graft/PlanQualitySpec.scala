@@ -73,10 +73,41 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("LSH ANN candidates come from an equi-join, not a per-row predicate scan") {
-    val p = plan("sim_ann_lsh")
+    // the contract query sim_ann_lsh deliberately adds a broadcast
+    // cross-join brute-force baseline (5 query rows) to compute recall, so
+    // assert on the LSH operator's own plan here
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val planes = operators.Similarity.randomHyperplaneTables(4, 4, 64)
+    val p = operators.Similarity.lshTopK(e, "vec_id", "embedding",
+      q, "qid", "qvec", planes).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"LSH ANN degraded to cross product:\n$p")
     assert(p.contains("hyperplane_bucket"), "bucket expression missing from plan")
+    // and the full contract query still carries the bucketed path
+    assert(plan("sim_ann_lsh").contains("hyperplane_bucket"))
+  }
+
+  test("no contract query plans a cross product (beyond declared tiny sides)") {
+    // queries that INTENTIONALLY cross-join a bounded tiny side: the ANN
+    // recall baselines broadcast <=5 query rows against the corpus, and the
+    // sketch-algebra/summary queries cross-join 1-row aggregates. Everything
+    // else must stay equi-join only — a new name appearing here means a
+    // rewrite silently degraded to an n^2 join.
+    val tinySideCross = Set(
+      "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_lsh",
+      "hll_intersect_halves", "hll_sketch_reagg", "dd_simhash_pairs")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      if (!tinySideCross(name)) {
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n$p")
+      }
+    }
   }
 
   test("salted distinct is two aggregation phases, shuffled on (group, salt)") {

@@ -149,6 +149,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.map(r => r.media_id -> r.ahash).toMap == again.map(r => r.media_id -> r.ahash).toMap)
   }
 
+  test("multimodal: real ImageIO decode round-trips deterministic PNGs") {
+    import graft.operators.Multimodal.{ImageIoDecoder, deterministicPng}
+    val dec = new ImageIoDecoder
+    // encode -> decode round trip recovers geometry for PNG and BMP
+    val png = deterministicPng(seed = 42L, width = 20, height = 12)
+    val f = dec.decodeImage(png)
+    assert(f.width == 20 && f.height == 12 && f.channels == 3)
+    // BMP via the same JVM writer: geometry survives a second codec
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val fb = dec.decodeImage(baos.toByteArray)
+    assert(fb.width == 20 && fb.height == 12)
+    // the average hash is a pixel-content hash: same pixels same hash (even
+    // across codecs — both are lossless), different pixels different hash
+    assert(fb.ahash == f.ahash)
+    assert(dec.decodeImage(deterministicPng(43L, 20, 12)).ahash != f.ahash)
+    // non-image bytes are rejected, not mis-parsed
+    intercept[IllegalArgumentException] {
+      dec.decodeImage(Array.fill[Byte](32)(7))
+    }
+    // distributed path: per-partition decoder over the PNG demo corpus
+    val media = Multimodal.pngMediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(5)
+    val feats = Multimodal.decodeImages(media, () => new ImageIoDecoder).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      assert(r.width == ((r.media_id % 16) + 1) * 4)
+      assert(r.height == ((r.media_id % 12) + 1) * 4)
+      assert(r.channels == 3)
+      assert(r.size_bytes > 0)
+    }
+  }
+
   test("multimodal: frame sampling yields one row per chunk") {
     val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
     val frames = Multimodal.sampleFrames(media, everyN = 50)
