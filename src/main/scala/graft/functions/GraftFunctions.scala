@@ -24,7 +24,13 @@ object GraftFunctions {
   private def aggCol(f: AggregateFunction): Column =
     GraftShims.column(f.toAggregateExpression())
 
-  private def str(col: Column): Column = col.cast(StringType)
+  /** Hash-input coercion: Python-`str()`-parity for DOUBLE/FLOAT (see
+    * [[PythonStr]]), Spark cast semantics elsewhere (already Python-equal
+    * for ints and strings). `hll_cardinality(lit(400.2024))` hashes
+    * "400.2024" exactly as the reference's `str(400.2024)` does.
+    */
+  private def str(col: Column): Column =
+    GraftShims.column(PyStrCoerce(e(col)))
 
   private def e(col: Column): Expression = GraftShims.expression(col)
 
@@ -109,12 +115,14 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     GraftShims.registerFunction(spark, "hll_cardinality", { args =>
       val (k, bits) = kBits(args, "hll_cardinality")
-      HllCardinality(Cast(args.head, StringType), k, bits).toAggregateExpression()
+      HllCardinality(PyStrCoerce(args.head), k, bits).toAggregateExpression()
     })
     GraftShims.registerFunction(spark, "hll_sketch_agg", { args =>
       val (k, bits) = kBits(args, "hll_sketch_agg")
-      HllSketchAgg(Cast(args.head, StringType), k, bits).toAggregateExpression()
+      HllSketchAgg(PyStrCoerce(args.head), k, bits).toAggregateExpression()
     })
+    GraftShims.registerFunction(spark, "python_str",
+      args => PyStrCoerce(args.head))
     GraftShims.registerFunction(spark, "hll_union_agg",
       args => HllUnionAgg(args.head).toAggregateExpression())
     GraftShims.registerFunction(spark, "hll_estimate",

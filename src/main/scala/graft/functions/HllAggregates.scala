@@ -18,11 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`parallelize -> mapPartitions(sketch) -> reduce(+) -> cardinality`,
   * HLL/examples.py:56-67) falls out of Catalyst's partial/final aggregation
   * for a TypedImperativeAggregate: `update` runs map-side per partition,
-  * serialized sketches cross the exchange (4 KiB at p=12 — constant,
-  * independent of input size, so the shuffle stays O(groups * m) at any
-  * scale), `merge` combines on the reduce side, `eval` finalizes. At 100 TB
-  * this is the exact plan shape you want: no row-level shuffle for the
-  * distinct-count itself, only sketch buffers move.
+  * serialized sketches cross the exchange (occupancy-adaptive wire format:
+  * ~4 B per occupied register while sparse, capped at 6 + m bytes dense —
+  * never more than m + 6 regardless of input size, so the shuffle stays
+  * O(groups * m) worst case and far below it for small groups), `merge`
+  * combines on the reduce side, `eval` finalizes. At 100 TB this is the
+  * exact plan shape you want: no row-level shuffle for the distinct-count
+  * itself, only sketch buffers move.
   *
   * Input is hashed as its string form (reference coerces every element with
   * `str()` before SHA-1, HLL/HyperLogLog.py:110); the function wrappers in
@@ -33,6 +35,10 @@ abstract class HllAggBase[R] extends TypedImperativeAggregate[HllSketch]
     with UnaryLike[Expression] {
   def k: Int
   def bits: Int
+  /** Digest algorithm, mirroring the reference's `hash_func` parameter
+    * (HLL/HyperLogLog.py:58). SHA-1 is the default and bit-parity target.
+    */
+  def hashName: String
 
   def child: Expression
   // NOTE: no validation in the constructor body — a non-serializable
@@ -43,13 +49,14 @@ abstract class HllAggBase[R] extends TypedImperativeAggregate[HllSketch]
       s"$prettyName requires a STRING input (wrappers cast automatically), got ${child.dataType.sql}")
     else try {
       HllSketch.validateK(k, bits)
+      HllSketch.empty(k, bits, hashName) // validates the hash name too
       TypeCheckResult.TypeCheckSuccess
     } catch {
       case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
     }
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): HllSketch = HllSketch.empty(k, bits)
+  override def createAggregationBuffer(): HllSketch = HllSketch.empty(k, bits, hashName)
 
   override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
     val v = child.eval(input)
@@ -75,6 +82,7 @@ case class HllCardinality(
     child: Expression,
     k: Int = 4096,
     bits: Int = 64,
+    hashName: String = "SHA-1",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends HllAggBase[Double] {
@@ -97,6 +105,7 @@ case class HllSketchAgg(
     child: Expression,
     k: Int = 4096,
     bits: Int = 64,
+    hashName: String = "SHA-1",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends HllAggBase[Array[Byte]] {

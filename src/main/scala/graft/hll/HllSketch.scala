@@ -43,6 +43,7 @@ import java.security.MessageDigest
 final class HllSketch private (
     val k: Int,
     val bits: Int,
+    val hashName: String,
     private var dense: Array[Byte],
     private var skeys: Array[Int],
     private var svals: Array[Byte],
@@ -128,11 +129,11 @@ final class HllSketch private (
     * Parity with HLL/HyperLogLog.py:103-119.
     */
   def updateBytes(strBytes: Array[Byte], off: Int, len: Int): Unit = {
-    val md = HllSketch.localDigest.get()
+    val md = HllSketch.localDigest(hashName)
     md.reset()
     md.update(strBytes, off, len)
     val digest = HllSketch.localDigestBuf.get()
-    md.digest(digest, 0, 20) // reuse output buffer: no 20-byte alloc per row
+    md.digest(digest, 0, md.getDigestLength) // reuse output buffer: no alloc per row
     var v: Long =
       if (bits == 32) {
         ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
@@ -156,10 +157,16 @@ final class HllSketch private (
     updateBytes(b, 0, b.length)
   }
 
-  /** In-place merge; parity with HLL/HyperLogLog.py:157-169 (k-equality check). */
+  /** In-place merge; parity with HLL/HyperLogLog.py:157-169 (k-equality
+    * check). The hash check is stricter than the reference (which checks
+    * only k even with a custom hash_func): merging registers built from
+    * different hash functions is never meaningful.
+    */
   def merge(other: HllSketch): HllSketch = {
     require(other.k == k, "Number k of hash functions must be equal.")
     require(other.bits == bits, s"Cannot merge $bits-bit with ${other.bits}-bit sketch")
+    require(other.hashName == hashName,
+      s"Cannot merge $hashName sketch with ${other.hashName} sketch")
     if (other.dense == null) {
       // iterate the other side's sparse entries; stays sparse if we are
       var i = 0
@@ -256,8 +263,8 @@ final class HllSketch private (
   }
 
   def copySketch(): HllSketch =
-    if (dense != null) new HllSketch(k, bits, dense.clone(), null, null, 0)
-    else new HllSketch(k, bits, null, skeys.clone(), svals.clone(), soccupied)
+    if (dense != null) new HllSketch(k, bits, hashName, dense.clone(), null, null, 0)
+    else new HllSketch(k, bits, hashName, null, skeys.clone(), svals.clone(), soccupied)
 
   /** Serialized form, chosen per sketch by occupancy:
     *  - dense:  [bits: 1B][p: 1B][k: 4B BE][registers: m B]
@@ -272,7 +279,9 @@ final class HllSketch private (
     */
   private def writeHeader(out: Array[Byte], sparse: Boolean): Unit = {
     out(0) = (if (sparse) bits | 0x80 else bits).toByte
-    out(1) = p.toByte
+    // p needs 5 bits (max 18); the high 3 bits of the byte carry the hash id
+    // (0 = SHA-1, the default — old sketches deserialize unchanged)
+    out(1) = ((HllSketch.hashId(hashName) << 5) | p).toByte
     out(2) = (k >>> 24).toByte
     out(3) = (k >>> 16).toByte
     out(4) = (k >>> 8).toByte
@@ -360,41 +369,67 @@ object HllSketch {
     */
   private val sparseMinM = 1024
 
-  def empty(k: Int, bits: Int = 64): HllSketch = {
+  /** Supported hash functions, mirroring the reference's pluggable
+    * `hash_func` parameter (HLL/HyperLogLog.py:58,70-72 — any hashlib
+    * digest); ids are the wire-format encoding. SHA-1 (id 0) is the default
+    * and the only bit-parity target.
+    */
+  private val hashNames: Array[String] = Array("SHA-1", "MD5", "SHA-256")
+
+  private[hll] def hashId(name: String): Int = {
+    val id = hashNames.indexOf(name)
+    require(id >= 0, s"unsupported hash '$name' (supported: ${hashNames.mkString(", ")})")
+    id
+  }
+
+  def empty(k: Int, bits: Int = 64, hashName: String = "SHA-1"): HllSketch = {
     validateK(k, bits)
+    hashId(hashName) // validate eagerly, not on first update
     val m = 1 << pFor(k)
     if (m >= sparseMinM)
-      new HllSketch(k, bits, null, Array.fill(16)(-1), new Array[Byte](16), 0)
+      new HllSketch(k, bits, hashName, null, Array.fill(16)(-1), new Array[Byte](16), 0)
     else
-      new HllSketch(k, bits, new Array[Byte](m), null, null, 0)
+      new HllSketch(k, bits, hashName, new Array[Byte](m), null, null, 0)
   }
 
   def deserialize(bytes: Array[Byte]): HllSketch = {
+    require(bytes.length >= 6, s"sketch buffer truncated: ${bytes.length} bytes")
     val sparse = (bytes(0) & 0x80) != 0
     val bits = bytes(0).toInt & 0x7f
+    val hashName = hashNames((bytes(1) >>> 5) & 0x7)
     val k = ((bytes(2) & 0xff) << 24) | ((bytes(3) & 0xff) << 16) |
             ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+    validateK(k, bits)
     val m = 1 << pFor(k)
     if (sparse) {
+      require(bytes.length >= 10, s"sparse sketch header truncated: ${bytes.length} bytes")
       val count = ((bytes(6) & 0xff) << 24) | ((bytes(7) & 0xff) << 16) |
                   ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
+      require(count >= 0 && bytes.length == 10 + 4 * count,
+        s"sparse sketch length ${bytes.length} != ${10 + 4 * count} for $count entries")
       // rebuild sparse in memory while it's worth it, else straight to dense
       val h =
-        if (m >= sparseMinM && count < (m >>> 4)) HllSketch.empty(k, bits)
-        else new HllSketch(k, bits, new Array[Byte](m), null, null, 0)
+        if (m >= sparseMinM && count < (m >>> 4)) HllSketch.empty(k, bits, hashName)
+        else new HllSketch(k, bits, hashName, new Array[Byte](m), null, null, 0)
       var e = 0
       var o = 10
       while (e < count) {
         val idx = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
-        h.setMax(idx, bytes(o + 3))
+        require(idx < m, s"sparse register index $idx out of range (m=$m)")
+        // a zero-valued entry never comes from serialize() (rho >= 1); in a
+        // corrupt buffer it would silently skew the sparse countZero
+        // shortcut (m - occupied), so drop it rather than store it
+        if (bytes(o + 3) != 0) h.setMax(idx, bytes(o + 3))
         o += 4
         e += 1
       }
       h
     } else {
+      require(bytes.length == 6 + m,
+        s"dense sketch length ${bytes.length} != ${6 + m} (m=$m)")
       val regs = new Array[Byte](m)
       System.arraycopy(bytes, 6, regs, 0, m)
-      new HllSketch(k, bits, regs, null, null, 0)
+      new HllSketch(k, bits, hashName, regs, null, null, 0)
     }
   }
 
@@ -412,9 +447,19 @@ object HllSketch {
     lo
   }
 
-  private val localDigest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-1"))
+  private val localDigests: ThreadLocal[java.util.HashMap[String, MessageDigest]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, MessageDigest]())
+
+  private[hll] def localDigest(name: String): MessageDigest = {
+    val map = localDigests.get()
+    var md = map.get(name)
+    if (md == null) {
+      md = MessageDigest.getInstance(name)
+      map.put(name, md)
+    }
+    md
+  }
 
   private val localDigestBuf: ThreadLocal[Array[Byte]] =
-    ThreadLocal.withInitial(() => new Array[Byte](20))
+    ThreadLocal.withInitial(() => new Array[Byte](32)) // fits SHA-256
 }

@@ -44,6 +44,28 @@ class HllAggregatesSpec extends AnyFunSuite {
     assert(ests.head == 17339.786613077766) // golden card_sweep_k4096_64_n20000
   }
 
+  test("double input hashes like Python str(float): matches executed-reference golden") {
+    import spark.implicits._
+    // same fixture as tools/gen_goldens.py float section; the aggregate's
+    // PyStrCoerce must render Python str() forms (1e+16, 9.999e-05, ...)
+    // before hashing — Spark's CAST AS STRING would diverge on 7 of these
+    val fixture = Seq(
+      0.1, 1.5, 400.2024, 654941.845, 12345678.0, 1e16, 1.5e16,
+      1e-4, 9.999e-5, 5e-324, 1.7976931348623157e308, -0.0, 2.0,
+      -273.15, 6.02214076e23, 3.141592653589793, 1e15, 123456789.123)
+    val est = spark.createDataset(fixture).toDF("v").repartition(3)
+      .agg(hll_cardinality(col("v"), 1 << 12)).collect()(0).getDouble(0)
+    val h = graft.hll.HllSketch.empty(1 << 12, 64)
+    fixture.foreach(d => h.update(graft.functions.PythonStr.render(d)))
+    assert(est == h.cardinality)
+    // float column takes the same path through the double renderer
+    val estF = spark.createDataset(fixture.map(_.toFloat)).toDF("v")
+      .agg(hll_cardinality(col("v"), 1 << 12)).collect()(0).getDouble(0)
+    val hf = graft.hll.HllSketch.empty(1 << 12, 64)
+    fixture.map(_.toFloat.toDouble).foreach(d => hf.update(graft.functions.PythonStr.render(d)))
+    assert(estF == hf.cardinality)
+  }
+
   test("long input hashes like Python str(int): numeric vs string columns agree") {
     import spark.implicits._
     val asLong = spark.createDataset((1L to 5000L)).toDF("v")

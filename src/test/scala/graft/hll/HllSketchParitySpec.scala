@@ -162,4 +162,77 @@ class HllSketchParitySpec extends AnyFunSuite {
     assert(rt.registers.toSeq == h.registers.toSeq)
     assert(rt.cardinality == h.cardinality)
   }
+
+  test("deserialize rejects truncated or corrupt buffers instead of mis-parsing") {
+    val h = HllSketch.empty(1 << 12, 64)
+    (0 until 100).foreach(i => h.update(s"x$i"))
+    val bytes = h.serialize()
+    intercept[IllegalArgumentException](HllSketch.deserialize(bytes.take(bytes.length - 1)))
+    intercept[IllegalArgumentException](HllSketch.deserialize(bytes.take(8)))
+    intercept[IllegalArgumentException](HllSketch.deserialize(Array[Byte](64, 12)))
+    // zero-valued sparse entries (never produced by serialize; rho >= 1) are
+    // dropped so they cannot skew the sparse countZero shortcut
+    val zeroed = bytes.clone()
+    if ((zeroed(0) & 0x80) != 0) {
+      zeroed(13) = 0 // first entry's value byte
+      val rt = HllSketch.deserialize(zeroed)
+      assert(rt.registers.count(_ != 0) == h.registers.count(_ != 0) - 1)
+    }
+  }
+
+  // the float fixture and its expected Python str() forms, from the
+  // generated goldens (tools/gen_goldens.py runs the reference's Python)
+  private val floatFixture: Array[Double] = Array(
+    0.1, 1.5, 400.2024, 654941.845, 12345678.0, 1e16, 1.5e16,
+    1e-4, 9.999e-5, 5e-324, 1.7976931348623157e308, -0.0, 2.0,
+    -273.15, 6.02214076e23, 3.141592653589793, 1e15, 123456789.123)
+
+  private def pystrGoldens: Array[String] = {
+    val txt = resource("goldens.json")
+    val arr = """"pystr_fixture":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).get.group(1)
+    """"([^"]*)"""".r.findAllMatchIn(arr).map(_.group(1)).toArray
+  }
+
+  test("Python str() rendering parity for doubles (incl. exponent-threshold divergences)") {
+    val expected = pystrGoldens
+    assert(expected.length == floatFixture.length)
+    floatFixture.zip(expected).foreach { case (d, want) =>
+      assert(graft.functions.PythonStr.render(d) == want,
+        s"render($d) = ${graft.functions.PythonStr.render(d)} != Python '$want'")
+    }
+  }
+
+  test("float-column sketch matches the executed reference bit-for-bit") {
+    val h = HllSketch.empty(1 << 12, 64)
+    floatFixture.foreach(d => h.update(graft.functions.PythonStr.render(d)))
+    assert(h.cardinality == goldD("card_floats_k2p12_64"))
+    assert(regsSha(h) == goldS("regssha_floats_k2p12_64"))
+  }
+
+  test("pluggable hash (reference hash_func param): MD5/SHA-256 round-trip") {
+    // build/merge/serde/estimate with each non-default hash; estimates are
+    // plausible and hash-dependent (different register states than SHA-1)
+    // n/m kept in the linear-counting regime: the reference's inherited
+    // mid-range bias indexing (see BASELINE.md) skews n ~ m estimates for
+    // EVERY hash, which would drown the signal this test is after
+    val bySha = HllSketch.empty(1 << 12, 64)
+    (0 until 1000).foreach(i => bySha.update(s"u$i"))
+    Seq("MD5", "SHA-256").foreach { hash =>
+      val a = HllSketch.empty(1 << 12, 64, hash)
+      val b = HllSketch.empty(1 << 12, 64, hash)
+      (0 until 500).foreach(i => a.update(s"u$i"))
+      (500 until 1000).foreach(i => b.update(s"u$i"))
+      val merged = a.copySketch().merge(b)
+      val rt = HllSketch.deserialize(merged.serialize())
+      assert(rt.hashName == hash, "hash survives the wire format")
+      assert(rt.registers.toSeq == merged.registers.toSeq)
+      val est = rt.cardinality
+      assert(math.abs(est - 1000) / 1000.0 < 0.05, s"$hash estimate off: $est")
+      assert(merged.registers.toSeq != bySha.registers.toSeq,
+        s"$hash produced SHA-1's registers — hash not actually plugged in")
+      // mixing hashes in a merge is rejected
+      intercept[IllegalArgumentException](bySha.copySketch().merge(merged))
+    }
+    intercept[IllegalArgumentException](HllSketch.empty(1 << 12, 64, "CRC-32"))
+  }
 }

@@ -54,3 +54,17 @@ for k, bits, n in [(16, 32, 100), (250, 32, 5000), (2**12, 32, 20000),
 
 json.dump(g, open('/root/repo/src/test/resources/goldens.json', 'w'), indent=1)
 print(json.dumps({k: v for k, v in g.items() if k.startswith('card')}, indent=1))
+
+# float-input parity: Python str() renderings + an end-to-end sketch over a
+# float column (exercises the engine's python_str coercion for doubles)
+float_fixture = [0.1, 1.5, 400.2024, 654941.845, 12345678.0, 1e16, 1.5e16,
+                 1e-4, 9.999e-5, 5e-324, 1.7976931348623157e308, -0.0, 2.0,
+                 -273.15, 6.02214076e23, 3.141592653589793, 1e15, 123456789.123]
+g2 = json.load(open('/root/repo/src/test/resources/goldens.json'))
+g2['pystr_fixture'] = [str(x) for x in float_fixture]
+h64 = HyperLogLog64(2**12)
+h64.extend(float_fixture)
+g2['card_floats_k2p12_64'] = h64.cardinality
+g2['regssha_floats_k2p12_64'] = regs_sha(h64)
+json.dump(g2, open('/root/repo/src/test/resources/goldens.json', 'w'), indent=1)
+print('floats:', g2['pystr_fixture'], g2['card_floats_k2p12_64'])
