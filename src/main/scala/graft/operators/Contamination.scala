@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * the fingerprint hash; ultra-common fingerprints (boilerplate shared by
   * >maxPostings docs) are dropped the same way LSH caps buckets — they
   * carry no discriminative signal and would quadratically blow up the join.
+  *
+  * Capping semantics: the cap applies to BOTH corpora (an uncapped hot
+  * posting list on either side multiplies against the other), and `a_total`
+  * counts only the A fingerprints that SURVIVE the cap — numerator and
+  * denominator are measured over the same (discriminative) fingerprint
+  * universe, so boilerplate-heavy documents are scored on their distinctive
+  * content rather than silently biased below threshold. A document whose
+  * fingerprints are ALL capped produces no pairs at all: it consists
+  * entirely of corpus-wide boilerplate and has no identifiable overlap.
   */
 object Contamination {
 
@@ -26,11 +35,9 @@ object Contamination {
       kGram: Int = 8,
       window: Int = 4,
       maxPostings: Int = 1000): DataFrame = {
-    // A side carries its per-doc fingerprint count (size of the array) through
-    // the explode, so totals need no second fingerprint pass or extra join
     val aIdx = corpusA.select(col(aId).as("a_id"),
         TextAnalysis.winnowingFingerprint(col(aText), kGram, window).as("fp"))
-      .select(col("a_id"), size(col("fp")).as("a_total"), explode(col("fp")).as("f"))
+      .select(col("a_id"), explode(col("fp")).as("f"))
     val bIdx = corpusB.select(col(bId).as("b_id"),
         TextAnalysis.winnowingFingerprint(col(bText), kGram, window).as("fp"))
       .select(col("b_id"), explode(col("fp")).as("f"))
@@ -44,7 +51,13 @@ object Contamination {
       .filter(col("_n") <= maxPostings)
       .drop("_n")
 
-    cap(aIdx).join(cap(bIdx), "f")
+    // a_total counted AFTER capping (same universe as the join numerator);
+    // piggybacks on the a_id partitioning the groupBy needs anyway
+    val aCapped = cap(aIdx)
+      .withColumn("a_total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))))
+
+    aCapped.join(cap(bIdx), "f")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"), first(col("a_total")).as("a_total"))
       .withColumn("overlap", round(col("shared") / col("a_total"), 4))

@@ -109,6 +109,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed distinct equals batch under random bounded-late arrival orders") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // property: for ANY arrival order whose lateness stays inside the
+    // watermark, the streamed windowed estimate equals the batch aggregate
+    // bit-for-bit (the sketch monoid is order-insensitive; watermarking must
+    // not drop in-horizon rows). Permutations: shuffle within 15-minute
+    // blocks (max lateness 15 min) against a 30-minute watermark, then cut
+    // into random micro-batch sizes — all from fixed seeds.
+    val base = 1700000000000L
+    val events = (0 until 4000).map { i =>
+      val offsetMs = (i * 7919L) % 7200000L // spread over 2 hourly windows
+      (new Timestamp(base + offsetMs), s"u${i % 900}")
+    }
+    val batch = events.toDF("ts", "user")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions.hll_cardinality(col("user"), 1024).as("est"))
+      .select(col("window.start").cast("long"), col("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 1000003L)
+      val permuted = events.sortBy(_._1.getTime)
+        .grouped(500) // 500 events x ~contiguous times ≈ <15 min span blocks
+        .flatMap(block => rnd.shuffle(block)).toSeq
+      val stream = MemoryStream[(Timestamp, String)]
+      val agg = StreamingHll.windowedDistinct(
+        stream.toDF().toDF("ts", "user"), "ts", "user", "1 hour", "30 minutes", k = 1024)
+      val name = s"hll_perm_$trial"
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try {
+        var rest = permuted
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(1500)
+          stream.addData(rest.take(n))
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        val streamed = spark.table(name)
+          .select(col("window.start").cast("long"), col("approx_distinct"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(streamed == batch, s"trial $trial: $streamed != $batch")
+      } finally q.stop()
+    }
+  }
+
   test("streaming sketch output re-aggregates to the global estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
