@@ -783,6 +783,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // real audio codec round-trip: deterministic 16-bit PCM WAVs (geometry
+    // derived from doc_id) encoded then decoded through javax.sound; the
+    // oracle predicts decoded sample rate / channels / frame count
+    // independently. peak/rms are byte-level codec artifacts: sanity-bounded
+    // here (booleans the oracle can assert), exact values in MultimodalSpec.
+    "mm_audio_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.wavMediaFromDocuments(s, dir)
+      graft.operators.Multimodal.decodeAudioFeatures(media,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"), col("n_frames"),
+          (col("peak") > 0.0 && col("rms") > 0.0 && col("rms") <= col("peak") &&
+            col("peak") <= lit(1.0)).as("pcm_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
       graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
@@ -1219,6 +1234,13 @@ object SparkEntry {
         |  ((doc_id % 16) + 1) * 4 AS width,
         |  ((doc_id % 12) + 1) * 4 AS height,
         |  3 AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  8000 * ((doc_id % 3) + 1) AS sample_rate,
+        |  (doc_id % 2) + 1 AS channels,
+        |  ((doc_id % 25) + 1) * 200 AS n_frames,
+        |  TRUE AS pcm_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -47,16 +47,28 @@ object Multimodal {
 
   case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
 
-  /** Decoder interface — the seam where a real codec (javax.imageio, ffmpeg
-    * bindings, ...) would plug in. Implementations must be cheap to call per
-    * row but may be expensive to construct (model load): construct once per
-    * partition via [[decodeImages]].
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      size_bytes: Long,
+      peak: Double,
+      rms: Double)
+
+  /** Decoder interface — the seam where a real codec (javax.imageio,
+    * javax.sound, ffmpeg bindings, ...) would plug in. Implementations must
+    * be cheap to call per row but may be expensive to construct (model
+    * load): construct once per partition via [[decodeImages]].
     */
   trait MediaDecoder extends Serializable {
     def decodeImage(bytes: Array[Byte]): ImageFeatures0
+    def decodeAudio(bytes: Array[Byte]): AudioFeatures0
     def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long]
   }
   case class ImageFeatures0(width: Int, height: Int, channels: Int, ahash: Long)
+  case class AudioFeatures0(
+      sampleRate: Int, channels: Int, nFrames: Long, peak: Double, rms: Double)
 
   /** STUB decoder: deterministic fake parse of the 16-byte header; the
     * "average hash" is an FNV over the payload — NOT a real perceptual hash.
@@ -82,13 +94,32 @@ object Multimodal {
         h
       }
     }
+
+    /** Fake audio parse of the same 16-byte header convention: width field
+      * doubles as sample rate, height as frame count; peak/rms are an FNV
+      * artifact of the payload (deterministic, in (0, 1], rms <= peak).
+      */
+    override def decodeAudio(bytes: Array[Byte]): AudioFeatures0 = {
+      require(bytes.length >= 10, s"media payload too short: ${bytes.length}")
+      var h = 0xcbf29ce484222325L
+      var i = 10
+      while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+      val frac = ((h >>> 11).toDouble / (1L << 53).toDouble)
+      val peak = 0.25 + 0.75 * frac
+      AudioFeatures0(beInt(bytes, 0), bytes(8) & 0xff, beInt(bytes, 4).toLong,
+        peak, peak * 0.7071)
+    }
   }
 
-  /** REAL image decoder on `javax.imageio` (PNG/BMP/GIF/JPEG — whatever the
-    * JVM's registered readers handle). The perceptual hash is the standard
-    * 8x8 average hash: downsample luminance to an 8x8 grid, threshold each
-    * cell against the grid mean, pack the 64 bits row-major. Frame sampling
-    * (a video concern) falls back to the stub chunking.
+  /** REAL decoders on the JVM's built-in codecs: images via `javax.imageio`
+    * (PNG/BMP/GIF/JPEG — whatever the JVM's registered readers handle),
+    * audio via `javax.sound.sampled` (PCM WAV/AIFF/AU). The perceptual hash
+    * is the standard 8x8 average hash: downsample luminance to an 8x8 grid,
+    * threshold each cell against the grid mean, pack the 64 bits row-major.
+    * Audio features are container geometry (rate/channels/frames) plus
+    * peak and RMS amplitude over the decoded PCM samples, normalized to
+    * [0, 1]. Frame sampling (a video concern) falls back to the stub
+    * chunking — this container ships no video codec.
     */
   final class ImageIoDecoder extends MediaDecoder {
     // ImageIO's plugin scan is the expensive part — the per-partition
@@ -128,6 +159,39 @@ object Multimodal {
 
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] =
       stub.sampleFrames(bytes, everyN)
+
+    /** Real audio parse: container geometry from the codec's AudioFormat,
+      * peak/RMS over the decoded 16-bit PCM samples (any channel layout;
+      * samples normalized by 1/32768).
+      */
+    override def decodeAudio(bytes: Array[Byte]): AudioFeatures0 = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+        val nFrames = in.getFrameLength
+        val data = in.readAllBytes()
+        val le = !fmt.isBigEndian
+        var i = 0
+        var peak = 0.0
+        var sumSq = 0.0
+        var n = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+            else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+          val v = math.abs(s.toDouble) / 32768.0
+          if (v > peak) peak = v
+          sumSq += v * v
+          n += 1
+          i += 2
+        }
+        AudioFeatures0(fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
+          peak, if (n > 0) math.sqrt(sumSq / n) else 0.0)
+      } finally in.close()
+    }
   }
 
   /** Encode the fake header + payload (used by tests / the demo query to
@@ -157,6 +221,23 @@ object Multimodal {
       rows.map { r =>
         val f = decoder.decodeImage(r.content)
         ImageFeatures(r.media_id, f.width, f.height, f.channels, r.content.length.toLong, f.ahash)
+      }
+    }
+  }
+
+  /** Per-partition batch audio decode, same lifecycle as [[decodeImages]]:
+    * decoder constructed once per partition, media bytes projected away.
+    */
+  def decodeAudioFeatures(
+      media: Dataset[MediaRecord],
+      mkDecoder: () => MediaDecoder = () => new StubDecoder): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = mkDecoder()
+      rows.map { r =>
+        val f = decoder.decodeAudio(r.content)
+        AudioFeatures(r.media_id, f.sampleRate, f.channels, f.nFrames,
+          r.content.length.toLong, f.peak, f.rms)
       }
     }
   }
@@ -208,6 +289,64 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Deterministic REAL 16-bit PCM WAV bytes: every sample derived purely
+    * from the seed (integer triangle-ish wave — no RNG, no transcendentals,
+    * so bit-identical across JVMs), encoded through the JVM's WAVE writer.
+    * Interleaved channels; frame = one sample per channel.
+    */
+  def deterministicWav(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    val step = (seed % 97 + 3).toInt
+    var f = 0
+    var o = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        // triangle wave in [-16016, 16016]: loud enough that peak/rms are
+        // far from zero, never clipping
+        val phase = (f * step + c * 31) % 2003
+        val tri = math.abs(phase - 1001) - 500
+        val s = (tri * 16).toShort
+        pcm(o) = (s & 0xff).toByte
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      f += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Audio demo corpus: one real PCM WAV per document, geometry derived
+    * from doc_id (so an external oracle can predict sample rate, channel
+    * count, and frame count), samples from the deterministic generator.
+    */
+  def wavMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.wav",
+          media_type = "audio/wav",
+          content = deterministicWav(
+            seed = id,
+            sampleRate = 8000 * ((id % 3) + 1).toInt,
+            nFrames = ((id % 25) + 1).toInt * 200,
+            channels = ((id % 2) + 1).toInt),
+          meta = Map("source" -> source))
+      }
   }
 
   /** Image demo corpus: one real PNG per document, dims derived from doc_id

@@ -228,6 +228,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real javax.sound decode round-trips deterministic WAVs") {
+    import graft.operators.Multimodal.{ImageIoDecoder, deterministicWav}
+    val dec = new ImageIoDecoder
+    val wav = deterministicWav(seed = 5L, sampleRate = 16000, nFrames = 400, channels = 2)
+    val f = dec.decodeAudio(wav)
+    assert(f.sampleRate == 16000 && f.channels == 2 && f.nFrames == 400)
+    // triangle wave peaks at |(-500..501) * 16| / 32768; decoded PCM is
+    // bit-exact, so peak/rms are deterministic across decodes
+    assert(f.peak > 0.2 && f.peak <= 8016.0 / 32768.0)
+    assert(f.rms > 0.0 && f.rms <= f.peak)
+    assert(dec.decodeAudio(wav) == f)
+    // non-audio bytes are rejected, not mis-parsed
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      dec.decodeAudio(Array.fill[Byte](64)(7))
+    }
+    // distributed path: per-partition decoder over the WAV demo corpus
+    val media = Multimodal.wavMediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(5)
+    val feats = Multimodal.decodeAudioFeatures(media, () => new ImageIoDecoder).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      assert(r.sample_rate == 8000 * ((r.media_id % 3) + 1))
+      assert(r.channels == (r.media_id % 2) + 1)
+      assert(r.n_frames == ((r.media_id % 25) + 1) * 200)
+      assert(r.peak > 0.0 && r.rms > 0.0 && r.rms <= r.peak && r.peak <= 1.0)
+      assert(r.size_bytes > 44) // RIFF header + payload
+    }
+  }
+
   test("multimodal: frame sampling yields one row per chunk") {
     val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
     val frames = Multimodal.sampleFrames(media, everyN = 50)
