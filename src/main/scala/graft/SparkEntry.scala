@@ -99,25 +99,32 @@ object SparkEntry {
         (abs(col("_reagg") - col("exact_users")) / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
-    // op #5 (32-bit finalizer) + #6 (64-bit) side by side on the same column
+    // op #5 (32-bit finalizer) + #6 (64-bit) side by side on the same
+    // column; sketch and exact sides split to avoid the Expand-based
+    // distinct rewrite (see hll_distinct_pairs)
     "hll_both_widths" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.agg(
-          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 32).as("_est32"),
-          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 64).as("_est64"),
-          countDistinct(col("l_partkey")).as("exact"))
+      val est = li.agg(
+        GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 32).as("_est32"),
+        GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12, 64).as("_est64"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact"))
+      exact.crossJoin(est)
         .select(col("exact"),
           (abs(col("_est32") - col("exact")) / col("exact") <= 0.05).as("est32_ok"),
           (abs(col("_est64") - col("exact")) / col("exact") <= 0.05).as("est64_ok"))
     }),
 
-    // grouped distinct parts per returnflag: estimate + exact
+    // grouped distinct parts per returnflag: estimate + exact, as separate
+    // aggregations joined on the group key (same Expand-avoidance as
+    // hll_distinct_pairs below: the sketch side stays map-side partial, the
+    // exact side shuffles partially-deduped keys once; the join is 3 rows)
     "hll_parts_by_returnflag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12).as("_est"),
-          countDistinct(col("l_partkey")).as("exact"))
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.hll_cardinality(col("l_partkey"), 1 << 12).as("_est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+      exact.join(broadcast(est), "l_returnflag")
         .select(col("l_returnflag"), col("exact"),
           (abs(col("_est") - col("exact")) / col("exact") <= 0.05).as("est_ok"))
         .orderBy(col("l_returnflag"))
@@ -149,16 +156,24 @@ object SparkEntry {
     }),
 
     // composite-key distinct: sketch over a canonical key encoding, paired
-    // with the exact multi-column count
+    // with the exact multi-column count. The two sides run as SEPARATE
+    // aggregations joined on their 1-row results: mixing a distinct
+    // aggregate with the sketch in one agg triggers Catalyst's Expand-based
+    // distinct rewrite, which doubles every input row through the exchange —
+    // split, the sketch side is pure map-side partial aggregation (only
+    // sketch bytes move) and the exact side shuffles its partially-deduped
+    // keys once. Two column-pruned scans cost less than one doubled shuffle,
+    // here and at 100 TB.
     "hll_distinct_pairs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       // separator prevents cross-column collisions ("12|34" vs "123|4");
       // k chosen so n/m > 5 stays clear of the reference's inherited
       // mid-range bias band (see BASELINE.md accuracy caveat)
       val key = concat_ws("|", col("l_partkey"), col("l_suppkey"))
-      li.agg(
-          GraftFunctions.hll_cardinality(key, 1 << 12).as("_est"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("exact_pairs"))
+      val est = li.agg(GraftFunctions.hll_cardinality(key, 1 << 12).as("_est"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("exact_pairs"))
+      exact.crossJoin(est)
         .select(col("exact_pairs"),
           (abs(col("_est") - col("exact_pairs")) / col("exact_pairs") <= 0.05).as("est_ok"))
     }),
