@@ -366,6 +366,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approximate percentiles — the 100 TB answer to q_percentiles: Spark's
+    // approx_percentile (Greenwald-Khanna summaries) keeps O(1/accuracy)
+    // state per group instead of the exact aggregate's full value-count map,
+    // and merges map-side. The approx values themselves depend on summary
+    // merge order, so the contract emits rank-error booleans instead: GK
+    // guarantees rank error <= N/accuracy, verified with one codegen'd
+    // fraction-below pass (no second exact-percentile buffer anywhere).
+    "q_approx_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.agg(
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000)").as("_ap"))
+        .select(col("_ap").getItem(0).as("_a50"),
+          col("_ap").getItem(1).as("_a90"), col("_ap").getItem(2).as("_a99"))
+      li.crossJoin(broadcast(approx))
+        .agg(
+          avg(when(col("l_extendedprice") <= col("_a50"), 1.0).otherwise(0.0)).as("_f50"),
+          avg(when(col("l_extendedprice") <= col("_a90"), 1.0).otherwise(0.0)).as("_f90"),
+          avg(when(col("l_extendedprice") <= col("_a99"), 1.0).otherwise(0.0)).as("_f99"))
+        .select(
+          (col("_f50") >= 0.49 && col("_f50") <= 0.51).as("p50_ok"),
+          (col("_f90") >= 0.89 && col("_f90") <= 0.91).as("p90_ok"),
+          (col("_f99") >= 0.98 && col("_f99") <= 1.0).as("p99_ok"))
+    }),
+
     // pivot: order counts per status x priority matrix
     "q_pivot" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -813,6 +837,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // real video-frame decode: deterministic MJPEG clips (frame count
+    // derived from doc_id) sampled every 2nd frame through the JPEG codec;
+    // the oracle predicts the sampled-frame count independently. Frame
+    // hashes are codec artifacts asserted in the unit suite.
+    "mm_video_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mjpegMediaFromDocuments(s, dir)
+      graft.operators.Multimodal.sampleFrames(media, everyN = 2,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("frame_hash")).as("n_distinct_hashes"))
+        .select(col("media_id"), col("n_sampled"),
+          (col("n_distinct_hashes") >= lit(1)).as("hashes_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
       graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
@@ -1070,6 +1110,8 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_exact_distinct_users" ->
       "SELECT COUNT(DISTINCT user_id) AS exact_users FROM events",
+    "q_approx_percentiles" ->
+      "SELECT TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok",
     "q_exact_users_by_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1249,6 +1291,11 @@ object SparkEntry {
         |  ((doc_id % 16) + 1) * 4 AS width,
         |  ((doc_id % 12) + 1) * 4 AS height,
         |  3 AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
+        |  TRUE AS hashes_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id AS media_id,

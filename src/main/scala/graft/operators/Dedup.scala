@@ -216,12 +216,18 @@ object Dedup {
     * @param pairs DataFrame with columns (id1, id2), id1 < id2
     * @return DataFrame (id, cluster) for every id appearing in `pairs`
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** @param smallGraphLimit driver/distributed crossover in edges; the
+    *        default keeps the collect under ~16 MB. Tests lower it to force
+    *        the distributed path on small fixtures.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      smallGraphLimit: Long = 1000000L): DataFrame = {
     // Hybrid: near-dup pair graphs are tiny relative to the corpus (pairs ~=
     // number of duplicates). Up to `smallGraphLimit` edges, a driver-side
     // union-find in one collect beats N rounds of distributed jobs; past it,
     // fall through to distributed min-label propagation.
-    val smallGraphLimit = 1000000L
     val spark = pairs.sparkSession
     import spark.implicits._
     // materialize the edge list once: pair generation (LSH + verify) is the

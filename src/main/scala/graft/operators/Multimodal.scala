@@ -118,8 +118,9 @@ object Multimodal {
     * threshold each cell against the grid mean, pack the 64 bits row-major.
     * Audio features are container geometry (rate/channels/frames) plus
     * peak and RMS amplitude over the decoded PCM samples, normalized to
-    * [0, 1]. Frame sampling (a video concern) falls back to the stub
-    * chunking — this container ships no video codec.
+    * [0, 1]. Frame sampling decodes MJPEG (concatenated JPEG frames)
+    * through the same image codec; non-JPEG payloads fall back to the stub
+    * chunking.
     */
   final class ImageIoDecoder extends MediaDecoder {
     // ImageIO's plugin scan is the expensive part — the per-partition
@@ -157,8 +158,32 @@ object Multimodal {
       ImageFeatures0(w, h, img.getColorModel.getNumComponents, hash)
     }
 
-    override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] =
-      stub.sampleFrames(bytes, everyN)
+    /** Real frame sampling for MJPEG payloads (concatenated JPEG frames —
+      * the motion-JPEG container): split at SOI+APP0 marker boundaries
+      * (0xFF 0xD8 0xFF 0xE0 — JPEG byte-stuffing guarantees the SOI pattern
+      * cannot occur inside entropy-coded data), decode every `everyN`-th
+      * frame through ImageIO, and emit its 8x8 average hash. Non-JPEG
+      * payloads fall back to the stub chunking.
+      */
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] = {
+      def isSoi(i: Int): Boolean =
+        i + 3 < bytes.length && bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd8.toByte &&
+        bytes(i + 2) == 0xff.toByte && bytes(i + 3) == 0xe0.toByte
+      if (bytes.length < 4 || !isSoi(0)) return stub.sampleFrames(bytes, everyN)
+      val offsets = scala.collection.mutable.ArrayBuffer(0)
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (isSoi(i)) { offsets += i; i += 4 } else i += 1
+      }
+      offsets += bytes.length
+      val step = math.max(1, everyN)
+      (0 until offsets.length - 1).iterator
+        .filter(_ % step == 0)
+        .map { f =>
+          val frame = java.util.Arrays.copyOfRange(bytes, offsets(f), offsets(f + 1))
+          decodeImage(frame).ahash
+        }
+    }
 
     /** Real audio parse: container geometry from the codec's AudioFormat,
       * peak/RMS over the decoded 16-bit PCM samples (any channel layout;
@@ -324,6 +349,56 @@ object Multimodal {
         new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
+  }
+
+  /** Deterministic REAL MJPEG bytes: `nFrames` JPEG-encoded frames
+    * concatenated (the motion-JPEG container), pixels derived purely from
+    * (seed, frame index) via the same integer formula as
+    * [[deterministicPng]] — no RNG, deterministic across JVMs.
+    */
+  def deterministicMjpeg(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    disableImageIoDiskCache()
+    val baos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val fs = seed + f * 97L
+          val r = (x * 31 + y * 17 + fs) & 0xff
+          val g = (x * 13 + y * 29 + fs * 7) & 0xff
+          val b = (x * 7 + y * 11 + fs * 3) & 0xff
+          img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      f += 1
+    }
+    baos.toByteArray
+  }
+
+  /** Video demo corpus: one real MJPEG clip per document, frame count
+    * derived from doc_id (so an external oracle can predict how many frames
+    * a sampling pass emits), frames from the deterministic generator.
+    */
+  def mjpegMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.mjpeg",
+          media_type = "video/x-motion-jpeg",
+          content = deterministicMjpeg(id, 16, 16, ((id % 8) + 2).toInt),
+          meta = Map("source" -> source))
+      }
   }
 
   /** Audio demo corpus: one real PCM WAV per document, geometry derived

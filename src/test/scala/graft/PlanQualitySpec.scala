@@ -101,7 +101,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "hll_intersect_halves", "hll_sketch_reagg", "dd_simhash_pairs",
       // est/exact sides split to avoid the Expand distinct rewrite; the
       // rejoin is a cross of two 1-row aggregates
-      "hll_distinct_pairs", "hll_both_widths")
+      "hll_distinct_pairs", "hll_both_widths",
+      // rank-error check broadcasts the 1-row approx-quantile result
+      // against the fraction-below scan
+      "q_approx_percentiles")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

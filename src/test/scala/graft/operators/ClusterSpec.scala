@@ -32,6 +32,28 @@ class ClusterSpec extends AnyFunSuite {
     assert(cc.size == 21)
   }
 
+  test("distributed min-label path equals driver union-find on random graphs") {
+    import spark.implicits._
+    // the >smallGraphLimit path must agree with the collect-based
+    // union-find on ANY graph shape: random sparse graphs from fixed seeds
+    // (mix of chains, merged clusters, singleton pairs)
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 7919L)
+      val n = 300
+      val edges = (0 until 400).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val pairs = edges.toDF("id1", "id2")
+      val driver = Dedup.connectedComponents(pairs, maxIters = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(pairs, maxIters = 64, smallGraphLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == driver, s"trial $trial: distributed != union-find")
+    }
+  }
+
   test("nearDedup keeps one representative per planted dup cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"

@@ -257,6 +257,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real MJPEG frame sampling decodes every Nth JPEG frame") {
+    import graft.operators.Multimodal.{ImageIoDecoder, deterministicMjpeg}
+    val dec = new ImageIoDecoder
+    val clip = deterministicMjpeg(seed = 9L, width = 16, height = 16, nFrames = 5)
+    // everyN=1 decodes all frames; everyN=2 frames 0,2,4
+    val all = dec.sampleFrames(clip, everyN = 1).toSeq
+    assert(all.length == 5)
+    val sampled = dec.sampleFrames(clip, everyN = 2).toSeq
+    assert(sampled.length == 3)
+    assert(sampled == Seq(all(0), all(2), all(4)))
+    // hashes are pixel-content hashes: deterministic across decodes, and
+    // the frame formula varies pixels enough that not all hashes collide
+    assert(dec.sampleFrames(clip, everyN = 1).toSeq == all)
+    assert(all.distinct.length > 1)
+    // non-JPEG payloads keep the stub chunking fallback
+    val fake = Multimodal.fakeMediaBytes(4, 4, 3, 2, Array.fill[Byte](120)(3))
+    assert(dec.sampleFrames(fake, everyN = 50).toSeq ==
+      new Multimodal.StubDecoder().sampleFrames(fake, everyN = 50).toSeq)
+    // distributed path over the MJPEG demo corpus: sampled count follows
+    // the deterministic frame-count rule
+    val media = Multimodal.mjpegMediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(5)
+    val byId = Multimodal.sampleFrames(media, everyN = 2, () => new ImageIoDecoder)
+      .collect().groupBy(_.media_id)
+    assert(byId.size == 500)
+    byId.foreach { case (id, fs) =>
+      val expected = math.ceil(((id % 8) + 2).toDouble / 2).toInt
+      assert(fs.length == expected, s"doc $id: ${fs.length} sampled != $expected")
+    }
+  }
+
   test("multimodal: frame sampling yields one row per chunk") {
     val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
     val frames = Multimodal.sampleFrames(media, everyN = 50)
