@@ -35,6 +35,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L)) // 2 dropped (dup of 1)
   }
 
+  test("dedup/text operators tolerate null text (dirty-corpus hardening)") {
+    import spark.implicits._
+    // real crawls carry null/empty documents; operators must neither crash
+    // nor pair null docs with everything
+    val dirty = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // exact dedup: nulls group together (digest of null is null), both kept
+    // behaviors acceptable — assert no crash and the real dup IS collapsed
+    val kept = Dedup.exactDedup(dirty, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    // minhash: null signatures drop out of banding; only the planted pair
+    val pairs = Dedup.minhashNearDupPairs(dirty, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // simhash: same containment
+    val sp = Dedup.simhashNearDupPairs(dirty, "text", "doc_id", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.toSeq == Seq((1L, 2L)))
+    // text stats: null rows yield null stats, not exceptions
+    val ts = dirty.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text")).as("pii"),
+      graft.operators.TextAnalysis.textStats(col("text")).as("st"))
+    assert(ts.collect().length == 5)
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docsDf, "text", "doc_id",
         numHashes = 64, bands = 16, threshold = 0.5)

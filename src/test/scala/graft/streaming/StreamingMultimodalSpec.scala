@@ -288,6 +288,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: decode runs under Structured Streaming (same seam, same results)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the per-partition decoder lifecycle must work inside micro-batches:
+    // stream MediaRecords through the SAME decodeImages operator and expect
+    // byte-identical features to the batch pass
+    val records = (0L until 40L).map { id =>
+      Multimodal.MediaRecord(id, s"mem://$id.png", "image/png",
+        Multimodal.deterministicPng(id, ((id % 6) + 1).toInt * 4, ((id % 4) + 1).toInt * 4),
+        Map.empty)
+    }
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val decoded = Multimodal.decodeImages(stream.toDS(),
+      () => new Multimodal.ImageIoDecoder)
+    val q = decoded.writeStream.outputMode("append")
+      .format("memory").queryName("mm_stream_out").start()
+    try {
+      records.grouped(15).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("mm_stream_out").as[Multimodal.ImageFeatures]
+        .collect().map(f => f.media_id -> f).toMap
+      val batch = Multimodal.decodeImages(records.toDS(),
+        () => new Multimodal.ImageIoDecoder).collect().map(f => f.media_id -> f).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 40)
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling yields one row per chunk") {
     val media = Multimodal.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
     val frames = Multimodal.sampleFrames(media, everyN = 50)
