@@ -473,15 +473,19 @@ object SparkEntry {
     "dd_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val sim = graft.operators.Dedup.simhashNearDupPairs(d, "text", "doc_id", maxHamming = 10)
+        .select(col("id1"), col("id2"), col("hamming"))
       val near = graft.operators.Dedup.minhashNearDupPairs(d, "text", "doc_id", threshold = 0.5)
-        .select(col("id1"), col("id2"))
-      val simPairs = sim.select(col("id1"), col("id2"))
-      sim.agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_hamming0"))
-        .crossJoin(near.agg(count(lit(1)).as("n_neardups")))
-        .crossJoin(near.join(simPairs, Seq("id1", "id2"), "left_semi")
-          .agg(count(lit(1)).as("n_neardups_covered")))
+        .select(col("id1"), col("id2"), lit(1).as("is_near"))
+      // full-outer join of the two pair sets, then ONE aggregate for all
+      // four counters — the previous three cross-joined aggregates ran the
+      // minhash pipeline twice and the simhash pipeline once more
+      sim.join(near, Seq("id1", "id2"), "full_outer")
+        .agg(
+          count(col("hamming")).as("n_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_hamming0"),
+          count(col("is_near")).as("n_neardups"),
+          count(when(col("is_near").isNotNull && col("hamming").isNotNull, 1))
+            .as("n_neardups_covered"))
     }),
 
     // n-gram Jaccard over consecutive-id pairs (deterministic bounded pair

@@ -21,6 +21,14 @@ object Probe {
       graft.SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      names.foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save() // let AQE finalize
+        println(s"==== PLAN $name ====")
+        println(df.queryExecution.executedPlan.toString)
+      }
+    }
     names.foreach(run)
     names.foreach(run)
     spark.stop()
