@@ -21,10 +21,13 @@ object Bench {
       try run(fn) catch { case _: Throwable => }
     }
     // two timed laps, keep the per-query minimum: damps scheduler/GC noise
-    // on shared hosts without hiding real per-query cost
+    // on shared hosts without hiding real per-query cost. Failures go to
+    // stderr — a crashing query would otherwise read as a fast one.
     def lap(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn) } catch { case _: Throwable => () }
+      try { run(fn) } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (l1, l2) = (lap(), lap())

@@ -73,6 +73,22 @@ class SurfacesSpec extends AnyFunSuite {
     assert(est(spark.read.option("header", "true").csv(s"$base/c")) == 645.2579301443818)
   }
 
+  test("partitioned writes prune at the source: PartitionFilters, not a full scan") {
+    // the 100 TB output layout: hive-style partition directories let a
+    // reader touch only the partitions its filter names
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = s"/tmp/graft_part_${System.nanoTime()}"
+    docs.write.partitionBy("source").parquet(base)
+    val one = spark.read.parquet(base).filter(col("source") === "src1")
+    val scan = one.queryExecution.executedPlan.toString
+    // the source predicate must land in PartitionFilters (directory
+    // pruning), NOT PushedFilters (row-group skipping after listing)
+    assert(scan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition pruning missing:\n$scan")
+    val expected = docs.filter(col("source") === "src1").count()
+    assert(one.count() == expected && expected > 0)
+  }
+
   test("stored sketch tables re-aggregate after a parquet round-trip") {
     // the big scale lever: persist per-group sketches once, answer coarser
     // rollups later from the stored (possibly sparse-serialized) bytes
