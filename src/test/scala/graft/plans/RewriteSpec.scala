@@ -53,9 +53,21 @@ class RewriteSpec extends AnyFunSuite {
         assert(math.abs(r.getLong(1) - 500L) <= 25, s"group ${r.getString(0)}: ${r.getLong(1)}")
         assert(r.getLong(2) == 3000L) // plain count untouched
       }
-      // multi-arg COUNT(DISTINCT a, b) must NOT be rewritten (stays exact)
-      val multi = df.agg(countDistinct(col("g"), col("v"))).collect()(0).getLong(0)
-      assert(multi == 1500L)
+      // multi-arg COUNT(DISTINCT a, b) rewrites too (the worst Expand case):
+      // approximate answer, expand-free plan, null tuples skipped like COUNT
+      val withNulls = df.union(Seq((null.asInstanceOf[String], "x"),
+        ("g0", null.asInstanceOf[String])).toDF("g", "v"))
+      val mq = withNulls.agg(countDistinct(col("g"), col("v")).as("d"))
+      val multi = mq.collect()(0).getLong(0)
+      assert(math.abs(multi - 1500L) <= 1500 * 0.05, s"multi-arg estimate $multi")
+      val mplan = mq.queryExecution.executedPlan.toString
+      assert(!mplan.contains("Expand") && mplan.contains("hll_cardinality"),
+        s"multi-arg rewrite missing:\n$mplan")
+      // FILTER-clause distinct aggregates stay exact (scope guard)
+      df.createOrReplaceTempView("rw_t")
+      val filtered = spark.sql(
+        "SELECT COUNT(DISTINCT v) FILTER (WHERE g = 'g0') FROM rw_t")
+      assert(filtered.collect()(0).getLong(0) == 500L)
     } finally spark.conf.set("spark.graft.rewrite.approxDistinct", "false")
   }
 }
