@@ -697,6 +697,26 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // PQ-compressed ANN (the 100 TB storage layout: byte codes + ADC scan +
+    // exact re-rank); same recall-vs-in-query-brute-force contract shape
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cbs = graft.operators.Similarity.fitPqCodebooks(e, "embedding", "vec_id",
+        m = 8, ksub = 16, sampleSize = 500)
+      val approx = graft.operators.Similarity.pqTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", cbs, k = 10, refine = 8)
+      val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+        .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
+        .select(col("query_id"), col("n_results"),
+          round(col("_hits") / 10.0, 2).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- training-data pipeline: text analysis ----
 
     "tx_token_counts" -> ((s, dir) => {
@@ -1074,6 +1094,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
         |  (1, 10, 0.8), (2, 10, 0.9), (3, 10, 1.0), (4, 10, 0.9))
+        |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+    "sim_ann_pq" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.8),
+        |  (1, 10, 0.8), (2, 10, 0.5), (3, 10, 0.8), (4, 10, 0.9))
         |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
 
     "tx_token_counts" ->

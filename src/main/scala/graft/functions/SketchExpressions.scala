@@ -491,3 +491,157 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(child = c)
   override def prettyName: String = "hyperplane_bucket"
 }
+
+/** `pq_encode(vec)` -> Binary: product-quantization code against a
+  * plan-embedded codebook matrix `[m][ksub][dsub]`. The vector is split into
+  * `m` contiguous subvectors; byte `s` is the index (< ksub <= 256) of the
+  * L2-nearest centroid of subspace `s`. Map-only, one pass — this is the
+  * compression step that turns a 64-float embedding into `m` bytes, the
+  * standard 100 TB ANN storage layout (Jégou et al., TPAMI 2011).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = off + i
+          val xi = if (idx < x.numElements()) x.getFloat(idx).toDouble else 0.0
+          val diff = xi - cv(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_lut(qvec)` -> Array[Double]: the per-query ADC lookup table,
+  * `lut[s*ksub + c] = dot(qvec_sub(s), codebook(s)(c))`. Evaluated once per
+  * (small, broadcast) query row; scoring a corpus code is then `m` table
+  * lookups instead of a `d`-element dot product.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val cv = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = off + i
+          if (idx < x.numElements()) d += x.getFloat(idx).toDouble * cv(i)
+          i += 1
+        }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+  override def prettyName: String = "pq_lut"
+}
+
+/** `pq_adc_score(code, lut)` -> Double: asymmetric-distance score
+  * `sum_s lut[s*ksub + code[s]]` ~ dot(query, original vector). The hot
+  * corpus-scan path (one eval per corpus row x query), so it gets real
+  * codegen: `m` array lookups inline in the stage body.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, ARRAY<DOUBLE>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = math.min(code.length, lut.numElements() / ksub)
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += lut.getDouble(i * ksub + (code(i) & 0xFF))
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($code.length, $lut.numElements() / $ksub);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $lut.getDouble($i * $ksub + ($code[$i] & 0xFF));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_score"
+}

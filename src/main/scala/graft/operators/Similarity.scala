@@ -143,6 +143,118 @@ object Similarity {
         col(s"c.$corpusId").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Product-quantization codebooks `[m][ksub][dsub]`: the vector space is
+    * split into `m` contiguous subspaces and each gets its own deterministic
+    * sample k-means (L2 metric — PQ quantizes by distance, not angle). Same
+    * bounded-driver-sample split as [[fitCentroids]]: fit on <= sampleSize
+    * vectors once, encode the corpus distributed and map-only.
+    */
+  def fitPqCodebooks(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 1024,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(ksub <= 256, s"ksub $ksub > 256 does not fit a byte code")
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m $m")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(ksub)(i => sub(i * sub.length / ksub).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          val c = nearestL2(v, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  private def nearestL2(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ code column (`m` bytes per vector) from plan-embedded codebooks. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
+
+  /** PQ top-k with ADC scan + exact re-rank — the 100 TB ANN layout:
+    * the corpus is stored as `m`-byte codes (~32x smaller than the float
+    * vectors, so the scan reads bytes, not floats), each query carries a
+    * precomputed lookup table (one eval per query row), and scoring a
+    * corpus row is `m` table lookups in whole-stage codegen. The top
+    * `k*refine` ADC candidates per query are then re-ranked by exact cosine
+    * against the original vectors — a second, tiny join that touches only
+    * `k*refine*|queries|` corpus rows.
+    *
+    * Scale shape: one corpus scan of the narrow (id, code) projection, a
+    * window top-k over (query_id, score) rows only — the float vectors never
+    * ride through the scoring shuffle — then a broadcast join of the
+    * candidate set back to the corpus for the re-rank.
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int = 10, refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val ksub = codebooks(0).length
+    def lutOf(vec: Column) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.PqLut(
+          org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
+    def adc(code: Column, lut: Column) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.PqAdcScore(
+          org.apache.spark.sql.graftshim.GraftShims.expression(code),
+          org.apache.spark.sql.graftshim.GraftShims.expression(lut), ksub))
+    val coded = corpus.select(col(corpusId).as("_cid"),
+      pqEncode(col(corpusVec), codebooks).as("_code"))
+    val qLut = broadcast(queries.select(col(queryId).as("_qid"),
+      lutOf(col(queryVec)).as("_lut")))
+    val selfGuard = if (excludeSelf) col("_cid") =!= col("_qid") else lit(true)
+    // ADC scan: narrow (qid, cid, score) rows only ride into the window
+    val scored = coded.crossJoin(qLut).filter(selfGuard)
+      .select(col("_qid"), col("_cid"), adc(col("_code"), col("_lut")).as("_adc"))
+    val wAdc = Window.partitionBy(col("_qid")).orderBy(col("_adc").desc, col("_cid"))
+    val cands = scored.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * refine)
+      .select(col("_qid"), col("_cid"))
+    // exact re-rank of the tiny candidate set against the original vectors
+    val withVec = corpus.select(col(corpusId).as("_cid"), col(corpusVec).as("_cv"))
+      .join(broadcast(cands), "_cid")
+    val rejoined = withVec.join(
+      broadcast(queries.select(col(queryId).as("_qid"), col(queryVec).as("_qv"))), "_qid")
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("cos").desc, col("_cid"))
+    rejoined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("rank"),
+        col("_cid").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Per-table hyperplane sets for multi-table LSH (deterministic seeds). */
   def randomHyperplaneTables(
       tables: Int, nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Array[Double]]] =

@@ -21,6 +21,12 @@ object Probe {
       graft.SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    if (sys.env.contains("SPARK_GRAFT_SHOW")) {
+      names.foreach { name =>
+        println(s"==== RESULT $name ====")
+        graft.SparkEntry.queries(name)(spark, sfDir).show(100, false)
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       names.foreach { name =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -269,6 +269,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.getAs[Double]("cos") == expect)
   }
 
+  test("PQ ADC recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 500)
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", cbs, k = 10, refine = 8).collect()
+    val pqSet = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 16 centroids/subspace on near-isotropic vectors is coarse; the exact
+    // re-rank of 8k candidates recovers most of the loss
+    val recall = (bf & pqSet).size.toDouble / bf.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // every query returns exactly k rows, ranked 1..k, and the reported
+    // cosine comes from the exact re-rank (monotone non-increasing per query)
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.length == 10)
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      val coss = byRank.map(_.getAs[Double]("cos")).toSeq
+      assert(coss == coss.sorted.reverse, s"cos not ranked: $coss")
+    }
+    // determinism: refit yields identical codebooks
+    val cbs2 = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 500)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == cbs2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("pq_encode codes reconstruct subspace-nearest centroids (crafted)") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2 dims, 2 centroids each: codebook
+    // built by hand so the expected code is obvious
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),   // subspace 0
+      Array(Array(-1.0, 0.0), Array(0.0, -1.0))) // subspace 1
+    val df = Seq(
+      (0L, Array(0.9f, 0.1f, -0.8f, 0.0f)),  // -> codes (0, 0)
+      (1L, Array(0.1f, 0.9f, 0.1f, -0.9f))   // -> codes (1, 1)
+    ).toDF("id", "v")
+    val got = df.select(col("id"), Similarity.pqEncode(col("v"), cbs).as("c"))
+      .orderBy("id").collect()
+      .map(_.getAs[Array[Byte]]("c").toSeq)
+    assert(got(0) == Seq[Byte](0, 0))
+    assert(got(1) == Seq[Byte](1, 1))
+  }
+
   test("embedding near-dup finds planted duplicates (multi-table, capped)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant: vec 9001 = copy of vec 1, vec 9002 = copy of vec 2
