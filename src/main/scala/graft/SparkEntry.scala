@@ -728,6 +728,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-document repetition (Gopher-style boilerplate/looping filter):
+    // single-pass native struct, exact-checkable against a SQL re-derivation
+    "tx_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.bigramRepetition(col("text")).as("_r"))
+        .select(col("doc_id"),
+          col("_r.n_bigrams").as("n_bigrams"),
+          round(col("_r.top_bigram_frac"), 4).as("top_bigram_frac"),
+          round(col("_r.dup_bigram_frac"), 4).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // as-of join: latest order at-or-before each event per customer
     // (right side deduplicated to one row per (custkey, date) so the
     // at-equal-time winner is deterministic)
@@ -1107,6 +1120,31 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(ws) >= 2
+        |         THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+        |         ELSE [] END AS grams
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS n
+        |  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g)
+        |  GROUP BY doc_id, gram),
+        |a AS (
+        |  SELECT doc_id, SUM(n) AS total, MAX(n) AS topn,
+        |         SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup
+        |  FROM c GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(COALESCE(a.total, 0) AS BIGINT) AS n_bigrams,
+        |  ROUND(COALESCE(CAST(a.topn AS DOUBLE) / a.total, 0.0), 4) AS top_bigram_frac,
+        |  ROUND(COALESCE(CAST(a.dup AS DOUBLE) / a.total, 0.0), 4) AS dup_bigram_frac
+        |FROM g LEFT JOIN a ON g.doc_id = a.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -128,3 +128,67 @@ object TextStats {
     a
   }
 }
+
+/** `bigram_repetition(text)` -> struct: intra-document repetition signals in
+  * one pass — the Gopher/RefinedWeb-style filters that catch boilerplate and
+  * degenerate (looping) generations before they reach a training mix:
+  *  - n_bigrams        = total word-bigram occurrences (n_words - 1, >= 0)
+  *  - top_bigram_frac  = occurrences of the single most frequent bigram /
+  *                       n_bigrams (1.0 for a document that repeats one
+  *                       phrase forever; ~1/n for natural text)
+  *  - dup_bigram_frac  = occurrences of bigrams seen more than once /
+  *                       n_bigrams (repetition mass, counted WITH
+  *                       multiplicity)
+  * Words are [[TextSketching.tokenize]] (lowercase, split on non-letter
+  * runs) — the same tokenization the shingle/jaccard family and its DuckDB
+  * oracles use. Bigrams are counted by 64-bit FNV-1a hash; a collision would
+  * merge two bigram counts (~n^2/2^65 — the same accepted trade as the
+  * hashed-shingle jaccard). Both fractions are 0.0 when the document has
+  * fewer than two words.
+  */
+case class BigramRepetition(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BigramRepetition.schema
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = TextSketching.tokenize(v.asInstanceOf[UTF8String].toString)
+    val n = math.max(ws.length - 1, 0)
+    if (n == 0) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0.0, 0.0))
+    }
+    val counts = new java.util.HashMap[java.lang.Long, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Long.valueOf(
+        TextSketching.fnv1a64(ws(i) + " " + ws(i + 1)))
+      counts.merge(h, 1, (a, b) => a + b)
+      i += 1
+    }
+    var top = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, top.toDouble / n, dup.toDouble / n))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramRepetition = copy(child = c)
+  override def prettyName: String = "bigram_repetition"
+}
+
+object BigramRepetition {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false)))
+}

@@ -44,6 +44,15 @@ object TextAnalysis {
       graft.functions.TextStats(
         org.apache.spark.sql.graftshim.GraftShims.expression(text)))
 
+  /** Intra-document repetition struct (n_bigrams, top_bigram_frac,
+    * dup_bigram_frac) in one pass — the Gopher-style boilerplate/looping
+    * filter. See [[graft.functions.BigramRepetition]] for semantics.
+    */
+  def bigramRepetition(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.BigramRepetition(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text)))
+
   /** Language ID from a [[textStats]] struct (cheap field arithmetic). */
   def langIdFrom(ts: Column): Column = {
     val scores = Seq("en", "fr", "es", "de").map(l => l -> ts.getField(s"stop_$l"))

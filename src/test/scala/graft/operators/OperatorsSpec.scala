@@ -162,6 +162,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3) == ((3, 9)))
   }
 
+  test("bigram repetition flags looping text, passes varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "buy now buy now buy now buy now buy now"), // pure loop
+      (1L, "the quick brown fox jumps over the lazy dog"), // all distinct
+      (2L, "one two one two three"), // partial repetition
+      (3L, "word"), // single word -> no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.bigramRepetition(col("text")).as("r"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1), r.getStruct(1).getDouble(2)))
+    // doc 0: 9 bigrams, "buy now" x5 of 9, every bigram occurs >1 time
+    assert(got(0) == ((9L, 5.0 / 9, 1.0)))
+    // doc 1: 8 bigrams, all distinct
+    assert(got(1) == ((8L, 1.0 / 8, 0.0)))
+    // doc 2: bigrams (one two)x2, (two one), (two three): top 2/4, dup 2/4
+    assert(got(2) == ((4L, 0.5, 0.5)))
+    assert(got(3) == ((0L, 0.0, 0.0)))
+    assert(got(4) == ((0L, 0.0, 0.0)))
+  }
+
   test("quality score ranks clean text above junk") {
     import spark.implicits._
     val clean = "The quick brown fox jumps over the lazy dog. " * 10
