@@ -162,5 +162,7 @@ object GraftFunctions {
       args => TextStats(args.head))
     GraftShims.registerFunction(spark, "compression_ratio",
       args => CompressionRatio(args.head))
+    GraftShims.registerFunction(spark, "bigram_repetition",
+      args => BigramRepetition(args.head))
   }
 }

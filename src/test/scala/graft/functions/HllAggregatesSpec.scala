@@ -115,6 +115,9 @@ class HllAggregatesSpec extends AnyFunSuite {
     val cr = spark.sql("SELECT compression_ratio('aaaaaaaaaaaaaaaaaaaaaaaa')")
       .collect()(0).getDouble(0)
     assert(cr < 0.5) // repetitive text compresses well
+    val br = spark.sql("SELECT bigram_repetition('buy now buy now buy now').dup_bigram_frac")
+      .collect()(0).getDouble(0)
+    assert(br == 1.0) // every bigram repeats in a pure loop
   }
 
   test("sparse-path grouped aggregation hits the reference golden at k=2^17") {
