@@ -645,3 +645,42 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
   override def prettyName: String = "pq_adc_score"
 }
+
+/** `interleave_bits(r1, r2, ...)` -> Long: Morton/Z-order interleave of 2-4
+  * `bits`-wide bucket ranks (bit j of rank i lands at position
+  * j*n + i). Map-only layout key for [[graft.operators.Layout]].
+  */
+case class InterleaveBits(children: Seq[Expression], bits: Int)
+  extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT ranks")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.length
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val r = v.asInstanceOf[Long]
+      var j = 0
+      while (j < bits) {
+        z |= ((r >>> j) & 1L) << (j * n + i)
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(z)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): InterleaveBits =
+    copy(children = newChildren)
+  override def prettyName: String = "interleave_bits"
+}

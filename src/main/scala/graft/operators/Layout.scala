@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout tools: Z-order (Morton-curve) clustering so
+  * a table queried by MORE THAN ONE column prunes files on all of them.
+  *
+  * A single-column sort gives perfect file-level min/max pruning on that
+  * column and none on any other. Interleaving the bits of several columns'
+  * bucket ranks orders rows along a space-filling curve, so each written
+  * file covers a small hyper-rectangle of the key space — min/max footer
+  * stats then prune on EVERY interleaved column (the layout behind
+  * Delta/Iceberg `OPTIMIZE ZORDER`). This is a write-path layout job: paid
+  * once at ingest/compaction, saved on every subsequent scan.
+  *
+  * Scale shape: one tiny min/max aggregate per column (single partial/final
+  * agg, broadcast into the plan as literals), then a map-only bucket+
+  * interleave expression and one range shuffle on the z-key —
+  * `repartitionByRange` samples the key distribution, so output files are
+  * even-sized regardless of data skew.
+  */
+object Layout {
+
+  /** Z-order key from numeric columns: each value is scaled into a
+    * `bits`-wide bucket rank via its column's [min, max] (computed in one
+    * aggregate pass), then ranks are bit-interleaved into one long.
+    * Supports 2-4 columns at up to 16 bits each.
+    */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.length >= 2 && cols.length <= 4, "zorder needs 2-4 columns")
+    require(bits >= 1 && cols.length * bits <= 63, s"${cols.length} cols x $bits bits > 63")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"_min_$c"), max(col(c)).cast("double").as(s"_max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val lo = row.getDouble(2 * i)
+      val hi = row.getDouble(2 * i + 1)
+      if (hi == lo) lit(0L)
+      else least(lit(maxRank), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxRank + 1)).cast("long")))
+    }
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.InterleaveBits(
+        ranks.map(org.apache.spark.sql.graftshim.GraftShims.expression), bits))
+  }
+
+  /** Write `df` as parquet clustered on the Z-order of `cols`: range
+    * repartition on the z-key into `numFiles` even output files, sort within
+    * each, drop the key. Every listed column then prunes at file level.
+    */
+  def zorderWrite(
+      df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val key = zorderKey(df, cols, bits)
+    df.withColumn("_zkey", key)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

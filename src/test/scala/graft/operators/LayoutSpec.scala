@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("interleave_bits is a monotone grid curve: neighbors share prefixes") {
+    import spark.implicits._
+    // 2-bit, 2-col: the 4x4 Morton curve is the textbook sequence
+    val df = (0L until 4L).flatMap(x => (0L until 4L).map(y => (x, y))).toDF("x", "y")
+    val keyed = df.select(col("x"), col("y"),
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.InterleaveBits(Seq(
+          org.apache.spark.sql.graftshim.GraftShims.expression(col("x")),
+          org.apache.spark.sql.graftshim.GraftShims.expression(col("y"))), 2)).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(keyed((0L, 0L)) == 0L)
+    assert(keyed((1L, 0L)) == 1L) // x occupies even bit positions
+    assert(keyed((0L, 1L)) == 2L)
+    assert(keyed((1L, 1L)) == 3L)
+    assert(keyed((2L, 2L)) == 12L)
+    assert(keyed((3L, 3L)) == 15L)
+  }
+
+  test("zorder write prunes files on BOTH columns; single-col sort only on one") {
+    import spark.implicits._
+    val n = 64
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+    val df = grid.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("sorted").toString
+    try {
+      Layout.zorderWrite(df, Seq("x", "y"), zDir, numFiles = 16, bits = 8)
+      // baseline layout: globally sorted by x only, same file count
+      df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(sDir)
+
+      // fraction of files whose [min,max] box overlaps a y-range predicate:
+      // what file-level footer pruning would keep for `y BETWEEN 0 AND 7`
+      def overlapFraction(dir: String): Double = {
+        val stats = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("y").as("ymin"), max("y").as("ymax"))
+          .collect()
+        val hits = stats.count(r => r.getAs[Long]("ymin") <= 7L && r.getAs[Long]("ymax") >= 0L)
+        hits.toDouble / stats.length
+      }
+      val zFrac = overlapFraction(zDir)
+      val sFrac = overlapFraction(sDir)
+      // x-sorted layout: every file spans the full y range -> no pruning
+      assert(sFrac == 1.0, s"expected x-sort to be unprunable on y, got $sFrac")
+      // z-ordered: the y-slab intersects only the curve cells along it
+      assert(zFrac <= 0.5, s"expected z-order to prune files on y, got $zFrac")
+      // and the write is lossless
+      assert(spark.read.parquet(zDir).count() == n.toLong * n)
+      val back = spark.read.parquet(zDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back == grid.toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sDir))
+    }
+  }
+}
