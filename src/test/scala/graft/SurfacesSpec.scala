@@ -59,7 +59,7 @@ class SurfacesSpec extends AnyFunSuite {
       "JSON number->string coercion must preserve the literal token text")
   }
 
-  test("sink round-trips preserve estimates (ref op #17): parquet, json, csv") {
+  test("sink round-trips preserve estimates (ref op #17): parquet, json, csv, orc") {
     import spark.implicits._
     val df = spark.createDataset(dataTokens.toSeq).toDF("v")
     val base = s"/tmp/graft_sink_${System.nanoTime()}"
@@ -68,9 +68,11 @@ class SurfacesSpec extends AnyFunSuite {
     df.write.parquet(s"$base/p")
     df.write.json(s"$base/j")
     df.write.option("header", "true").csv(s"$base/c")
+    df.write.orc(s"$base/o")
     assert(est(spark.read.parquet(s"$base/p")) == 645.2579301443818)
     assert(est(spark.read.json(s"$base/j").select(col("v").cast("string").as("v"))) == 645.2579301443818)
     assert(est(spark.read.option("header", "true").csv(s"$base/c")) == 645.2579301443818)
+    assert(est(spark.read.orc(s"$base/o")) == 645.2579301443818)
   }
 
   test("partitioned writes prune at the source: PartitionFilters, not a full scan") {
