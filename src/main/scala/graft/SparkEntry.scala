@@ -728,6 +728,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 corpus search: top-20 documents for a fixed term set, scored by
+    // the Okapi/Lucene +1-idf formula — exactly re-derivable in SQL
+    "tx_bm25" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.bm25TopK(d, "doc_id", "text",
+        Seq("spark", "shuffle", "vector"), k = 20)
+    }),
+
     // intra-document repetition (Gopher-style boilerplate/looping filter):
     // single-pass native struct, exact-checkable against a SQL re-derivation
     "tx_repetition" -> ((s, dir) => {
@@ -1120,6 +1128,29 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, LEN(ws) AS dl, UNNEST(ws) AS term FROM w),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'shuffle', 'vector')
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(LEN(ws)) AS avgdl FROM w),
+        |dfreq AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(SUM(s), 4) AS bm25, COUNT(*) AS n_terms_hit
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "tx_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,

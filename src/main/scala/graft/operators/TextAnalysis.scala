@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID, quality
@@ -184,5 +184,47 @@ object TextAnalysis {
     when(size(ws) < n, when(size(ws) > 0, array(concat_ws(" ", ws))).otherwise(array().cast("array<string>")))
       .otherwise(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+
+  /** BM25 (Okapi, the +1-idf variant Lucene uses) relevance of every
+    * document against a fixed term set, top `k` by score.
+    *
+    * Scale shape: document length and per-term frequencies come from ONE
+    * tokenize pass; only tokens matching the (tiny, plan-embedded) query
+    * term set survive the explode, so the aggregation shuffle carries query
+    * matches, not the corpus vocabulary. Corpus-level stats (N, avgdl, per-
+    * term doc frequencies) are 1-row/`|terms|`-row aggregates broadcast back
+    * into the scoring join. Final top-k is an `orderBy(...).limit(k)` —
+    * TakeOrdered, no global sort.
+    *
+    * Scores are deterministic: ln-based idf, fixed (k1, b), no hashing.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val qt = terms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("_id"), words(col(textCol)).as("_ws"))
+      .select(col("_id"), size(col("_ws")).as("dl"), explode(col("_ws")).as("term"))
+      .filter(col("term").isin(qt: _*))
+    val tf = toks.groupBy(col("_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(words(col(textCol)))).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("_id")).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("_s",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("_id"))
+      .agg(sum(col("_s")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .select(col("_id").as(idCol), round(col("score"), 4).as("bm25"),
+        col("n_terms_hit"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 }

@@ -104,7 +104,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "hll_distinct_pairs", "hll_both_widths",
       // rank-error check broadcasts the 1-row approx-quantile result
       // against the fraction-below scan
-      "q_approx_percentiles")
+      "q_approx_percentiles",
+      // BM25 broadcasts the 1-row (n_docs, avgdl) corpus stats
+      "tx_bm25")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

@@ -162,6 +162,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3) == ((3, 9)))
   }
 
+  test("bm25 ranks multi-term and rare-term matches above common-term ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark shuffle spark shuffle vector"), // all three terms, short
+      (1L, "spark is a framework and spark is fast and spark scales"), // common term only
+      (2L, "the vector unit"), // rare term, very short
+      (3L, "spark " + ("filler " * 200)), // one hit, long doc -> length-normalized down
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "shuffle", "vector"), k = 10).collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    // doc 4 has no term hit -> absent
+    assert(!byId.contains(4L) && got.length == 4)
+    // doc 0 hits all three terms and must rank first
+    assert(got(0).getAs[Long]("doc_id") == 0L)
+    assert(got(0).getAs[Long]("n_terms_hit") == 3L)
+    // rare full-term doc 2 outranks common-term doc 1 and diluted doc 3
+    assert(byId(2L) > byId(1L) && byId(2L) > byId(3L))
+    // length normalization: one 'spark' in a 201-word doc scores below
+    // three 'spark' in an 11-word doc
+    assert(byId(1L) > byId(3L))
+  }
+
   test("bigram repetition flags looping text, passes varied text") {
     import spark.implicits._
     val df = Seq(
