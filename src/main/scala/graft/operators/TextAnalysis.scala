@@ -189,13 +189,14 @@ object TextAnalysis {
   /** BM25 (Okapi, the +1-idf variant Lucene uses) relevance of every
     * document against a fixed term set, top `k` by score.
     *
-    * Scale shape: document length and per-term frequencies come from ONE
-    * tokenize pass; only tokens matching the (tiny, plan-embedded) query
-    * term set survive the explode, so the aggregation shuffle carries query
-    * matches, not the corpus vocabulary. Corpus-level stats (N, avgdl, per-
-    * term doc frequencies) are 1-row/`|terms|`-row aggregates broadcast back
-    * into the scoring join. Final top-k is an `orderBy(...).limit(k)` —
-    * TakeOrdered, no global sort.
+    * Scale shape: the tf branch tokenizes once and only tokens matching the
+    * (tiny, plan-embedded) query term set survive past the explode, so the
+    * aggregation shuffle carries query matches, not the corpus vocabulary.
+    * Corpus-level stats (N, avgdl) cost a second tokenize scan here — at
+    * real scale those are corpus metadata maintained incrementally at
+    * ingest, not recomputed per query — and broadcast back into the scoring
+    * join along with the `|terms|`-row doc frequencies. Final top-k is an
+    * `orderBy(...).limit(k)` — TakeOrdered, no global sort.
     *
     * Scores are deterministic: ln-based idf, fixed (k1, b), no hashing.
     */
