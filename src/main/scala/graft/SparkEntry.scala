@@ -717,6 +717,28 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PQ composition (coarse pruning x byte codes): the billion-scale
+    // index shape; same recall contract as the other ANN queries
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = graft.operators.Similarity.fitCentroids(e, "embedding", "vec_id",
+        nlist = 16, sampleSize = 500)
+      val cbs = graft.operators.Similarity.fitPqCodebooks(e, "embedding", "vec_id",
+        m = 8, ksub = 16, sampleSize = 500)
+      val approx = graft.operators.Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", cents, cbs, k = 10, nprobe = 6, refine = 8)
+      val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+        .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
+        .select(col("query_id"), col("n_results"),
+          round(col("_hits") / 10.0, 2).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- training-data pipeline: text analysis ----
 
     "tx_token_counts" -> ((s, dir) => {
@@ -1115,6 +1137,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
         |  (1, 10, 0.8), (2, 10, 0.9), (3, 10, 1.0), (4, 10, 0.9))
+        |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+    "sim_ann_ivfpq" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
+        |  (1, 10, 0.7), (2, 10, 0.6), (3, 10, 0.7), (4, 10, 0.7))
         |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
     "sim_ann_pq" ->
       """SELECT * FROM (VALUES

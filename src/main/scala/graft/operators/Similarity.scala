@@ -238,11 +238,67 @@ object Similarity {
     // ADC scan: narrow (qid, cid, score) rows only ride into the window
     val scored = coded.crossJoin(qLut).filter(selfGuard)
       .select(col("_qid"), col("_cid"), adc(col("_code"), col("_lut")).as("_adc"))
+    exactRerank(scored, corpus, corpusId, corpusVec, queries, queryId, queryVec, k, refine)
+  }
+
+  /** IVF-PQ: coarse centroids prune the scan to `nprobe`/`nlist` of the
+    * corpus, PQ codes make the surviving scan byte-wide, ADC scores it, and
+    * the exact re-rank fixes up the top k×refine — the standard
+    * billion-scale ANN index expressed as one declarative plan. Codes
+    * quantize the raw vectors (not centroid residuals); the re-rank absorbs
+    * the recall difference in exchange for one shared codebook set.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int = 10, nprobe: Int = 4, refine: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val ksub = codebooks(0).length
+    def lutOf(vec: Column) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.PqLut(
+          org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
+    def adc(code: Column, lut: Column) =
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.PqAdcScore(
+          org.apache.spark.sql.graftshim.GraftShims.expression(code),
+          org.apache.spark.sql.graftshim.GraftShims.expression(lut), ksub))
+    // corpus: bucket + byte code, both map-only against plan-embedded params
+    val coded = corpus.select(col(corpusId).as("_cid"),
+      assignBucket(col(corpusVec), centroids).as("_bucket"),
+      pqEncode(col(corpusVec), codebooks).as("_code"))
+    // query side: nprobe nearest centroids + the ADC lookup table
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val qDots = transform(cLit, c =>
+      aggregate(zip_with(c, col(queryVec), (x, y) => x * y.cast("double")), lit(0.0), (a, x) => a + x))
+    val probes = slice(reverse(array_sort(zip_with(qDots,
+        sequence(lit(0), lit(centroids.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)
+    val qSide = broadcast(queries.select(col(queryId).as("_qid"),
+      lutOf(col(queryVec)).as("_lut"),
+      transform(probes, p => p.getField("i")).as("_probes")))
+    val selfGuard = if (excludeSelf) col("_cid") =!= col("_qid") else lit(true)
+    val scored = coded.join(qSide,
+        array_contains(col("_probes"), col("_bucket")) && selfGuard)
+      .select(col("_qid"), col("_cid"), adc(col("_code"), col("_lut")).as("_adc"))
+    exactRerank(scored, corpus, corpusId, corpusVec, queries, queryId, queryVec, k, refine)
+  }
+
+  /** Shared ANN tail: top k×refine by approximate score, then exact-cosine
+    * re-rank of that tiny candidate set via broadcast joins back to the
+    * corpus and query vectors.
+    */
+  private def exactRerank(
+      scored: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, refine: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("_qid")).orderBy(col("_adc").desc, col("_cid"))
     val cands = scored.withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= k * refine)
       .select(col("_qid"), col("_cid"))
-    // exact re-rank of the tiny candidate set against the original vectors
     val withVec = corpus.select(col(corpusId).as("_cid"), col(corpusVec).as("_cv"))
       .join(broadcast(cands), "_cid")
     val rejoined = withVec.join(

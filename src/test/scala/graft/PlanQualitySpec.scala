@@ -98,6 +98,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // rewrite silently degraded to an n^2 join.
     val tinySideCross = Set(
       "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
+      "sim_ann_ivfpq",
       "hll_intersect_halves", "hll_sketch_reagg",
       // est/exact sides split to avoid the Expand distinct rewrite; the
       // rejoin is a cross of two 1-row aggregates

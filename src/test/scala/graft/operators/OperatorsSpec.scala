@@ -345,6 +345,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == cbs2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("IVF-PQ recall vs brute force; scan restricted to probed buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cents = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
+    val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 500)
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", cents, cbs, k = 10, nprobe = 4, refine = 8)
+    val got = ivfpq.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    // two stacked approximations (4/8 buckets probed + 16-centroid PQ) with
+    // an exact re-rank: coarser than either alone but must stay useful
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // every returned neighbor must actually live in a probed bucket: the
+    // result set is a subset of the pure-IVF candidate universe at same nprobe
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", cents, k = 1000, nprobe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got.subsetOf(ivf), s"IVF-PQ returned a neighbor outside its probed buckets")
+  }
+
   test("pq_encode codes reconstruct subspace-nearest centroids (crafted)") {
     import spark.implicits._
     // 4-dim vectors, m=2 subspaces of 2 dims, 2 centroids each: codebook
