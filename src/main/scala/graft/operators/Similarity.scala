@@ -69,7 +69,8 @@ object Similarity {
   def fitCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       nlist: Int = 16, sampleSize: Int = 1024, iters: Int = 10): Array[Array[Double]] = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+    val sample = corpus.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
@@ -154,7 +155,8 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, sampleSize: Int = 1024,
       iters: Int = 10): Array[Array[Array[Double]]] = {
     require(ksub <= 256, s"ksub $ksub > 256 does not fit a byte code")
-    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+    val sample = corpus.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")

@@ -371,6 +371,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.subsetOf(ivf), s"IVF-PQ returned a neighbor outside its probed buckets")
   }
 
+  test("ANN fit functions tolerate null embedding rows (dirty-corpus hardening)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .union(Seq((99990L, null.asInstanceOf[Array[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    // null rows must not break the driver-side sample collect
+    val cents = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
+    assert(cents.length == 8)
+    val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 500)
+    assert(cbs.length == 8 && cbs(0).length == 16)
+    // and the scoring paths skip them (null-safe expressions -> null score)
+    val q = emb.filter(col("vec_id") < 2).filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "query_id", "qvec", cbs, k = 5, refine = 4).collect()
+    assert(got.length == 10) // 2 queries x 5 results, null row never surfaces
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 99990L))
+  }
+
   test("pq_encode codes reconstruct subspace-nearest centroids (crafted)") {
     import spark.implicits._
     // 4-dim vectors, m=2 subspaces of 2 dims, 2 centroids each: codebook
