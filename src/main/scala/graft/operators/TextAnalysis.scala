@@ -209,11 +209,16 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("_id"), words(col(textCol)).as("_ws"))
       .select(col("_id"), size(col("_ws")).as("dl"), explode(col("_ws")).as("term"))
       .filter(col("term").isin(qt: _*))
+    // materialize tf once (localCheckpoint): it is consumed twice (doc
+    // frequencies + scoring) and Catalyst would otherwise re-run the whole
+    // scan+tokenize+explode lineage for each consumer. tf is bounded by
+    // query-term MATCHES (|terms| rows per doc max), not corpus size.
     val tf = toks.groupBy(col("_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(words(col(textCol)))).as("avgdl"))
-    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("_id")).as("df"))
+    // tf is one row per (doc, term), so count(*) IS the doc frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
