@@ -654,8 +654,14 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
   extends Expression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT ranks")
+    if (children.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT ranks")
+    else if (children.length < 2 || children.length > 4)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes 2-4 ranks, got ${children.length}")
+    else if (bits < 1 || children.length * bits > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: ${children.length} ranks x $bits bits exceeds 63 (shift would wrap)")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -33,6 +33,10 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"_min_$c"), max(col(c)).cast("double").as(s"_max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zorder column '$c' has no non-null values (empty input or all-null column)")
+    }
     val maxRank = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       val lo = row.getDouble(2 * i)

@@ -159,16 +159,22 @@ object Multimodal {
     }
 
     /** Real frame sampling for MJPEG payloads (concatenated JPEG frames —
-      * the motion-JPEG container): split at SOI+APP0 marker boundaries
-      * (0xFF 0xD8 0xFF 0xE0 — JPEG byte-stuffing guarantees the SOI pattern
-      * cannot occur inside entropy-coded data), decode every `everyN`-th
+      * the motion-JPEG container): split at SOI-plus-marker boundaries
+      * (0xFF 0xD8 0xFF then any APPn/DQT/DHT/SOF/COM marker — JPEG
+      * byte-stuffing guarantees a raw SOI cannot occur inside entropy-coded
+      * data, and accepting every post-SOI marker keeps EXIF-led frames
+      * (FF D8 FF E1) on the real-decode path), decode every `everyN`-th
       * frame through ImageIO, and emit its 8x8 average hash. Non-JPEG
       * payloads fall back to the stub chunking.
       */
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] = {
-      def isSoi(i: Int): Boolean =
-        i + 3 < bytes.length && bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd8.toByte &&
-        bytes(i + 2) == 0xff.toByte && bytes(i + 3) == 0xe0.toByte
+      def isSoi(i: Int): Boolean = {
+        if (i + 3 >= bytes.length || bytes(i) != 0xff.toByte || bytes(i + 1) != 0xd8.toByte ||
+          bytes(i + 2) != 0xff.toByte) return false
+        val m = bytes(i + 3) & 0xff
+        // APPn (E0-EF), DQT (DB), DHT (C4), SOF0/2 (C0/C2), COM (FE)
+        (m >= 0xe0 && m <= 0xef) || m == 0xdb || m == 0xc4 || m == 0xc0 || m == 0xc2 || m == 0xfe
+      }
       if (bytes.length < 4 || !isSoi(0)) return stub.sampleFrames(bytes, everyN)
       val offsets = scala.collection.mutable.ArrayBuffer(0)
       var i = 2
@@ -331,7 +337,7 @@ object Multimodal {
     while (f < nFrames) {
       var c = 0
       while (c < channels) {
-        // triangle wave in [-16016, 16016]: loud enough that peak/rms are
+        // triangle wave in [-8000, 8016]: loud enough that peak/rms are
         // far from zero, never clipping
         val phase = (f * step + c * 31) % 2003
         val tri = math.abs(phase - 1001) - 500

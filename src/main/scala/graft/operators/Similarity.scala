@@ -203,6 +203,17 @@ object Similarity {
       graft.functions.PqEncode(
         org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
 
+  private def pqLutCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.PqLut(
+        org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
+
+  private def pqAdcCol(code: Column, lut: Column, ksub: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.PqAdcScore(
+        org.apache.spark.sql.graftshim.GraftShims.expression(code),
+        org.apache.spark.sql.graftshim.GraftShims.expression(lut), ksub))
+
   /** PQ top-k with ADC scan + exact re-rank — the 100 TB ANN layout:
     * the corpus is stored as `m`-byte codes (~32x smaller than the float
     * vectors, so the scan reads bytes, not floats), each query carries a
@@ -223,23 +234,15 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       k: Int = 10, refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val ksub = codebooks(0).length
-    def lutOf(vec: Column) =
-      org.apache.spark.sql.graftshim.GraftShims.column(
-        graft.functions.PqLut(
-          org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
-    def adc(code: Column, lut: Column) =
-      org.apache.spark.sql.graftshim.GraftShims.column(
-        graft.functions.PqAdcScore(
-          org.apache.spark.sql.graftshim.GraftShims.expression(code),
-          org.apache.spark.sql.graftshim.GraftShims.expression(lut), ksub))
     val coded = corpus.select(col(corpusId).as("_cid"),
       pqEncode(col(corpusVec), codebooks).as("_code"))
     val qLut = broadcast(queries.select(col(queryId).as("_qid"),
-      lutOf(col(queryVec)).as("_lut")))
+      pqLutCol(col(queryVec), codebooks).as("_lut")))
     val selfGuard = if (excludeSelf) col("_cid") =!= col("_qid") else lit(true)
     // ADC scan: narrow (qid, cid, score) rows only ride into the window
     val scored = coded.crossJoin(qLut).filter(selfGuard)
-      .select(col("_qid"), col("_cid"), adc(col("_code"), col("_lut")).as("_adc"))
+      .select(col("_qid"), col("_cid"),
+        pqAdcCol(col("_code"), col("_lut"), ksub).as("_adc"))
     exactRerank(scored, corpus, corpusId, corpusVec, queries, queryId, queryVec, k, refine)
   }
 
@@ -258,15 +261,6 @@ object Similarity {
       k: Int = 10, nprobe: Int = 4, refine: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     val ksub = codebooks(0).length
-    def lutOf(vec: Column) =
-      org.apache.spark.sql.graftshim.GraftShims.column(
-        graft.functions.PqLut(
-          org.apache.spark.sql.graftshim.GraftShims.expression(vec), codebooks))
-    def adc(code: Column, lut: Column) =
-      org.apache.spark.sql.graftshim.GraftShims.column(
-        graft.functions.PqAdcScore(
-          org.apache.spark.sql.graftshim.GraftShims.expression(code),
-          org.apache.spark.sql.graftshim.GraftShims.expression(lut), ksub))
     // corpus: bucket + byte code, both map-only against plan-embedded params
     val coded = corpus.select(col(corpusId).as("_cid"),
       assignBucket(col(corpusVec), centroids).as("_bucket"),
@@ -279,12 +273,13 @@ object Similarity {
         sequence(lit(0), lit(centroids.length - 1)),
         (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)
     val qSide = broadcast(queries.select(col(queryId).as("_qid"),
-      lutOf(col(queryVec)).as("_lut"),
+      pqLutCol(col(queryVec), codebooks).as("_lut"),
       transform(probes, p => p.getField("i")).as("_probes")))
     val selfGuard = if (excludeSelf) col("_cid") =!= col("_qid") else lit(true)
     val scored = coded.join(qSide,
         array_contains(col("_probes"), col("_bucket")) && selfGuard)
-      .select(col("_qid"), col("_cid"), adc(col("_code"), col("_lut")).as("_adc"))
+      .select(col("_qid"), col("_cid"),
+        pqAdcCol(col("_code"), col("_lut"), ksub).as("_adc"))
     exactRerank(scored, corpus, corpusId, corpusVec, queries, queryId, queryVec, k, refine)
   }
 
