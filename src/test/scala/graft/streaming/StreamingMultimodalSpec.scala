@@ -275,6 +275,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val fake = Multimodal.fakeMediaBytes(4, 4, 3, 2, Array.fill[Byte](120)(3))
     assert(dec.sampleFrames(fake, everyN = 50).toSeq ==
       new Multimodal.StubDecoder().sampleFrames(fake, everyN = 50).toSeq)
+    // EXIF-led frames (FF D8 FF E1 APP1, how cameras write JPEG) must take
+    // the real-decode path, not the stub: splice an APP1 segment after each
+    // frame's SOI and re-sample — same per-frame pixel hashes
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte, 0x00, 0x08,
+      'E', 'x', 'i', 'f', 0x00, 0x00)
+    def withApp1(mjpeg: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var i = 0
+      while (i < mjpeg.length) {
+        out += mjpeg(i)
+        if (i + 1 < mjpeg.length && mjpeg(i) == 0xff.toByte && mjpeg(i + 1) == 0xd8.toByte &&
+          (i == 0 || i + 3 < mjpeg.length && mjpeg(i + 2) == 0xff.toByte)) {
+          out += mjpeg(i + 1)
+          out ++= app1
+          i += 2
+        } else i += 1
+      }
+      out.toArray
+    }
+    val exifClip = withApp1(clip)
+    assert(exifClip.length == clip.length + 5 * app1.length)
+    assert(dec.sampleFrames(exifClip, everyN = 1).toSeq == all,
+      "EXIF-led frames fell off the real-decode path")
     // distributed path over the MJPEG demo corpus: sampled count follows
     // the deterministic frame-count rule
     val media = Multimodal.mjpegMediaFromDocuments(spark, "/root/testdata/sf0.001")
