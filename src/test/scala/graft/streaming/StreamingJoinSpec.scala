@@ -52,6 +52,19 @@ class StreamingJoinSpec extends AnyFunSuite {
         (4L, base + 300000, base + 350000))
       assert(got == expect, s"got $got")
 
+      // state eviction: push both watermarks far past ad 1's window, then
+      // replay a click that WOULD have matched it — the buffered left row
+      // is gone and the late click is dropped, so no new output appears
+      imps.addData(Seq((8L, base + 3600000)))
+      clks.addData(Seq((8L, base + 3600000)))
+      q.processAllAvailable()
+      clks.addData(Seq((1L, base + 40000))) // in-window time, far behind watermark
+      q.processAllAvailable()
+      val after = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after == expect + ((8L, base + 3600000, base + 3600000)),
+        s"late click leaked through evicted state: $after")
+
       // batch equivalence: the same rows through the static join path
       val impB = Seq((1L, base), (2L, base), (3L, base), (4L, base + 300000))
         .toDF("imp_ad", "imp_ms").withColumn("imp_ts", timestamp_millis(col("imp_ms")))
