@@ -49,6 +49,24 @@ object StressDrive {
       .collect()(0)
     val t4 = (System.nanoTime()-t0)/1e9
     println(f"DRIVE sparse-sketch-10M-100kgroups: $t4%.1f s, avg serialized sketch ${sk.getDouble(0)}%.0f B (dense would be ${(1 << 18) + 6} B)")
+    // PQ at 1M vectors: codebooks from the real table, then encode + ADC
+    // top-10 for 5 queries over 1M synthetic 64-dim vectors (deterministic
+    // hash-derived components). The scan is (id, 8-byte code) only.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cbs = graft.operators.Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 500)
+    val vecs = spark.range(1000000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(col("id") * (i + 13) + i * i, lit(1997)) - 998).cast("float") / 1000.0f)
+        .cast("array<float>").as("embedding"))
+    val q5 = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    t0 = System.nanoTime()
+    val topk = graft.operators.Similarity.pqTopK(vecs, "vec_id", "embedding",
+      q5, "qid", "qvec", cbs, k = 10, refine = 4)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val t5 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE pq-adc-1M-vectors: $t5%.1f s = ${1000000/t5/1e3}%.0f K vec/s encode+scan x 5 queries (rows=$topk)")
     spark.stop()
   }
 }
