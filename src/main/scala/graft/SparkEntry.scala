@@ -402,6 +402,19 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // unpivot/melt: wide per-status metrics back to (metric, value) rows
+    "q_unpivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("sum_price"), col("avg_price"), col("n_orders")),
+          "metric", "value")
+        .orderBy(col("o_orderstatus"), col("metric"))
+    }),
+
     // set operations: intersect / except / union distinct
     "q_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1328,6 +1341,17 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus,
+        |    ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |    ROUND(AVG(o_totalprice), 4) AS avg_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, value
+        |FROM (UNPIVOT a ON sum_price, avg_price, n_orders
+        |      INTO NAME metric VALUE value)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "q_setops" ->
       """SELECT * FROM (
         |  SELECT 'urgent_and_open' AS bucket, COUNT(*) AS n FROM (
