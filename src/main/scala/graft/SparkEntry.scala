@@ -655,6 +655,30 @@ object SparkEntry {
           - col("exact_intersect")) / col("exact_intersect") <= 0.15).as("intersect_ok"))
     }),
 
+    // sketch set-algebra completion: |A \ B| via inclusion-exclusion.
+    // The tolerance is UNION-relative: the difference inherits the union
+    // estimates' absolute error, so err/|A\B| is unbounded when the
+    // difference is small — err/|A∪B| is the honest contract.
+    "hll_difference_halves" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+      val sketches = half.groupBy(col("half"))
+        .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("sk"))
+      val a = sketches.filter(col("half") === 0).select(col("sk").as("sk_a"))
+      val b = sketches.filter(col("half") === 1).select(col("sk").as("sk_b"))
+      val exact = half.groupBy(col("user_id"))
+        .agg(max(when(col("half") === 0, 1).otherwise(0)).as("_h0"),
+          max(when(col("half") === 1, 1).otherwise(0)).as("_h1"))
+        .agg(
+          count(lit(1)).as("exact_union"),
+          sum(when(col("_h0") === 1 && col("_h1") === 0, 1L).otherwise(0L))
+            .as("exact_a_only"))
+      a.crossJoin(b).crossJoin(exact).select(
+        col("exact_union"), col("exact_a_only"),
+        (abs(GraftFunctions.hll_difference_estimate(col("sk_a"), col("sk_b"))
+          - col("exact_a_only")) / col("exact_union") <= 0.05).as("difference_ok"))
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -1000,6 +1024,15 @@ object SparkEntry {
         |  COUNT(*) FILTER (nh = 2) AS exact_intersect,
         |  TRUE AS intersect_ok
         |FROM (SELECT user_id, COUNT(DISTINCT event_id % 2) AS nh
+        |      FROM events GROUP BY user_id)""".stripMargin,
+
+    "hll_difference_halves" ->
+      """SELECT COUNT(*) AS exact_union,
+        |  COUNT(*) FILTER (h0 = 1 AND h1 = 0) AS exact_a_only,
+        |  TRUE AS difference_ok
+        |FROM (SELECT user_id,
+        |        MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS h0,
+        |        MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS h1
         |      FROM events GROUP BY user_id)""".stripMargin,
 
     // ---- dedup family: exact-Jaccard ground truth recomputed from raw

@@ -77,6 +77,14 @@ object GraftFunctions {
   def hll_intersect_estimate(a: Column, b: Column): Column =
     hll_estimate(a) + hll_estimate(b) - hll_estimate(hll_union(a, b))
 
+  /** |A \ B| by the same inclusion-exclusion: |A∪B| - |B|. Completes the
+    * sketch set algebra (union is native, intersect and difference derive);
+    * inherits the intersect caveat — relative error grows as the difference
+    * shrinks against the union.
+    */
+  def hll_difference_estimate(a: Column, b: Column): Column =
+    hll_estimate(hll_union(a, b)) - hll_estimate(b)
+
   /** Approximate top-k frequent items (mergeable Misra-Gries): items with
     * frequency > n/capacity are guaranteed present; exact when capacity >=
     * distinct count. Input cast to string like the HLL family.

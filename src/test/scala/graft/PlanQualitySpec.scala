@@ -99,7 +99,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val tinySideCross = Set(
       "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
       "sim_ann_ivfpq",
-      "hll_intersect_halves", "hll_sketch_reagg",
+      "hll_intersect_halves", "hll_difference_halves", "hll_sketch_reagg",
       // est/exact sides split to avoid the Expand distinct rewrite; the
       // rejoin is a cross of two 1-row aggregates
       "hll_distinct_pairs", "hll_both_widths",
