@@ -227,6 +227,12 @@ object Similarity {
     * window top-k over (query_id, score) rows only — the float vectors never
     * ride through the scoring shuffle — then a broadcast join of the
     * candidate set back to the corpus for the re-rank.
+    *
+    * Sizing rule: ADC ranks between quantization cells; the exact re-rank
+    * orders within one. On clustered corpora a whole cluster can share one
+    * code, so `k * refine` must cover the largest cell a query lands in, or
+    * the candidate set is an arbitrary same-score subset of it (ties broken
+    * by id). See the clustered-recall test for the measured effect.
     */
   def pqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,

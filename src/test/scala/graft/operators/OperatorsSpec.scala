@@ -391,6 +391,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.exists(_.getAs[Long]("neighbor_id") == 99990L))
   }
 
+  test("PQ recall is near-total on clustered embeddings (the realistic case)") {
+    import spark.implicits._
+    // 10 tight clusters in 64-dim: center c has +-0.05 jitter per dim.
+    // Real embedding corpora cluster; the isotropic table above is the
+    // adversarial floor, this is the expected operating regime. Tight
+    // clusters mean all ~100 members of a cluster share one PQ code — ADC
+    // ranks BETWEEN cells, the exact re-rank orders WITHIN one — so the
+    // candidate budget k*refine must cover a cell for near-total recall
+    // (the standard PQ sizing rule; with refine too small the candidates
+    // are an arbitrary same-score subset of the cell).
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0L until 1000L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "query_id", "qvec", k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, sampleSize = 1000)
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "query_id", "qvec", cbs, k = 10, refine = 12).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.9, s"clustered PQ recall $recall < 0.9")
+    // under-budgeted candidates demonstrably truncate the cell: same query,
+    // refine=4 (40 candidates < 100-member cell) must do measurably worse
+    val small = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "query_id", "qvec", cbs, k = 10, refine = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((bf & small).size.toDouble / bf.size < recall)
+  }
+
   test("pq_encode codes reconstruct subspace-nearest centroids (crafted)") {
     import spark.implicits._
     // 4-dim vectors, m=2 subspaces of 2 dims, 2 centroids each: codebook
