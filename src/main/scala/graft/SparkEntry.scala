@@ -681,6 +681,21 @@ object SparkEntry {
 
     // ---- training-data pipeline: similarity search ----
 
+    // embedding-corpus audit: the sanity gate before any ANN/near-dup run
+    // (NaN or zero vectors poison cosine math silently)
+    "sim_embedding_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val nrm = graft.operators.Similarity.norm(col("embedding"))
+      e.select(nrm.as("_n"),
+          exists(col("embedding"), x => isnan(x)).as("_has_nan"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("_has_nan"), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(col("_n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(min(col("_n")), 4).as("norm_min"),
+          round(avg(col("_n")), 4).as("norm_avg"),
+          round(max(col("_n")), 4).as("norm_max"))
+    }),
+
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
@@ -1184,6 +1199,18 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
         |  (1, 10, 0.8), (2, 10, 0.9), (3, 10, 1.0), (4, 10, 0.9))
         |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+    "sim_embedding_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  ROUND(MIN(nrm), 4) AS norm_min,
+        |  ROUND(AVG(nrm), 4) AS norm_avg,
+        |  ROUND(MAX(nrm), 4) AS norm_max
+        |FROM (
+        |  SELECT SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    LEN(LIST_FILTER(embedding, x -> ISNAN(x))) > 0 AS has_nan
+        |  FROM embeddings)""".stripMargin,
     "sim_ann_ivfpq" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
