@@ -306,6 +306,39 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop"), "left_anti")
   }
 
+  /** [[nearDedup]] with an explicit representative policy: within each
+    * near-dup cluster keep the row MAXIMIZING `score` (ties broken by
+    * lowest id) instead of the lowest-id row — the realistic curation
+    * choice (keep the longest / highest-quality / most recent copy).
+    *
+    * Scale shape: identical LSH + connected-components machinery; the
+    * representative election windows ONLY the dup-involved rows (the
+    * cluster membership set), so the extra shuffle is proportional to
+    * duplicates found, not corpus size. Untouched rows never move.
+    */
+  def nearDedupKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      score: Column,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashNearDupPairs(df, textCol, idCol, numHashes, bands, shingleSize, threshold)
+    val clusters = connectedComponents(pairs)
+    val members = df.withColumn("_score", score)
+      .join(clusters, df(idCol) === clusters("id"), "inner")
+      .select(col("id"), col("cluster"), col("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("_score").desc, col("id"))
+    val keep = members.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select(col("id").as("_keep"))
+    val drop = clusters.join(keep, clusters("id") === col("_keep"), "left_anti")
+      .select(col("id").as("_drop"))
+    df.join(drop, df(idCol) === col("_drop"), "left_anti")
+  }
+
   /** N-gram Jaccard similarity for a candidate pair set (exact, builtin-only):
     * self-contained variant for when candidates come from elsewhere.
     */

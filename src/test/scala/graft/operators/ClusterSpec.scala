@@ -69,6 +69,28 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L)) // 2 and 3 collapse into cluster of 1
   }
 
+  test("nearDedupKeepBest keeps the highest-scoring cluster member") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with an extra trailing clause making this copy longer"), // longest dup
+      (3L, base.replace("tonight", "today")),
+      (4L, "a completely different corpus about distributed columnar execution engines and shuffles")
+    ).toDF("doc_id", "text")
+    // policy: keep the LONGEST copy -> doc 2 wins its cluster (min-id
+    // policy would keep doc 1)
+    val kept = Dedup.nearDedupKeepBest(docs, "text", "doc_id",
+        length(col("text")), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L), s"got $kept")
+    // tie on score falls back to lowest id -> same result as nearDedup
+    val tied = Dedup.nearDedupKeepBest(docs, "text", "doc_id",
+        lit(0), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tied == Seq(1L, 4L), s"got $tied")
+  }
+
   test("hll_intersect_estimate approximates a known overlap") {
     import spark.implicits._
     import graft.functions.GraftFunctions

@@ -30,6 +30,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(keyed((3L, 3L)) == 15L)
   }
 
+  test("interleave_bits handles 3 columns: bit j of rank i lands at j*3+i") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L), (3L, 3L, 3L)).toDF("x", "y", "z")
+    val got = df.select(
+      org.apache.spark.sql.graftshim.GraftShims.column(
+        graft.functions.InterleaveBits(Seq("x", "y", "z").map(c =>
+          org.apache.spark.sql.graftshim.GraftShims.expression(col(c))), 2)).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 4L, 7L, 8L, 63L))
+  }
+
   test("zorder write prunes files on BOTH columns; single-col sort only on one") {
     import spark.implicits._
     val n = 64
