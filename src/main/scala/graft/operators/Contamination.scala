@@ -64,4 +64,25 @@ object Contamination {
       .filter(col("overlap") >= threshold)
       .select(col("a_id"), col("b_id"), col("shared"), col("a_total"), col("overlap"))
   }
+
+  /** The remover to [[overlap]]'s auditor: drop every training document
+    * whose overlap with ANY eval document reaches `threshold` — the
+    * decontamination step run between the audit and the training mix.
+    *
+    * Scale shape: the flagged-id set (contaminated training docs only) is
+    * the sole addition to [[overlap]]'s plan, applied as a left-anti join —
+    * clean rows never shuffle.
+    */
+  def decontaminate(
+      train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      threshold: Double = 0.2,
+      kGram: Int = 8,
+      window: Int = 4,
+      maxPostings: Int = 1000): DataFrame = {
+    val flagged = overlap(train, trainId, trainText, eval, evalId, evalText,
+        threshold, kGram, window, maxPostings)
+      .select(col("a_id").as("_contaminated")).distinct()
+    train.join(flagged, train(trainId) === col("_contaminated"), "left_anti")
+  }
 }

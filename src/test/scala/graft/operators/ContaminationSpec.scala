@@ -31,5 +31,16 @@ class ContaminationSpec extends AnyFunSuite {
       s"leaked benchmark not detected: ${hits.mkString(",")}")
     assert(!hits.exists(h => h._1 == 101L), "false positive on clean eval doc")
     assert(!hits.exists(h => h._2 == 2L || h._2 == 3L), "false positive on clean train docs")
+
+    // the remover: contaminated train doc 1 is dropped, clean docs survive
+    val clean = Contamination.decontaminate(train, "doc_id", "text",
+        eval, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(2L, 3L), s"got $clean")
+    // threshold high enough that nothing is flagged -> corpus untouched
+    val untouched = Contamination.decontaminate(train, "doc_id", "text",
+        eval, "doc_id", "text", threshold = 0.99)
+      .count()
+    assert(untouched == 3L)
   }
 }
