@@ -520,6 +520,25 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // line-level corpus dedup (CCNet/RefinedWeb boilerplate removal): the
+    // flat word-soup corpus has no newlines, so the query derives "lines" as
+    // 3-word chunks (array slicing, pure map work) before handing the
+    // newline-joined text to the operator. Per-doc stats only cross the
+    // wire — clean_text is reduced to its length before the final sort.
+    "dd_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chunked = d.selectExpr("doc_id",
+        """array_join(transform(
+          |  sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' ')),
+          | '\n') as text""".stripMargin)
+      graft.operators.Dedup.lineDedup(chunked, "doc_id", "text",
+          minDocFreq = 2, normalize = false)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          length(col("clean_text")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // the synthetic corpus has no natural near-dups, so plant exact copies
@@ -1276,6 +1295,22 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(a.dup AS DOUBLE) / a.total, 0.0), 4) AS dup_bigram_frac
         |FROM g LEFT JOIN a ON g.doc_id = a.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    "dd_line_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(w[(i*3+1):(i*3+3)], ' ') AS line
+        |  FROM words, UNNEST(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+        |  WHERE length(trim(array_to_string(w[(i*3+1):(i*3+3)], ' '))) > 0),
+        |hot AS (SELECT line FROM chunks GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_lines,
+        |  COUNT(h.line) AS n_dup_lines,
+        |  CAST(CASE WHEN COUNT(*) - COUNT(h.line) = 0 THEN 0
+        |       ELSE SUM(CASE WHEN h.line IS NULL THEN LENGTH(c.line) ELSE 0 END)
+        |            + COUNT(*) - COUNT(h.line) - 1 END AS BIGINT) AS clean_len
+        |FROM chunks c LEFT JOIN hot h USING (line)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

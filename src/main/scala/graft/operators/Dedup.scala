@@ -339,6 +339,57 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop"), "left_anti")
   }
 
+  /** Corpus-level line dedup (the CCNet/RefinedWeb boilerplate-removal
+    * step): drop every line that occurs in at least `minDocFreq` distinct
+    * documents, then reassemble each document from its surviving lines in
+    * their original order.
+    *
+    * Output: (idCol, clean_text, n_lines, n_dup_lines). Documents whose
+    * lines are all boilerplate survive with an empty `clean_text`; documents
+    * with no non-blank lines drop out.
+    *
+    * Scale shape: line frequencies are a partial-aggregated count on the
+    * 8-byte line hash (hot boilerplate lines combine map-side before the
+    * exchange), and only hashes at/above `minDocFreq` — the boilerplate set,
+    * tiny relative to the corpus — come back for the flag join. Lines cross
+    * the wire once for reassembly, keyed by document id, so no stage ever
+    * shuffles more than the exploded corpus itself. Frequency counting keys
+    * on xxhash64 of the (optionally normalized) line; a 64-bit collision
+    * mislabels a line, which at boilerplate scales is vanishingly rare.
+    *
+    * @param delimiter  split regex AND rejoin separator (default newline)
+    * @param minDocFreq lines in >= this many distinct docs are dropped
+    * @param normalize  lowercase+trim lines before hashing (raw bytes if false)
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      delimiter: String = "\n",
+      minDocFreq: Int = 2,
+      normalize: Boolean = true): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), delimiter)).as(Seq("_pos", "_line")))
+      .filter(length(trim(col("_line"))) > 0)
+      .withColumn("_h",
+        xxhash64(if (normalize) lower(trim(col("_line"))) else col("_line")))
+    val hot = lines.groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"), lit(true).as("_dup"))
+    lines.join(hot, Seq("_h"), "left")
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_dup")).as("n_dup_lines"),
+        concat_ws(delimiter,
+          transform(
+            sort_array(collect_list(
+              when(col("_dup").isNull, struct(col("_pos"), col("_line"))))),
+            x => x.getField("_line"))).as("clean_text"))
+      .select(col("_id").as(idCol), col("clean_text"),
+        col("n_lines"), col("n_dup_lines"))
+  }
+
   /** N-gram Jaccard similarity for a candidate pair set (exact, builtin-only):
     * self-contained variant for when candidates come from elsewhere.
     */
