@@ -50,6 +50,26 @@ object Layout {
         ranks.map(org.apache.spark.sql.graftshim.GraftShims.expression), bits))
   }
 
+  /** Write `df` as a catalog-managed parquet table hash-bucketed (and
+    * optionally bucket-sorted) on `bucketCols` — Spark's persisted
+    * partitioning. A join or aggregation keyed on the bucket columns between
+    * tables with the SAME bucket count reads co-located data and plans with
+    * NO shuffle exchange (and no sort when `sortCols` covers the key): at
+    * 100 TB this turns a recurring fact-to-fact join from a full-network
+    * shuffle, paid on every run, into a local merge paid once at write time.
+    * Equality filters on the bucket column additionally prune the scan to a
+    * single bucket's files.
+    */
+  def bucketedWrite(
+      df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketedWrite needs at least one bucket column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Write `df` as parquet clustered on the Z-order of `cols`: range
     * repartition on the z-key into `numFiles` even output files, sort within
     * each, drop the key. Every listed column then prunes at file level.

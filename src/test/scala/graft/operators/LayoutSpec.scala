@@ -80,4 +80,46 @@ class LayoutSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sDir))
     }
   }
+
+  test("bucketed tables join with no shuffle exchange and prune point scans") {
+    import spark.implicits._
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    // force a sort-merge join (broadcast would dodge the shuffle question)
+    // and a non-adaptive plan so executedPlan is the final word
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val facts = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "v")
+      val dims = (0L until 100L).map(i => (i, s"name_$i")).toDF("k", "name")
+      Layout.bucketedWrite(facts, "bw_facts", 8, Seq("k"), Seq("k"))
+      Layout.bucketedWrite(dims, "bw_dims", 8, Seq("k"), Seq("k"))
+
+      val j = spark.table("bw_facts").join(spark.table("bw_dims"), "k")
+      assert(j.count() == 1000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      // same join on the unbucketed frames DOES shuffle — the assertion
+      // above is meaningful, not vacuous
+      val unbucketed = facts.join(dims, "k").queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange"))
+
+      // equality filter on the bucket column narrows the scan to one bucket
+      // (the auto-bucketed-scan rule de-buckets shuffle-free scans, so pin
+      // it on for the pruning check)
+      conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = spark.table("bw_facts").filter(col("k") === 7L)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"), scan)
+      assert(pruned.count() == 10L)
+    } finally {
+      conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS bw_facts")
+      spark.sql("DROP TABLE IF EXISTS bw_dims")
+    }
+  }
 }
