@@ -299,6 +299,107 @@ object SparkEntry {
         .withColumnRenamed("l_partkey_distinct", "n_parts")
         .orderBy(col("l_returnflag"))
     }),
+    // Forced-salt skewed join: lineitem × part with the small side replicated
+    // 16× and the fact side salted by row hash — the manual fallback when
+    // AQE's skew split can't apply. Result must equal the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      graft.operators.SkewTools.saltedJoin(li, p, "l_partkey", "p_partkey", 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+    // Sketch-based join-size estimation (JoinStats): predicts the
+    // lineitem⋈orders output from one bucketed-HLL pass per side — the
+    // "should I even run this join" planning primitive. The exact join here
+    // exists only to verify the estimate.
+    "q_join_size_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val est = graft.operators.JoinStats.equiJoinSizeEstimate(
+        li, "l_orderkey", o, "o_orderkey")
+      val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      est.crossJoin(exact).select(col("exact_rows"),
+        (abs(col("est_rows") - col("exact_rows")) / col("exact_rows") <= 0.1)
+          .as("est_ok"))
+    }),
+    // MERGE/upsert: re-priced delta batch folded into the orders snapshot,
+    // last-writer-wins per key (delta beats snapshot on the version tie).
+    "q_upsert_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // re-price via floor (bit-identical across engines, unlike round,
+      // which Spark applies to the shortest-decimal repr) and sum in
+      // decimal space so the total is order-independent and exact
+      val delta = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", floor(col("o_totalprice") * 110) / 100)
+      graft.operators.Upsert.upsert(o, delta, Seq("o_orderkey"), "o_orderdate")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_price"),
+          sum(when(col("o_orderkey") % 10 === 0, 1L).otherwise(0L)).as("n_updated"))
+    }),
+    // Snapshot reconciliation (Upsert.snapshotDiff): classify keys as
+    // added/removed/changed/unchanged between the orders snapshot and a
+    // mutated next version (re-priced tenth, fresh keys, deleted slice).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val repriced = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", floor(col("o_totalprice") * 110) / 100)
+      val fresh = o.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      val after = graft.operators.Upsert.upsert(
+          o, repriced.unionByName(fresh), Seq("o_orderkey"), "o_orderdate")
+        .filter(col("o_orderkey") % 17 =!= 3)
+      graft.operators.Upsert.snapshotDiff(
+          o, after, Seq("o_orderkey"), Seq("o_totalprice"))
+        .orderBy(col("change"))
+    }),
+    // Single-pass column profiling (Profile): nulls/min/max/HLL-distinct for
+    // five heterogeneous columns in ONE aggregation — no Expand, no
+    // per-column scans. The exact-distinct side here is verification only.
+    "q_profile_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cs = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus")
+      // k=2^16 keeps every column in the linear-counting regime at sf0.01
+      val prof = graft.operators.Profile.profile(o, cs, k = 1 << 16)
+      val exact = o
+        .select(cs.map(c => count_distinct(col(c)).as(s"_x_$c")): _*)
+        .selectExpr(s"stack(${cs.length}, " +
+          cs.map(c => s"'$c', _x_$c").mkString(", ") + ") AS (col_name, n_exact)")
+      prof.join(exact, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_s"), col("max_s"),
+          (abs(col("n_distinct_est") - col("n_exact")) / col("n_exact") <= 0.05)
+            .as("distinct_ok"))
+        .orderBy(col("col_name"))
+    }),
+    // Daily event volumes with a trailing-window z-score — streaming-ish
+    // anomaly detection expressed as a batch window query. The window frame
+    // is per event_type ordered by day, so the shuffle is one exchange on
+    // event_type after a partial-agg-collapsed daily rollup.
+    "q_anomaly_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      // nullif: a constant trailing window (stddev 0) yields NULL, matching
+      // DuckDB's non-strict division instead of tripping ANSI div-by-zero
+      daily.select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          round((col("n") - avg(col("n")).over(w))
+            / nullif(stddev_samp(col("n")).over(w), lit(0.0)), 4)
+            .as("zscore"))
+        // coalesce: a null z (warm-up frame) is "no spike", and a non-null
+        // boolean keeps the oracle hash-compare free of null-render drift
+        .withColumn("is_spike", coalesce(col("zscore") > lit(2.5), lit(false)))
+        .orderBy(col("event_type"), col("day"))
+    }),
 
     // explicit GROUPING SETS (beyond rollup/cube): two unrelated groupings
     // plus grand total in one pass, with grouping_id disambiguation
@@ -697,6 +798,30 @@ object SparkEntry {
         (abs(GraftFunctions.hll_difference_estimate(col("sk_a"), col("sk_b"))
           - col("exact_a_only")) / col("exact_union") <= 0.05).as("difference_ok"))
     }),
+    // Sketch Jaccard between the two event halves: the user-overlap ratio
+    // without ever materializing the sets. Exact side recomputed in-query;
+    // the tolerance is generous because inclusion-exclusion noise compounds
+    // in the ratio.
+    "hll_jaccard_halves" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+      val sketches = half.groupBy(col("half"))
+        .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("sk"))
+      val a = sketches.filter(col("half") === 0).select(col("sk").as("sk_a"))
+      val b = sketches.filter(col("half") === 1).select(col("sk").as("sk_b"))
+      val exact = half.groupBy(col("user_id"))
+        .agg(countDistinct(col("half")).as("_nh"))
+        .agg(
+          count(lit(1)).as("exact_union"),
+          sum(when(col("_nh") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+      a.crossJoin(b).crossJoin(exact).select(
+        col("exact_union"), col("exact_intersect"),
+        round(col("exact_intersect").cast("double") / col("exact_union"), 4)
+          .as("exact_jaccard"),
+        (abs(GraftFunctions.hll_jaccard_estimate(col("sk_a"), col("sk_b"))
+          - col("exact_intersect").cast("double") / col("exact_union"))
+          <= 0.05).as("jaccard_ok"))
+    }),
 
     // ---- training-data pipeline: similarity search ----
 
@@ -827,6 +952,22 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.TextAnalysis.bm25TopK(d, "doc_id", "text",
         Seq("spark", "shuffle", "vector"), k = 20)
+    }),
+    // Exact corpus vocabulary ranking: explode collapses under map-side
+    // combine (shuffle bounded by vocab × tasks), final top-k is
+    // TakeOrdered. The baseline "what's in this corpus" report.
+    "tx_word_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.wordFrequencies(d, "text")
+        .orderBy(col("n").desc, col("term")).limit(40)
+    }),
+    // Unigram-LM surprisal quality scores per document (see
+    // TextAnalysis.unigramSurprisal): high mean −log2 p = improbable junk,
+    // near-lower-bound = most-common-word boilerplate.
+    "tx_surprisal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // intra-document repetition (Gopher-style boilerplate/looping filter):
@@ -1068,6 +1209,14 @@ object SparkEntry {
         |        MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS h0,
         |        MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS h1
         |      FROM events GROUP BY user_id)""".stripMargin,
+    "hll_jaccard_halves" ->
+      """SELECT COUNT(*) AS exact_union,
+        |  COUNT(*) FILTER (nh = 2) AS exact_intersect,
+        |  ROUND(CAST(COUNT(*) FILTER (nh = 2) AS DOUBLE) / COUNT(*), 4)
+        |    AS exact_jaccard,
+        |  TRUE AS jaccard_ok
+        |FROM (SELECT user_id, COUNT(DISTINCT event_id % 2) AS nh
+        |      FROM events GROUP BY user_id)""".stripMargin,
 
     // ---- dedup family: exact-Jaccard ground truth recomputed from raw
     // text (LSH recall is total on this corpus: every true pair sits far
@@ -1270,6 +1419,25 @@ object SparkEntry {
         |SELECT doc_id, ROUND(SUM(s), 4) AS bm25, COUNT(*) AS n_terms_hit
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "tx_word_topk" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM (SELECT UNNEST(LIST_FILTER(
+        |        REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 40""".stripMargin,
+    "tx_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(LIST_FILTER(
+        |    REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        |probs AS (
+        |  SELECT term, n / (SELECT SUM(n) FROM freq) AS p FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(-LOG2(p)), 4) AS mean_surprisal,
+        |  ROUND(MAX(-LOG2(p)), 4) AS max_surprisal
+        |FROM toks JOIN probs USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -1385,6 +1553,81 @@ object SparkEntry {
     "q_salted_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the salted join must be indistinguishable from the plain join
+    // (l_quantity is integral, so the BIGINT cast of the sum is exact)
+    "q_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_size_estimate" ->
+      """SELECT COUNT(*) AS exact_rows, TRUE AS est_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_upsert_orders" ->
+      """WITH delta AS (
+        |  SELECT * REPLACE (FLOOR(o_totalprice * 110) / 100 AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY o_orderdate DESC, src DESC) AS rn
+        |    FROM (SELECT *, 0 AS src FROM orders
+        |          UNION ALL SELECT *, 1 AS src FROM delta))
+        |  WHERE rn = 1)
+        |SELECT COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_price,
+        |  COUNT(*) FILTER (o_orderkey % 10 = 0) AS n_updated
+        |FROM merged""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH after0 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN FLOOR(o_totalprice * 110) / 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 100 = 7),
+        |af AS (SELECT * FROM after0 WHERE o_orderkey % 17 != 3),
+        |j AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |              WHEN a.o_orderkey IS NULL THEN 'removed'
+        |              WHEN b.o_totalprice = a.o_totalprice THEN 'unchanged'
+        |              ELSE 'changed' END AS change
+        |  FROM orders b FULL OUTER JOIN af a ON b.o_orderkey = a.o_orderkey)
+        |SELECT change, COUNT(*) AS n_keys FROM j
+        |GROUP BY change ORDER BY change""".stripMargin,
+    "q_profile_orders" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_s, TRUE AS distinct_ok
+        |FROM orders
+        |UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR), TRUE
+        |FROM orders
+        |UNION ALL SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |  CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR), TRUE
+        |FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus), TRUE FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR), TRUE
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    ROUND((n - AVG(n) OVER w) / STDDEV_SAMP(n) OVER w, 4) AS zscore
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, zscore,
+        |  COALESCE(zscore > 2.5, FALSE) AS is_spike
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid,

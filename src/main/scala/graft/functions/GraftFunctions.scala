@@ -85,6 +85,17 @@ object GraftFunctions {
   def hll_difference_estimate(a: Column, b: Column): Column =
     hll_estimate(hll_union(a, b)) - hll_estimate(b)
 
+  /** Jaccard similarity estimate J(A,B) = |A∩B| / |A∪B| from two sketches,
+    * via the inclusion-exclusion intersection over the native union. Rounds
+    * out the sketch set algebra (union/intersect/difference/Jaccard); shares
+    * the intersect caveat — noisy when the overlap is small relative to the
+    * union.
+    */
+  def hll_jaccard_estimate(a: Column, b: Column): Column = {
+    val u = hll_estimate(hll_union(a, b))
+    (hll_estimate(a) + hll_estimate(b) - u) / u
+  }
+
   /** Approximate top-k frequent items (mergeable Misra-Gries): items with
     * frequency > n/capacity are guaranteed present; exact when capacity >=
     * distinct count. Input cast to string like the HLL family.

@@ -233,4 +233,42 @@ object TextAnalysis {
         col("n_terms_hit"))
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
+
+  /** Exact corpus word-frequency table: one row per distinct word with its
+    * total occurrence count. The explode produces one row per token, but
+    * partial aggregation (map-side combine) collapses each task's tokens to
+    * at most |vocab| rows before the exchange — at 100 TB the shuffle is
+    * bounded by vocab × tasks, never by token count. Top-k consumers should
+    * follow with `orderBy(n.desc).limit(k)` (planned as TakeOrdered, no
+    * global sort).
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+
+  /** Per-document unigram-LM surprisal statistics — the classic cheap
+    * quality/outlier filter: documents whose tokens are improbable under the
+    * corpus's own unigram distribution (high mean −log2 p) are candidate
+    * junk; near-zero surprisal means boilerplate built from the most common
+    * words.
+    *
+    * Two passes over the tokens: (1) corpus term counts (partial-agg
+    * bounded, as in [[wordFrequencies]]); (2) score join. The frequency
+    * table is vocab-sized (Zipf-bounded, millions of rows at web scale, not
+    * corpus-sized), so AQE plans the score join as a broadcast; the token
+    * side is never shuffled.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val freq = wordFrequencies(docs, textCol)
+    val total = freq.agg(sum(col("n")).as("_total"))
+    val probs = freq.crossJoin(broadcast(total))
+      .select(col("term"), (col("n") / col("_total")).as("_p"))
+    toks.join(broadcast(probs), "term")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log2(col("_p"))), 4).as("mean_surprisal"),
+        round(max(-log2(col("_p"))), 4).as("max_surprisal"))
+  }
 }

@@ -47,6 +47,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "column pruning lost on lineitem")
   }
 
+  test("word top-k: map-side combine before the exchange, TakeOrdered final") {
+    val p = plan("tx_word_topk")
+    // partial+final hash aggregation: the exploded token stream collapses
+    // to vocab-sized partials before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not global sort:\n$p")
+  }
+
+  test("salted join broadcasts the replicated small side, no cross product") {
+    val p = plan("q_salted_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degraded:\n$p")
+  }
+
+  test("surprisal: token stream joins broadcast vocab, is never shuffled raw") {
+    val df = SparkEntry.queries("tx_surprisal")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (token side never shuffles raw):\n$p")
+  }
+
   test("exact dedup shuffles digests, not text") {
     val df = operators.Dedup.exactDupStats(
       spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
@@ -99,7 +124,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val tinySideCross = Set(
       "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
       "sim_ann_ivfpq",
-      "hll_intersect_halves", "hll_difference_halves", "hll_sketch_reagg",
+      "hll_intersect_halves", "hll_difference_halves", "hll_jaccard_halves",
+      "hll_sketch_reagg",
+      // unigram surprisal crosses the 1-row corpus-total into the
+      // vocab-sized frequency table before the broadcast score join
+      "tx_surprisal",
       // est/exact sides split to avoid the Expand distinct rewrite; the
       // rejoin is a cross of two 1-row aggregates
       "hll_distinct_pairs", "hll_both_widths",
@@ -107,7 +136,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // against the fraction-below scan
       "q_approx_percentiles",
       // BM25 broadcasts the 1-row (n_docs, avgdl) corpus stats
-      "tx_bm25")
+      "tx_bm25",
+      // join-size estimate crosses its 1-row estimate into the 1-row exact
+      "q_join_size_estimate")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

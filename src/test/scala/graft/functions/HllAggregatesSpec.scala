@@ -187,4 +187,27 @@ class HllAggregatesSpec extends AnyFunSuite {
     val without = df.na.drop().agg(hll_cardinality(col("v"), 16)).collect()(0).getDouble(0)
     assert(withNulls == without)
   }
+
+  test("jaccard estimate tracks true overlap on controlled sets") {
+    import spark.implicits._
+    // A = [0, 1200), B = [800, 2000): |A∩B| = 400, |A∪B| = 2000, J = 0.2.
+    // Cardinalities kept inside the linear-counting regime at p=12
+    // (threshold 3100) — the raw-minus-bias region reproduces the
+    // reference's documented mid-range bias and would swamp the ratio.
+    val a = spark.range(0, 1200).toDF("v")
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 1 << 12).as("sk_a"))
+    val b = spark.range(800, 2000).toDF("v")
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 1 << 12).as("sk_b"))
+    val j = a.crossJoin(b)
+      .select(GraftFunctions.hll_jaccard_estimate(col("sk_a"), col("sk_b")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j - 0.2) < 0.05, s"jaccard estimate $j too far from 0.2")
+    // disjoint sets: estimate must sit near zero
+    val c = spark.range(10000, 11200).toDF("v")
+      .agg(GraftFunctions.hll_sketch_agg(col("v"), 1 << 12).as("sk_b"))
+    val j0 = a.crossJoin(c)
+      .select(GraftFunctions.hll_jaccard_estimate(col("sk_a"), col("sk_b")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j0) < 0.05, s"disjoint jaccard estimate $j0 not near 0")
+  }
 }

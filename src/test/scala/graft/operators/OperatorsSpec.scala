@@ -501,4 +501,35 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
   }
+
+  test("word frequencies: exact counts, case-folded, punctuation-split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. THE cat!"),
+      (2L, "a dog; the dog")
+    ).toDF("doc_id", "text")
+    val freq = TextAnalysis.wordFrequencies(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L, "a" -> 1L, "dog" -> 2L))
+  }
+
+  test("unigram surprisal: rare-word docs score above common-word docs") {
+    import spark.implicits._
+    // 'zzz' appears once in a 12-token corpus; 'the' dominates. A doc made
+    // of rare tokens must out-score a doc of the most common token, and the
+    // hand-computed surprisal of the common-only doc must match exactly.
+    val docs = Seq(
+      (1L, "the the the the the"),
+      (2L, "the the the the the"),
+      (3L, "zzz qqq")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1)._1 == 5L)
+    // p(the) = 10/12 -> -log2 = 0.263  (rounded to 4 decimals)
+    assert(math.abs(rows(1)._2 - 0.263) < 0.001)
+    assert(rows(3)._2 > rows(1)._2 + 2.0, "rare-token doc must score far higher")
+    assert(rows(3)._3 == rows(3)._2, "uniform-rarity doc: max == mean")
+  }
 }

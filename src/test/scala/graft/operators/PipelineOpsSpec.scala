@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JoinStats / Upsert / Profile — the pipeline-management operators. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("join-size estimate: FK->PK and many-to-many uniform cases") {
+    import spark.implicits._
+    // fact: 1000 keys x 3 rows; dim: the same 1000 keys once -> 3000 rows
+    val fact = (0 until 1000).flatMap(k => Seq.fill(3)(k.toLong)).toDF("fk")
+    val dim = (0 until 1000).map(_.toLong).toDF("pk")
+    val est1 = JoinStats.equiJoinSizeEstimate(fact, "fk", dim, "pk")
+      .collect()(0).getLong(0)
+    assert(math.abs(est1 - 3000.0) / 3000.0 < 0.1, s"FK->PK estimate $est1 vs 3000")
+    // many-to-many: 3 x 2 copies per key -> 6 rows per key
+    val b2 = (0 until 1000).flatMap(k => Seq.fill(2)(k.toLong)).toDF("pk")
+    val est2 = JoinStats.equiJoinSizeEstimate(fact, "fk", b2, "pk")
+      .collect()(0).getLong(0)
+    assert(math.abs(est2 - 6000.0) / 6000.0 < 0.1, s"MxN estimate $est2 vs 6000")
+    // null keys never join and must not bias the estimate
+    val withNulls = fact.union(Seq.fill(500)(None: Option[Long]).toDF("fk"))
+    val est3 = JoinStats.equiJoinSizeEstimate(withNulls, "fk", dim, "pk")
+      .collect()(0).getLong(0)
+    assert(math.abs(est3 - 3000.0) / 3000.0 < 0.1, s"null-key estimate $est3 vs 3000")
+  }
+
+  test("upsert: update beats snapshot, insert lands, stale version loses") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "a", 5L), (2L, "b", 5L), (3L, "c", 5L)
+    ).toDF("id", "v", "ver")
+    val delta = Seq(
+      (2L, "b2", 5L),  // same version: delta wins the tie
+      (3L, "c0", 1L),  // STALE delta: snapshot keeps its newer row
+      (4L, "d", 7L)    // brand-new key: insert
+    ).toDF("id", "v", "ver")
+    val out = Upsert.upsert(snap, delta, Seq("id"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged all classified") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)
+    ).toDF("id", "price")
+    val after = Seq(
+      (1L, 10.0),   // unchanged
+      (2L, 25.0),   // changed
+      // 3 removed
+      (4L, 40.0),   // unchanged
+      (5L, 50.0)    // added
+    ).toDF("id", "price")
+    val out = Upsert.snapshotDiff(before, after, Seq("id"), Seq("price"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 2L))
+  }
+
+  test("profile: nulls/min/max exact, distinct estimate tight, single pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None),
+      (Some(2L), Some("y")), (None, Some("x"))
+    ).toDF("num", "s")
+    val rows = Profile.profile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("num").getLong(1) == 4L)           // n_rows
+    assert(rows("num").getLong(2) == 1L)           // n_nulls
+    assert(rows("num").getString(3) == "1")        // min_s
+    assert(rows("num").getString(4) == "2")        // max_s
+    assert(math.abs(rows("num").getDouble(5) - 2.0) < 0.1)
+    assert(rows("s").getLong(2) == 1L)
+    assert(rows("s").getString(3) == "x" && rows("s").getString(4) == "y")
+    assert(math.abs(rows("s").getDouble(5) - 2.0) < 0.1)
+    // the point of the HLL profiler: one aggregation, no Expand multiplying
+    // the input N-columns-fold before the shuffle
+    val plan = Profile.profile(df, Seq("num", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile must not plan an Expand:\n$plan")
+  }
+}
