@@ -154,6 +154,18 @@ object SparkEntry {
         .select(col("e.item").as("item"), col("e.count").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))
     }),
+    // Count-Min sketch in its exact regime (width 2048 >> distinct event
+    // types): one mergeable frequency sketch answers point lookups for
+    // every key — the counts must equal the exact GROUP BY.
+    "hll_cms_event_counts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.agg(GraftFunctions.cms_sketch_agg(col("event_type")).as("sk"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("event_type"),
+          GraftFunctions.cms_query(col("sk"), col("event_type")).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
 
     // composite-key distinct: sketch over a canonical key encoding, paired
     // with the exact multi-column count. The two sides run as SEPARATE
@@ -1644,6 +1656,9 @@ object SparkEntry {
     "hll_top_event_types" ->
       """SELECT event_type AS item, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
+    "hll_cms_event_counts" ->
+      """SELECT event_type, COUNT(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,

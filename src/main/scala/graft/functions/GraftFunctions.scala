@@ -103,6 +103,18 @@ object GraftFunctions {
   def approx_top_k(col: Column, k: Int = 10, capacity: Int = 1024): Column =
     aggCol(ApproxTopK(e(str(col)), k, capacity))
 
+  /** Count-Min frequency sketch as a BinaryType value: point-queryable,
+    * mergeable frequency estimates for arbitrary keys (never undercounts;
+    * overcount <= 2n/width w.p. 1 - 2^-depth). Complements [[approx_top_k]]
+    * (which keeps only heavy hitters).
+    */
+  def cms_sketch_agg(col: Column, depth: Int = 5, width: Int = 2048): Column =
+    aggCol(CmsSketchAgg(e(str(col)), depth, width))
+
+  /** Frequency estimate for one item from a stored Count-Min sketch. */
+  def cms_query(sketch: Column, item: Column): Column =
+    GraftShims.column(CmsQuery(e(sketch), e(str(item))))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -157,6 +169,13 @@ object GraftFunctions {
       val cap = if (args.length > 2) intArg(args(2), "capacity") else 1024
       ApproxTopK(Cast(args.head, StringType), k, cap).toAggregateExpression()
     })
+    GraftShims.registerFunction(spark, "cms_sketch_agg", { args =>
+      val depth = if (args.length > 1) intArg(args(1), "depth") else 5
+      val width = if (args.length > 2) intArg(args(2), "width") else 2048
+      CmsSketchAgg(Cast(args.head, StringType), depth, width).toAggregateExpression()
+    })
+    GraftShims.registerFunction(spark, "cms_query",
+      args => CmsQuery(args(0), Cast(args(1), StringType)))
     GraftShims.registerFunction(spark, "minhash_signature", { args =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

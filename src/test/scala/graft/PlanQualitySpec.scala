@@ -138,7 +138,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // BM25 broadcasts the 1-row (n_docs, avgdl) corpus stats
       "tx_bm25",
       // join-size estimate crosses its 1-row estimate into the 1-row exact
-      "q_join_size_estimate")
+      "q_join_size_estimate",
+      // CMS point lookups broadcast the 1-row sketch against distinct keys
+      "hll_cms_event_counts")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
