@@ -503,6 +503,28 @@ object SparkEntry {
           (col("_f99") >= 0.98 && col("_f99") <= 1.0).as("p99_ok"))
     }),
 
+    // Stored-sketch quantiles (GkSketchAgg/GkUnionAgg): per-returnflag GK
+    // summaries merged to a global one, then point-queried — the sketch-
+    // warehouse path where percentiles come from stored state, not rescans.
+    // Merge order varies run to run, so (like q_approx_percentiles) the
+    // contract emits rank-error booleans computed by one fraction-below pass.
+    "q_gk_quantile_reagg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perGroup = li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.gk_sketch_agg(col("l_extendedprice"), 0.01).as("gk"))
+      val merged = perGroup
+        .agg(GraftFunctions.gk_union_agg(col("gk")).as("gk"))
+        .select(GraftFunctions.gk_quantile(col("gk"), lit(0.5)).as("_p50"),
+          GraftFunctions.gk_quantile(col("gk"), lit(0.9)).as("_p90"))
+      li.crossJoin(broadcast(merged))
+        .agg(
+          avg(when(col("l_extendedprice") <= col("_p50"), 1.0).otherwise(0.0)).as("_f50"),
+          avg(when(col("l_extendedprice") <= col("_p90"), 1.0).otherwise(0.0)).as("_f90"))
+        .select(
+          (col("_f50") >= 0.47 && col("_f50") <= 0.53).as("p50_ok"),
+          (col("_f90") >= 0.87 && col("_f90") <= 0.93).as("p90_ok"))
+    }),
+
     // pivot: order counts per status x priority matrix
     "q_pivot" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1525,6 +1547,8 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT user_id) AS exact_users FROM events",
     "q_approx_percentiles" ->
       "SELECT TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok",
+    "q_gk_quantile_reagg" ->
+      "SELECT TRUE AS p50_ok, TRUE AS p90_ok",
     "q_exact_users_by_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.catalyst.util.QuantileSummaries.Stats
+import org.apache.spark.sql.types._
+
+/** Greenwald-Khanna quantile summary as a STORED, re-mergeable BinaryType
+  * value — the quantile member of the sketch warehouse (HLL = distinct,
+  * Misra-Gries = heavy hitters, Count-Min = frequencies, GK = quantiles).
+  * `approx_percentile` answers one query inline; storing the summary
+  * instead lets a per-(day, group) sketch table answer ANY later percentile
+  * at ANY rollup via [[GkUnionAgg]] without rescanning raw data.
+  *
+  * Wraps Spark's own `QuantileSummaries` (the engine under
+  * `approx_percentile`): rank error <= relativeError × n, state
+  * O(1/relativeError · log(εn)). The wire format is (relativeError,
+  * compressThreshold, count, sampled (value, g, delta) triples) — the
+  * summary's complete state, so stored sketches merge losslessly with the
+  * same guarantee.
+  */
+final class GkBuffer(val relativeError: Double) extends Serializable {
+  var summaries: QuantileSummaries = new QuantileSummaries(
+    QuantileSummaries.defaultCompressThreshold, relativeError,
+    Array.empty[Stats], 0L, false)
+  private var sinceCompress: Int = 0
+
+  def add(v: Double): Unit = {
+    summaries = summaries.insert(v)
+    sinceCompress += 1
+    if (sinceCompress >= QuantileSummaries.defaultCompressThreshold) {
+      summaries = summaries.compress()
+      sinceCompress = 0
+    }
+  }
+
+  /** GK merge requires both sides flushed+compressed. */
+  def compressed(): QuantileSummaries = {
+    if (!summaries.compressed) summaries = summaries.compress()
+    summaries
+  }
+
+  def merge(other: GkBuffer): GkBuffer = {
+    summaries = compressed().merge(other.compressed())
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val s = compressed()
+    val n = s.sampled.length
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 4 + 24 * n)
+    bb.putDouble(s.relativeError).putInt(s.compressThreshold)
+      .putLong(s.count).putInt(n)
+    var i = 0
+    while (i < n) {
+      val st = s.sampled(i)
+      bb.putDouble(st.value).putLong(st.g).putLong(st.delta)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object GkBuffer {
+  def deserialize(bytes: Array[Byte]): GkBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val relErr = bb.getDouble
+    val threshold = bb.getInt
+    val count = bb.getLong
+    val n = bb.getInt
+    require(bytes.length == 24 + 24 * n,
+      s"gk buffer length ${bytes.length} != ${24 + 24 * n} for $n samples")
+    val sampled = new Array[Stats](n)
+    var i = 0
+    while (i < n) {
+      sampled(i) = Stats(bb.getDouble, bb.getLong, bb.getLong)
+      i += 1
+    }
+    val b = new GkBuffer(relErr)
+    b.summaries = new QuantileSummaries(threshold, relErr, sampled, count, true)
+    b
+  }
+}
+
+/** `gk_sketch_agg(col, relativeError)` -> BinaryType quantile summary. */
+case class GkSketchAgg(
+    child: Expression,
+    relativeError: Double = 0.01,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GkBuffer] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires DOUBLE input, got ${child.dataType.sql}")
+    else if (relativeError <= 0 || relativeError >= 1)
+      TypeCheckResult.TypeCheckFailure(s"need 0 < relativeError < 1, got $relativeError")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): GkBuffer = new GkBuffer(relativeError)
+
+  override def update(buffer: GkBuffer, input: InternalRow): GkBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(b1: GkBuffer, b2: GkBuffer): GkBuffer = b1.merge(b2)
+  override def eval(buffer: GkBuffer): Any = buffer.serialize()
+  override def serialize(buffer: GkBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): GkBuffer = GkBuffer.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): GkSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GkSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): GkSketchAgg = copy(child = c)
+  override def prettyName: String = "gk_sketch_agg"
+}
+
+/** `gk_union_agg(sketchCol)` -> BinaryType: merge stored GK summaries —
+  * per-(day, group) sketches roll up to any coarser grain losslessly.
+  */
+case class GkUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GkBuffer] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY sketch input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): GkBuffer =
+    new GkBuffer(QuantileSummaries.defaultRelativeError)
+
+  override def update(buffer: GkBuffer, input: InternalRow): GkBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(GkBuffer.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buffer
+  }
+
+  override def merge(b1: GkBuffer, b2: GkBuffer): GkBuffer = b1.merge(b2)
+  override def eval(buffer: GkBuffer): Any = buffer.serialize()
+  override def serialize(buffer: GkBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): GkBuffer = GkBuffer.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): GkUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GkUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): GkUnionAgg = copy(child = c)
+  override def prettyName: String = "gk_union_agg"
+}
+
+/** `gk_quantile(sketch, q)` -> DoubleType approximate quantile (null for an
+  * empty sketch). Deserializes per call — lookup-style use only.
+  */
+case class GkQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY sketch, DOUBLE quantile), got (${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  // an empty sketch yields null even when both inputs are non-null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(sk: Any, q: Any): Any = {
+    val quantile = q.asInstanceOf[Double]
+    require(quantile >= 0.0 && quantile <= 1.0, s"quantile $quantile not in [0, 1]")
+    GkBuffer.deserialize(sk.asInstanceOf[Array[Byte]])
+      .compressed().query(quantile) match {
+      case Some(v) => v
+      case None => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GkQuantile =
+    copy(left = l, right = r)
+  override def prettyName: String = "gk_quantile"
+}

@@ -115,6 +115,22 @@ object GraftFunctions {
   def cms_query(sketch: Column, item: Column): Column =
     GraftShims.column(CmsQuery(e(sketch), e(str(item))))
 
+  /** Greenwald-Khanna quantile summary as a stored BinaryType value (rank
+    * error <= relativeError × n): store per-(day, group) sketches once,
+    * answer any later percentile at any rollup via [[gk_union_agg]] +
+    * [[gk_quantile]] with no rescan. Input cast to double.
+    */
+  def gk_sketch_agg(col: Column, relativeError: Double = 0.01): Column =
+    aggCol(GkSketchAgg(e(col.cast("double")), relativeError))
+
+  /** Merge a column of stored GK summaries into one (lossless, same bound). */
+  def gk_union_agg(col: Column): Column =
+    aggCol(GkUnionAgg(e(col)))
+
+  /** Approximate quantile q in [0,1] from a stored GK summary. */
+  def gk_quantile(sketch: Column, q: Column): Column =
+    GraftShims.column(GkQuantile(e(sketch), e(q.cast("double"))))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -176,6 +192,22 @@ object GraftFunctions {
     })
     GraftShims.registerFunction(spark, "cms_query",
       args => CmsQuery(args(0), Cast(args(1), StringType)))
+    GraftShims.registerFunction(spark, "gk_sketch_agg", { args =>
+      val relErr = if (args.length > 1) {
+        require(args(1).foldable, "gk_sketch_agg relativeError must be a literal")
+        args(1).eval() match {
+          case d: Decimal => d.toDouble // SQL fractional literals are DECIMAL
+          case n: Number  => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"gk_sketch_agg relativeError must be numeric, got $other")
+        }
+      } else 0.01
+      GkSketchAgg(Cast(args.head, DoubleType), relErr).toAggregateExpression()
+    })
+    GraftShims.registerFunction(spark, "gk_union_agg",
+      args => GkUnionAgg(args.head).toAggregateExpression())
+    GraftShims.registerFunction(spark, "gk_quantile",
+      args => GkQuantile(args(0), Cast(args(1), DoubleType)))
     GraftShims.registerFunction(spark, "minhash_signature", { args =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

@@ -23,17 +23,20 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String], k: Int = 4096): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+    // positional intermediate aliases + backtick-quoted source refs: column
+    // names with dots/spaces/quotes must not leak into parsed expressions
+    def src(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = count(lit(1)).as("_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"),
-        GraftFunctions.hll_cardinality(col(c), k).as(s"_dist_$c"))
+        sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
+        min(src(c)).cast("string").as(s"_min_$i"),
+        max(src(c)).cast("string").as(s"_max_$i"),
+        GraftFunctions.hll_cardinality(src(c), k).as(s"_dist_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a flat argument list, 6 values per output row
-    val stacked = cols.map { c =>
-      s"'$c', _rows, _nulls_$c, _min_$c, _max_$c, _dist_$c"
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("'", "\\'")}', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.length}, $stacked) AS " +

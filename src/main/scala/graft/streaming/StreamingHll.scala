@@ -52,6 +52,25 @@ object StreamingHll {
       .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
       .agg(GraftFunctions.approx_top_k(col(valueCol), k, capacity).as("top_k"))
 
+  /** Windowed Count-Min frequency sketch as a stored value: per-window
+    * point-queryable frequency tables ([[graft.functions.CmsSketchAgg]])
+    * with depth×width longs of state per (window, group) regardless of
+    * stream volume — "how often did key X occur in each hour" without
+    * keeping per-key state.
+    */
+  def windowedFrequency(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      depth: Int = 5,
+      width: Int = 2048,
+      extraGroups: Seq[String] = Nil): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
+      .agg(GraftFunctions.cms_sketch_agg(col(valueCol), depth, width).as("cms"))
+
   /** Same, but emitting the mergeable sketch itself — downstream consumers
     * can re-aggregate across windows/groups without reprocessing the stream.
     */

@@ -140,7 +140,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // join-size estimate crosses its 1-row estimate into the 1-row exact
       "q_join_size_estimate",
       // CMS point lookups broadcast the 1-row sketch against distinct keys
-      "hll_cms_event_counts")
+      "hll_cms_event_counts",
+      // GK rank-error check broadcasts the 1-row merged-quantile result
+      "q_gk_quantile_reagg")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
