@@ -72,6 +72,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vocab join must broadcast (token side never shuffles raw):\n$p")
   }
 
+  test("cms aggregate plans as partial/final around one exchange") {
+    val p = plan("hll_cms_event_counts")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate for CMS:\n$p")
+    assert(p.contains("cms_sketch_agg"), "CMS aggregate missing from plan")
+  }
+
   test("exact dedup shuffles digests, not text") {
     val df = operators.Dedup.exactDupStats(
       spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
