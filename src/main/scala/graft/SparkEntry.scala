@@ -389,6 +389,15 @@ object SparkEntry {
             .as("distinct_ok"))
         .orderBy(col("col_name"))
     }),
+    // Ordered funnel (Funnel.funnel): users completing view -> click ->
+    // purchase IN ORDER — chained cumulative windows, one exchange, one
+    // per-user sweep. A purchase before the first view must not count.
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.Funnel.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), tieBreakCols = Seq("event_id"))
+        .orderBy(col("stage_idx"))
+    }),
     // Daily event volumes with a trailing-window z-score — streaming-ish
     // anomaly detection expressed as a batch window query. The window frame
     // is per event_type ordered by day, so the shuffle is one exchange on
@@ -1651,6 +1660,32 @@ object SparkEntry {
         |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR), TRUE
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS r0
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'click' AND r0 = 1
+        |                     THEN 1 ELSE 0 END) OVER w AS r1
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s3 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND r1 = 1
+        |                     THEN 1 ELSE 0 END) OVER w AS r2
+        |  FROM s2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |pu AS (SELECT user_id, MAX(r0) AS r0, MAX(r1) AS r1, MAX(r2) AS r2
+        |       FROM s3 GROUP BY user_id)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |  CAST(SUM(r0) AS BIGINT) AS n_users FROM pu
+        |UNION ALL SELECT 1, 'click', CAST(SUM(r1) AS BIGINT) FROM pu
+        |UNION ALL SELECT 2, 'purchase', CAST(SUM(r2) AS BIGINT) FROM pu
+        |ORDER BY stage_idx""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -66,6 +66,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unchanged" -> 2L))
   }
 
+  test("funnel: order matters, out-of-order stages don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: purchase BEFORE view/click -> only reaches stage 2
+      (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 3L, "click"),
+      // user 3: view only
+      (3L, 1L, "view"),
+      // user 4: click with no prior view -> reaches nothing
+      (4L, 1L, "click"), (4L, 2L, "purchase"),
+      // user 5: interleaved noise, still completes
+      (5L, 1L, "view"), (5L, 2L, "error"), (5L, 3L, "click"),
+      (5L, 4L, "view"), (5L, 5L, "purchase")
+    ).map { case (u, t, ty) => (u, new java.sql.Timestamp(t * 1000), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(0 -> 4L, 1 -> 3L, 2 -> 2L))
+    // one exchange on user_id: the chained windows and the per-user rollup
+    // must reuse a single hash partitioning
+    val plan = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"funnel must shuffle events once, saw $exchanges:\n$plan")
+  }
+
   test("profile: nulls/min/max exact, distinct estimate tight, single pass") {
     import spark.implicits._
     val df = Seq(
