@@ -67,6 +67,35 @@ object StressDrive {
       .agg(count(lit(1))).collect()(0).getLong(0)
     val t5 = (System.nanoTime()-t0)/1e9
     println(f"DRIVE pq-adc-1M-vectors: $t5%.1f s = ${1000000/t5/1e3}%.0f K vec/s encode+scan x 5 queries (rows=$topk)")
+    // Count-Min over 100M rows, 1000 groups: constant-size frequency state
+    // per group across the exchange (depth 5 x width 2048 x 8 B = 80 KiB)
+    t0 = System.nanoTime()
+    val cmsRows = df.groupBy("g").agg(
+      graft.functions.GraftFunctions.cms_sketch_agg(col("v"), 5, 2048).as("sk"))
+      .select(count(lit(1))).collect()(0).getLong(0)
+    val t6 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE cms-grouped-100M: $t6%.1f s = ${n/t6/1e6}%.1f M rows/s, $cmsRows groups")
+    // GK quantile sketches over 100M doubles, grouped then re-merged
+    t0 = System.nanoTime()
+    val gkP50 = spark.range(n).select((col("id") % 1000).as("g"),
+        (pmod(col("id") * 2654435761L, lit(100000L)) / 100000.0).as("v"))
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.gk_sketch_agg(col("v"), 0.01).as("gk"))
+      .agg(graft.functions.GraftFunctions.gk_union_agg(col("gk")).as("gk"))
+      .select(graft.functions.GraftFunctions.gk_quantile(col("gk"), lit(0.5)))
+      .collect()(0).getDouble(0)
+    val t7 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE gk-grouped-100M: $t7%.1f s = ${n/t7/1e6}%.1f M rows/s, merged p50=$gkP50%.4f (true 0.5)")
+    // upsert: 10M-row snapshot + 1M-row delta through the single keyed window
+    val snap = spark.range(10000000L).select(col("id").as("k"),
+      (col("id") % 97).cast("double").as("v"), lit(1L).as("ver"))
+    val delta = spark.range(1000000L).select((col("id") * 10).as("k"),
+      lit(-1.0).as("v"), lit(2L).as("ver"))
+    t0 = System.nanoTime()
+    val upCount = graft.operators.Upsert.upsert(snap, delta, Seq("k"), "ver")
+      .agg(count(lit(1)), sum(when(col("v") === -1.0, 1L))).collect()(0)
+    val t8 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE upsert-10M+1M: $t8%.1f s = ${11000000/t8/1e6}%.1f M rows/s (rows=${upCount.getLong(0)}, updated=${upCount.getLong(1)})")
     spark.stop()
   }
 }
