@@ -389,6 +389,54 @@ object SparkEntry {
             .as("distinct_ok"))
         .orderBy(col("col_name"))
     }),
+    // Correlated scalar subquery: customers whose most expensive order is
+    // >= 2x their average — Catalyst decorrelates both subqueries into one
+    // aggregate-then-join plan (no per-row re-execution).
+    "q_correlated_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.createOrReplaceTempView("_co_orders")
+      c.createOrReplaceTempView("_co_customer")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          (SELECT ROUND(MAX(o_totalprice), 2) FROM _co_orders
+           WHERE o_custkey = c_custkey) AS max_price,
+          (SELECT ROUND(AVG(o_totalprice), 2) FROM _co_orders
+           WHERE o_custkey = c_custkey) AS avg_price
+        FROM _co_customer
+        WHERE (SELECT MAX(o_totalprice) FROM _co_orders
+               WHERE o_custkey = c_custkey)
+              >= 2 * (SELECT AVG(o_totalprice) FROM _co_orders
+                      WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")
+    }),
+    // JSON source/sink round-trip through the driver gate: write a typed
+    // projection as JSON lines, read it back (schema inference), aggregate.
+    "q_json_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt"
+      d.coalesce(2).write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+    // CSV source/sink round-trip (header + explicit schema on read)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      o.coalesce(2).write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // Ordered funnel (Funnel.funnel): users completing view -> click ->
     // purchase IN ORDER — chained cumulative windows, one exchange, one
     // per-user sweep. A purchase before the first view must not count.
@@ -1660,6 +1708,26 @@ object SparkEntry {
         |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR), TRUE
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT ROUND(MAX(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price,
+        |  (SELECT ROUND(AVG(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS avg_price
+        |FROM customer
+        |WHERE (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+        |      >= 2 * (SELECT AVG(o_totalprice) FROM orders
+        |              WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_id, event_type,
