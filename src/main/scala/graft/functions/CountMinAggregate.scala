@@ -28,25 +28,29 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
   val counts = new Array[Long](depth * width)
   var total: Long = 0L
 
-  @inline private def row(item: String, d: Int): Int = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(item, 0x85ebca6b)
-    // force h2 odd so strides cover the table; floorMod keeps it in range
-    val g = h1.toLong + d.toLong * (h2.toLong | 1L)
-    java.lang.Math.floorMod(g, width.toLong).toInt
-  }
+  // the two base hashes are computed ONCE per add/query (that is the point
+  // of Kirsch-Mitzenmacher double hashing); force h2 odd so strides cover
+  // the table, floorMod keeps each row index in range
+  @inline private def row(h1: Long, h2: Long, d: Int): Int =
+    java.lang.Math.floorMod(h1 + d.toLong * h2, width.toLong).toInt
+
+  @inline private def hashes(item: String): (Long, Long) = (
+    scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c).toLong,
+    scala.util.hashing.MurmurHash3.stringHash(item, 0x85ebca6b).toLong | 1L)
 
   def add(item: String, n: Long = 1L): Unit = {
+    val (h1, h2) = hashes(item)
     var d = 0
-    while (d < depth) { counts(d * width + row(item, d)) += n; d += 1 }
+    while (d < depth) { counts(d * width + row(h1, h2, d)) += n; d += 1 }
     total += n
   }
 
   def query(item: String): Long = {
+    val (h1, h2) = hashes(item)
     var est = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = counts(d * width + row(item, d))
+      val c = counts(d * width + row(h1, h2, d))
       if (c < est) est = c
       d += 1
     }
@@ -73,10 +77,18 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
 
 object CmsSketch {
   def deserialize(bytes: Array[Byte]): CmsSketch = {
+    require(bytes.length >= 16, s"cms buffer truncated: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val s = new CmsSketch(bb.getInt, bb.getInt)
-    require(bytes.length == 16 + 8 * s.depth * s.width,
-      s"cms buffer length ${bytes.length} != ${16 + 8 * s.depth * s.width}")
+    val depth = bb.getInt
+    val width = bb.getInt
+    // validate the header BEFORE allocating depth*width longs: corrupt
+    // bytes must not drive a multi-GB allocation, and the expected-length
+    // check runs in long math so it can't wrap
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"cms header out of range: depth=$depth width=$width")
+    require(bytes.length.toLong == 16L + 8L * depth * width,
+      s"cms buffer length ${bytes.length} != ${16L + 8L * depth * width}")
+    val s = new CmsSketch(depth, width)
     s.total = bb.getLong
     var i = 0
     while (i < s.counts.length) { s.counts(i) = bb.getLong; i += 1 }

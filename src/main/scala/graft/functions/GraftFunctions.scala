@@ -180,18 +180,21 @@ object GraftFunctions {
       args => HllError(args.head))
     GraftShims.registerFunction(spark, "hll_info",
       args => HllInfo(args.head))
+    // PyStrCoerce (not a plain string cast) so numeric keys render the same
+    // through the SQL surface as the DataFrame API — a sketch built on one
+    // surface must answer lookups from the other
     GraftShims.registerFunction(spark, "approx_top_k_mg", { args =>
       val k = if (args.length > 1) intArg(args(1), "k") else 10
       val cap = if (args.length > 2) intArg(args(2), "capacity") else 1024
-      ApproxTopK(Cast(args.head, StringType), k, cap).toAggregateExpression()
+      ApproxTopK(PyStrCoerce(args.head), k, cap).toAggregateExpression()
     })
     GraftShims.registerFunction(spark, "cms_sketch_agg", { args =>
       val depth = if (args.length > 1) intArg(args(1), "depth") else 5
       val width = if (args.length > 2) intArg(args(2), "width") else 2048
-      CmsSketchAgg(Cast(args.head, StringType), depth, width).toAggregateExpression()
+      CmsSketchAgg(PyStrCoerce(args.head), depth, width).toAggregateExpression()
     })
     GraftShims.registerFunction(spark, "cms_query",
-      args => CmsQuery(args(0), Cast(args(1), StringType)))
+      args => CmsQuery(args(0), PyStrCoerce(args(1))))
     GraftShims.registerFunction(spark, "gk_sketch_agg", { args =>
       val relErr = if (args.length > 1) {
         require(args(1).foldable, "gk_sketch_agg relativeError must be a literal")

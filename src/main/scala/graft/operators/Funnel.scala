@@ -29,12 +29,20 @@ object Funnel {
       stages: Seq[String],
       tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val w = Window.partitionBy(col(userCol))
+    require(!events.columns.exists(_.matches("_s\\d+")),
+      "funnel reserves column names _s<i>")
+    val order = Window.partitionBy(col(userCol))
       .orderBy((col(tsCol) +: tieBreakCols.map(col)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var df = events
     stages.zipWithIndex.foreach { case (st, i) =>
-      val reached = if (i == 0) lit(1) else col(s"_s${i - 1}")
+      // stage k-1 must be satisfied STRICTLY EARLIER: read the cumulative
+      // flag at the previous row (lag of a running max = max over strictly
+      // preceding rows), else a repeated stage type (click -> click) would
+      // credit both stages from one event
+      val reached =
+        if (i == 0) lit(1)
+        else coalesce(lag(col(s"_s${i - 1}"), 1).over(order), lit(0))
       df = df.withColumn(s"_s$i",
         max(when(col(typeCol) === st && reached === 1, 1).otherwise(0)).over(w))
     }
@@ -45,7 +53,7 @@ object Funnel {
       sum(col("_r0")).as("_n0"),
       stages.indices.drop(1).map(i => sum(col(s"_r$i")).as(s"_n$i")): _*)
     val stacked = stages.zipWithIndex.map { case (st, i) =>
-      s"$i, '${st.replace("'", "\\'")}', _n$i"
+      s"$i, '${st.replace("\\", "\\\\").replace("'", "\\'")}', _n$i"
     }.mkString(", ")
     totals.selectExpr(
       s"stack(${stages.length}, $stacked) AS (stage_idx, stage, n_users)")

@@ -37,9 +37,13 @@ object JoinStats {
           col(key).as("_k"))
         .groupBy(col("_bkt"))
         .agg(count(lit(1)).as(n), GraftFunctions.hll_cardinality(col("_k"), k).as(d))
+    // multiply in double: per-bucket n_a*n_b in long arithmetic overflows
+    // (ANSI throws) at ~1e13-row inputs — exactly the target scale. An
+    // empty/disjoint side must report 0, not a NULL sum.
     side(a, aKey, "_na", "_da")
       .join(side(b, bKey, "_nb", "_db"), "_bkt")
-      .agg(round(sum(col("_na") * col("_nb") / greatest(col("_da"), col("_db"))))
+      .agg(coalesce(round(sum(col("_na").cast("double") * col("_nb")
+          / greatest(col("_da"), col("_db")))), lit(0.0))
         .cast("long").as("est_rows"))
       .select(col("est_rows"), lit(buckets).as("buckets"))
   }

@@ -36,7 +36,8 @@ object Profile {
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a flat argument list, 6 values per output row
     val stacked = cols.zipWithIndex.map { case (c, i) =>
-      s"'${c.replace("'", "\\'")}', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i"
+      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$lit', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.length}, $stacked) AS " +

@@ -28,6 +28,8 @@ object Upsert {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     require(snapshot.columns.sameElements(delta.columns),
       "snapshot/delta schemas must match")
+    require(!snapshot.columns.exists(c => c == "_src" || c == "_rn"),
+      "upsert reserves column names _src and _rn")
     val unioned = snapshot.withColumn("_src", lit(0))
       .unionByName(delta.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -49,7 +51,13 @@ object Upsert {
       before: DataFrame, after: DataFrame,
       keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && cmpCols.nonEmpty)
-    val sig = xxhash64((keyCols ++ cmpCols).map(col): _*)
+    require(!(keyCols ++ cmpCols).exists(c => c == "_sig" || c == "_t"),
+      "snapshotDiff reserves column names _sig and _t")
+    // hash each column's null FLAG alongside its value: Spark's xxhash64
+    // skips null children entirely, so (x, null) and (null, x) would
+    // otherwise fold the same value sequence and misreport 'unchanged'
+    val sig = xxhash64(
+      (keyCols.map(col) ++ cmpCols.flatMap(c => Seq(col(c).isNull, col(c)))): _*)
     def side(df: DataFrame, tag: Int): DataFrame =
       df.select((keyCols.map(col) :+ sig.as("_sig") :+ lit(tag).as("_t")): _*)
     side(before, 0).unionByName(side(after, 1))

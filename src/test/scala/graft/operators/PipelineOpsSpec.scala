@@ -94,6 +94,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"funnel must shuffle events once, saw $exchanges:\n$plan")
   }
 
+  test("funnel: a repeated stage type needs two occurrences") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click"),                    // one click: reaches stage 0 only
+      (2L, 1L, "click"), (2L, 2L, "click")  // two clicks: completes both
+    ).map { case (u, t, ty) => (u, new java.sql.Timestamp(t * 1000), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("click", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(0 -> 2L, 1 -> 1L),
+      "a single event must not satisfy two consecutive identical stages")
+  }
+
+  test("snapshot diff: null-position shifts between compare columns are 'changed'") {
+    import spark.implicits._
+    // xxhash64 skips null children — without per-column null flags these
+    // two rows would hash identically and misreport 'unchanged'
+    val before = Seq((1L, Some("x"), None: Option[String])).toDF("id", "a", "b")
+    val after = Seq((1L, None: Option[String], Some("x"))).toDF("id", "a", "b")
+    val out = Upsert.snapshotDiff(before, after, Seq("id"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("changed" -> 1L))
+  }
+
   test("profile: nulls/min/max exact, distinct estimate tight, single pass") {
     import spark.implicits._
     val df = Seq(
