@@ -71,6 +71,23 @@ object StreamingHll {
       .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
       .agg(GraftFunctions.cms_sketch_agg(col(valueCol), depth, width).as("cms"))
 
+  /** Windowed GK quantile summary as a stored value — per-window
+    * percentile state bounded by O(1/relativeError · log εn), so latency
+    * quantiles over an unbounded stream cost constant state per window.
+    * The emitted sketches re-aggregate across windows via `gk_union_agg`.
+    */
+  def windowedQuantile(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      relativeError: Double = 0.01,
+      extraGroups: Seq[String] = Nil): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
+      .agg(GraftFunctions.gk_sketch_agg(col(valueCol), relativeError).as("gk"))
+
   /** Same, but emitting the mergeable sketch itself — downstream consumers
     * can re-aggregate across windows/groups without reprocessing the stream.
     */

@@ -61,4 +61,37 @@ class StreamingCmsSpec extends AnyFunSuite {
       assert(perWindow == exact)
     } finally query.stop()
   }
+
+  test("streaming windowed GK quantiles hit the rank-error bound per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two hourly windows of pseudo-uniform latencies in [0, 1000)
+    val events = (0 until 4000).map { i =>
+      val hour = if (i % 2 == 0) 10 else 11
+      (new Timestamp(1700000000000L + hour * 3600000L + (i % 600) * 1000L),
+        ((i * 2654435761L) % 100000) / 100.0)
+    }
+    val stream = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingHll.windowedQuantile(
+      stream.toDF().toDF("ts", "v"), "ts", "v", "1 hour", "10 minutes",
+      relativeError = 0.01)
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("gk_stream_out").start()
+    try {
+      events.grouped(1500).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val p50s = spark.table("gk_stream_out")
+        .select(col("window.start").cast("long").as("w"),
+          GraftFunctions.gk_quantile(col("gk"), lit(0.5)).as("p50"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(p50s.size == 2)
+      // uniform [0, 1000): the median must land near 500 (1% rank error
+      // over ~2000 values per window, plus sampling discreteness)
+      p50s.foreach { case (w, p) =>
+        assert(math.abs(p - 500.0) < 30.0, s"window $w p50=$p")
+      }
+    } finally query.stop()
+  }
 }
