@@ -389,6 +389,24 @@ object SparkEntry {
             .as("distinct_ok"))
         .orderBy(col("col_name"))
     }),
+    // ntile + lead window functions: per-segment account-balance deciles
+    // with the average gap to the next-ranked customer.
+    "q_ntile_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      c.select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("gap",
+          round(lead(col("c_acctbal"), 1).over(w) - col("c_acctbal"), 2))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"),
+          round(avg(col("gap")), 3).as("avg_gap"))
+        .orderBy(col("c_mktsegment"), col("decile"))
+    }),
     // Correlated scalar subquery: customers whose most expensive order is
     // >= 2x their average — Catalyst decorrelates both subqueries into one
     // aggregate-then-join plan (no per-row re-execution).
@@ -1708,6 +1726,18 @@ object SparkEntry {
         |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR), TRUE
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_ntile_lead" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    NTILE(10) OVER w AS decile,
+        |    ROUND(LEAD(c_acctbal, 1) OVER w - c_acctbal, 2) AS gap
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, decile, COUNT(*) AS n,
+        |  ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi,
+        |  ROUND(AVG(gap), 3) AS avg_gap
+        |FROM r GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_name,
         |  (SELECT ROUND(MAX(o_totalprice), 2) FROM orders
