@@ -488,6 +488,86 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Time-series gap-fill: daily revenue per order priority on a complete
+    // date spine, missing days forward-filled from the last observed day.
+    // The spine is tiny (days x priorities, built from one global min/max
+    // aggregate) so the left join broadcasts; the only real exchanges are
+    // the daily rollup and one window pass per priority.
+    "q_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val daily = o.groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue"))
+      val spine = o.agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .crossJoin(o.select(col("o_orderpriority").as("priority")).distinct())
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      spine.join(daily, Seq("priority", "day"), "left")
+        .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(last(col("revenue"), ignoreNulls = true).over(w), lit(0.0))
+            .as("revenue_ff"),
+          col("n_orders").isNull.as("is_filled"))
+        .orderBy(col("priority"), col("day"))
+    }),
+
+    // WITH RECURSIVE month ladder (Spark 4 recursive CTE): the anchor seeds
+    // [first, last] order months, each step advances one month, then a left
+    // join pins monthly order volume — empty months survive with zeroes.
+    // Recursion depth = month span (~80 here), a driver-side plan property
+    // independent of row count, so the shape is scale-safe.
+    "q_recursive_cte" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("_rc_orders")
+      s.sql("""
+        WITH RECURSIVE months(m, mx) AS (
+          SELECT trunc(CAST(MIN(o_orderdate) AS DATE), 'MONTH'),
+                 trunc(CAST(MAX(o_orderdate) AS DATE), 'MONTH')
+          FROM _rc_orders
+          UNION ALL
+          SELECT add_months(m, 1), mx FROM months WHERE m < mx
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS DOUBLE), 2), 0.0) AS revenue
+        FROM months LEFT JOIN _rc_orders
+          ON trunc(CAST(o_orderdate AS DATE), 'MONTH') = m
+        GROUP BY m ORDER BY month""")
+    }),
+
+    // NOT IN vs NOT EXISTS null semantics: the second probe list contains
+    // NULLs (every 'P'-status order yields one), so its NOT IN must return
+    // zero matches under three-valued logic, while NOT EXISTS ignores NULLs
+    // entirely. Exercises Spark's null-aware anti join alongside the plain
+    // left-anti path.
+    "q_notin_nulls" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.createOrReplaceTempView("_nn_orders")
+      c.createOrReplaceTempView("_nn_customer")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM _nn_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM _nn_orders
+                                   WHERE o_orderstatus <> 'P'))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM _nn_customer
+           WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_custkey END
+             FROM _nn_orders)) AS n_not_in_with_nulls,
+          (SELECT COUNT(*) FROM _nn_customer c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM _nn_orders o
+             WHERE o.o_orderstatus <> 'P'
+               AND o.o_custkey = c.c_custkey)) AS n_not_exists""")
+    }),
+
     // explicit GROUPING SETS (beyond rollup/cube): two unrelated groupings
     // plus grand total in one pass, with grouping_id disambiguation
     "q_grouping_sets" -> ((s, dir) => {
@@ -907,6 +987,47 @@ object SparkEntry {
         (abs(GraftFunctions.hll_difference_estimate(col("sk_a"), col("sk_b"))
           - col("exact_a_only")) / col("exact_union") <= 0.05).as("difference_ok"))
     }),
+    // KMV bottom-k sketch: NATIVE set algebra on stored sketches (vs the
+    // HLL family's inclusion-exclusion). The event-id halves are provably
+    // disjoint (parity split of unique ids), so KMV's intersection estimate
+    // must be EXACTLY zero — no shared hash can sit in both bottom-k sets —
+    // where inclusion-exclusion would return union-scaled noise. The
+    // user-id halves overlap almost completely; intersection and Jaccard
+    // track the exact values within the 1/sqrt(k) band. One pass builds
+    // both sketch pairs; kmv_union_agg re-aggregates the stored event
+    // sketches into the union estimate.
+    "hll_kmv_sets" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+      val sk = half.groupBy(col("half")).agg(
+        GraftFunctions.kmv_sketch_agg(col("event_id"), 1024).as("sk_e"),
+        GraftFunctions.kmv_sketch_agg(col("user_id"), 1024).as("sk_u"))
+      val pair = sk.agg(
+        GraftFunctions.kmv_union_agg(col("sk_e")).as("sk_e_all"),
+        max(when(col("half") === 0, col("sk_e"))).as("sk_e0"),
+        max(when(col("half") === 1, col("sk_e"))).as("sk_e1"),
+        max(when(col("half") === 0, col("sk_u"))).as("sk_u0"),
+        max(when(col("half") === 1, col("sk_u"))).as("sk_u1"))
+      val exact = half.groupBy(col("user_id"))
+        .agg(countDistinct(col("half")).as("_nh"),
+          countDistinct(col("event_id")).as("_ne"))
+        .agg(count(lit(1)).as("exact_users"),
+          sum(when(col("_nh") === 2, 1L).otherwise(0L)).as("exact_users_both"),
+          sum(col("_ne")).as("exact_events"))
+      pair.crossJoin(exact).select(
+        col("exact_users"), col("exact_users_both"), col("exact_events"),
+        (abs(GraftFunctions.kmv_estimate(col("sk_e_all")) - col("exact_events"))
+          / col("exact_events") <= 0.1).as("union_ok"),
+        (GraftFunctions.kmv_intersect_estimate(col("sk_e0"), col("sk_e1"))
+          === 0.0).as("disjoint_exact"),
+        (abs(GraftFunctions.kmv_intersect_estimate(col("sk_u0"), col("sk_u1"))
+          - col("exact_users_both")) / col("exact_users") <= 0.1)
+          .as("users_intersect_ok"),
+        (abs(GraftFunctions.kmv_jaccard(col("sk_u0"), col("sk_u1"))
+          - col("exact_users_both").cast("double") / col("exact_users")) <= 0.1)
+          .as("users_jaccard_ok"))
+    }),
+
     // Sketch Jaccard between the two event halves: the user-overlap ratio
     // without ever materializing the sets. Exact side recomputed in-query;
     // the tolerance is generous because inclusion-exclusion noise compounds
@@ -1053,6 +1174,41 @@ object SparkEntry {
           graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens_ws"),
           graft.operators.TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
         .orderBy(col("doc_id"))
+    }),
+
+    // GPT-style sequence packing: concatenate documents in shard-local id
+    // order, chop into fixed 1024-token training sequences, report per-shard
+    // packing stats (docs split across a boundary, fill ratio). Shards are
+    // fully independent — at 100 TB the shard key becomes pmod(xxhash64(id),
+    // nShards) with nShards ~ cluster parallelism; id % 8 here keeps the
+    // DuckDB oracle byte-portable. Only exchange: the per-shard window
+    // cumsum; stats collapse to one row per shard.
+    "tx_sequence_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+        graft.operators.TextAnalysis.tokenCountBpe(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      toks.withColumn("cum_end", sum(col("n_tok")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("n_tok"))
+        .withColumn("bin_first",
+          floor(col("cum_start") / lit(budget.toDouble)).cast("long"))
+        // empty docs occupy no tokens: pin them to bin_first so they never
+        // count as boundary-split
+        .withColumn("bin_last",
+          when(col("n_tok") > 0, floor((col("cum_end") - 1) / lit(budget.toDouble)))
+            .otherwise(col("bin_first")).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum((col("bin_last") > col("bin_first")).cast("long")).as("n_split_docs"))
+        .withColumn("n_seqs", ceil(col("total_tokens") / lit(budget.toDouble)).cast("long"))
+        .withColumn("fill_ratio",
+          round(col("total_tokens") / (col("n_seqs") * budget), 4))
+        .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+          col("n_split_docs"), col("fill_ratio"))
+        .orderBy(col("shard"))
     }),
 
     // BM25 corpus search: top-20 documents for a fixed term set, scored by
@@ -1303,6 +1459,17 @@ object SparkEntry {
     "hll_distinct_pairs" ->
       """SELECT COUNT(*) AS exact_pairs, TRUE AS est_ok
         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)""".stripMargin,
+    "hll_kmv_sets" ->
+      """WITH nh AS (
+        |  SELECT user_id, COUNT(DISTINCT event_id % 2) AS nh,
+        |    COUNT(DISTINCT event_id) AS ne
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(*) FILTER (nh = 2) AS BIGINT) AS exact_users_both,
+        |  CAST(SUM(ne) AS BIGINT) AS exact_events,
+        |  TRUE AS union_ok, TRUE AS disjoint_exact,
+        |  TRUE AS users_intersect_ok, TRUE AS users_jaccard_ok
+        |FROM nh""".stripMargin,
     "hll_intersect_halves" ->
       """SELECT COUNT(*) AS exact_union,
         |  COUNT(*) FILTER (nh = 2) AS exact_intersect,
@@ -1505,6 +1672,30 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_end
+        |  FROM toks),
+        |b AS (
+        |  SELECT shard, n_tok, cum_end,
+        |    CAST(FLOOR((cum_end - n_tok) / 1024.0) AS BIGINT) AS bin_first,
+        |    CAST(CASE WHEN n_tok > 0 THEN FLOOR((cum_end - 1) / 1024.0)
+        |         ELSE FLOOR((cum_end - n_tok) / 1024.0) END AS BIGINT) AS bin_last
+        |  FROM c)
+        |SELECT shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(CEIL(SUM(n_tok) / 1024.0) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  ROUND(SUM(n_tok) / (CAST(CEIL(SUM(n_tok) / 1024.0) AS BIGINT) * 1024.0), 4)
+        |    AS fill_ratio
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "tx_bm25" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -1797,6 +1988,61 @@ object SparkEntry {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, zscore,
         |  COALESCE(zscore > 2.5, FALSE) AS is_spike
         |FROM z ORDER BY event_type, day""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |         CAST(MAX(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT p.priority, s.day
+        |  FROM spine s
+        |  CROSS JOIN (SELECT DISTINCT o_orderpriority AS priority FROM orders) p)
+        |SELECT g.priority, strftime(g.day, '%Y-%m-%d') AS day,
+        |  COALESCE(d.n_orders, 0) AS n_orders,
+        |  COALESCE(LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+        |    PARTITION BY g.priority ORDER BY g.day), 0.0) AS revenue_ff,
+        |  (d.day IS NULL) AS is_filled
+        |FROM grid g LEFT JOIN daily d ON g.priority = d.priority AND g.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(m, mx) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE),
+        |         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months WHERE m < mx
+        |)
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |  COALESCE(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                      AS DOUBLE), 2), 0.0) AS revenue
+        |FROM months LEFT JOIN orders
+        |  ON CAST(DATE_TRUNC('month', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY month""".stripMargin,
+    "q_notin_nulls" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderstatus <> 'P'))
+        |    AS n_not_in_clean,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (
+        |     SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders)) AS n_not_in_with_nulls,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders o
+        |     WHERE o.o_orderstatus <> 'P'
+        |       AND o.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid,

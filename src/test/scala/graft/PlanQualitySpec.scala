@@ -132,7 +132,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
       "sim_ann_ivfpq",
       "hll_intersect_halves", "hll_difference_halves", "hll_jaccard_halves",
-      "hll_sketch_reagg",
+      "hll_sketch_reagg", "hll_kmv_sets",
       // unigram surprisal crosses the 1-row corpus-total into the
       // vocab-sized frequency table before the broadcast score join
       "tx_surprisal",
@@ -148,6 +148,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q_join_size_estimate",
       // CMS point lookups broadcast the 1-row sketch against distinct keys
       "hll_cms_event_counts",
+      // gap-fill grid: day spine (one row per day, from a 1-row min/max
+      // aggregate) crossed with the <=5 distinct priorities
+      "q_gapfill",
       // GK rank-error check broadcasts the 1-row merged-quantile result
       "q_gk_quantile_reagg")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
