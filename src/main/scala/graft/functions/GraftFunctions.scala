@@ -131,6 +131,33 @@ object GraftFunctions {
   def gk_quantile(sketch: Column, q: Column): Column =
     GraftShims.column(GkQuantile(e(sketch), e(q.cast("double"))))
 
+  /** KMV bottom-k distinct sketch as a stored BinaryType value: exact below
+    * k, RSE ~ 1/sqrt(k-2) beyond, and — unlike HLL — supports NATIVE set
+    * operations ([[kmv_jaccard]], [[kmv_intersect_estimate]]) because the
+    * retained hashes are a uniform sample of the union. Input cast to
+    * string like the HLL family; hash = the `xxhash64` builtin's.
+    */
+  def kmv_sketch_agg(col: Column, k: Int = 1024): Column =
+    aggCol(KmvSketchAgg(e(str(col)), k))
+
+  /** Merge a column of stored KMV sketches into one (bottom-k set union). */
+  def kmv_union_agg(col: Column): Column =
+    aggCol(KmvUnionAgg(e(col)))
+
+  /** Distinct-count estimate from a stored KMV sketch. */
+  def kmv_estimate(sketch: Column): Column =
+    GraftShims.column(KmvEstimate(e(sketch)))
+
+  /** Jaccard |A∩B|/|A∪B| estimate from two KMV sketches (no
+    * inclusion-exclusion: the merged bottom-k is a uniform union sample).
+    */
+  def kmv_jaccard(a: Column, b: Column): Column =
+    GraftShims.column(KmvJaccard(e(a), e(b)))
+
+  /** |A ∩ B| estimate from two KMV sketches. */
+  def kmv_intersect_estimate(a: Column, b: Column): Column =
+    GraftShims.column(KmvIntersectEstimate(e(a), e(b)))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -211,6 +238,18 @@ object GraftFunctions {
       args => GkUnionAgg(args.head).toAggregateExpression())
     GraftShims.registerFunction(spark, "gk_quantile",
       args => GkQuantile(args(0), Cast(args(1), DoubleType)))
+    GraftShims.registerFunction(spark, "kmv_sketch_agg", { args =>
+      val k = if (args.length > 1) intArg(args(1), "k") else 1024
+      KmvSketchAgg(PyStrCoerce(args.head), k).toAggregateExpression()
+    })
+    GraftShims.registerFunction(spark, "kmv_union_agg",
+      args => KmvUnionAgg(args.head).toAggregateExpression())
+    GraftShims.registerFunction(spark, "kmv_estimate",
+      args => KmvEstimate(args.head))
+    GraftShims.registerFunction(spark, "kmv_jaccard",
+      args => KmvJaccard(args(0), args(1)))
+    GraftShims.registerFunction(spark, "kmv_intersect_estimate",
+      args => KmvIntersectEstimate(args(0), args(1)))
     GraftShims.registerFunction(spark, "minhash_signature", { args =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

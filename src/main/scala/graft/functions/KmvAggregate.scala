@@ -1,0 +1,302 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values / bottom-k) distinct sketch: keeps the k smallest
+  * distinct 64-bit hashes of the input (Bar-Yossef et al. 2002,
+  * Beyer et al. SIGMOD'07). Complements the HLL family with NATIVE set
+  * operations: because the retained values are a uniform sample of the
+  * hashed universe, two sketches support direct Jaccard / intersection
+  * estimation (`kmv_jaccard`, `kmv_intersect_estimate`) instead of HLL's
+  * inclusion-exclusion, whose absolute error is union-scaled and blows up
+  * relatively for small intersections.
+  *
+  * Estimator: exact count while fewer than k distinct hashes were seen;
+  * otherwise `(k-1) / U(h_k)` where `U(h_k)` is the k-th smallest hash
+  * normalized to (0,1] over the unsigned 64-bit space — unbiased with
+  * RSE ~ 1/sqrt(k-2).
+  *
+  * Hash: Spark's XXH64 (same function as the `xxhash64` builtin, seed 42)
+  * over the UTF-8 bytes — deterministic across partitions/JVMs, and cheap
+  * enough that the sketch build stays scan-bound. Merge is a bottom-k set
+  * union (commutative, associative, idempotent), so the aggregate gets
+  * Catalyst partial/final aggregation and stored-sketch re-aggregation
+  * exactly like the HLL/CMS/GK families. State is at most k longs.
+  */
+final class KmvSketch(val k: Int) extends Serializable {
+  require(k >= 2, s"kmv k must be >= 2, got $k")
+
+  // bottom-k distinct hashes in unsigned order; TreeSet gives O(log k)
+  // insert + max eviction. Boxing is acceptable: k is typically 256-4096
+  // and the reject-fast path below never allocates once the set is full.
+  private[functions] val values =
+    new java.util.TreeSet[java.lang.Long](new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
+
+  @inline def addHash(h: Long): Unit = {
+    if (values.size < k) { values.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, values.last()) < 0) {
+      if (values.add(h)) values.pollLast()
+    }
+  }
+
+  def add(item: String): Unit = addHash(KmvSketch.hash64(item))
+
+  def occupied: Int = values.size
+
+  /** Unsigned long -> double in [0, 2^64). */
+  @inline private def ud(h: Long): Double =
+    if (h >= 0) h.toDouble else h.toDouble + 1.8446744073709552E19
+
+  /** Distinct-count estimate: exact below k, (k-1)/U(h_k) at capacity. */
+  def estimate: Double =
+    if (values.size < k) values.size.toDouble
+    else (k - 1).toDouble * 1.8446744073709552E19 / ud(values.last())
+
+  /** Bottom-k set union; keeps this sketch's k (both must agree). */
+  def merge(other: KmvSketch): KmvSketch = {
+    require(other.k == k, s"cannot merge kmv(k=$k) with kmv(k=${other.k})")
+    val it = other.values.iterator()
+    while (it.hasNext) addHash(it.next())
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * values.size)
+    bb.putInt(k).putInt(values.size)
+    val it = values.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+}
+
+object KmvSketch {
+  /** Same hash as Spark's `xxhash64` builtin at its default seed. */
+  def hash64(item: String): Long = {
+    val bytes = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+  }
+
+  def deserialize(bytes: Array[Byte]): KmvSketch = {
+    require(bytes.length >= 8, s"kmv buffer truncated: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val n = bb.getInt
+    require(k >= 2 && n >= 0 && n <= k,
+      s"kmv header out of range: k=$k n=$n")
+    require(bytes.length.toLong == 8L + 8L * n,
+      s"kmv buffer length ${bytes.length} != ${8L + 8L * n}")
+    val s = new KmvSketch(k)
+    var i = 0
+    while (i < n) { s.values.add(bb.getLong); i += 1 }
+    s
+  }
+
+  /** Jaccard estimate from two sketches: the bottom-k' of the union is a
+    * uniform sample of A ∪ B (k' = min(k_a, k_b) positions), so the
+    * fraction of it present in BOTH sketches estimates |A∩B|/|A∪B|
+    * (Beyer et al. SIGMOD'07 §4). Exact when both sides stayed below
+    * capacity.
+    */
+  def jaccard(a: KmvSketch, b: KmvSketch): Double = {
+    val kp = math.min(a.k, b.k)
+    val merged = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(x: java.lang.Long, y: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(x, y)
+      })
+    merged.addAll(a.values)
+    merged.addAll(b.values)
+    if (merged.isEmpty) return 0.0
+    var inBoth = 0
+    var taken = 0
+    val it = merged.iterator()
+    while (it.hasNext && taken < kp) {
+      val h = it.next()
+      if (a.values.contains(h) && b.values.contains(h)) inBoth += 1
+      taken += 1
+    }
+    inBoth.toDouble / taken.toDouble
+  }
+
+  /** |A ∪ B| estimate: merged bottom-min(k) sketch estimate. */
+  def unionEstimate(a: KmvSketch, b: KmvSketch): Double = {
+    val kp = math.min(a.k, b.k)
+    val u = new KmvSketch(kp)
+    val ia = a.values.iterator()
+    while (ia.hasNext) u.addHash(ia.next())
+    val ib = b.values.iterator()
+    while (ib.hasNext) u.addHash(ib.next())
+    u.estimate
+  }
+
+  /** |A ∩ B| estimate: J(A,B) × |A ∪ B| — both terms from the same merged
+    * bottom-k' sample, no inclusion-exclusion cancellation.
+    */
+  def intersectEstimate(a: KmvSketch, b: KmvSketch): Double =
+    jaccard(a, b) * unionEstimate(a, b)
+}
+
+/** `kmv_sketch_agg(col, k)` -> BinaryType bottom-k sketch. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
+    else if (k < 2)
+      TypeCheckResult.TypeCheckFailure(s"need k >= 2, got k=$k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
+
+  override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(b1: KmvSketch, b2: KmvSketch): KmvSketch = b1.merge(b2)
+  override def eval(buffer: KmvSketch): Any = buffer.serialize()
+  override def serialize(buffer: KmvSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvSketchAgg = copy(child = c)
+  override def prettyName: String = "kmv_sketch_agg"
+}
+
+/** `kmv_union_agg(sketchCol)` -> BinaryType merged sketch. The empty buffer
+  * carries no k; it adopts the first sketch it sees (sentinel k=0 never
+  * serializes: an all-null group evaluates to the empty-header form below).
+  */
+case class KmvUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvUnionAgg.Buf] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY sketch input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvUnionAgg.Buf = new KmvUnionAgg.Buf(null)
+
+  override def update(buffer: KmvUnionAgg.Buf, input: InternalRow): KmvUnionAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) buffer.absorb(KmvSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(b1: KmvUnionAgg.Buf, b2: KmvUnionAgg.Buf): KmvUnionAgg.Buf = {
+    if (b2.sk != null) b1.absorb(b2.sk)
+    b1
+  }
+
+  override def eval(buffer: KmvUnionAgg.Buf): Any = buffer.serialize()
+  override def serialize(buffer: KmvUnionAgg.Buf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvUnionAgg.Buf =
+    if (bytes.length == 0) new KmvUnionAgg.Buf(null)
+    else new KmvUnionAgg.Buf(KmvSketch.deserialize(bytes))
+  override def withNewMutableAggBufferOffset(o: Int): KmvUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvUnionAgg = copy(child = c)
+  override def prettyName: String = "kmv_union_agg"
+}
+
+object KmvUnionAgg {
+  final class Buf(var sk: KmvSketch) extends Serializable {
+    def absorb(other: KmvSketch): Unit =
+      if (sk == null) sk = other else sk.merge(other)
+    // an all-null group serializes as zero bytes, which deserialize back to
+    // the empty buffer; eval of such a group yields an empty k=2 sketch so
+    // downstream kmv_estimate reads 0.0 instead of throwing
+    def serialize(): Array[Byte] =
+      if (sk == null) Array.emptyByteArray else sk.serialize()
+  }
+}
+
+/** `kmv_estimate(sketch)` -> DOUBLE distinct-count estimate. */
+case class KmvEstimate(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY sketch input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(sk: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (bytes.length == 0) 0.0 else KmvSketch.deserialize(bytes).estimate
+  }
+
+  override protected def withNewChildInternal(c: Expression): KmvEstimate = copy(child = c)
+  override def prettyName: String = "kmv_estimate"
+}
+
+/** `kmv_jaccard(a, b)` -> DOUBLE Jaccard similarity estimate. */
+case class KmvJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY) sketches, got (${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.jaccard(
+      KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
+      KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_jaccard"
+}
+
+/** `kmv_intersect_estimate(a, b)` -> DOUBLE |A ∩ B| estimate. */
+case class KmvIntersectEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY) sketches, got (${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.intersectEstimate(
+      KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
+      KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_intersect_estimate"
+}
