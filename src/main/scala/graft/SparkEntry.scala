@@ -1028,6 +1028,41 @@ object SparkEntry {
           .as("users_jaccard_ok"))
     }),
 
+    // Audience-overlap matrix from stored KMV sketches: one scan builds a
+    // sketch per event_type, then every pairwise intersection/Jaccard comes
+    // from kilobyte sketch values — the |types|^2 pair join never touches
+    // raw events. At 100 TB with daily per-segment sketch tables this is
+    // the whole point of KMV: any-segment-vs-any-segment overlap without a
+    // rescan. Exact sides recomputed in-query from a distinct (user, type)
+    // projection; tolerances are union-relative (the honest contract for
+    // intersections).
+    "hll_kmv_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(GraftFunctions.kmv_sketch_agg(col("user_id"), 1024).as("sk"),
+          countDistinct(col("user_id")).as("nd"))
+      val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"),
+        col("nd").as("exact_a"))
+      val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"),
+        col("nd").as("exact_b"))
+      val pairs = a.join(b, col("et_a") < col("et_b"))
+      val ut = ev.select(col("user_id"), col("event_type")).distinct()
+      val exactBoth = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("et_a"), col("y.event_type").as("et_b"))
+        .agg(count(lit(1)).as("exact_both"))
+      val u = col("exact_a") + col("exact_b") - col("exact_both")
+      pairs.join(exactBoth, Seq("et_a", "et_b"))
+        .select(col("et_a"), col("et_b"),
+          col("exact_a"), col("exact_b"), col("exact_both"),
+          (abs(GraftFunctions.kmv_intersect_estimate(col("sk_a"), col("sk_b"))
+            - col("exact_both")) / u <= 0.1).as("intersect_ok"),
+          (abs(GraftFunctions.kmv_jaccard(col("sk_a"), col("sk_b"))
+            - col("exact_both").cast("double") / u) <= 0.1).as("jaccard_ok"))
+        .orderBy(col("et_a"), col("et_b"))
+    }),
+
     // Sketch Jaccard between the two event halves: the user-overlap ratio
     // without ever materializing the sets. Exact side recomputed in-query;
     // the tolerance is generous because inclusion-exclusion noise compounds
@@ -1470,6 +1505,24 @@ object SparkEntry {
         |  TRUE AS union_ok, TRUE AS disjoint_exact,
         |  TRUE AS users_intersect_ok, TRUE AS users_jaccard_ok
         |FROM nh""".stripMargin,
+    "hll_kmv_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nd AS (SELECT event_type, COUNT(*) AS nd FROM ut GROUP BY event_type),
+        |pairs AS (
+        |  SELECT x.event_type AS et_a, y.event_type AS et_b,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.et_a, p.et_b,
+        |  CAST(na.nd AS BIGINT) AS exact_a,
+        |  CAST(nb.nd AS BIGINT) AS exact_b,
+        |  exact_both,
+        |  TRUE AS intersect_ok, TRUE AS jaccard_ok
+        |FROM pairs p
+        |JOIN nd na ON p.et_a = na.event_type
+        |JOIN nd nb ON p.et_b = nb.event_type
+        |ORDER BY et_a, et_b""".stripMargin,
     "hll_intersect_halves" ->
       """SELECT COUNT(*) AS exact_union,
         |  COUNT(*) FILTER (nh = 2) AS exact_intersect,

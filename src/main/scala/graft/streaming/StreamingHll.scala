@@ -88,6 +88,25 @@ object StreamingHll {
       .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
       .agg(GraftFunctions.gk_sketch_agg(col(valueCol), relativeError).as("gk"))
 
+  /** Windowed KMV bottom-k sketch as a stored value — at most k longs of
+    * state per (window, group). The emitted sketches re-aggregate via
+    * `kmv_union_agg` AND support native cross-window / cross-group set
+    * algebra (`kmv_jaccard`, `kmv_intersect_estimate`): e.g. "how much does
+    * this hour's audience overlap with last hour's" straight from the two
+    * stored kilobyte values, no raw-event replay.
+    */
+  def windowedKmv(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 1024,
+      extraGroups: Seq[String] = Nil): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: extraGroups.map(col)): _*)
+      .agg(GraftFunctions.kmv_sketch_agg(col(valueCol), k).as("kmv"))
+
   /** Same, but emitting the mergeable sketch itself — downstream consumers
     * can re-aggregate across windows/groups without reprocessing the stream.
     */

@@ -133,6 +133,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "sim_ann_ivfpq",
       "hll_intersect_halves", "hll_difference_halves", "hll_jaccard_halves",
       "hll_sketch_reagg", "hll_kmv_sets",
+      // overlap matrix: inequality pair-join of the <=|event_types| sketch
+      // rows (5 here) — bounded by segment count, never by data volume
+      "hll_kmv_overlap",
       // unigram surprisal crosses the 1-row corpus-total into the
       // vocab-sized frequency table before the broadcast score join
       "tx_surprisal",

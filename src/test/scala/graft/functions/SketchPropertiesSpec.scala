@@ -82,4 +82,48 @@ class SketchPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def kmv(items: Seq[String], k: Int = 32): KmvSketch = {
+    val s = new KmvSketch(k)
+    items.foreach(s.add(_))
+    s
+  }
+
+  test("KMV merge is commutative, associative, idempotent; equals single-pass build") {
+    forAllSeeded(Gen.zip(itemsGen, itemsGen, itemsGen)) { case (xs, ys, zs) =>
+      val ab = kmv(xs).merge(kmv(ys))
+      val ba = kmv(ys).merge(kmv(xs))
+      assert(ab.serialize().toSeq == ba.serialize().toSeq, "merge not commutative")
+      val abThenC = kmv(xs).merge(kmv(ys)).merge(kmv(zs))
+      val aThenBc = kmv(xs).merge(kmv(ys).merge(kmv(zs)))
+      assert(abThenC.serialize().toSeq == aThenBc.serialize().toSeq, "merge not associative")
+      val direct = kmv(xs ++ ys)
+      assert(ab.serialize().toSeq == direct.serialize().toSeq,
+        "partition-then-merge must equal single-pass build")
+      assert(ab.merge(kmv(xs)).serialize().toSeq == direct.serialize().toSeq,
+        "re-merging a subset must be a no-op (idempotent)")
+    }
+  }
+
+  test("KMV is exact below capacity; jaccard bounded in [0,1]; serde round-trips") {
+    forAllSeeded(Gen.zip(itemsGen, itemsGen)) { case (xs, ys) =>
+      val a = kmv(xs, k = 4096) // capacity >> generated list sizes
+      assert(a.estimate == xs.distinct.size.toDouble, "below-capacity estimate not exact")
+      val b = kmv(ys, k = 4096)
+      val j = KmvSketch.jaccard(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      val exactJ =
+        if (xs.isEmpty && ys.isEmpty) 0.0
+        else xs.toSet.intersect(ys.toSet).size.toDouble / xs.toSet.union(ys.toSet).size
+      assert(math.abs(j - exactJ) < 1e-12, s"below-capacity jaccard $j != $exactJ")
+      val rt = KmvSketch.deserialize(a.serialize())
+      assert(rt.serialize().toSeq == a.serialize().toSeq && rt.estimate == a.estimate)
+    }
+  }
+
+  test("KMV rejects k-mismatched merges") {
+    intercept[IllegalArgumentException] {
+      new KmvSketch(32).merge(new KmvSketch(64))
+    }
+  }
 }
