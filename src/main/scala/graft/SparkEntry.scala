@@ -719,6 +719,42 @@ object SparkEntry {
       both.union(onlyUrgent).union(either).orderBy(col("bucket"))
     }),
 
+    // Multiset set ops (ALL variants): INTERSECT ALL keeps min(multiplicity),
+    // EXCEPT ALL subtracts multiplicities — Catalyst rewrites these through
+    // a replicate-rows generate, a different physical path from the
+    // distinct-based rewrites q_setops exercises.
+    "q_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val interAll = urgent.intersectAll(open).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("bucket"), col("n"))
+      val exceptAll = urgent.exceptAll(open).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("bucket"), col("n"))
+      val unionAll = urgent.unionAll(open).agg(count(lit(1)).as("n"))
+        .select(lit("union_all").as("bucket"), col("n"))
+      interAll.union(exceptAll).union(unionAll).orderBy(col("bucket"))
+    }),
+
+    // max_by / min_by / median: per-segment extremes with a composite
+    // ordering key (acctbal cents * 1e7 + custkey — strictly monotonic in
+    // (acctbal, custkey), so ties are impossible and both engines agree);
+    // median computed over exact integer cents to dodge double-interpolation
+    // rendering drift.
+    "q_argmax_median" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val key = round(col("c_acctbal") * 100).cast("long") * 10000000L +
+        col("c_custkey")
+      c.groupBy(col("c_mktsegment"))
+        .agg(max_by(col("c_custkey"), key).as("top_cust"),
+          min_by(col("c_custkey"), key).as("bot_cust"),
+          (median(round(col("c_acctbal") * 100).cast("long")) / 100.0)
+            .as("med_bal"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // cube with grouping_id (grouping-sets family beyond rollup)
     "q_cube_status_priority" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1038,15 +1074,22 @@ object SparkEntry {
     // intersections).
     "hll_kmv_overlap" -> ((s, dir) => {
       val ev = events(s, dir)
+      // materialize the |types|-row sketch table and the distinct (user,
+      // type) projection once: both feed two join branches each, and
+      // without the checkpoint Catalyst re-runs the full event scan per
+      // branch (4 scans). The exact side exists only to verify the sketch
+      // math — production overlap matrices read the sketch table alone.
       val sk = ev.groupBy(col("event_type"))
         .agg(GraftFunctions.kmv_sketch_agg(col("user_id"), 1024).as("sk"),
           countDistinct(col("user_id")).as("nd"))
+        .localCheckpoint()
       val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"),
         col("nd").as("exact_a"))
       val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"),
         col("nd").as("exact_b"))
       val pairs = a.join(b, col("et_a") < col("et_b"))
       val ut = ev.select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint()
       val exactBoth = ut.as("x").join(ut.as("y"),
           col("x.user_id") === col("y.user_id")
             && col("x.event_type") < col("y.event_type"))
@@ -2175,6 +2218,34 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |) ORDER BY bucket""".stripMargin,
+    "q_setops_all" ->
+      """SELECT * FROM (
+        |  SELECT 'intersect_all' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'except_all' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    EXCEPT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'union_all' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |) ORDER BY bucket""".stripMargin,
+    "q_argmax_median" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        |    AS top_cust,
+        |  arg_min(c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        |    AS bot_cust,
+        |  median(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS med_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus, o_orderpriority) AS gid,
         |  COUNT(*) AS n
