@@ -455,6 +455,24 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("o_orderstatus"))
     }),
+    // Hive-style partitioned layout + planning-time pruning: write orders
+    // partitioned by status, read back with a partition predicate — the
+    // scan's PartitionFilters drop non-matching directories before any file
+    // I/O (asserted in PlanQualitySpec). The 100 TB pattern: partition by
+    // the coarse axis (date/source), prune whole directories per query.
+    "q_partition_pruning" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+      graft.operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Ordered funnel (Funnel.funnel): users completing view -> click ->
     // purchase IN ORDER — chained cumulative windows, one exchange, one
     // per-user sweep. A purchase before the first view must not count.
@@ -1254,6 +1272,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG-style overlapping-window chunking: 64-token windows at stride 48
+    // (16-token overlap), built with higher-order functions (sequence →
+    // transform → slice → aggregate) — pure map work, no shuffle until the
+    // per-doc stats. chunk_tokens = n_tok + overlap·(n_chunks−1) provides a
+    // structural self-check the oracle re-derives independently.
+    "tx_chunking" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.selectExpr("doc_id",
+          "filter(split(lower(text), '[^\\\\p{L}]+'), x -> x != '') as ws")
+        .selectExpr("doc_id", "cast(size(ws) as bigint) as n_tok",
+          """case when size(ws) = 0 then array()
+            |else transform(sequence(0, cast(floor((size(ws)-1)/48) as int)),
+            |               i -> slice(ws, i*48+1, 64)) end as chunks""".stripMargin)
+        .selectExpr("doc_id", "n_tok",
+          "cast(size(chunks) as bigint) as n_chunks",
+          "aggregate(chunks, 0L, (acc, c) -> acc + size(c)) as chunk_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // GPT-style sequence packing: concatenate documents in shard-local id
     // order, chop into fixed 1024-token training sequences, report per-shard
     // packing stats (docs split across a boundary, fill ratio). Shards are
@@ -1768,6 +1805,24 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |                x -> x != '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(LEN(ws) AS BIGINT) AS n_tok,
+        |    CASE WHEN LEN(ws) = 0 THEN []
+        |    ELSE LIST_TRANSFORM(
+        |      GENERATE_SERIES(0, CAST(FLOOR((LEN(ws)-1)/48) AS BIGINT)),
+        |      i -> ws[i*48+1 : i*48+64]) END AS chunks
+        |  FROM w)
+        |SELECT doc_id, n_tok,
+        |  CAST(LEN(chunks) AS BIGINT) AS n_chunks,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(chunks, ch -> LEN(ch))) AS BIGINT)
+        |    AS chunk_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "tx_sequence_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -2218,6 +2273,12 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |) ORDER BY bucket""".stripMargin,
+    "q_partition_pruning" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops_all" ->
       """SELECT * FROM (
         |  SELECT 'intersect_all' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -70,6 +70,21 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per partition
+    * value. At 100 TB the partition column is the COARSE pruning axis
+    * (ingest date, source, status): a reader with a partition predicate
+    * never lists or opens non-matching directories — pruning happens at
+    * planning time (`PartitionFilters` in the scan), before any file I/O.
+    * Keep partition cardinality modest (directories, not rows, are the
+    * cost); high-cardinality pruning belongs to bucketing/z-order below.
+    */
+  def partitionedWrite(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "partitionedWrite needs at least one partition column")
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Write `df` as parquet clustered on the Z-order of `cols`: range
     * repartition on the z-key into `numFiles` even output files, sort within
     * each, drop the key. Every listed column then prunes at file level.

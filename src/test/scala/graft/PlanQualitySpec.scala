@@ -32,6 +32,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate"), "column pruning lost: l_shipdate read")
   }
 
+  test("partitioned layout prunes non-matching directories at planning time") {
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec"
+    operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(path).filter(col("o_orderstatus") === "O")
+    // pruning is visible in BOTH the plan (PartitionFilters on the scan)
+    // and the runtime metrics: only the matching directory's files are read
+    // (inputFiles can't show this — it lists the relation pre-pruning)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail(s"no file scan in:\n$p"))
+    val matchFiles = new java.io.File(path, "o_orderstatus=O")
+      .listFiles((_, n) => n.endsWith(".parquet")).length
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned == matchFiles && scanned < totalFiles,
+      s"pruning not applied: scanned=$scanned matching=$matchFiles total=$totalFiles")
+    // and the full contract query keeps the pruned shape
+    assert(plan("q_partition_pruning").contains("PartitionFilters"))
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = plan("q_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
