@@ -369,6 +369,35 @@ object SparkEntry {
           o, after, Seq("o_orderkey"), Seq("o_totalprice"))
         .orderBy(col("change"))
     }),
+    // SCD2 history build (Upsert.scd2): three stacked order snapshots —
+    // v2 reprices every 10th key (+100.00, exact in both engines), v3
+    // additionally flips every 100th key's status — collapse to validity
+    // intervals; the summary counts rows per (valid_from, valid_to,
+    // is_current). valid_to=0 encodes "open" (null would drift between
+    // pandas renderings of nullable ints).
+    "q_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = o.withColumn("version", lit(1))
+      val v2 = o.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("version", lit(2))
+      val v3 = o.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 100 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("version", lit(3))
+      graft.operators.Upsert.scd2(
+          v1.unionByName(v2).unionByName(v3),
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), "version")
+        .groupBy(col("valid_from"), coalesce(col("valid_to"), lit(0)).as("valid_to"),
+          col("is_current"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("valid_from"), col("valid_to"))
+    }),
     // Single-pass column profiling (Profile): nulls/min/max/HLL-distinct for
     // five heterogeneous columns in ONE aggregation — no Expand, no
     // per-column scans. The exact-distinct side here is verification only.
@@ -2050,6 +2079,32 @@ object SparkEntry {
         |  FROM orders b FULL OUTER JOIN af a ON b.o_orderkey = a.o_orderkey)
         |SELECT change, COUNT(*) AS n_keys FROM j
         |GROUP BY change ORDER BY change""".stripMargin,
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders),
+        |hist AS (
+        |  SELECT k, st, pr, 1 AS version FROM base
+        |  UNION ALL
+        |  SELECT k, st,
+        |    CASE WHEN k % 10 = 0 THEN pr + 100.0 ELSE pr END, 2 FROM base
+        |  UNION ALL
+        |  SELECT k,
+        |    CASE WHEN k % 100 = 0 THEN 'X' ELSE st END,
+        |    CASE WHEN k % 10 = 0 THEN pr + 100.0 ELSE pr END, 3 FROM base),
+        |chg AS (
+        |  SELECT *,
+        |    COALESCE(LAG(st) OVER w IS DISTINCT FROM st
+        |             OR LAG(pr) OVER w IS DISTINCT FROM pr
+        |             OR LAG(version) OVER w IS NULL, TRUE) AS is_chg
+        |  FROM hist WINDOW w AS (PARTITION BY k ORDER BY version)),
+        |pts AS (
+        |  SELECT k, version AS valid_from,
+        |    LEAD(version) OVER (PARTITION BY k ORDER BY version) AS valid_to
+        |  FROM chg WHERE is_chg)
+        |SELECT valid_from, COALESCE(valid_to, 0) AS valid_to,
+        |  (valid_to IS NULL) AS is_current, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pts GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "q_profile_orders" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
         |  COUNT(*) - COUNT(o_custkey) AS n_nulls,

@@ -39,6 +39,39 @@ object Upsert {
       .drop("_rn", "_src")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build: collapse a
+    * versioned key history — a stack of snapshots or a CDC feed, one row
+    * per (key, version) observation — into validity intervals. Output keeps
+    * only CHANGE POINTS: `valid_from` = the version that introduced the
+    * value, `valid_to` = the version of the next change (null while
+    * current), `is_current`. Value drift is detected on `cmpCols` via the
+    * same null-flagged composite hash as [[snapshotDiff]], so wide rows
+    * compare as one long.
+    *
+    * Plan shape: ONE exchange on the key; the change-detection `lag` and
+    * the interval-closing `lead` share partitioning and ordering (the
+    * filter between them preserves sort), so Catalyst plans a single
+    * sort — at 100 TB the history streams through the shuffle once.
+    */
+  def scd2(
+      history: DataFrame, keyCols: Seq[String], cmpCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty && cmpCols.nonEmpty)
+    val reserved = Seq("_sig", "_chg", "valid_from", "valid_to", "is_current")
+    require(!(keyCols ++ cmpCols).exists(reserved.contains),
+      s"scd2 reserves column names ${reserved.mkString(", ")}")
+    val sig = xxhash64(cmpCols.flatMap(c => Seq(col(c).isNull, col(c))): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    history.withColumn("_sig", sig)
+      .withColumn("_chg",
+        coalesce(col("_sig") =!= lag(col("_sig"), 1).over(w), lit(true)))
+      .filter(col("_chg"))
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_sig", "_chg", versionCol)
+  }
+
   /** Snapshot reconciliation: classify every key as added / removed /
     * changed / unchanged between two table versions — the audit that
     * validates an ingest before it ships. Same single-exchange shape as

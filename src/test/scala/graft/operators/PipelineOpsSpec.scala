@@ -48,6 +48,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
   }
 
+  test("scd2: change points only, intervals chain, null-value transitions detected") {
+    import spark.implicits._
+    val hist = Seq(
+      // key 1: a -> a -> b   (change at v3)
+      (1L, Option("a"), 1), (1L, Option("a"), 2), (1L, Option("b"), 3),
+      // key 2: never changes
+      (2L, Option("x"), 1), (2L, Option("x"), 2), (2L, Option("x"), 3),
+      // key 3: null -> y -> null  (null transitions must both count)
+      (3L, None: Option[String], 1), (3L, Option("y"), 2), (3L, None: Option[String], 3)
+    ).toDF("id", "v", "ver")
+    val out = Upsert.scd2(hist, Seq("id"), Seq("v"), "ver")
+      .select("id", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) 0 else r.getInt(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      (1L, 1, 3, false), (1L, 3, 0, true),
+      (2L, 1, 0, true),
+      (3L, 1, 2, false), (3L, 2, 3, false), (3L, 3, 0, true)))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged all classified") {
     import spark.implicits._
     val before = Seq(
