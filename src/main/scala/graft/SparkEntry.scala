@@ -784,6 +784,23 @@ object SparkEntry {
       interAll.union(exceptAll).union(unionAll).orderBy(col("bucket"))
     }),
 
+    // Null-safe equality join (<=>): NULL keys match each other — and the
+    // predicate still plans as a HASH join (EqualNullSafe is a valid hash
+    // key), unlike general null logic which would degrade to a nested
+    // loop. The strict (=) count alongside shows the dropped-null contrast.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(nullif(col("o_custkey") % 500, lit(13)).as("k"))
+      val c = t(s, dir, "customer")
+        .select(nullif(col("c_custkey") % 500, lit(13)).as("ck"))
+      val nsafe = o.join(c, col("k") <=> col("ck"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_matches"))
+      val strict = o.join(c, col("k") === col("ck"))
+        .agg(count(lit(1)).as("n_rows_strict"))
+      nsafe.crossJoin(strict)
+    }),
+
     // max_by / min_by / median: per-segment extremes with a composite
     // ordering key (acctbal cents * 1e7 + custkey — strictly monotonic in
     // (acctbal, custkey), so ties are impossible and both engines agree);
@@ -2351,6 +2368,16 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |) ORDER BY bucket""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH o AS (SELECT NULLIF(o_custkey % 500, 13) AS k FROM orders),
+        |c AS (SELECT NULLIF(c_custkey % 500, 13) AS ck FROM customer)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o JOIN c
+        |   ON k IS NOT DISTINCT FROM ck) AS n_rows,
+        |  (SELECT CAST(COUNT(*) FILTER (k IS NULL) AS BIGINT) FROM o JOIN c
+        |   ON k IS NOT DISTINCT FROM ck) AS n_null_matches,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o JOIN c ON k = ck)
+        |    AS n_rows_strict""".stripMargin,
     "q_argmax_median" ->
       """SELECT c_mktsegment,
         |  arg_max(c_custkey,

@@ -180,7 +180,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // aggregate) crossed with the <=5 distinct priorities
       "q_gapfill",
       // GK rank-error check broadcasts the 1-row merged-quantile result
-      "q_gk_quantile_reagg")
+      "q_gk_quantile_reagg",
+      // null-safe vs strict counts: a cross of two 1-row aggregates
+      "q_nullsafe_join")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
