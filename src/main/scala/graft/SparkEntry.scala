@@ -491,7 +491,10 @@ object SparkEntry {
     // the coarse axis (date/source), prune whole directories per query.
     "q_partition_pruning" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+      // per-process path: a second graft process (bench lap + test run on
+      // the same host) must not overwrite the directory this one is reading
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_" +
+        java.lang.ProcessHandle.current().pid()
       graft.operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
       s.read.parquet(path)
         .filter(col("o_orderstatus") === "O")
@@ -802,13 +805,14 @@ object SparkEntry {
     }),
 
     // max_by / min_by / median: per-segment extremes with a composite
-    // ordering key (acctbal cents * 1e7 + custkey — strictly monotonic in
-    // (acctbal, custkey), so ties are impossible and both engines agree);
-    // median computed over exact integer cents to dodge double-interpolation
-    // rendering drift.
+    // ordering key (acctbal cents * 1e12 + custkey — strictly monotonic in
+    // (acctbal, custkey) while custkey < 1e12, i.e. far past any real SF,
+    // and |cents| < 1e6 keeps the product inside a long); median computed
+    // over exact integer cents to dodge double-interpolation rendering
+    // drift.
     "q_argmax_median" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val key = round(col("c_acctbal") * 100).cast("long") * 10000000L +
+      val key = round(col("c_acctbal") * 100).cast("long") * 1000000000000L +
         col("c_custkey")
       c.groupBy(col("c_mktsegment"))
         .agg(max_by(col("c_custkey"), key).as("top_cust"),
@@ -1321,8 +1325,8 @@ object SparkEntry {
     // RAG-style overlapping-window chunking: 64-token windows at stride 48
     // (16-token overlap), built with higher-order functions (sequence →
     // transform → slice → aggregate) — pure map work, no shuffle until the
-    // per-doc stats. chunk_tokens = n_tok + overlap·(n_chunks−1) provides a
-    // structural self-check the oracle re-derives independently.
+    // per-doc stats. chunk_tokens sums actual slice lengths (the last
+    // window is usually truncated), re-derived independently by the oracle.
     "tx_chunking" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.selectExpr("doc_id",
@@ -1866,8 +1870,8 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_tok,
         |  CAST(LEN(chunks) AS BIGINT) AS n_chunks,
-        |  CAST(LIST_SUM(LIST_TRANSFORM(chunks, ch -> LEN(ch))) AS BIGINT)
-        |    AS chunk_tokens
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(chunks, ch -> LEN(ch))), 0)
+        |       AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
     "tx_sequence_pack" ->
       """WITH toks AS (
@@ -2381,10 +2385,10 @@ object SparkEntry {
     "q_argmax_median" ->
       """SELECT c_mktsegment,
         |  arg_max(c_custkey,
-        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey)
         |    AS top_cust,
         |  arg_min(c_custkey,
-        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey)
         |    AS bot_cust,
         |  median(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS med_bal,
         |  CAST(COUNT(*) AS BIGINT) AS n

@@ -87,6 +87,13 @@ object KmvSketch {
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
   }
 
+  /** Zero-copy variant for the aggregate hot path: hashes the UTF8String's
+    * backing bytes in place (same result as [[hash64]] — identical bytes).
+    */
+  def hash64(item: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      item.getBaseObject, item.getBaseOffset, item.numBytes, 42L)
+
   def deserialize(bytes: Array[Byte]): KmvSketch = {
     require(bytes.length >= 8, s"kmv buffer truncated: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -102,13 +109,17 @@ object KmvSketch {
     s
   }
 
-  /** Jaccard estimate from two sketches: the bottom-k' of the union is a
-    * uniform sample of A ∪ B (k' = min(k_a, k_b) positions), so the
-    * fraction of it present in BOTH sketches estimates |A∩B|/|A∪B|
-    * (Beyer et al. SIGMOD'07 §4). Exact when both sides stayed below
-    * capacity.
+  @inline private def ud(h: Long): Double =
+    if (h >= 0) h.toDouble else h.toDouble + 1.8446744073709552E19
+
+  /** One merged bottom-k' traversal (k' = min(k_a, k_b)) producing BOTH the
+    * Jaccard estimate and the union estimate: the bottom-k' of A ∪ B is a
+    * uniform sample of the hashed union, so the fraction of it present in
+    * both sketches estimates |A∩B|/|A∪B| (Beyer et al. SIGMOD'07 §4), and
+    * its k'-th smallest value estimates |A∪B| exactly like [[KmvSketch
+    * .estimate]]. Exact when both sides stayed below capacity.
     */
-  def jaccard(a: KmvSketch, b: KmvSketch): Double = {
+  def pairStats(a: KmvSketch, b: KmvSketch): (Double, Double) = {
     val kp = math.min(a.k, b.k)
     val merged = new java.util.TreeSet[java.lang.Long](
       new java.util.Comparator[java.lang.Long] {
@@ -117,34 +128,36 @@ object KmvSketch {
       })
     merged.addAll(a.values)
     merged.addAll(b.values)
-    if (merged.isEmpty) return 0.0
+    if (merged.isEmpty) return (0.0, 0.0)
     var inBoth = 0
     var taken = 0
+    var kth = 0L
     val it = merged.iterator()
     while (it.hasNext && taken < kp) {
       val h = it.next()
       if (a.values.contains(h) && b.values.contains(h)) inBoth += 1
+      kth = h
       taken += 1
     }
-    inBoth.toDouble / taken.toDouble
+    val unionEst =
+      if (taken < kp) taken.toDouble // union below capacity: exact
+      else (kp - 1).toDouble * 1.8446744073709552E19 / ud(kth)
+    (inBoth.toDouble / taken.toDouble, unionEst)
   }
 
-  /** |A ∪ B| estimate: merged bottom-min(k) sketch estimate. */
-  def unionEstimate(a: KmvSketch, b: KmvSketch): Double = {
-    val kp = math.min(a.k, b.k)
-    val u = new KmvSketch(kp)
-    val ia = a.values.iterator()
-    while (ia.hasNext) u.addHash(ia.next())
-    val ib = b.values.iterator()
-    while (ib.hasNext) u.addHash(ib.next())
-    u.estimate
-  }
+  /** Jaccard |A∩B|/|A∪B| estimate. */
+  def jaccard(a: KmvSketch, b: KmvSketch): Double = pairStats(a, b)._1
+
+  /** |A ∪ B| estimate: merged bottom-min(k) sample estimate. */
+  def unionEstimate(a: KmvSketch, b: KmvSketch): Double = pairStats(a, b)._2
 
   /** |A ∩ B| estimate: J(A,B) × |A ∪ B| — both terms from the same merged
     * bottom-k' sample, no inclusion-exclusion cancellation.
     */
-  def intersectEstimate(a: KmvSketch, b: KmvSketch): Double =
-    jaccard(a, b) * unionEstimate(a, b)
+  def intersectEstimate(a: KmvSketch, b: KmvSketch): Double = {
+    val (j, u) = pairStats(a, b)
+    j * u
+  }
 }
 
 /** `kmv_sketch_agg(col, k)` -> BinaryType bottom-k sketch. */
@@ -169,7 +182,7 @@ case class KmvSketchAgg(
 
   override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buffer.addHash(KmvSketch.hash64(v.asInstanceOf[UTF8String]))
     buffer
   }
 
@@ -229,9 +242,9 @@ object KmvUnionAgg {
   final class Buf(var sk: KmvSketch) extends Serializable {
     def absorb(other: KmvSketch): Unit =
       if (sk == null) sk = other else sk.merge(other)
-    // an all-null group serializes as zero bytes, which deserialize back to
-    // the empty buffer; eval of such a group yields an empty k=2 sketch so
-    // downstream kmv_estimate reads 0.0 instead of throwing
+    // an all-null group serializes (and evals) as zero bytes; every scalar
+    // consumer (kmv_estimate / kmv_jaccard / kmv_intersect_estimate)
+    // special-cases the empty buffer as the empty set rather than throwing
     def serialize(): Array[Byte] =
       if (sk == null) Array.emptyByteArray else sk.serialize()
   }
@@ -269,10 +282,13 @@ case class KmvJaccard(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    KmvSketch.jaccard(
-      KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
-      KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    // a 0-byte value is kmv_union_agg's all-null-group output: empty set
+    if (ab.length == 0 || bb.length == 0) 0.0
+    else KmvSketch.jaccard(KmvSketch.deserialize(ab), KmvSketch.deserialize(bb))
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvJaccard =
     copy(left = l, right = r)
@@ -291,10 +307,14 @@ case class KmvIntersectEstimate(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    KmvSketch.intersectEstimate(
-      KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
-      KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    // a 0-byte value is kmv_union_agg's all-null-group output: empty set
+    if (ab.length == 0 || bb.length == 0) 0.0
+    else KmvSketch.intersectEstimate(
+      KmvSketch.deserialize(ab), KmvSketch.deserialize(bb))
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectEstimate =
     copy(left = l, right = r)

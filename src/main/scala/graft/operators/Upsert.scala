@@ -58,7 +58,7 @@ object Upsert {
       versionCol: String): DataFrame = {
     require(keyCols.nonEmpty && cmpCols.nonEmpty)
     val reserved = Seq("_sig", "_chg", "valid_from", "valid_to", "is_current")
-    require(!(keyCols ++ cmpCols).exists(reserved.contains),
+    require(!(keyCols ++ cmpCols :+ versionCol).exists(reserved.contains),
       s"scd2 reserves column names ${reserved.mkString(", ")}")
     val sig = xxhash64(cmpCols.flatMap(c => Seq(col(c).isNull, col(c))): _*)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))

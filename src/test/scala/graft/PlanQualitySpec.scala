@@ -38,11 +38,14 @@ class PlanQualitySpec extends AnyFunSuite {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec"
     operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
     val pruned = spark.read.parquet(path).filter(col("o_orderstatus") === "O")
-    // pruning is visible in BOTH the plan (PartitionFilters on the scan)
-    // and the runtime metrics: only the matching directory's files are read
-    // (inputFiles can't show this — it lists the relation pre-pruning)
+    // pruning is visible in BOTH the plan (a NON-EMPTY PartitionFilters on
+    // the scan — the metadata key prints "[]" even with no pruning, so
+    // match the predicate text) and the runtime metrics: only the matching
+    // directory's files are read (inputFiles can't show this — it lists
+    // the relation pre-pruning)
+    val partFilter = """PartitionFilters: \[[^\]]*o_orderstatus""".r
     val p = pruned.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    assert(partFilter.findFirstIn(p).isDefined, s"no partition filter on o_orderstatus:\n$p")
     pruned.collect()
     val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -54,7 +57,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scanned == matchFiles && scanned < totalFiles,
       s"pruning not applied: scanned=$scanned matching=$matchFiles total=$totalFiles")
     // and the full contract query keeps the pruned shape
-    assert(plan("q_partition_pruning").contains("PartitionFilters"))
+    assert(partFilter.findFirstIn(plan("q_partition_pruning")).isDefined)
   }
 
   test("dimension joins broadcast instead of shuffling the fact side") {

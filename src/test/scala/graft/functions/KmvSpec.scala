@@ -13,6 +13,13 @@ class KmvSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("zero-copy UTF8String hash equals the String-path hash") {
+    import org.apache.spark.unsafe.types.UTF8String
+    Seq("", "a", "hello world", "naïve café 日本語 🚀", "x" * 1000).foreach { s =>
+      assert(KmvSketch.hash64(s) == KmvSketch.hash64(UTF8String.fromString(s)), s)
+    }
+  }
+
   test("exact below capacity: estimate is the precise distinct count") {
     val s = new KmvSketch(1024)
     (0 until 500).foreach(i => s.add(s"v$i"))
@@ -106,6 +113,22 @@ class KmvSpec extends AnyFunSuite {
     val direct = df.agg(kmv_estimate(kmv_sketch_agg(col("v"), 2048)))
       .collect()(0).getDouble(0)
     assert(direct == 1300.0)
+  }
+
+  test("set ops against an all-null-group (0-byte) sketch read as the empty set") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val real = (0 until 100).map(i => s"v$i").toDF("v")
+      .agg(kmv_sketch_agg(col("v"), 64).as("sk"))
+    // one group with a real sketch, one whose kmv_union_agg saw only nulls
+    val empty = Seq((1, null: Array[Byte])).toDF("g", "raw")
+      .groupBy(col("g")).agg(kmv_union_agg(col("raw")).as("sk_e"))
+    val r = real.crossJoin(empty).select(
+      kmv_jaccard(col("sk"), col("sk_e")).as("j"),
+      kmv_intersect_estimate(col("sk"), col("sk_e")).as("ix"),
+      kmv_estimate(col("sk_e")).as("e"))
+      .collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
   }
 
   test("union_agg over an empty/all-null group estimates 0") {

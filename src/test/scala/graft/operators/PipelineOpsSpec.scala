@@ -68,6 +68,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1, 2, false), (3L, 2, 3, false), (3L, 3, 0, true)))
   }
 
+  test("scd2 rejects a version column named like an output column") {
+    import spark.implicits._
+    val hist = Seq((1L, "a", 1)).toDF("id", "v", "valid_from")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2(hist, Seq("id"), Seq("v"), "valid_from")
+    }
+  }
+
   test("snapshot diff: added/removed/changed/unchanged all classified") {
     import spark.implicits._
     val before = Seq(
