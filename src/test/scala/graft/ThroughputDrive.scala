@@ -19,6 +19,8 @@ object ThroughputDrive {
     time("parity-sha1")(df.agg(graft.functions.GraftFunctions.hll_cardinality(col("v"), 4096)).collect())
     time("fast-hllpp")(df.agg(graft.functions.GraftFunctions.hll_cardinality_fast(col("v"), 4096)).collect())
     time("exact-distinct")(df.agg(countDistinct(col("v"))).collect())
+    time("kmv-1024")(df.agg(graft.functions.GraftFunctions.kmv_estimate(
+      graft.functions.GraftFunctions.kmv_sketch_agg(col("v"), 1024))).collect())
     spark.stop()
   }
 }
