@@ -96,6 +96,44 @@ object StressDrive {
       .agg(count(lit(1)), sum(when(col("v") === -1.0, 1L))).collect()(0)
     val t8 = (System.nanoTime()-t0)/1e9
     println(f"DRIVE upsert-10M+1M: $t8%.1f s = ${11000000/t8/1e6}%.1f M rows/s (rows=${upCount.getLong(0)}, updated=${upCount.getLong(1)})")
+    // KMV: 100M rows, 1000 groups — <=8 KiB state per group across the
+    // exchange; re-merge all 1000 stored sketches into the global estimate
+    t0 = System.nanoTime()
+    val kmvSk = df.groupBy("g").agg(
+      graft.functions.GraftFunctions.kmv_sketch_agg(col("v"), 1024).as("sk"))
+      .localCheckpoint()
+    val kmvTotal = kmvSk.agg(graft.functions.GraftFunctions.kmv_estimate(
+      graft.functions.GraftFunctions.kmv_union_agg(col("sk"))))
+      .collect()(0).getDouble(0)
+    val t9 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE kmv-grouped-100M: $t9%.1f s = ${n/t9/1e6}%.1f M rows/s, re-merged est $kmvTotal%.0f (true 10000000)")
+    // pairwise overlap on 100 stored sketches (4950 pair ops on KiB values;
+    // the id%1000 construction makes every pair provably disjoint -> the
+    // bottom-k sample structure must report jaccard exactly 0 for all)
+    val ka = kmvSk.filter(col("g") < 100).select(col("g").as("ga"), col("sk").as("ska"))
+    val kb = kmvSk.filter(col("g") < 100).select(col("g").as("gb"), col("sk").as("skb"))
+    t0 = System.nanoTime()
+    val ov = ka.join(kb, col("ga") < col("gb"))
+      .select(graft.functions.GraftFunctions.kmv_jaccard(col("ska"), col("skb")).as("j"))
+      .agg(count(lit(1)), max(col("j"))).collect()(0)
+    val t10 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE kmv-overlap-4950-pairs: $t10%.1f s (pairs=${ov.getLong(0)}, max jaccard=${ov.getDouble(1)}%.4f — disjoint by construction)")
+    // SCD2 over a 30M-row history: 10M keys x 3 versions, 10%% change at
+    // v2, a further 1%% at v3 — one keyed exchange, one shared sort
+    val h1 = spark.range(10000000L).select(col("id").as("k"),
+      (col("id") % 1000).cast("double").as("v"), lit(1).as("ver"))
+    val h2 = h1.withColumn("v",
+        when(col("k") % 10 === 0, col("v") + 1.0).otherwise(col("v")))
+      .withColumn("ver", lit(2))
+    val h3 = h2.withColumn("v",
+        when(col("k") % 100 === 0, col("v") + 2.0).otherwise(col("v")))
+      .withColumn("ver", lit(3))
+    t0 = System.nanoTime()
+    val scdN = graft.operators.Upsert.scd2(
+        h1.unionByName(h2).unionByName(h3), Seq("k"), Seq("v"), "ver")
+      .agg(count(lit(1)), sum(when(col("is_current"), 1L))).collect()(0)
+    val t11 = (System.nanoTime()-t0)/1e9
+    println(f"DRIVE scd2-30M-history: $t11%.1f s = ${30000000/t11/1e6}%.1f M rows/s (change points=${scdN.getLong(0)}, current=${scdN.getLong(1)})")
     spark.stop()
   }
 }
