@@ -1341,6 +1341,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end corpus release pipeline: quality gate (>=0.8 on the
+    // closed-form score) → minhash near-dedup (exact-Jaccard-verified,
+    // min-id representative) → GPT-style sequence packing of the
+    // survivors. Each stage's operator is oracle-checked individually
+    // elsewhere; this query proves they COMPOSE — DuckDB re-derives the
+    // whole pipeline (quality formula + recursive dup closure + cumsum
+    // pack) from raw text. The checkpoint bounds re-scans: the quality
+    // gate's survivor set feeds both the dedup pass and the packer.
+    "tx_release_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val scored = d
+        .withColumn("_ts", graft.operators.TextAnalysis.textStats(col("text")))
+        .withColumn("q", graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")))
+        .filter(col("q") >= 0.8)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val unique = graft.operators.Dedup.nearDedup(
+        scored, "text", "doc_id", threshold = 0.5)
+      val budget = 1024
+      val toks = unique.select(col("doc_id"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        graft.operators.TextAnalysis.tokenCountBpe(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      toks.withColumn("cum_end", sum(col("n_tok")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("n_tok"))
+        .withColumn("bin_first",
+          floor(col("cum_start") / lit(budget.toDouble)).cast("long"))
+        .withColumn("bin_last",
+          when(col("n_tok") > 0, floor((col("cum_end") - 1) / lit(budget.toDouble)))
+            .otherwise(col("bin_first")).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum((col("bin_last") > col("bin_first")).cast("long")).as("n_split_docs"))
+        .withColumn("n_seqs",
+          ceil(col("total_tokens") / lit(budget.toDouble)).cast("long"))
+        .withColumn("fill_ratio",
+          round(col("total_tokens") / (col("n_seqs") * budget), 4))
+        .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+          col("n_split_docs"), col("fill_ratio"))
+        .orderBy(col("shard"))
+    }),
+
     // GPT-style sequence packing: concatenate documents in shard-local id
     // order, chop into fixed 1024-token training sequences, report per-shard
     // packing stats (docs split across a boundary, fill ratio). Shards are
@@ -1855,6 +1899,74 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_release_pipeline" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |stats AS (
+        |  SELECT doc_id, LENGTH(text) AS n_chars,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\\p{L}]+'), x -> x != '') AS ws,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '\\p{L}')) AS n_alpha,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '[[:punct:]]')) AS n_punct
+        |  FROM documents),
+        |qscored AS (
+        |  SELECT doc_id, n_chars, n_alpha, n_punct, LEN(ws) AS n_words,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['als','and','auf','as','be','con','dans','das','de','den','der','des','die','du','ein','eine','el','en','es','est','et','for','his','in','is','ist','it','la','las','le','les','los','mit','nicht','of','on','para','pas','por','pour','que','qui','su','that','the','to','un','una','und','une','von','was','with','y','zu'], w))) AS stop_all
+        |  FROM stats),
+        |qratios AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS len,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(stop_all AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS mwl
+        |  FROM qscored),
+        |keepq AS (
+        |  SELECT doc_id FROM qratios
+        |  WHERE ((CASE WHEN len >= 200 AND len <= 50000 THEN 1.0 ELSE LEAST(len / 200.0, 1.0) END
+        |     + LEAST(alpha_ratio / 0.6, 1.0))
+        |     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 5) END)
+        |     + LEAST(stop_ratio / 0.05, 1.0)
+        |     + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0 >= 0.8),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM keepq)
+        |    AND b.doc_id IN (SELECT doc_id FROM keepq)
+        |    AND LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |drops AS (
+        |  SELECT src AS id FROM reach GROUP BY src HAVING src > MIN(dst)),
+        |surv AS (
+        |  SELECT doc_id FROM keepq WHERE doc_id NOT IN (SELECT id FROM drops)),
+        |toks AS (
+        |  SELECT d.doc_id, d.doc_id % 8 AS shard,
+        |    LEN(REGEXP_EXTRACT_ALL(d.text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS n_tok
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |cum AS (
+        |  SELECT shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_end
+        |  FROM toks),
+        |bins AS (
+        |  SELECT shard, n_tok,
+        |    CAST(FLOOR((cum_end - n_tok) / 1024.0) AS BIGINT) AS bin_first,
+        |    CAST(CASE WHEN n_tok > 0 THEN FLOOR((cum_end - 1) / 1024.0)
+        |         ELSE FLOOR((cum_end - n_tok) / 1024.0) END AS BIGINT) AS bin_last
+        |  FROM cum)
+        |SELECT shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(CEIL(SUM(n_tok) / 1024.0) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  ROUND(SUM(n_tok) / (CAST(CEIL(SUM(n_tok) / 1024.0) AS BIGINT) * 1024.0), 4)
+        |    AS fill_ratio
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin,
     "tx_chunking" ->
       """WITH w AS (
         |  SELECT doc_id,
