@@ -1539,6 +1539,26 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // priority = ln(u)/w with u from the same engine-portable Knuth hash as
+    // q_group_sample and w = n_chars (length-weighted; production would use
+    // a quality score). Top-20 by priority IS a weighted sample — fully
+    // deterministic, re-derivable in SQL. TakeOrdered does the selection
+    // (no global sort); the row_number runs over the 20 survivors only.
+    "q_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val u = (pmod(col("doc_id") * 2654435761L, lit(1000000007L)) + 1)
+        .cast("double") / 1000000008.0
+      val pr = log(u) / col("n_chars")
+      val top = d.select(col("doc_id"), col("n_chars"), pr.as("_pr"))
+        .orderBy(col("_pr").desc, col("doc_id")).limit(20)
+      top.withColumn("rn",
+          row_number().over(Window.orderBy(col("_pr").desc, col("doc_id"))))
+        .select(col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("rn"))
+    }),
+
     // PII audit + compression-ratio quality signal over the corpus. The PII
     // regexes are RE2-compatible on purpose, so DuckDB recomputes pii_hits
     // from raw text; the deflate ratio is JVM-side, surfaced as a sanity
@@ -2569,6 +2589,15 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    LN((((doc_id * 2654435761) % 1000000007) + 1) / 1000000008.0)
+        |      / n_chars AS pr
+        |  FROM documents)
+        |SELECT ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS rn,
+        |  doc_id, n_chars
+        |FROM r ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin,
     "tx_length_histogram" ->
       """SELECT CASE WHEN n_chars >= 1000 THEN 21
         |  ELSE CAST(FLOOR(n_chars / 50.0) + 1 AS BIGINT) END AS bucket,

@@ -70,6 +70,32 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Small-files compaction: rewrite a parquet dataset into
+    * `ceil(totalBytes / targetFileBytes)` evenly-sized files. The 100 TB
+    * ops reality behind it: streaming ingest and fine-grained partitioned
+    * writes accumulate kilobyte files whose per-file open/footer cost
+    * dominates scans and whose listing slows planning; periodic compaction
+    * restores scan-sized files. Sizing comes from the filesystem listing
+    * (no data pass), the rewrite is one round-robin repartition, and the
+    * destination is separate so the swap can be atomic at the catalog/path
+    * level (never compact in place).
+    */
+  def compactTo(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hconf)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(srcPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(destPath)
+    nFiles
+  }
+
   /** Hive-style partitioned parquet layout: one directory per partition
     * value. At 100 TB the partition column is the COARSE pruning axis
     * (ingest date, source, status): a reader with a partition predicate

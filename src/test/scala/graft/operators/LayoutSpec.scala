@@ -81,6 +81,30 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction collapses a small-files mess to size-targeted files, content intact") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec"
+    val src = s"$base/src"
+    val dest = s"$base/dest"
+    // 64 tiny files
+    (0 until 6400).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    val srcFiles = new java.io.File(src)
+      .listFiles((_, n) => n.endsWith(".parquet")).length
+    assert(srcFiles == 64)
+    val totalBytes = new java.io.File(src)
+      .listFiles((_, n) => n.endsWith(".parquet")).map(_.length).sum
+    // target a quarter of the total -> expect ~4 files
+    val n = Layout.compactTo(spark, src, dest, targetFileBytes = totalBytes / 4)
+    val destFiles = new java.io.File(dest)
+      .listFiles((_, n) => n.endsWith(".parquet")).length
+    assert(destFiles.toLong == n && n >= 4 && n <= 5, s"n=$n destFiles=$destFiles")
+    // content identical
+    val a = spark.read.parquet(src).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(dest).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bucketed tables join with no shuffle exchange and prune point scans") {
     import spark.implicits._
     val conf = spark.conf
