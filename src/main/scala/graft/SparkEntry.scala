@@ -469,6 +469,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
     }),
+    // JSON scalar functions over an embedded JSON column (events.props):
+    // extract a typed field per row (codegen'd get_json_object — no UDF),
+    // aggregate per type. The map-side extract means only (type, k) pairs
+    // reach the exchange, never the JSON blobs.
+    "q_json_functions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_parsed"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          round(avg(col("k")), 4).as("k_avg"))
+        .orderBy(col("event_type"))
+    }),
+
     // CSV source/sink round-trip (header + explicit schema on read)
     "q_csv_roundtrip" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -2589,6 +2604,13 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_json_functions" ->
+      """SELECT event_type,
+        |  CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_weighted_sample" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,
