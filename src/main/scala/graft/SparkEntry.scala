@@ -667,6 +667,27 @@ object SparkEntry {
     }),
 
     // TPC-H Q5 shape: local volume through a 6-table join chain
+    // TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as a
+    // left-semi probe, then the 3-table join re-aggregates only the
+    // surviving orders — the big lineitem scan feeds one partial agg and
+    // one semi-joined pass, never a full materialized join of everything.
+    "q_tpch_q18" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("_sq"))
+        .filter(col("_sq") > 300).select(col("l_orderkey").as("_bk"))
+      o.join(big, col("o_orderkey") === col("_bk"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q_tpch_q5" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -2447,6 +2468,18 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

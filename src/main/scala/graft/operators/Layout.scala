@@ -70,6 +70,22 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Globally-ordered parquet export: range-repartition on the sort key
+    * (sampled split points → evenly-sized files), sort within each, write.
+    * File i's key range wholly precedes file i+1's, so concatenating files
+    * in partition order IS the total order — no single-reducer global
+    * sort — and the parquet min/max footers prune range predicates to the
+    * one file that can match.
+    */
+  def sortedExport(
+      df: DataFrame, sortCols: Seq[String], path: String,
+      numFiles: Int): Unit = {
+    require(sortCols.nonEmpty, "sortedExport needs at least one sort column")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into
     * `ceil(totalBytes / targetFileBytes)` evenly-sized files. The 100 TB
     * ops reality behind it: streaming ingest and fine-grained partitioned

@@ -175,4 +175,22 @@ class SurfacesSpec extends AnyFunSuite {
     val salted = graft.operators.SkewTools.saltedJoin(big, small, "k", "k2", buckets = 8).count()
     assert(plain == salted)
   }
+
+  test("observe() collects pipeline telemetry without a second pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    // the free-metrics surface a 100 TB pipeline needs: row counts and
+    // quality tallies ride the ONE existing action instead of re-scanning
+    val obs = Observation("ingest_stats")
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 10 == 0) null else s"d$i"))
+      .toDF("id", "text")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_nonnull"),
+        sum(length(col("text"))).as("total_chars"))
+    val kept = df.filter(col("text").isNotNull).count()
+    val m = obs.get
+    assert(m("n_rows") == 1000L && m("n_nonnull") == 900L && kept == 900L)
+    assert(m("total_chars").asInstanceOf[Long] > 0L)
+  }
 }

@@ -105,6 +105,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sorted export: file ranges are disjoint and concatenation is the total order") {
+    import spark.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_export"
+    val df = (0 until 10000).map(i => ((i * 2654435761L) % 1000003, i))
+      .toDF("key", "payload")
+    Layout.sortedExport(df, Seq("key"), path, numFiles = 8)
+    val files = new java.io.File(path)
+      .listFiles((_, n) => n.endsWith(".parquet")).map(_.getName).sorted
+    assert(files.length == 8)
+    // per-file ranges: sorted within, disjoint and ascending across files
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(s"$path/$f").select("key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file $f not internally sorted")
+      (ks.min, ks.max)
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+    }
+    // concatenation in file order is the global order, content intact
+    val concat = files.flatMap(f => spark.read.parquet(s"$path/$f")
+      .select("key").collect().map(_.getLong(0))).toSeq
+    assert(concat == df.select("key").collect().map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("bucketed tables join with no shuffle exchange and prune point scans") {
     import spark.implicits._
     val conf = spark.conf
