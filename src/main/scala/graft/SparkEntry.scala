@@ -667,6 +667,29 @@ object SparkEntry {
     }),
 
     // TPC-H Q5 shape: local volume through a 6-table join chain
+    // TPC-H Q10 (returned-item reporting): quarter-scoped returns rolled up
+    // to customers, top 20 by lost revenue. Date + returnflag predicates
+    // push to the scans; nation broadcasts; revenue follows the proven
+    // q_tpch_q3 sum-then-round pattern.
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R"
+          && col("o_orderdate") >= lit("1995-10-01")
+          && col("o_orderdate") < lit("1996-01-01"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as a
     // left-semi probe, then the 3-table join re-aggregates only the
     // surviving orders — the big lineitem scan feeds one partial agg and
@@ -2468,6 +2491,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
