@@ -383,10 +383,7 @@ object SparkEntry {
           when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
             .otherwise(col("o_totalprice")))
         .withColumn("version", lit(2))
-      val v3 = o.withColumn("o_totalprice",
-          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderstatus",
+      val v3 = v2.withColumn("o_orderstatus",
           when(col("o_orderkey") % 100 === 0, lit("X"))
             .otherwise(col("o_orderstatus")))
         .withColumn("version", lit(3))
@@ -507,10 +504,14 @@ object SparkEntry {
     "q_partition_pruning" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // per-process path: a second graft process (bench lap + test run on
-      // the same host) must not overwrite the directory this one is reading
+      // the same host) must not overwrite the directory this one is
+      // reading; deleteOnExit keeps repeated runs from accumulating
+      // full-table copies in tmp
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_" +
         java.lang.ProcessHandle.current().pid()
       graft.operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(hp)
       s.read.parquet(path)
         .filter(col("o_orderstatus") === "O")
         .groupBy(col("o_orderpriority"))
@@ -1999,11 +2000,11 @@ object SparkEntry {
         |  FROM qscored),
         |keepq AS (
         |  SELECT doc_id FROM qratios
-        |  WHERE ((CASE WHEN len >= 200 AND len <= 50000 THEN 1.0 ELSE LEAST(len / 200.0, 1.0) END
+        |  WHERE ROUND(((CASE WHEN len >= 200 AND len <= 50000 THEN 1.0 ELSE LEAST(len / 200.0, 1.0) END
         |     + LEAST(alpha_ratio / 0.6, 1.0))
         |     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 5) END)
         |     + LEAST(stop_ratio / 0.05, 1.0)
-        |     + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0 >= 0.8),
+        |     + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0, 4) >= 0.8),
         |pairs AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -2675,10 +2676,10 @@ object SparkEntry {
         |ORDER BY source, rn""".stripMargin,
     "q_json_functions" ->
       """SELECT event_type,
-        |  CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
-        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
-        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
-        |  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS k_avg
+        |  CAST(COUNT(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
+        |  CAST(MIN(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(MAX(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  ROUND(AVG(TRY_CAST(props->>'$.k' AS BIGINT)), 4) AS k_avg
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_weighted_sample" ->
       """WITH r AS (

@@ -218,7 +218,12 @@ case class KmvUnionAgg(
 
   override def update(buffer: KmvUnionAgg.Buf, input: InternalRow): KmvUnionAgg.Buf = {
     val v = child.eval(input)
-    if (v != null) buffer.absorb(KmvSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      // a 0-byte value is a stored all-null-group union output: empty set,
+      // contributes nothing — re-aggregating stored union results must work
+      if (bytes.length > 0) buffer.absorb(KmvSketch.deserialize(bytes))
+    }
     buffer
   }
 

@@ -35,8 +35,11 @@ class PlanQualitySpec extends AnyFunSuite {
   test("partitioned layout prunes non-matching directories at planning time") {
     import org.apache.spark.sql.functions.col
     val o = spark.read.parquet(s"$dir/orders.parquet")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_prune_spec_" +
+      java.lang.ProcessHandle.current().pid()
     operators.Layout.partitionedWrite(o, path, Seq("o_orderstatus"))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(hp)
     val pruned = spark.read.parquet(path).filter(col("o_orderstatus") === "O")
     // pruning is visible in BOTH the plan (a NON-EMPTY PartitionFilters on
     // the scan — the metadata key prints "[]" even with no pruning, so
@@ -50,8 +53,9 @@ class PlanQualitySpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail(s"no file scan in:\n$p"))
-    val matchFiles = new java.io.File(path, "o_orderstatus=O")
-      .listFiles((_, n) => n.endsWith(".parquet")).length
+    val matchDir = new java.io.File(path, "o_orderstatus=O")
+    val matchFiles = Option(matchDir.listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.length).getOrElse(fail(s"partition dir missing: $matchDir"))
     val totalFiles = spark.read.parquet(path).inputFiles.length
     val scanned = scan.metrics("numFiles").value
     assert(scanned == matchFiles && scanned < totalFiles,

@@ -131,6 +131,23 @@ class KmvSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
   }
 
+  test("stored union-agg outputs re-aggregate, including 0-byte empty-group values") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    // a real per-group sketch plus the 0-byte output kmv_union_agg emits
+    // for an all-null group — both must flow through a SECOND union_agg
+    val real = (0 until 50).map(i => (1, s"s$i")).toDF("g", "v")
+      .groupBy(col("g")).agg(kmv_sketch_agg(col("v"), 128).as("sk"))
+      .select(col("sk"))
+    val withEmpty = real
+      .union(Seq((1, null: Array[Byte])).toDF("g", "raw")
+        .groupBy(col("g")).agg(kmv_union_agg(col("raw")).as("sk"))
+        .select(col("sk")))
+    val est = withEmpty.agg(kmv_estimate(kmv_union_agg(col("sk"))))
+      .collect()(0).getDouble(0)
+    assert(est == 50.0)
+  }
+
   test("union_agg over an empty/all-null group estimates 0") {
     import spark.implicits._
     GraftFunctions.registerAll(spark)
