@@ -481,6 +481,48 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Generator/lateral surface: collect per-order part arrays, re-explode
+    // with position (posexplode), aggregate by position. The oracle
+    // re-derives positions via ROW_NUMBER over the same ordering — equal
+    // keys make tie order irrelevant to the per-position sums.
+    "q_posexplode" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val arrs = l.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+      arrs.select(col("l_orderkey"),
+          posexplode(col("parts")).as(Seq("pos", "partkey")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("partkey")).as("sum_parts"))
+        .orderBy(col("pos"))
+    }),
+
+    // Schema evolution across parquet batches: an early batch without a
+    // column and a later batch with it read together via mergeSchema — the
+    // union schema appears, missing values surface as NULL. The 100 TB
+    // reality: corpora accrete columns over months; readers must span
+    // vintages without rewrites. Oracle simulates the same union from the
+    // source table.
+    "q_merge_schema" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+        java.lang.ProcessHandle.current().pid()
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$base/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$base/v2")
+      val hp = new org.apache.hadoop.fs.Path(base)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(hp)
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderpriority").isNull.cast("long")).as("n_missing_priority"),
+          count(col("o_orderpriority")).as("n_with_priority"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // CSV source/sink round-trip (header + explicit schema on read)
     "q_csv_roundtrip" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -2674,6 +2716,23 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_posexplode" ->
+      """SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(partkey) AS BIGINT) AS sum_parts
+        |FROM (
+        |  SELECT l_orderkey, l_partkey AS partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) - 1
+        |      AS pos
+        |  FROM lineitem)
+        |GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_merge_schema" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) FILTER (o_orderkey % 2 = 0) AS BIGINT)
+        |    AS n_missing_priority,
+        |  CAST(COUNT(*) FILTER (o_orderkey % 2 = 1) AS BIGINT)
+        |    AS n_with_priority
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_json_functions" ->
       """SELECT event_type,
         |  CAST(COUNT(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
