@@ -185,44 +185,43 @@ object GraftFunctions {
     (k, bits)
   }
 
-  /** Register all functions in the session's FunctionRegistry (idempotent). */
-  def registerAll(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "hll_cardinality", { args =>
+  /** Every graft SQL function as (name, builder) — the single source both
+    * [[registerAll]] (plain sessions, as the driver harness builds) and
+    * `graft.plans.GraftExtensions` (the `spark.sql.extensions` deployment
+    * path) register from, so the two surfaces can never drift.
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hll_cardinality" -> { (args: Seq[Expression]) =>
       val (k, bits) = kBits(args, "hll_cardinality")
       HllCardinality(PyStrCoerce(args.head), k, bits).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "hll_sketch_agg", { args =>
+    },
+    "hll_sketch_agg" -> { (args: Seq[Expression]) =>
       val (k, bits) = kBits(args, "hll_sketch_agg")
       HllSketchAgg(PyStrCoerce(args.head), k, bits).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "python_str",
-      args => PyStrCoerce(args.head))
-    GraftShims.registerFunction(spark, "hll_union_agg",
-      args => HllUnionAgg(args.head).toAggregateExpression())
-    GraftShims.registerFunction(spark, "hll_estimate",
-      args => HllEstimate(args.head))
-    GraftShims.registerFunction(spark, "hll_union",
-      args => HllUnion(args(0), args(1)))
-    GraftShims.registerFunction(spark, "hll_error",
-      args => HllError(args.head))
-    GraftShims.registerFunction(spark, "hll_info",
-      args => HllInfo(args.head))
+    },
+    "python_str" -> ((args: Seq[Expression]) => PyStrCoerce(args.head)),
+    "hll_union_agg" ->
+      ((args: Seq[Expression]) => HllUnionAgg(args.head).toAggregateExpression()),
+    "hll_estimate" -> ((args: Seq[Expression]) => HllEstimate(args.head)),
+    "hll_union" -> ((args: Seq[Expression]) => HllUnion(args(0), args(1))),
+    "hll_error" -> ((args: Seq[Expression]) => HllError(args.head)),
+    "hll_info" -> ((args: Seq[Expression]) => HllInfo(args.head)),
     // PyStrCoerce (not a plain string cast) so numeric keys render the same
     // through the SQL surface as the DataFrame API — a sketch built on one
     // surface must answer lookups from the other
-    GraftShims.registerFunction(spark, "approx_top_k_mg", { args =>
+    "approx_top_k_mg" -> { (args: Seq[Expression]) =>
       val k = if (args.length > 1) intArg(args(1), "k") else 10
       val cap = if (args.length > 2) intArg(args(2), "capacity") else 1024
       ApproxTopK(PyStrCoerce(args.head), k, cap).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "cms_sketch_agg", { args =>
+    },
+    "cms_sketch_agg" -> { (args: Seq[Expression]) =>
       val depth = if (args.length > 1) intArg(args(1), "depth") else 5
       val width = if (args.length > 2) intArg(args(2), "width") else 2048
       CmsSketchAgg(PyStrCoerce(args.head), depth, width).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "cms_query",
-      args => CmsQuery(args(0), PyStrCoerce(args(1))))
-    GraftShims.registerFunction(spark, "gk_sketch_agg", { args =>
+    },
+    "cms_query" ->
+      ((args: Seq[Expression]) => CmsQuery(args(0), PyStrCoerce(args(1)))),
+    "gk_sketch_agg" -> { (args: Seq[Expression]) =>
       val relErr = if (args.length > 1) {
         require(args(1).foldable, "gk_sketch_agg relativeError must be a literal")
         args(1).eval() match {
@@ -233,48 +232,48 @@ object GraftFunctions {
         }
       } else 0.01
       GkSketchAgg(Cast(args.head, DoubleType), relErr).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "gk_union_agg",
-      args => GkUnionAgg(args.head).toAggregateExpression())
-    GraftShims.registerFunction(spark, "gk_quantile",
-      args => GkQuantile(args(0), Cast(args(1), DoubleType)))
-    GraftShims.registerFunction(spark, "kmv_sketch_agg", { args =>
+    },
+    "gk_union_agg" ->
+      ((args: Seq[Expression]) => GkUnionAgg(args.head).toAggregateExpression()),
+    "gk_quantile" ->
+      ((args: Seq[Expression]) => GkQuantile(args(0), Cast(args(1), DoubleType))),
+    "kmv_sketch_agg" -> { (args: Seq[Expression]) =>
       val k = if (args.length > 1) intArg(args(1), "k") else 1024
       KmvSketchAgg(PyStrCoerce(args.head), k).toAggregateExpression()
-    })
-    GraftShims.registerFunction(spark, "kmv_union_agg",
-      args => KmvUnionAgg(args.head).toAggregateExpression())
-    GraftShims.registerFunction(spark, "kmv_estimate",
-      args => KmvEstimate(args.head))
-    GraftShims.registerFunction(spark, "kmv_jaccard",
-      args => KmvJaccard(args(0), args(1)))
-    GraftShims.registerFunction(spark, "kmv_intersect_estimate",
-      args => KmvIntersectEstimate(args(0), args(1)))
-    GraftShims.registerFunction(spark, "minhash_signature", { args =>
+    },
+    "kmv_union_agg" ->
+      ((args: Seq[Expression]) => KmvUnionAgg(args.head).toAggregateExpression()),
+    "kmv_estimate" -> ((args: Seq[Expression]) => KmvEstimate(args.head)),
+    "kmv_jaccard" -> ((args: Seq[Expression]) => KmvJaccard(args(0), args(1))),
+    "kmv_intersect_estimate" ->
+      ((args: Seq[Expression]) => KmvIntersectEstimate(args(0), args(1))),
+    "minhash_signature" -> { (args: Seq[Expression]) =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3
       MinHashSignature(args.head, nh, sh)
-    })
-    GraftShims.registerFunction(spark, "simhash64",
-      args => SimHash64(args.head))
-    GraftShims.registerFunction(spark, "shingle_hashes", { args =>
+    },
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
+    "shingle_hashes" -> { (args: Seq[Expression]) =>
       val sh = if (args.length > 1) intArg(args(1), "shingleSize") else 3
       ShingleHashes(args.head, sh)
-    })
-    GraftShims.registerFunction(spark, "sorted_jaccard",
-      args => SortedLongJaccard(args(0), args(1)))
-    GraftShims.registerFunction(spark, "winnowing_fingerprint", { args =>
+    },
+    "sorted_jaccard" ->
+      ((args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))),
+    "winnowing_fingerprint" -> { (args: Seq[Expression]) =>
       val k = if (args.length > 1) intArg(args(1), "kGram") else 8
       val w = if (args.length > 2) intArg(args(2), "window") else 4
       WinnowingFingerprint(args.head, k, w)
-    })
-    GraftShims.registerFunction(spark, "dot_f",
-      args => DotProductF(args(0), args(1)))
-    GraftShims.registerFunction(spark, "text_stats",
-      args => TextStats(args.head))
-    GraftShims.registerFunction(spark, "compression_ratio",
-      args => CompressionRatio(args.head))
-    GraftShims.registerFunction(spark, "bigram_repetition",
-      args => BigramRepetition(args.head))
-  }
+    },
+    "dot_f" -> ((args: Seq[Expression]) => DotProductF(args(0), args(1))),
+    "text_stats" -> ((args: Seq[Expression]) => TextStats(args.head)),
+    "compression_ratio" ->
+      ((args: Seq[Expression]) => CompressionRatio(args.head)),
+    "bigram_repetition" ->
+      ((args: Seq[Expression]) => BigramRepetition(args.head)))
+
+  /** Register all functions in the session's FunctionRegistry (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      GraftShims.registerFunction(spark, name, builder)
+    }
 }
