@@ -481,6 +481,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Join-strategy hints: the MERGE hint forces a SortMergeJoin where the
+    // tiny nation side would otherwise broadcast (asserted in
+    // PlanQualitySpec) — the manual-override surface for when statistics
+    // mislead the planner at scale. Results must be identical either way.
+    "q_join_hints" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(n.hint("merge"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // GROUP BY ALL (Spark 4 + DuckDB dialect): every non-aggregate select
+    // item becomes a grouping key implicitly.
+    "q_group_by_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("_gba_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM _gba_orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
     // Generator/lateral surface: collect per-order part arrays, re-explode
     // with position (posexplode), aggregate by position. The oracle
     // re-derives positions via ROW_NUMBER over the same ordering — equal
@@ -2716,6 +2745,19 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_join_hints" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_posexplode" ->
       """SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(partkey) AS BIGINT) AS sum_parts

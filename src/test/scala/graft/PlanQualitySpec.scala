@@ -64,6 +64,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(partFilter.findFirstIn(plan("q_partition_pruning")).isDefined)
   }
 
+  test("MERGE hint overrides the broadcast choice the tiny side would win") {
+    val p = plan("q_join_hints")
+    assert(p.contains("SortMergeJoin"), s"MERGE hint ignored:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"hint did not suppress broadcast:\n$p")
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = plan("q_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
