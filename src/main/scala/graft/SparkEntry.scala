@@ -481,6 +481,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // MapType construction + explosion with scalar-only outputs: per
+    // priority a status→count map (map_from_entries over sorted entries),
+    // immediately exploded back to rows plus a map_keys cardinality — the
+    // map value itself never crosses the oracle boundary, so the rendering
+    // stays engine-portable.
+    "q_map_functions" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val m = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderstatus"), col("n"))))).as("status_counts"))
+      m.select(col("o_orderpriority"),
+          size(col("status_counts")).as("n_statuses"),
+          explode(col("status_counts")).as(Seq("status", "n")))
+        .select(col("o_orderpriority"), col("status"), col("n"),
+          col("n_statuses"))
+        .orderBy(col("o_orderpriority"), col("status"))
+    }),
+
     // Join-strategy hints: the MERGE hint forces a SortMergeJoin where the
     // tiny nation side would otherwise broadcast (asserted in
     // PlanQualitySpec) — the manual-override surface for when statistics
@@ -2745,6 +2765,15 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_map_functions" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, o_orderstatus AS status,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, status, n,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |    AS n_statuses
+        |FROM g ORDER BY o_orderpriority, status""".stripMargin,
     "q_join_hints" ->
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
         |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)

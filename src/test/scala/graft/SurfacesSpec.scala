@@ -176,6 +176,32 @@ class SurfacesSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer's cost model") {
+    import spark.implicits._
+    val t = "graft_stats_probe"
+    (0 until 5000).map(i => (i.toLong, s"v${i % 7}")).toDF("id", "cat")
+      .write.mode("overwrite").saveAsTable(t)
+    try {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS id, cat")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // row count flows into the plan's cost statistics...
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(5000)), s"stats=$stats")
+      // ...and per-column NDVs are recorded for join/filter estimation
+      val catStats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .stats.get
+      assert(catStats.colStats("cat").distinctCount.exists(_.toInt == 7))
+      // ANALYZE computes NDV via HLL++ at a coarse default precision —
+      // allow its documented error band rather than a tight tolerance
+      assert(catStats.colStats("id").distinctCount.exists(n => (n.toInt - 5000).abs < 1000),
+        s"id ndv=${catStats.colStats("id").distinctCount}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("observe() collects pipeline telemetry without a second pass") {
     import spark.implicits._
     import org.apache.spark.sql.Observation
