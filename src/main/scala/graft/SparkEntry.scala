@@ -481,6 +481,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Interval-literal RANGE window frames (SQL-only surface — the
+    // DataFrame API's rangeBetween takes longs): trailing-30-day order
+    // counts and revenue per customer, the event-time window analytics
+    // shape over a timestamp ordering.
+    "q_interval_range_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("_irw_orders")
+      s.sql("""
+        SELECT o_custkey, date_format(o_orderdate, 'yyyy-MM-dd') AS d,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_30d,
+          ROUND(SUM(o_totalprice) OVER w, 2) AS rev_trailing_30d
+        FROM _irw_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, d, n_trailing_30d""")
+    }),
+
     // MapType construction + explosion with scalar-only outputs: per
     // priority a status→count map (map_from_entries over sorted entries),
     // immediately exploded back to rows plus a map_keys cardinality — the
@@ -2765,6 +2782,14 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY source, rn""".stripMargin,
+    "q_interval_range_window" ->
+      """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_30d,
+        |  ROUND(SUM(o_totalprice) OVER w, 2) AS rev_trailing_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, d, n_trailing_30d""".stripMargin,
     "q_map_functions" ->
       """WITH g AS (
         |  SELECT o_orderpriority, o_orderstatus AS status,
