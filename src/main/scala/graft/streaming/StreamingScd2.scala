@@ -7,7 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** Incremental SCD2 maintenance from a CDC-style stream: each micro-batch
   * of (key, value, version) observations folds into a stored SCD2 table
   * ([[graft.operators.Upsert.scd2]] semantics — change-point rows with
-  * valid_from / valid_to / is_current).
+  * valid_from / valid_to / is_current, plus a `_max_seen` column on
+  * current rows recording the highest version ever applied for the key).
   *
   * Scale shape: a batch touches only its own keys, so the fold is
   * - one left-semi/left-anti split of the store on the batch's key set
@@ -15,16 +16,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   semi-join prunes to the touched buckets);
   * - scd2 re-derivation over ONLY (current rows of touched keys ∪ batch) —
   *   closed intervals never recompute;
-  * - a rewrite of store rows. The rewrite is the honest cost: at warehouse
-  *   scale the store lives partitioned and only touched partitions rewrite
-  *   (or a table format takes the swap); here the swap is
-  *   write-tmp + rename for atomicity.
+  * - a store rewrite, swapped crash-safely: write tmp → rename store aside
+  *   → rename tmp in → drop the old generation. A crash between the two
+  *   renames leaves `_old` on disk; the next fold renames it back before
+  *   reading (no window where history can silently vanish), and every
+  *   rename result is checked. At warehouse scale a table format or
+  *   partition-level swap replaces this dance.
   *
   * Assumptions (standard CDC): (key, version) pairs are unique; versions
-  * apply in non-decreasing order per key. Late observations older than a
-  * key's open interval are DROPPED (counted nowhere) rather than silently
-  * corrupting history — replaying them would need closed-interval
-  * recomputation, which is a batch backfill job, not a streaming fold.
+  * apply in non-decreasing order per key. Late observations at or below a
+  * key's highest APPLIED version (`_max_seen`, not merely the open
+  * interval's valid_from — an unchanged-value observation advances
+  * `_max_seen` without opening an interval) are DROPPED rather than
+  * silently rewriting history — replaying them is a batch backfill job,
+  * not a streaming fold.
   */
 object StreamingScd2 {
 
@@ -42,10 +47,9 @@ object StreamingScd2 {
       }
       .start()
 
-  /** Fold one observation batch into the stored SCD2 table (idempotent for
-    * replayed batches: re-deriving from the same observations yields the
-    * same rows, and duplicate (key, version) replays are dropped by the
-    * late-data guard once applied).
+  /** Fold one observation batch into the stored SCD2 table. Idempotent for
+    * replayed batches: every replayed observation sits at or below
+    * `_max_seen` and is dropped by the late-data guard.
     */
   def foldBatch(
       batch0: DataFrame,
@@ -58,11 +62,29 @@ object StreamingScd2 {
     val batch = batch0.select(obsCols: _*)
     val hconf = spark.sparkContext.hadoopConfiguration
     val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val oldP = new org.apache.hadoop.fs.Path(storePath + "_old")
     val fs = storeP.getFileSystem(hconf)
+
+    // crash recovery: store present + stale _old -> drop the old
+    // generation; store missing but _old present -> the previous fold died
+    // between its two renames, restore the surviving generation
+    if (fs.exists(storeP) && fs.exists(oldP)) fs.delete(oldP, true)
+    else if (!fs.exists(storeP) && fs.exists(oldP)) {
+      require(fs.rename(oldP, storeP), s"scd2 store recovery rename failed: $oldP")
+    }
+
+    def withMaxSeen(scdOut: DataFrame, maxPerKey: DataFrame): DataFrame =
+      scdOut.join(maxPerKey, keyCols, "left")
+        .withColumn("_max_seen",
+          when(col("is_current"), col("_mx")))
+        .drop("_mx")
 
     val newStore: DataFrame =
       if (!fs.exists(storeP)) {
-        graft.operators.Upsert.scd2(batch, keyCols, cmpCols, versionCol)
+        val mx = batch.groupBy(keyCols.map(col): _*)
+          .agg(max(col(versionCol)).as("_mx"))
+        withMaxSeen(
+          graft.operators.Upsert.scd2(batch, keyCols, cmpCols, versionCol), mx)
       } else {
         val store = spark.read.parquet(storePath)
         val keys = batch.select(keyCols.map(col): _*).distinct()
@@ -70,26 +92,36 @@ object StreamingScd2 {
         val untouched = store.join(keys, keyCols, "left_anti")
         val closed = touched.filter(!col("is_current"))
         val current = touched.filter(col("is_current"))
-        // late-data guard: drop batch rows at/below the open interval's
-        // version (at == replay of the already-applied observation)
-        val openVer = current.select(
-          (keyCols.map(col) :+ col("valid_from").as("_open_v")): _*)
-        val fresh = batch.join(openVer, keyCols, "left")
-          .filter(col("_open_v").isNull || col(versionCol) > col("_open_v"))
-          .drop("_open_v")
+        // late-data guard on the highest APPLIED version, not the open
+        // interval's start: unchanged-value observations advanced _max_seen
+        // without opening an interval, and anything at/below it must not
+        // rewrite history
+        val applied = current.select(
+          (keyCols.map(col) :+ col("_max_seen").as("_guard")): _*)
+        val fresh = batch.join(applied, keyCols, "left")
+          .filter(col("_guard").isNull || col(versionCol) > col("_guard"))
+          .drop("_guard")
         // re-open current rows as observations at their valid_from version
         val currentObs = current.select(
           ((keyCols ++ cmpCols).map(col) :+ col("valid_from").as(versionCol)): _*)
         val redone = graft.operators.Upsert.scd2(
           currentObs.unionByName(fresh), keyCols, cmpCols, versionCol)
-        untouched.unionByName(closed).unionByName(redone)
+        val mx = current.select((keyCols.map(col) :+ col("_max_seen").as("_mx")): _*)
+          .unionByName(fresh.groupBy(keyCols.map(col): _*)
+            .agg(max(col(versionCol)).as("_mx")))
+          .groupBy(keyCols.map(col): _*).agg(max(col("_mx")).as("_mx"))
+        untouched.unionByName(closed).unionByName(withMaxSeen(redone, mx))
       }
 
-    // write-tmp + rename: readers never see a half-written store
+    // tmp write happens FIRST (it is what reads the current store), then
+    // the checked two-rename swap
     val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
     newStore.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(storeP)) fs.delete(storeP, true)
-    fs.rename(tmp, storeP)
+    if (fs.exists(storeP)) {
+      require(fs.rename(storeP, oldP), s"scd2 store swap-aside failed: $storeP")
+    }
+    require(fs.rename(tmp, storeP), s"scd2 store swap-in failed: $tmp")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
     ()
   }
 }

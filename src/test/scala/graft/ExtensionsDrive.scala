@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
 // COUNT(DISTINCT) -> HLL rewrite.
 object ExtensionsDrive {
   def main(args: Array[String]): Unit = {
+    // the REAL conf path — classname string, reflective no-arg
+    // instantiation, classloader resolution — not .withExtensions(instance)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -31,30 +31,34 @@ class StreamingScd2Spec extends AnyFunSuite {
       stream.toDF().toDF("k", "v", "ver"), store, ckpt,
       Seq("k"), Seq("v"), "ver")
     try {
-      // batch 1: open both keys
-      stream.addData((1L, "a", 1), (2L, "x", 1))
+      // batch 1: open three keys; k3 also sees an UNCHANGED observation at
+      // v5 (advances the applied high-water mark without a new interval)
+      stream.addData((1L, "a", 1), (2L, "x", 1), (3L, "p", 1), (3L, "p", 5))
       query.processAllAvailable()
       // batch 2: k1 unchanged at v2 (no new interval), then changes at v3
       stream.addData((1L, "a", 2), (1L, "b", 3))
       query.processAllAvailable()
-      // batch 3: k2 changes at v4; plus a LATE k1 observation at v0 that
-      // must be dropped, and a replay of (1,b,3) that must be ignored
-      stream.addData((2L, "y", 4), (1L, "z", 0), (1L, "b", 3))
+      // batch 3: k2 changes at v4; plus a LATE k1 observation at v0, a
+      // replay of (1,b,3), and a MID-WINDOW late row for k3 at v3 — inside
+      // (valid_from=1, max applied=5) — all three must be dropped
+      stream.addData((2L, "y", 4), (1L, "z", 0), (1L, "b", 3), (3L, "q", 3))
       query.processAllAvailable()
 
       val streamed = rows(spark.read.parquet(store))
       // the applied history = everything except the dropped late/replayed rows
       val applied = Seq(
-        (1L, "a", 1), (2L, "x", 1),
+        (1L, "a", 1), (2L, "x", 1), (3L, "p", 1), (3L, "p", 5),
         (1L, "a", 2), (1L, "b", 3),
         (2L, "y", 4)
       ).toDF("k", "v", "ver")
       val batch = rows(graft.operators.Upsert.scd2(applied, Seq("k"), Seq("v"), "ver"))
       assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
-      // and the intervals are the expected ones
+      // and the intervals are the expected ones — in particular k3 stays
+      // (p, from=1, current): the mid-window (q, 3) did NOT rewrite history
       assert(streamed == Set(
         (1L, "a", 1, Some(3), false), (1L, "b", 3, None, true),
-        (2L, "x", 1, Some(4), false), (2L, "y", 4, None, true)))
+        (2L, "x", 1, Some(4), false), (2L, "y", 4, None, true),
+        (3L, "p", 1, None, true)))
     } finally query.stop()
   }
 }
