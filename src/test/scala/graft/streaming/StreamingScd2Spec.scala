@@ -61,4 +61,34 @@ class StreamingScd2Spec extends AnyFunSuite {
         (3L, "p", 1, None, true)))
     } finally query.stop()
   }
+
+  test("property: any batch split of an in-order history folds to batch scd2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      // random history: per-key strictly increasing versions, values from a
+      // 3-letter alphabet so unchanged-value observations occur often
+      val obs = (0 until 8).flatMap { k =>
+        val nVer = 1 + rnd.nextInt(5)
+        val vers = rnd.shuffle((1 to 12).toList).take(nVer).sorted
+        vers.map(v => (k.toLong, s"v${rnd.nextInt(3)}", v))
+      }
+      // global version sort preserves per-key order; contiguous cuts make
+      // arbitrary batch boundaries
+      val ordered = rnd.shuffle(obs.toList).sortBy(_._3)
+      val nCuts = 1 + rnd.nextInt(3)
+      val batches = ordered.grouped(math.max(1, ordered.size / nCuts)).toSeq
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_prop_" +
+        s"${java.lang.ProcessHandle.current().pid()}_$trial"
+      batches.foreach { b =>
+        StreamingScd2.foldBatch(b.toDF("k", "v", "ver"), store,
+          Seq("k"), Seq("v"), "ver")
+      }
+      val streamed = rows(spark.read.parquet(store))
+      val batch = rows(graft.operators.Upsert.scd2(
+        ordered.toDF("k", "v", "ver"), Seq("k"), Seq("v"), "ver"))
+      assert(streamed == batch,
+        s"trial $trial: streamed=$streamed\nbatch=$batch\nhistory=$ordered\ncuts=${batches.map(_.size)}")
+    }
+  }
 }
