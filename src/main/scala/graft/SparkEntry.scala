@@ -1707,6 +1707,21 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // Engine-portable TABLESAMPLE: deterministic two-round LCG scramble of
+    // the key replaces the RNG behind TABLESAMPLE/df.sample, so the sampled
+    // row set is partition-invariant and bit-replayable by the oracle. The
+    // predicate folds into the parquet scan (no shuffle, no extra pass);
+    // aggregation is over exact cents so the sums hash-match.
+    "q_tablesample" -> ((s, dir) => {
+      val sampled = graft.operators.Sampling.portableSample(
+        t(s, dir, "orders"), "o_orderkey", 0.1)
+      sampled.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // priority = ln(u)/w with u from the same engine-portable Knuth hash as
     // q_group_sample and w = n_chars (length-weighted; production would use
@@ -2836,6 +2851,15 @@ object SparkEntry {
         |  CAST(MAX(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
         |  ROUND(AVG(TRY_CAST(props->>'$.k' AS BIGINT)), 4) AS k_avg
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tablesample" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE ((((o_orderkey % 2147483648) * 1103515245 + 12345)
+        |         % 2147483648) * 1103515245 + 12345) % 2147483648
+        |      < 214748364
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_weighted_sample" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

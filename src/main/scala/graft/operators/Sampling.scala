@@ -25,6 +25,30 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 42L): DataFrame =
     df.filter(hashSampleCond(col(keyCol), rate, seed))
 
+  /** Engine-portable TABLESAMPLE: keep a row iff a two-round LCG scramble of
+    * the key lands under `rate` of the 2^31 space. Spark's native
+    * `TABLESAMPLE` / `df.sample` draw from a partition-seeded RNG, so the
+    * selected rows change with partitioning and cannot be replayed by
+    * another engine; this variant is pure int64 arithmetic (`%`, `*`, `+`
+    * on non-negative values), so any ANSI SQL engine reproduces the exact
+    * row set — the property needed for cross-engine audits of a sampled
+    * corpus. O(1) per row, no shuffle, folded into the scan filter.
+    *
+    * Intermediates stay under 2^31 * 1103515245 < 2^62: no int64 overflow
+    * even under ANSI mode.
+    */
+  def portableSampleCond(key: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val m = 2147483648L // 2^31
+    val x0 = pmod(key.cast("long"), lit(m))
+    val x1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(m))
+    val x2 = pmod(x1 * lit(1103515245L) + lit(12345L), lit(m))
+    x2 < lit((rate * m).toLong)
+  }
+
+  def portableSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(portableSampleCond(col(keyCol), rate))
+
   /** Deterministic train/validation/test split: assigns each key a stable
     * bucket from fractions that must sum to <= 1 (remainder -> last bucket).
     */

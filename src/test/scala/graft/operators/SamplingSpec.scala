@@ -36,6 +36,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(splits("val") - 5000) < 400)
   }
 
+  test("portable sample: partition-invariant, near rate, JVM replay matches") {
+    import spark.implicits._
+    val df = (0 until 100000).map(_.toLong).toDF("k")
+    val a = Sampling.portableSample(df.repartition(3), "k", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.portableSample(df.repartition(11), "k", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 20000) < 1500, s"rate off: ${a.size}")
+    // bit-replay of the arithmetic outside Spark (what the SQL oracle does)
+    val m = 2147483648L
+    val replay = (0L until 100000L).filter { k =>
+      val x1 = (k % m * 1103515245L + 12345L) % m
+      (x1 * 1103515245L + 12345L) % m < (0.2 * m).toLong
+    }.toSet
+    assert(a == replay)
+  }
+
   test("training mix: per-source rates honored, unlisted sources dropped") {
     import spark.implicits._
     val df = (0 until 40000).map(i => (s"src${i % 4}", i.toLong)).toDF("source", "doc_id")
