@@ -1082,6 +1082,17 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // Exact-substring containment (quoted/truncated re-posts): strided
+    // rolling-anchor index on the container side, first-`stride` anchor
+    // offsets on the inner side, hash-join, contains() verify — exact
+    // recall for docs >= gram+stride-1 chars with only 8-byte hashes on
+    // the wire. The oracle brute-forces the same pair set with contains().
+    "dd_substring_contain" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.substringContainment(d, "doc_id", "text")
+        .orderBy(col("inner_id"), col("outer_id"))
+    }),
+
     // line-level corpus dedup (CCNet/RefinedWeb boilerplate removal): the
     // flat word-soup corpus has no newlines, so the query derives "lines" as
     // 3-word chunks (array slicing, pure map work) before handing the
@@ -1340,6 +1351,46 @@ object SparkEntry {
           (abs(GraftFunctions.kmv_jaccard(col("sk_a"), col("sk_b"))
             - col("exact_both").cast("double") / u) <= 0.1).as("jaccard_ok"))
         .orderBy(col("et_a"), col("et_b"))
+    }),
+
+    // Theta-sketch-style set DIFFERENCE on stored KMV sketches: a-not-b as
+    // (A-only fraction of the merged bottom-k union sample) x (union
+    // estimate from the same sample) — no inclusion-exclusion cancellation,
+    // so the error stays union-relative even when |A \ B| is tiny. Checked
+    // in both directions on the overlapping user halves and against the
+    // provably disjoint event-id halves (difference = |A| there).
+    "hll_kmv_difference" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+      val sk = half.groupBy(col("half")).agg(
+        GraftFunctions.kmv_sketch_agg(col("user_id"), 1024).as("sk_u"),
+        GraftFunctions.kmv_sketch_agg(col("event_id"), 1024).as("sk_e"))
+      val pair = sk.agg(
+        max(when(col("half") === 0, col("sk_u"))).as("sk_u0"),
+        max(when(col("half") === 1, col("sk_u"))).as("sk_u1"),
+        max(when(col("half") === 0, col("sk_e"))).as("sk_e0"),
+        max(when(col("half") === 1, col("sk_e"))).as("sk_e1"))
+      val exact = half.groupBy(col("user_id"))
+        .agg(max(when(col("half") === 0, 1).otherwise(0)).as("_h0"),
+          max(when(col("half") === 1, 1).otherwise(0)).as("_h1"),
+          countDistinct(when(col("half") === 0, col("event_id"))).as("_ne0"))
+        .agg(
+          count(lit(1)).as("exact_union"),
+          sum(when(col("_h0") === 1 && col("_h1") === 0, 1L).otherwise(0L))
+            .as("exact_a_only"),
+          sum(when(col("_h1") === 1 && col("_h0") === 0, 1L).otherwise(0L))
+            .as("exact_b_only"),
+          sum(col("_ne0")).as("exact_events_a"))
+      pair.crossJoin(exact).select(
+        col("exact_union"), col("exact_a_only"), col("exact_b_only"),
+        col("exact_events_a"),
+        (abs(GraftFunctions.kmv_difference_estimate(col("sk_u0"), col("sk_u1"))
+          - col("exact_a_only")) / col("exact_union") <= 0.1).as("diff_a_ok"),
+        (abs(GraftFunctions.kmv_difference_estimate(col("sk_u1"), col("sk_u0"))
+          - col("exact_b_only")) / col("exact_union") <= 0.1).as("diff_b_ok"),
+        (abs(GraftFunctions.kmv_difference_estimate(col("sk_e0"), col("sk_e1"))
+          - col("exact_events_a")) / col("exact_events_a") <= 0.1)
+          .as("diff_disjoint_ok"))
     }),
 
     // Sketch Jaccard between the two event halves: the user-overlap ratio
@@ -1900,6 +1951,17 @@ object SparkEntry {
         |JOIN nd na ON p.et_a = na.event_type
         |JOIN nd nb ON p.et_b = nb.event_type
         |ORDER BY et_a, et_b""".stripMargin,
+    "hll_kmv_difference" ->
+      """SELECT COUNT(*) AS exact_union,
+        |  COUNT(*) FILTER (h0 = 1 AND h1 = 0) AS exact_a_only,
+        |  COUNT(*) FILTER (h1 = 1 AND h0 = 0) AS exact_b_only,
+        |  CAST(SUM(ne0) AS BIGINT) AS exact_events_a,
+        |  TRUE AS diff_a_ok, TRUE AS diff_b_ok, TRUE AS diff_disjoint_ok
+        |FROM (SELECT user_id,
+        |        MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS h0,
+        |        MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS h1,
+        |        COUNT(DISTINCT event_id) FILTER (event_id % 2 = 0) AS ne0
+        |      FROM events GROUP BY user_id)""".stripMargin,
     "hll_intersect_halves" ->
       """SELECT COUNT(*) AS exact_union,
         |  COUNT(*) FILTER (nh = 2) AS exact_intersect,
@@ -2295,6 +2357,14 @@ object SparkEntry {
         |            + COUNT(*) - COUNT(h.line) - 1 END AS BIGINT) AS clean_len
         |FROM chunks c LEFT JOIN hot h USING (line)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "dd_substring_contain" ->
+      """SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id <> b.doc_id
+        | AND length(a.text) >= 39 AND length(b.text) >= 39
+        | AND length(a.text) < length(b.text)
+        | AND contains(b.text, a.text)
+        |ORDER BY inner_id, outer_id""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -158,6 +158,14 @@ object GraftFunctions {
   def kmv_intersect_estimate(a: Column, b: Column): Column =
     GraftShims.column(KmvIntersectEstimate(e(a), e(b)))
 
+  /** |A \ B| estimate from two KMV sketches (theta-sketch-style a-not-b):
+    * union-sample fraction times union estimate, so the error is bounded
+    * relative to |A ∪ B| rather than blowing up when the difference is
+    * small — the failure mode of HLL inclusion-exclusion.
+    */
+  def kmv_difference_estimate(a: Column, b: Column): Column =
+    GraftShims.column(KmvDifferenceEstimate(e(a), e(b)))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -247,6 +255,8 @@ object GraftFunctions {
     "kmv_jaccard" -> ((args: Seq[Expression]) => KmvJaccard(args(0), args(1))),
     "kmv_intersect_estimate" ->
       ((args: Seq[Expression]) => KmvIntersectEstimate(args(0), args(1))),
+    "kmv_difference_estimate" ->
+      ((args: Seq[Expression]) => KmvDifferenceEstimate(args(0), args(1))),
     "minhash_signature" -> { (args: Seq[Expression]) =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

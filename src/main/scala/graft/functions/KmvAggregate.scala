@@ -120,6 +120,15 @@ object KmvSketch {
     * .estimate]]. Exact when both sides stayed below capacity.
     */
   def pairStats(a: KmvSketch, b: KmvSketch): (Double, Double) = {
+    val (inBoth, _, taken, unionEst) = sampleStats(a, b)
+    if (taken == 0) (0.0, 0.0)
+    else (inBoth.toDouble / taken.toDouble, unionEst)
+  }
+
+  /** Walk the merged bottom-k' union sample once, classifying each sampled
+    * hash: (in both, in A only, sample size, union estimate).
+    */
+  private def sampleStats(a: KmvSketch, b: KmvSketch): (Int, Int, Int, Double) = {
     val kp = math.min(a.k, b.k)
     val merged = new java.util.TreeSet[java.lang.Long](
       new java.util.Comparator[java.lang.Long] {
@@ -128,21 +137,37 @@ object KmvSketch {
       })
     merged.addAll(a.values)
     merged.addAll(b.values)
-    if (merged.isEmpty) return (0.0, 0.0)
+    if (merged.isEmpty) return (0, 0, 0, 0.0)
     var inBoth = 0
+    var inAOnly = 0
     var taken = 0
     var kth = 0L
     val it = merged.iterator()
     while (it.hasNext && taken < kp) {
       val h = it.next()
-      if (a.values.contains(h) && b.values.contains(h)) inBoth += 1
+      val inA = a.values.contains(h)
+      val inB = b.values.contains(h)
+      if (inA && inB) inBoth += 1
+      else if (inA) inAOnly += 1
       kth = h
       taken += 1
     }
     val unionEst =
       if (taken < kp) taken.toDouble // union below capacity: exact
       else (kp - 1).toDouble * 1.8446744073709552E19 / ud(kth)
-    (inBoth.toDouble / taken.toDouble, unionEst)
+    (inBoth, inAOnly, taken, unionEst)
+  }
+
+  /** |A \ B| estimate (theta-sketch-style a-not-b): the fraction of the
+    * merged bottom-k' union sample present in A only, scaled by the union
+    * estimate from the same sample — set difference WITHOUT
+    * inclusion-exclusion cancellation, so the error stays union-relative
+    * (±~1/sqrt(k') of |A ∪ B|) even when |A \ B| is tiny. Exact when the
+    * union stayed below capacity; disjoint-B gives back A's own estimate.
+    */
+  def differenceEstimate(a: KmvSketch, b: KmvSketch): Double = {
+    val (_, inAOnly, taken, unionEst) = sampleStats(a, b)
+    if (taken == 0) 0.0 else inAOnly.toDouble / taken.toDouble * unionEst
   }
 
   /** Jaccard |A∩B|/|A∪B| estimate. */
@@ -324,4 +349,32 @@ case class KmvIntersectEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectEstimate =
     copy(left = l, right = r)
   override def prettyName: String = "kmv_intersect_estimate"
+}
+
+/** `kmv_difference_estimate(a, b)` -> DOUBLE |A \ B| estimate (a-not-b). */
+case class KmvDifferenceEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY) sketches, got (${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    // a 0-byte value is kmv_union_agg's all-null-group output: empty set —
+    // empty A has nothing to subtract from; empty B subtracts nothing
+    if (ab.length == 0) 0.0
+    else if (bb.length == 0) KmvSketch.deserialize(ab).estimate
+    else KmvSketch.differenceEstimate(
+      KmvSketch.deserialize(ab), KmvSketch.deserialize(bb))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvDifferenceEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_difference_estimate"
 }

@@ -390,6 +390,71 @@ object Dedup {
         col("n_lines"), col("n_dup_lines"))
   }
 
+  /** Exact-substring containment pairs: (inner, outer) where inner's FULL
+    * text occurs verbatim inside outer's text — quoted snippets, mirrored
+    * excerpts, truncated re-posts that near-dup Jaccard misses when the
+    * outer doc is much longer than the shared span.
+    *
+    * Candidate scheme (exact recall, no all-pairs): index each potential
+    * container at strided positions 1, 1+s, 1+2s, … with `gram`-char
+    * rolling anchors; an inner doc contributes its first `stride` anchor
+    * offsets. If inner occurs in outer at any offset p, the first strided
+    * container position ≥ p is at most stride-1 chars in, so some inner
+    * anchor hash-joins some container anchor whenever
+    * len(inner) ≥ gram + stride - 1 (the documented minimum; shorter docs
+    * are excluded on BOTH sides so the oracle can replicate the filter).
+    * Only 8-byte gram hashes + ids shuffle — text stays columnar until the
+    * final verify. Candidates are distinct'd before the contains() check,
+    * so a pair sharing many anchors is verified once.
+    *
+    * @param maxBucket skew guard for web-scale corpora: container anchor
+    *   hashes shared by more than this many docs are dropped from the
+    *   index. Default keeps every anchor (exact recall); capping trades
+    *   recall on boilerplate-only matches for a bounded join, same knob as
+    *   the LSH family.
+    */
+  def substringContainment(
+      df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 32, stride: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val minLen = gram + stride - 1
+    val docs = df.select(col(idCol).as("_id"), col(textCol).as("_text"),
+        length(col(textCol)).as("_len"))
+      .filter(col("_len") >= minLen)
+    // container index: anchors at strided positions (≈ len/stride rows/doc)
+    val contIdx = docs
+      .select(col("_id").as("_cid"), col("_len").as("_clen"),
+        explode(sequence(lit(1), col("_len") - gram + 1, lit(stride))).as("_p"),
+        col("_text"))
+      .select(col("_cid"), col("_clen"),
+        xxhash64(expr(s"substring(_text, _p, $gram)")).as("_g"))
+    val capped =
+      if (maxBucket == Int.MaxValue) contIdx
+      else {
+        import org.apache.spark.sql.expressions.Window
+        contIdx
+          .withColumn("_bsz",
+            approx_count_distinct(col("_cid")).over(Window.partitionBy(col("_g"))))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    // inner probes: one anchor per offset residue (stride rows/doc)
+    val probes = docs
+      .select(col("_id").as("_aid"), col("_len").as("_alen"),
+        explode(sequence(lit(1), lit(stride))).as("_p"), col("_text"))
+      .select(col("_aid"), col("_alen"),
+        xxhash64(expr(s"substring(_text, _p, $gram)")).as("_g"))
+    val candidates = probes.join(capped, Seq("_g"))
+      .filter(col("_aid") =!= col("_cid") && col("_alen") < col("_clen"))
+      .select(col("_aid"), col("_cid")).distinct()
+    // verify: join texts back by id (candidate set is small), exact contains
+    val txt = docs.select(col("_id"), col("_text"))
+    candidates
+      .join(txt.select(col("_id").as("_aid"), col("_text").as("_at")), Seq("_aid"))
+      .join(txt.select(col("_id").as("_cid"), col("_text").as("_ct")), Seq("_cid"))
+      .filter(instr(col("_ct"), col("_at")) > 0)
+      .select(col("_aid").as("inner_id"), col("_cid").as("outer_id"))
+  }
+
   /** N-gram Jaccard similarity for a candidate pair set (exact, builtin-only):
     * self-contained variant for when candidates come from elsewhere.
     */

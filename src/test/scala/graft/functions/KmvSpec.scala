@@ -78,6 +78,42 @@ class KmvSpec extends AnyFunSuite {
     assert(KmvSketch.intersectEstimate(a, b) == 300.0)
   }
 
+  test("difference below capacity is exact; disjoint gives |A|; subset gives 0") {
+    def build(k: Int, items: Range): KmvSketch = {
+      val s = new KmvSketch(k)
+      items.foreach(i => s.add(s"d$i"))
+      s
+    }
+    val a = build(1024, 0 until 600)
+    val b = build(1024, 400 until 900)
+    assert(KmvSketch.differenceEstimate(a, b) == 400.0) // exact regime
+    assert(KmvSketch.differenceEstimate(b, a) == 300.0) // {600..900}
+    val disjoint = build(1024, 10000 until 10400) // union 1000 < k: exact
+    assert(KmvSketch.differenceEstimate(a, disjoint) == 600.0)
+    val superset = build(1024, 0 until 1000)
+    assert(KmvSketch.differenceEstimate(a, superset) == 0.0) // A ⊆ B
+    assert(KmvSketch.differenceEstimate(a, a) == 0.0)
+  }
+
+  test("difference in the estimating regime: union-relative 3-sigma band") {
+    def big(lo: Int, hi: Int): KmvSketch = {
+      val s = new KmvSketch(1024)
+      (lo until hi).foreach(i => s.add(s"big$i"))
+      s
+    }
+    val a = big(0, 60000)      // |A \ B| = 20000
+    val b = big(20000, 80000)  // union = 80000
+    val est = KmvSketch.differenceEstimate(a, b)
+    assert(math.abs(est - 20000.0) / 80000.0 < 0.094,
+      s"difference est $est vs 20000 (union 80000)")
+    // partition identity: the three disjoint classes of the SAME merged
+    // sample must sum to its union estimate (up to fp rounding)
+    val total = est + KmvSketch.intersectEstimate(a, b) +
+      KmvSketch.differenceEstimate(b, a)
+    val u = KmvSketch.unionEstimate(a, b)
+    assert(math.abs(total - u) / u < 1e-12, s"partition identity: $total vs $u")
+  }
+
   test("large-overlap estimate tracks truth within 3 sigma") {
     val a = new KmvSketch(1024)
     val b = new KmvSketch(1024)
