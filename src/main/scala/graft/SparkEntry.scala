@@ -837,6 +837,76 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the canonical scan-only query —
+    // every predicate reaches the parquet scan (shipdate range, discount
+    // band, quantity cap), then a single partial+final agg. No join, no
+    // wide shuffle: the 100 TB plan is "read the pruned row groups, sum".
+    "q_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q4 adapted to this schema (no commit/receipt dates): order
+    // priority checking via EXISTS — orders in a quarter with at least one
+    // line shipped >60 days after the order date. left_semi keeps the
+    // probe side single-pass; the date predicate prunes orders first.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1996-10-01"))
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey")
+            && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 (promo revenue): join pruned lineitem window to part,
+    // conditional-sum ratio in one aggregate. p_type here is a single word,
+    // so equality replaces the spec's LIKE 'PROMO%'.
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01")
+          && col("l_shipdate") < lit("1996-06-01"))
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) * 100.0
+            / sum(rev), 4).as("promo_revenue_pct"),
+          round(sum(rev), 2).as("total_revenue"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): Catalyst
+    // splits the equi-key from the OR residual, so this stays a hash join
+    // on partkey with the disjunction evaluated post-match — not a nested-
+    // loop. Container/shipmode clauses dropped (absent from this schema).
+    "q_tpch_q19" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30))
+      l.join(p, l("l_partkey") === p("p_partkey") && clause)
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // exact percentiles (sort-based, matches ANSI percentile_cont). One
     // percentile(col, array(...)) aggregate: a single value-count buffer per
     // group serves all three points — three separate percentile() calls each
@@ -2720,6 +2790,43 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+        |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-06-01'""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -171,6 +171,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "sim_ann_ivfpq",
       "hll_intersect_halves", "hll_difference_halves", "hll_jaccard_halves",
       "hll_sketch_reagg", "hll_kmv_sets",
+      // a-not-b difference: crosses the 1-row sketch-pair aggregate into
+      // the 1-row exact aggregate
+      "hll_kmv_difference",
       // overlap matrix: inequality pair-join of the <=|event_types| sketch
       // rows (5 here) — bounded by segment count, never by data volume
       "hll_kmv_overlap",
