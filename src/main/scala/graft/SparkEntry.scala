@@ -1814,6 +1814,39 @@ object SparkEntry {
         .na.fill(0L)
     }),
 
+    // Bloom-pruned contamination audit: MUST report the numbers
+    // tx_contamination reports (the prune is recall-exact — Bloom false
+    // positives only add candidates the join discards), while shuffling
+    // only the A fingerprints that might exist in B. The shared golden
+    // oracle IS the equivalence check, driver-verified.
+    "tx_contamination_pruned" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("source").isin("src0", "src1"))
+      val b = d.filter(col("source").isin("src2", "src3"))
+      val pairs = graft.operators.Contamination.overlapPruned(
+        a, "doc_id", "text", b, "doc_id", "text", threshold = 0.05,
+        expectedBFingerprints = 1L << 20)
+      pairs.agg(
+          count(lit(1)).as("pairs_at_005"),
+          sum(when(col("overlap") >= 0.3, 1L).otherwise(0L)).as("pairs_at_03"),
+          sum(when(col("overlap") >= 0.8, 1L).otherwise(0L)).as("pairs_at_08"))
+        .na.fill(0L)
+    }),
+
+    // Sketch-only shard triage: per-source KMV sketches over winnowing
+    // fingerprints, pairwise overlap estimates from kilobyte sketch values
+    // — the "which shards look contaminated" report with no fingerprint
+    // join at all. Estimates are deterministic (fixed hash, fixed data),
+    // golden-locked like the other sketch surfaces.
+    "tx_shard_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("source").isin("src0", "src1"))
+      val b = d.filter(col("source").isin("src2", "src3"))
+      graft.operators.Contamination.groupOverlapMatrix(
+          a, "source", "text", b, "source", "text")
+        .orderBy(col("a_group"), col("b_group"))
+    }),
+
     // deterministic per-group sample: 3 docs per source by scrambled-id
     // order (stable across partitionings; arithmetic scramble is engine-
     // portable so the oracle can replicate it)
@@ -2189,6 +2222,23 @@ object SparkEntry {
     "tx_contamination" ->
       """SELECT CAST(1694 AS BIGINT) AS pairs_at_005, CAST(0 AS BIGINT) AS pairs_at_03,
         |  CAST(0 AS BIGINT) AS pairs_at_08""".stripMargin,
+    // identical golden to tx_contamination BY DESIGN: the Bloom prune must
+    // not change a single pair count
+    "tx_contamination_pruned" ->
+      """SELECT CAST(1694 AS BIGINT) AS pairs_at_005, CAST(0 AS BIGINT) AS pairs_at_03,
+        |  CAST(0 AS BIGINT) AS pairs_at_08""".stripMargin,
+    // deterministic sketch estimates (fixed hash, fixed data): the heavy
+    // cross-source k-gram sharing these report (~0.43 Jaccard over the
+    // word-soup corpus) is exactly why tx_contamination sees 1694 pairs at
+    // the 0.05 threshold
+    "tx_shard_overlap" ->
+      """SELECT * FROM (VALUES
+        |  ('src0', 'src2', 956.0, 0.4249),
+        |  ('src0', 'src3', 951.0, 0.4261),
+        |  ('src1', 'src2', 1004.0, 0.4439),
+        |  ('src1', 'src3', 1003.0, 0.4478))
+        |t(a_group, b_group, est_shared_fp, est_jaccard)
+        |ORDER BY a_group, b_group""".stripMargin,
     "dd_pipeline_stats" ->
       """SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
         |UNION ALL SELECT '1_quality', 500

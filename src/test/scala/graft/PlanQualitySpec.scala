@@ -177,6 +177,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // overlap matrix: inequality pair-join of the <=|event_types| sketch
       // rows (5 here) — bounded by segment count, never by data volume
       "hll_kmv_overlap",
+      // shard triage matrix: |A shards| x |B shards| cross of kilobyte
+      // sketch rows (2x2 here) — bounded by shard count
+      "tx_shard_overlap",
       // unigram surprisal crosses the 1-row corpus-total into the
       // vocab-sized frequency table before the broadcast score join
       "tx_surprisal",

@@ -43,4 +43,44 @@ class ContaminationSpec extends AnyFunSuite {
       .count()
     assert(untouched == 3L)
   }
+
+  test("bloom-pruned overlap returns exactly the unpruned result") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = (0 until 200).map { i =>
+      val body = if (i % 17 == 0) s"doc $i prefix $shared suffix $i"
+      else s"clean document number $i about topic ${i % 7} with its own distinct words $i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val eval = Seq(
+      (900L, shared),
+      (901L, "entirely different benchmark question with no training presence at all")
+    ).toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val plain = collectPairs(Contamination.overlap(
+      eval, "doc_id", "text", train, "doc_id", "text", threshold = 0.1))
+    val pruned = collectPairs(Contamination.overlapPruned(
+      eval, "doc_id", "text", train, "doc_id", "text", threshold = 0.1,
+      expectedBFingerprints = 100000L))
+    assert(plain.nonEmpty, "fixture should produce overlap pairs")
+    assert(pruned == plain, s"pruned diverged: ${pruned.diff(plain)} / ${plain.diff(pruned)}")
+  }
+
+  test("kmv shard matrix ranks the contaminated shard; disjoint shards at 0") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val train = ((0 until 50).map(i =>
+        ("dirty", i.toLong, s"doc $i with $shared plus local tail $i")) ++
+      (0 until 50).map(i =>
+        ("clean", 100L + i, s"unrelated shard content piece $i nothing borrowed here $i")))
+      .toDF("shard", "doc_id", "text")
+    val eval = Seq(("bench", 900L, shared)).toDF("shard", "doc_id", "text")
+    val m = Contamination.groupOverlapMatrix(
+        train, "shard", "text", eval, "shard", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(m("dirty") > 0.0, s"contaminated shard not flagged: $m")
+    assert(m("clean") == 0.0, s"clean shard estimated nonzero: $m")
+  }
 }
