@@ -907,6 +907,67 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q7 (volume shipping): bidirectional nation-pair trade by ship
+    // year. The two nation lookups broadcast; the OR pair filter is a
+    // post-join residual on the broadcasted dims, so the big tables still
+    // join on pure equi-keys.
+    "q_tpch_q7" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1998-01-01"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_cn_key"), col("n_name").as("cust_nation"))
+      su.join(l, su("s_suppkey") === l("l_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("_sn_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("_cn_key"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 (market share): one nation's share of a region's ECONOMY-part
+    // import volume per order year — conditional-sum ratio, region/nation
+    // dims broadcast, part filter applied before its join.
+    "q_tpch_q8" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_cn_key"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      val su = t(s, dir, "supplier")
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_sn_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("_cn_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n2), su("s_nationkey") === col("_sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_6", vol).otherwise(0.0))
+            / sum(vol), 4).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // exact percentiles (sort-based, matches ANSI percentile_cont). One
     // percentile(col, array(...)) aggregate: a single value-count buffer per
     // group serves all three points — three separate percentile() calls each
@@ -2877,6 +2938,45 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  ROUND(SUM(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    EXTRACT(year FROM l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
+        |    ELSE 0.0 END) / SUM(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
