@@ -1524,6 +1524,29 @@ object SparkEntry {
           .as("diff_disjoint_ok"))
     }),
 
+    // N-way KMV intersection: the view∩click∩purchase audience from three
+    // stored sketches in ONE union-sample pass — inclusion-exclusion over
+    // n sets needs 2^n-1 alternating HLL terms whose noise compounds;
+    // kmv_intersect_n classifies each sampled hash once.
+    "hll_kmv_triple" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase")
+      val ev = events(s, dir).filter(col("event_type").isin(types: _*))
+      val pivoted = ev.groupBy(col("event_type"))
+        .agg(GraftFunctions.kmv_sketch_agg(col("user_id"), 1024).as("sk"))
+        .agg(
+          max(when(col("event_type") === "view", col("sk"))).as("sk_v"),
+          max(when(col("event_type") === "click", col("sk"))).as("sk_c"),
+          max(when(col("event_type") === "purchase", col("sk"))).as("sk_p"))
+      val exact = ev.select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_nt"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("_nt") === 3, 1L).otherwise(0L)).as("exact_all3"))
+      pivoted.crossJoin(exact).select(
+        col("exact_union"), col("exact_all3"),
+        (abs(GraftFunctions.kmv_intersect_n(col("sk_v"), col("sk_c"), col("sk_p"))
+          - col("exact_all3")) / col("exact_union") <= 0.1).as("triple_ok"))
+    }),
+
     // Sketch Jaccard between the two event halves: the user-overlap ratio
     // without ever materializing the sets. Exact side recomputed in-query;
     // the tolerance is generous because inclusion-exclusion noise compounds
@@ -2126,6 +2149,14 @@ object SparkEntry {
         |        MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS h1,
         |        COUNT(DISTINCT event_id) FILTER (event_id % 2 = 0) AS ne0
         |      FROM events GROUP BY user_id)""".stripMargin,
+    "hll_kmv_triple" ->
+      """SELECT COUNT(*) AS exact_union,
+        |  COUNT(*) FILTER (nt = 3) AS exact_all3,
+        |  TRUE AS triple_ok
+        |FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+        |      FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase')
+        |      GROUP BY user_id)""".stripMargin,
     "hll_intersect_halves" ->
       """SELECT COUNT(*) AS exact_union,
         |  COUNT(*) FILTER (nh = 2) AS exact_intersect,

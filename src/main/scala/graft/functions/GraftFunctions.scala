@@ -166,6 +166,13 @@ object GraftFunctions {
   def kmv_difference_estimate(a: Column, b: Column): Column =
     GraftShims.column(KmvDifferenceEstimate(e(a), e(b)))
 
+  /** N-way intersection estimate over >= 2 KMV sketches: one union-sample
+    * pass instead of the 2^n-1 inclusion-exclusion terms n-way overlap
+    * needs on HLL sketches.
+    */
+  def kmv_intersect_n(sketches: Column*): Column =
+    GraftShims.column(KmvIntersectN(sketches.map(e)))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -257,6 +264,7 @@ object GraftFunctions {
       ((args: Seq[Expression]) => KmvIntersectEstimate(args(0), args(1))),
     "kmv_difference_estimate" ->
       ((args: Seq[Expression]) => KmvDifferenceEstimate(args(0), args(1))),
+    "kmv_intersect_n" -> ((args: Seq[Expression]) => KmvIntersectN(args)),
     "minhash_signature" -> { (args: Seq[Expression]) =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

@@ -183,6 +183,40 @@ object KmvSketch {
     val (j, u) = pairStats(a, b)
     j * u
   }
+
+  /** N-way |∩ sketches| estimate, same construction as the pair case: the
+    * bottom-k' of the n-ary union (k' = min kᵢ) is a uniform sample of the
+    * hashed union; the fraction of it present in EVERY sketch, scaled by
+    * the union estimate from the same sample, estimates the n-way
+    * intersection directly — where inclusion-exclusion over n sets needs
+    * 2^n-1 alternating terms whose noise compounds. Exact when the union
+    * stayed below capacity.
+    */
+  def intersectAllEstimate(sketches: Seq[KmvSketch]): Double = {
+    require(sketches.size >= 2, "n-way intersection needs >= 2 sketches")
+    val kp = sketches.map(_.k).min
+    val merged = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(x: java.lang.Long, y: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(x, y)
+      })
+    sketches.foreach(s => merged.addAll(s.values))
+    if (merged.isEmpty) return 0.0
+    var inAll = 0
+    var taken = 0
+    var kth = 0L
+    val it = merged.iterator()
+    while (it.hasNext && taken < kp) {
+      val h = it.next()
+      if (sketches.forall(_.values.contains(h))) inAll += 1
+      kth = h
+      taken += 1
+    }
+    val unionEst =
+      if (taken < kp) taken.toDouble
+      else (kp - 1).toDouble * 1.8446744073709552E19 / ud(kth)
+    inAll.toDouble / taken.toDouble * unionEst
+  }
 }
 
 /** `kmv_sketch_agg(col, k)` -> BinaryType bottom-k sketch. */
@@ -349,6 +383,39 @@ case class KmvIntersectEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectEstimate =
     copy(left = l, right = r)
   override def prettyName: String = "kmv_intersect_estimate"
+}
+
+/** `kmv_intersect_n(sk1, sk2, ...)` -> DOUBLE n-way intersection estimate:
+  * one union-sample pass instead of 2^n-1 inclusion-exclusion terms.
+  */
+case class KmvIntersectN(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs >= 2 sketches")
+    else if (children.exists(_.dataType != BinaryType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY sketches, got " +
+          children.map(_.dataType.sql).mkString("(", ", ", ")"))
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val bufs = children.map(_.eval(input))
+    if (bufs.exists(_ == null)) return null
+    val bytes = bufs.map(_.asInstanceOf[Array[Byte]])
+    // any all-null-group (0-byte) operand is the empty set: intersection 0
+    if (bytes.exists(_.length == 0)) 0.0
+    else KmvSketch.intersectAllEstimate(bytes.map(KmvSketch.deserialize))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvIntersectN =
+    copy(children = newChildren)
+  override def prettyName: String = "kmv_intersect_n"
 }
 
 /** `kmv_difference_estimate(a, b)` -> DOUBLE |A \ B| estimate (a-not-b). */

@@ -174,6 +174,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // a-not-b difference: crosses the 1-row sketch-pair aggregate into
       // the 1-row exact aggregate
       "hll_kmv_difference",
+      // n-way intersection: same 1-row x 1-row shape
+      "hll_kmv_triple",
       // overlap matrix: inequality pair-join of the <=|event_types| sketch
       // rows (5 here) — bounded by segment count, never by data volume
       "hll_kmv_overlap",

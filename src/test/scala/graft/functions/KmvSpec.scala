@@ -114,6 +114,35 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(total - u) / u < 1e-12, s"partition identity: $total vs $u")
   }
 
+  test("n-way intersection: exact below capacity, matches pair path at n=2") {
+    def build(items: Range): KmvSketch = {
+      val s = new KmvSketch(1024)
+      items.foreach(i => s.add(s"n$i"))
+      s
+    }
+    val a = build(0 until 400)
+    val b = build(200 until 600)
+    val c = build(300 until 700)
+    // union 700 < k: everything exact. a∩b∩c = {300..400} = 100
+    assert(KmvSketch.intersectAllEstimate(Seq(a, b, c)) == 100.0)
+    // n=2 reduces to the pair estimator bit-for-bit
+    assert(KmvSketch.intersectAllEstimate(Seq(a, b)) ==
+      KmvSketch.intersectEstimate(a, b))
+    val disjoint = build(5000 until 5200)
+    assert(KmvSketch.intersectAllEstimate(Seq(a, b, disjoint)) == 0.0)
+    // estimating regime: 3-sigma union-relative band
+    def big(lo: Int, hi: Int): KmvSketch = {
+      val s = new KmvSketch(1024)
+      (lo until hi).foreach(i => s.add(s"m$i"))
+      s
+    }
+    val x = big(0, 50000)
+    val y = big(20000, 70000)
+    val z = big(30000, 80000)  // x∩y∩z = {30000..50000} = 20000, union 80000
+    val est = KmvSketch.intersectAllEstimate(Seq(x, y, z))
+    assert(math.abs(est - 20000.0) / 80000.0 < 0.094, s"3-way est $est")
+  }
+
   test("large-overlap estimate tracks truth within 3 sigma") {
     val a = new KmvSketch(1024)
     val b = new KmvSketch(1024)
