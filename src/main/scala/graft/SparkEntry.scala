@@ -1830,6 +1830,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-granular repetition audit: per-doc suffix automaton (linear
+    // time, pure map work) -> longest repeated substring + distinct-
+    // substring ratio, folded to a corpus report. Bigram fractions
+    // (tx_repetition) see local stutter; this sees whole repeated
+    // templates. n_docs is oracle-derived; the automaton fields are
+    // deterministic goldens.
+    "tx_repeated_span" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(graft.operators.TextAnalysis.repeatedSpanStats(col("text")).as("r"))
+        .select(col("r.longest_rep_len").as("_lrl"),
+          col("r.distinct_ratio").as("_ratio"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("_lrl")).as("max_longest"),
+          sum(col("_lrl").cast("long")).as("sum_longest"),
+          round(avg(col("_ratio")), 4).as("avg_distinct_ratio"),
+          sum(when(col("_ratio") < 0.98, 1L).otherwise(0L)).as("n_repetitive"))
+    }),
+
     // as-of join: latest order at-or-before each event per customer
     // (right side deduplicated to one row per (custkey, date) so the
     // at-equal-time winner is deterministic)
@@ -2569,6 +2588,15 @@ object SparkEntry {
         |            + COUNT(*) - COUNT(h.line) - 1 END AS BIGINT) AS clean_len
         |FROM chunks c LEFT JOIN hot h USING (line)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // n_docs oracle-derived; automaton fields are deterministic goldens
+    // (fixed corpus, exact integer byte arithmetic)
+    "tx_repeated_span" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  24 AS max_longest,
+        |  CAST(6023 AS BIGINT) AS sum_longest,
+        |  CAST(0.9768 AS DOUBLE) AS avg_distinct_ratio,
+        |  CAST(274 AS BIGINT) AS n_repetitive
+        |FROM documents""".stripMargin,
     "dd_substring_contain" ->
       """SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
         |FROM documents a JOIN documents b

@@ -287,7 +287,9 @@ object GraftFunctions {
     "compression_ratio" ->
       ((args: Seq[Expression]) => CompressionRatio(args.head)),
     "bigram_repetition" ->
-      ((args: Seq[Expression]) => BigramRepetition(args.head)))
+      ((args: Seq[Expression]) => BigramRepetition(args.head)),
+    "repeated_span_stats" ->
+      ((args: Seq[Expression]) => RepeatedSpanStats(args.head)))
 
   /** Register all functions in the session's FunctionRegistry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

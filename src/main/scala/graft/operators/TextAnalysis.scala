@@ -53,6 +53,16 @@ object TextAnalysis {
       graft.functions.BigramRepetition(
         org.apache.spark.sql.graftshim.GraftShims.expression(text)))
 
+  /** Span-granular repetition struct (longest_rep_len,
+    * distinct_substrings, distinct_ratio) from a per-doc suffix automaton
+    * — catches whole repeated TEMPLATES that bigram fractions only see as
+    * local stutter. See [[graft.functions.RepeatedSpanStats]].
+    */
+  def repeatedSpanStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.RepeatedSpanStats(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text)))
+
   /** Language ID from a [[textStats]] struct (cheap field arithmetic). */
   def langIdFrom(ts: Column): Column = {
     val scores = Seq("en", "fr", "es", "de").map(l => l -> ts.getField(s"stop_$l"))
