@@ -714,6 +714,22 @@ object SparkEntry {
         GROUP BY m ORDER BY month""")
     }),
 
+    // LATERAL correlated subquery with LIMIT (top-3 customers per nation):
+    // Spark decorrelates the per-row ORDER BY/LIMIT into a ranked window —
+    // dialect parity with engines that execute LATERAL as a loop join.
+    "q_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("_lt_nation")
+      t(s, dir, "customer").createOrReplaceTempView("_lt_customer")
+      s.sql("""
+        SELECT n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM _lt_nation,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM _lt_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        ORDER BY n_name, acctbal DESC, c_custkey""")
+    }),
+
     // NOT IN vs NOT EXISTS null semantics: the second probe list contains
     // NULLs (every 'P'-status order yields one), so its NOT IN must return
     // zero matches under three-valued logic, while NOT EXISTS ignores NULLs
@@ -2997,6 +3013,14 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  ROUND(SUM(volume), 2) AS revenue
