@@ -714,6 +714,22 @@ object SparkEntry {
         GROUP BY m ORDER BY month""")
     }),
 
+    // Incremental rollup maintenance: fold a 20% delta batch into a rollup
+    // stored from the other 80% — cost scales with the delta, not the
+    // history. The oracle recomputes the rollup from the FULL table, so
+    // the gate verifies increment ≡ rebuild (exact for sum/count).
+    "q_incremental_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+      val stored = graft.operators.Upsert.rollup(
+        o.filter(col("o_orderkey") % 5 =!= 0), Seq("o_orderstatus"), Seq("cents"))
+      graft.operators.Upsert.incrementalRollup(
+          stored, o.filter(col("o_orderkey") % 5 === 0),
+          Seq("o_orderstatus"), Seq("cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // LATERAL correlated subquery with LIMIT (top-3 customers per nation):
     // Spark decorrelates the per-row ORDER BY/LIMIT into a ranked window —
     // dialect parity with engines that execute LATERAL as a loop join.
@@ -3013,6 +3029,14 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // full-table recompute: the equivalence oracle for the incremental path
+    "q_incremental_rollup" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_lateral_topn" ->
       """SELECT n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
         |FROM nation,

@@ -94,6 +94,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unchanged" -> 2L))
   }
 
+  test("incremental rollup equals full rebuild under any batch split") {
+    import spark.implicits._
+    val raw = (0 until 5000).map(i =>
+      (s"k${i % 7}", s"g${i % 3}", i.toLong, (i * 13 % 97).toLong))
+      .toDF("k1", "k2", "v1", "v2")
+    val full = Upsert.rollup(raw, Seq("k1", "k2"), Seq("v1", "v2"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = m(full)
+    // three different splits, incl. empty delta and delta-only keys
+    Seq(
+      (col("v1") % 5 =!= 0, col("v1") % 5 === 0),
+      (lit(true), lit(false)),
+      (col("k1") =!= "k6", col("k1") === "k6") // k6 arrives only via delta
+    ).foreach { case (baseCond, deltaCond) =>
+      val stored = Upsert.rollup(raw.filter(baseCond), Seq("k1", "k2"), Seq("v1", "v2"))
+      val maintained = Upsert.incrementalRollup(
+        stored, raw.filter(deltaCond), Seq("k1", "k2"), Seq("v1", "v2"))
+      assert(m(maintained) == want, s"split $baseCond diverged")
+    }
+    // chained increments: fold three deltas one at a time
+    val parts = Seq(0, 1, 2).map(r => raw.filter(col("v1") % 3 === r))
+    val chained = parts.tail.foldLeft(
+      Upsert.rollup(parts.head, Seq("k1", "k2"), Seq("v1", "v2"))) {
+      (acc, d) => Upsert.incrementalRollup(acc, d, Seq("k1", "k2"), Seq("v1", "v2"))
+    }
+    assert(m(chained) == want)
+  }
+
   test("funnel: order matters, out-of-order stages don't count") {
     import spark.implicits._
     val ev = Seq(
