@@ -1245,6 +1245,16 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // EXACT all-pairs Jaccard >= 0.3 over word-trigram sets (prefix-filter
+    // AllPairs join): the deterministic complement to dd_minhash_pairs —
+    // the oracle brute-forces every pair, so the gate proves 100% recall,
+    // not an LSH probability.
+    "dd_jaccard_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.jaccardSelfJoin(d, "doc_id", "text", 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // Exact-substring containment (quoted/truncated re-posts): strided
     // rolling-anchor index on the container side, first-`stride` anchor
     // offsets on the inner side, hash-join, contains() verify — exact
@@ -2637,6 +2647,27 @@ object SparkEntry {
         | AND length(a.text) < length(b.text)
         | AND contains(b.text, a.text)
         |ORDER BY inner_id, outer_id""".stripMargin,
+    "dd_jaccard_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+        |    FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+        |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
