@@ -960,8 +960,8 @@ object SparkEntry {
         .join(broadcast(n1), su("s_nationkey") === col("_sn_key"))
         .join(broadcast(n2), c("c_nationkey") === col("_cn_key"))
         .filter(
-          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12")
+            || (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -3091,8 +3091,8 @@ object SparkEntry {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |    AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+        |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_tpch_q8" ->

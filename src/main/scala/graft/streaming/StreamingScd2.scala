@@ -60,18 +60,7 @@ object StreamingScd2 {
     val spark = batch0.sparkSession
     val obsCols = (keyCols ++ cmpCols :+ versionCol).map(col)
     val batch = batch0.select(obsCols: _*)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val storeP = new org.apache.hadoop.fs.Path(storePath)
-    val oldP = new org.apache.hadoop.fs.Path(storePath + "_old")
-    val fs = storeP.getFileSystem(hconf)
-
-    // crash recovery: store present + stale _old -> drop the old
-    // generation; store missing but _old present -> the previous fold died
-    // between its two renames, restore the surviving generation
-    if (fs.exists(storeP) && fs.exists(oldP)) fs.delete(oldP, true)
-    else if (!fs.exists(storeP) && fs.exists(oldP)) {
-      require(fs.rename(oldP, storeP), s"scd2 store recovery rename failed: $oldP")
-    }
+    StoreSwap.recover(spark, storePath)
 
     def withMaxSeen(scdOut: DataFrame, maxPerKey: DataFrame): DataFrame =
       scdOut.join(maxPerKey, keyCols, "left")
@@ -80,7 +69,7 @@ object StreamingScd2 {
         .drop("_mx")
 
     val newStore: DataFrame =
-      if (!fs.exists(storeP)) {
+      if (!StoreSwap.exists(spark, storePath)) {
         val mx = batch.groupBy(keyCols.map(col): _*)
           .agg(max(col(versionCol)).as("_mx"))
         withMaxSeen(
@@ -113,15 +102,6 @@ object StreamingScd2 {
         untouched.unionByName(closed).unionByName(withMaxSeen(redone, mx))
       }
 
-    // tmp write happens FIRST (it is what reads the current store), then
-    // the checked two-rename swap
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
-    newStore.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(storeP)) {
-      require(fs.rename(storeP, oldP), s"scd2 store swap-aside failed: $storeP")
-    }
-    require(fs.rename(tmp, storeP), s"scd2 store swap-in failed: $tmp")
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    ()
+    StoreSwap.swapIn(newStore, storePath)
   }
 }
