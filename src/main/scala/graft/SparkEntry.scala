@@ -629,6 +629,47 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Retention cohort matrix: users bucketed by first-seen week, activity
+    // tracked at week offsets — the standard product-analytics rollup. One
+    // distinct (user, week) projection feeds both the cohort assignment
+    // (min) and the activity join; the matrix aggregation is a single
+    // exchange on (cohort, offset).
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val uw = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct().localCheckpoint()
+      val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      val sizes = first.groupBy(col("cohort")).agg(countDistinct(col("user_id")).as("cohort_size"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("w"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Month-over-month revenue growth: exact decimal-cent monthly sums
+    // (partial-agg collapsed before the single exchange), then one lag
+    // window over the ~80-row month series.
+    "q_mom_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val monthly = o.groupBy(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      monthly
+        .withColumn("_prev", lag(col("cents"), 1).over(Window.orderBy(col("month"))))
+        .select(col("month"), col("cents"),
+          coalesce(
+            round((col("cents") - col("_prev")).cast("double") / col("_prev"), 4),
+            lit(0.0)).as("mom_growth"))
+        .orderBy(col("month"))
+    }),
+
     // Ordered funnel (Funnel.funnel): users completing view -> click ->
     // purchase IN ORDER — chained cumulative windows, one exchange, one
     // per-user sweep. A purchase before the first view must not count.
@@ -3060,6 +3101,34 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |       FROM f GROUP BY cohort),
+        |m AS (
+        |  SELECT f.cohort,
+        |    CAST(DATEDIFF('day', f.cohort, uw.w) / 7 AS INT) AS week_offset,
+        |    CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        |  FROM uw JOIN f ON uw.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  n_active, cohort_size,
+        |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+        |FROM m JOIN sz ON m.cohort = sz.cohort
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, cents,
+        |  COALESCE(ROUND(CAST(cents - LAG(cents) OVER (ORDER BY month)
+        |    AS DOUBLE) / LAG(cents) OVER (ORDER BY month), 4), 0.0)
+        |    AS mom_growth
+        |FROM monthly ORDER BY month""".stripMargin,
     // full-table recompute: the equivalence oracle for the incremental path
     "q_incremental_rollup" ->
       """SELECT o_orderstatus,
