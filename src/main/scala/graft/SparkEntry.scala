@@ -629,6 +629,22 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Declarative quality gate: the full constraint suite (null / range /
+    // set / regex / uniqueness / row floor) evaluated in one conditional-
+    // aggregate scan plus one exact-distinct pass — the oracle recomputes
+    // every verdict from raw SQL.
+    "q_quality_checks" -> ((s, dir) => {
+      import graft.operators.Quality
+      Quality.check(t(s, dir, "orders"), Seq(
+          Quality.NotNull("o_custkey"),
+          Quality.InRange("o_totalprice", 0, 1000000),
+          Quality.OneOf("o_orderstatus", Seq("F", "O", "P")),
+          Quality.Matches("o_orderpriority", "^[1-5]-"),
+          Quality.Unique(Seq("o_orderkey")),
+          Quality.MinRows(100)))
+        .orderBy(col("check"), col("target"))
+    }),
+
     // Retention cohort matrix: users bucketed by first-seen week, activity
     // tracked at week offsets — the standard product-analytics rollup. One
     // distinct (user, week) projection feeds both the cohort assignment
@@ -3101,6 +3117,39 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'o_custkey' AS target,
+        |    CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+        |    COUNT(*) FILTER (o_custkey IS NULL) = 0 AS passed FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range[0.0,1000000.0]', 'o_totalprice',
+        |    CAST(COUNT(*) FILTER (o_totalprice IS NOT NULL
+        |      AND o_totalprice NOT BETWEEN 0 AND 1000000) AS BIGINT),
+        |    COUNT(*) FILTER (o_totalprice IS NOT NULL
+        |      AND o_totalprice NOT BETWEEN 0 AND 1000000) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'one_of[F|O|P]', 'o_orderstatus',
+        |    CAST(COUNT(*) FILTER (o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+        |    COUNT(*) FILTER (o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F','O','P')) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'matches[^[1-5]-]', 'o_orderpriority',
+        |    CAST(COUNT(*) FILTER (o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+        |    COUNT(*) FILTER (o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |    COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'min_rows[100]', '*',
+        |    CAST(GREATEST(0, 100 - COUNT(*)) AS BIGINT),
+        |    COUNT(*) >= 100 FROM orders)
+        |ORDER BY "check", target""".stripMargin,
     "q_retention_cohorts" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
