@@ -1312,6 +1312,19 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Cross-corpus exact Jaccard join (incoming batch vs existing corpus,
+    // modeled as the odd/even doc_id split): same prefix-filter theorem
+    // with ONE frequency table over both sides, candidates between sides
+    // only. Brute-force oracle proves exact recall.
+    "dd_jaccard_cross" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.jaccardCrossJoin(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          threshold = 0.3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Exact-substring containment (quoted/truncated re-posts): strided
     // rolling-anchor index on the container side, first-`stride` anchor
     // offsets on the inner side, hash-join, contains() verify — exact
@@ -2704,6 +2717,27 @@ object SparkEntry {
         | AND length(a.text) < length(b.text)
         | AND contains(b.text, a.text)
         |ORDER BY inner_id, outer_id""".stripMargin,
+    "dd_jaccard_cross" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'), x -> x != '') AS ws
+        |    FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+        |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
     "dd_jaccard_join" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -445,6 +445,50 @@ object Dedup {
         round(col("_j"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus variant of [[jaccardSelfJoin]]: every (A-doc, B-doc)
+    * pair with shingle-set Jaccard >= threshold, exact recall. The prefix
+    * theorem needs ONE global token order spanning both corpora, so
+    * document frequencies are counted over the UNION of the two sides
+    * before prefixes are cut. The candidate join is prefix(A) ⋈ prefix(B)
+    * on token — between-sides only, never within a side (the self-join
+    * case is [[jaccardSelfJoin]]).
+    */
+  def jaccardCrossJoin(
+      corpusA: DataFrame, aId: String, aText: String,
+      corpusB: DataFrame, bId: String, bText: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    def docs(df: DataFrame, id: String, text: String) =
+      df.select(col(id).as("_id"),
+          shingleHashes(col(text), shingleSize).as("_sh"))
+        .filter(size(col("_sh")) > 0)
+    val da = docs(corpusA, aId, aText)
+    val db = docs(corpusB, bId, bText)
+    def toks(d: DataFrame) = d.select(col("_id"), explode(col("_sh")).as("_tk"))
+    // one frequency table over BOTH corpora: the global order must agree
+    val dfreq = toks(da).unionByName(toks(db))
+      .groupBy(col("_tk")).agg(count(lit(1)).as("_df"))
+    def prefLen(n: Column): Column =
+      (n - ceil(lit(threshold) * n) + 1).cast("int")
+    def prefixes(d: DataFrame) =
+      toks(d).join(dfreq, "_tk")
+        .groupBy(col("_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_df"), col("_tk")))),
+          x => x.getField("_tk")).as("_ord"))
+        .select(col("_id"),
+          explode(slice(col("_ord"), lit(1), prefLen(size(col("_ord"))))).as("_tk"))
+    val cand = prefixes(da).as("x").join(prefixes(db).as("y"), Seq("_tk"))
+      .select(col("x._id").as("_ida"), col("y._id").as("_idb")).distinct()
+    cand
+      .join(da.select(col("_id").as("_ida"), col("_sh").as("_s1")), "_ida")
+      .join(db.select(col("_id").as("_idb"), col("_sh").as("_s2")), "_idb")
+      .withColumn("_j", sortedJaccard(col("_s1"), col("_s2")))
+      .filter(col("_j") >= threshold)
+      .select(col("_ida").as("a_id"), col("_idb").as("b_id"),
+        round(col("_j"), 4).as("jaccard"))
+  }
+
   /** Exact-substring containment pairs: (inner, outer) where inner's FULL
     * text occurs verbatim inside outer's text — quoted snippets, mirrored
     * excerpts, truncated re-posts that near-dup Jaccard misses when the

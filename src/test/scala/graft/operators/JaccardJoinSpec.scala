@@ -57,6 +57,25 @@ class JaccardJoinSpec extends AnyFunSuite {
     assert(byHash == want, "hash-order path diverged")
   }
 
+  test("cross-corpus join matches brute force between sides only") {
+    import spark.implicits._
+    val docs = corpus
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    val want = brutePairs(docs, 0.3).flatMap { case (i, j) =>
+      // brute emits i<j within the whole set; keep only cross-parity,
+      // oriented (even, odd)
+      if (i % 2 == 0 && j % 2 == 1) Some((i, j))
+      else if (i % 2 == 1 && j % 2 == 0) Some((j, i))
+      else None
+    }
+    val got = Dedup.jaccardCrossJoin(
+        evens.toDF("doc_id", "text"), "doc_id", "text",
+        odds.toDF("doc_id", "text"), "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missed ${want.diff(got)} extra ${got.diff(want)}")
+  }
+
   test("threshold 1.0 returns only identical shingle sets") {
     import spark.implicits._
     val df = Seq(
