@@ -1057,6 +1057,159 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q12 adapted (no l_shipmode column in this schema): late-shipment
+    // priority audit by linestatus — lines shipped >60 days after order date
+    // in 1996, split into high/low priority counts. One join, one
+    // conditional-sum aggregate; both date predicates reach the lineitem scan.
+    "q_tpch_q12" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT join keeps
+    // zero-order customers; the join-side filter (priority <> URGENT) lives in
+    // the join condition, not a WHERE, so empty groups count as 0. Two
+    // aggregations: per-customer count, then the distribution histogram.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, then keep the
+    // supplier(s) hitting the max. The max is a 1-row aggregate broadcast
+    // back onto the 10k-row revenue view — no second lineitem pass, no sort.
+    // Selection compares the raw sums (within-engine consistent); only the
+    // output is rounded.
+    "q_tpch_q15" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1996-04-01"))
+      val revenue = l.groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev"))
+      val top = revenue.agg(max(col("_rev")).as("_maxrev"))
+      val su = t(s, dir, "supplier")
+      su.join(revenue, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("_rev") === col("_maxrev"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("_rev"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): brand parts broadcast-semi
+    // filter the lineitem scan first (~1/25 survives), then a per-part window
+    // average replaces the spec's correlated scalar subquery — one shuffle on
+    // partkey serves both the average and the filter. Quantities are
+    // integer-valued doubles, so the avg threshold is order-independent and
+    // engine-exact.
+    "q_tpch_q17" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      val w = Window.partitionBy(col("l_partkey"))
+      l.withColumn("_avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("_avg_qty"))
+        .agg(
+          round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 adapted (suppliers who kept orders waiting; "late" =
+    // shipped >90 days after order date, no receipt/commit dates in this
+    // schema). The spec's EXISTS + NOT-EXISTS pair of correlated self-joins
+    // collapses into ONE per-order aggregate: count distinct suppliers and
+    // distinct late suppliers, then a late line is a sole-blame line iff the
+    // order has >1 supplier and exactly 1 late one. Single shuffle on
+    // orderkey instead of three lineitem passes — the 100 TB plan.
+    "q_tpch_q21" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      // two-level agg (order,supp)->(order) instead of two countDistincts in
+      // one groupBy: same answer, no Expand rewrite doubling the shuffle
+      val perOrder = lo
+        .groupBy(col("l_orderkey").as("_ok"), col("l_suppkey").as("_sk"))
+        .agg(max(col("_late")).as("_supp_late"))
+        .groupBy(col("_ok"))
+        .agg(
+          count(lit(1)).as("_n_supp"),
+          sum(when(col("_supp_late"), 1L).otherwise(0L)).as("_n_late"))
+      val su = t(s, dir, "supplier")
+      lo.filter(col("_late"))
+        .join(perOrder, col("l_orderkey") === col("_ok"))
+        .filter(col("_n_supp") > 1 && col("_n_late") === 1)
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 adapted (no phone column; "inactive" = no orders since
+    // 2000-01-01): wealthy inactive customers per nation. The global average
+    // threshold is computed in exact integer cents (deterministic in any
+    // engine, any partition order) and broadcast as a 1-row cross join; the
+    // recency check is a broadcast anti-join against the pruned orders scan.
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("_cents", round(col("c_acctbal") * 100).cast("long"))
+      val avgCents = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("_cents")).cast("double") / count(lit(1))).as("_avg_cents"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      c.join(broadcast(avgCents))
+        .filter(col("_cents").cast("double") > col("_avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("_cents")).as("acct_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Bucketed co-located join (Layout.bucketedWrite promoted to the driver
+    // gate): both sides land in the catalog hash-bucketed AND bucket-sorted
+    // on the join key, so the join plans with NO shuffle exchange and no
+    // sort, and the groupBy on the same key rides the bucket partitioning
+    // too — the layout cost is paid once at write, every subsequent run of
+    // a recurring fact join is shuffle-free. PlanQualitySpec asserts the
+    // Exchange-free plan; the oracle replays the same join on the raw
+    // parquet. Sums are exact integer cents.
+    "q_bucketed_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("_cents"))
+      operators.Layout.bucketedWrite(c, "graft_bj_customer", 8,
+        Seq("c_custkey"), Seq("c_custkey"))
+      operators.Layout.bucketedWrite(o, "graft_bj_orders", 8,
+        Seq("o_custkey"), Seq("o_custkey"))
+      s.table("graft_bj_customer")
+        .join(s.table("graft_bj_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("_cents")).as("cents"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // exact percentiles (sort-based, matches ANSI percentile_cont). One
     // percentile(col, array(...)) aggregate: a single value-count buffer per
     // group serves all three points — three separate percentile() calls each
@@ -3267,6 +3420,83 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o_orderdate < TIMESTAMP '1998-01-01')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+        |    AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, ROUND(rev, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE rev = (SELECT MAX(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(cents) AS BIGINT) AS acct_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |      FROM customer) c
+        |WHERE CAST(cents AS DOUBLE) > (
+        |    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -64,6 +64,16 @@ object Layout {
       df: DataFrame, table: String, numBuckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketedWrite needs at least one bucket column")
+    val spark = df.sparkSession
+    // A managed table's warehouse directory can outlive the (in-memory)
+    // catalog entry across JVMs; saveAsTable refuses to reuse the orphaned
+    // location, so clear it when no catalog entry claims it.
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -203,7 +203,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // GK rank-error check broadcasts the 1-row merged-quantile result
       "q_gk_quantile_reagg",
       // null-safe vs strict counts: a cross of two 1-row aggregates
-      "q_nullsafe_join")
+      "q_nullsafe_join",
+      // Q22: the global avg-acctbal threshold is a 1-row aggregate crossed
+      // into the customer scan before the anti-join
+      "q_tpch_q22")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
