@@ -80,6 +80,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Engine-portable sketch interchange: hll_export flattens each sketch
+    // into PLAIN relational rows (k, bits, hash, register idx/rho) — the
+    // sparse wire format as data, storable in any warehouse column and
+    // consumable by any engine — and hll_import re-assembles those rows
+    // (order-insensitive, max-folding) into a sketch whose estimate matches
+    // the original EXACTLY. This is the cross-system hand-off path: sketches
+    // built here can leave as rows and come back mergeable.
+    "hll_wire_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(GraftFunctions.hll_sketch_agg(col("user_id"), 1 << 12).as("_sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val flat = sk.select(col("event_type"),
+          GraftFunctions.hll_export(col("_sk")).as("_w"))
+        .select(col("event_type"), col("_w.k").as("_k"),
+          col("_w.bits").as("_b"), col("_w.hash").as("_h"),
+          explode(col("_w.regs")).as("_r"))
+      val back = flat
+        .groupBy(col("event_type"), col("_k"), col("_b"), col("_h"))
+        .agg(collect_list(struct(col("_r.idx").as("idx"),
+          col("_r.rho").as("rho"))).as("_regs"))
+        .select(col("event_type"), GraftFunctions.hll_import(
+          struct(col("_k").as("k"), col("_b").as("bits"),
+            col("_h").as("hash"), col("_regs").as("regs"))).as("_sk2"))
+      sk.join(back, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (GraftFunctions.hll_estimate(col("_sk2")) ===
+            GraftFunctions.hll_estimate(col("_sk"))).as("roundtrip_exact"),
+          (abs(GraftFunctions.hll_estimate(col("_sk")) - col("exact_users"))
+            / col("exact_users") <= 0.05).as("est_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // ops #8,#9,#11: sketches as stored values, re-aggregated (daily ->
     // total). merge_ok asserts the monoid law end-to-end: the union of the
     // daily sketches must estimate EXACTLY what one direct sketch does.
@@ -2376,6 +2409,10 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok FROM events",
     "hll_users_by_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hll_wire_roundtrip" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS roundtrip_exact, TRUE AS est_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hll_sketch_reagg" ->
       """SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -69,6 +69,19 @@ object GraftFunctions {
   def hll_info(col: Column): Column =
     GraftShims.column(HllInfo(e(col)))
 
+  /** Engine-portable export: struct(k, bits, hash, regs) — the sketch's
+    * non-zero registers as plain SQL data (see [[HllWire]]).
+    */
+  def hll_export(col: Column): Column =
+    GraftShims.column(HllExport(e(col)))
+
+  /** Rebuild a stored sketch from the portable wire struct; inverse of
+    * [[hll_export]], order-insensitive and max-folding over duplicate
+    * register indexes.
+    */
+  def hll_import(col: Column): Column =
+    GraftShims.column(HllImport(e(col)))
+
   /** Inclusion-exclusion intersection estimate over two sketch values:
     * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). Standard HLL extension (the
     * monoid only supports union natively); error grows when the true
@@ -221,6 +234,8 @@ object GraftFunctions {
     "hll_union" -> ((args: Seq[Expression]) => HllUnion(args(0), args(1))),
     "hll_error" -> ((args: Seq[Expression]) => HllError(args.head)),
     "hll_info" -> ((args: Seq[Expression]) => HllInfo(args.head)),
+    "hll_export" -> ((args: Seq[Expression]) => HllExport(args.head)),
+    "hll_import" -> ((args: Seq[Expression]) => HllImport(args.head)),
     // PyStrCoerce (not a plain string cast) so numeric keys render the same
     // through the SQL surface as the DataFrame API — a sketch built on one
     // surface must answer lookups from the other

@@ -265,3 +265,96 @@ case class HllError(child: Expression)
   override protected def withNewChildInternal(c: Expression): HllError = copy(child = c)
   override def prettyName: String = "hll_error"
 }
+
+/** The engine-portable wire shape shared by [[HllExport]] / [[HllImport]]:
+  * sketch parameters plus the non-zero registers as plain (idx, rho) rows —
+  * the sparse serialization as DATA instead of packed bytes, so a sketch can
+  * live in any parquet/JSON/warehouse column, be exploded into relational
+  * rows, shipped to a different engine, and come back mergeable. Duplicate
+  * indexes fold by max on import, so unioning two sketches' exported rows
+  * imports to their merged sketch — cross-system re-aggregation with no
+  * binary-format coupling.
+  */
+object HllWire {
+  val regType: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("rho", IntegerType, nullable = false)))
+  val wireType: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false),
+    StructField("regs", ArrayType(regType, containsNull = false), nullable = false)))
+
+  /** Structural acceptance (names may differ — imports often come from SQL
+    * `struct(...)` literals whose field names are positional).
+    */
+  private[functions] def accepts(dt: DataType): Boolean = dt match {
+    case StructType(Array(a, b, c, d)) =>
+      a.dataType == IntegerType && b.dataType == IntegerType &&
+        c.dataType == StringType &&
+        (d.dataType match {
+          case ArrayType(StructType(Array(i, r)), _) =>
+            i.dataType == IntegerType && r.dataType == IntegerType
+          case _ => false
+        })
+    case _ => false
+  }
+}
+
+/** Scalar `hll_export(sketchCol)` -> struct(k, bits, hash, regs): sparse
+  * register listing of a stored sketch as plain SQL data (see [[HllWire]]).
+  */
+case class HllExport(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+  override def dataType: DataType = HllWire.wireType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = HllSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    val regs = s.registers
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) != 0) rows += InternalRow(i, regs(i).toInt)
+      i += 1
+    }
+    InternalRow(s.k, s.bits, UTF8String.fromString(s.hashName),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HllExport = copy(child = c)
+  override def prettyName: String = "hll_export"
+}
+
+/** Scalar `hll_import(wireStruct)` -> Binary: rebuild a stored sketch from
+  * the portable register listing (see [[HllWire]]). Inverse of
+  * [[HllExport]]: import(export(s)) serializes byte-identically to s.
+  */
+case class HllImport(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (HllWire.accepts(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(k INT, bits INT, hash STRING, " +
+        s"regs ARRAY<STRUCT<idx INT, rho INT>>), got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val regs = row.getArray(3)
+    val pairs = (0 until regs.numElements()).iterator.map { i =>
+      val r = regs.getStruct(i, 2)
+      (r.getInt(0), r.getInt(1))
+    }
+    HllSketch.fromRegisters(row.getInt(0), row.getInt(1),
+      row.getUTF8String(2).toString, pairs).serialize()
+  }
+
+  override protected def withNewChildInternal(c: Expression): HllImport = copy(child = c)
+  override def prettyName: String = "hll_import"
+}

@@ -392,6 +392,28 @@ object HllSketch {
       new HllSketch(k, bits, hashName, new Array[Byte](m), null, null, 0)
   }
 
+  /** Rebuild a sketch from an explicit (index, rho) register listing — the
+    * import half of the engine-portable wire surface ([[serialize]]'s sparse
+    * encoding as plain data instead of packed bytes). Duplicate indexes fold
+    * by max, so the listing is order-insensitive and re-mergeable: a union of
+    * two sketches' exported registers imports to their merged sketch.
+    */
+  def fromRegisters(
+      k: Int, bits: Int, hashName: String,
+      regs: Iterator[(Int, Int)]): HllSketch = {
+    validateK(k, bits)
+    hashId(hashName)
+    val m = 1 << pFor(k)
+    val maxRho = bits - pFor(k) + 1
+    val dense = new Array[Byte](m)
+    regs.foreach { case (idx, v) =>
+      require(idx >= 0 && idx < m, s"register index $idx out of range (m=$m)")
+      require(v >= 1 && v <= maxRho, s"register value $v out of range [1, $maxRho]")
+      if (v > dense(idx)) dense(idx) = v.toByte
+    }
+    new HllSketch(k, bits, hashName, dense, null, null, 0)
+  }
+
   def deserialize(bytes: Array[Byte]): HllSketch = {
     require(bytes.length >= 6, s"sketch buffer truncated: ${bytes.length} bytes")
     val sparse = (bytes(0) & 0x80) != 0

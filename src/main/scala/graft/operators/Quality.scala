@@ -30,27 +30,40 @@ object Quality {
   /** Table must have at least `n` rows. */
   case class MinRows(n: Long) extends Check
 
+  /** A row-level rule compiled to a conditional aggregate: evaluating
+    * `agg` over any slice of the table yields that slice's violation count.
+    * Shared by the batch gate below and the per-window streaming gate
+    * ([[graft.streaming.StreamingQuality]]).
+    */
+  private[graft] case class CompiledRule(name: String, target: String, agg: Column)
+
+  private[graft] def compileRowRules(checks: Seq[Check]): Seq[CompiledRule] = {
+    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    checks.collect {
+      case NotNull(c) =>
+        CompiledRule("not_null", c, viol(col(c).isNull))
+      case InRange(c, lo, hi) =>
+        CompiledRule(s"in_range[$lo,$hi]", c,
+          viol(col(c).isNotNull && !col(c).between(lo, hi)))
+      case OneOf(c, vs) =>
+        CompiledRule(s"one_of[${vs.mkString("|")}]", c,
+          viol(col(c).isNotNull && !col(c).isin(vs: _*)))
+      case Matches(c, re) =>
+        CompiledRule(s"matches[$re]", c,
+          viol(col(c).isNotNull && !col(c).rlike(re)))
+    }
+  }
+
   def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "quality suite needs at least one check")
     val spark = df.sparkSession
     import spark.implicits._
 
-    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
-
     // one conditional aggregate per row-level rule + the shared row count
-    val rowRules: Seq[(String, String, Column)] = checks.zipWithIndex.collect {
-      case (NotNull(c), i) =>
-        (s"not_null", c, viol(col(c).isNull).as(s"_v$i"))
-      case (InRange(c, lo, hi), i) =>
-        (s"in_range[$lo,$hi]", c,
-          viol(col(c).isNotNull && !col(c).between(lo, hi)).as(s"_v$i"))
-      case (OneOf(c, vs), i) =>
-        (s"one_of[${vs.mkString("|")}]", c,
-          viol(col(c).isNotNull && !col(c).isin(vs: _*)).as(s"_v$i"))
-      case (Matches(c, re), i) =>
-        (s"matches[$re]", c,
-          viol(col(c).isNotNull && !col(c).rlike(re)).as(s"_v$i"))
-    }
+    val rowRules: Seq[(String, String, Column)] =
+      compileRowRules(checks).zipWithIndex.map { case (r, i) =>
+        (r.name, r.target, r.agg.as(s"_v$i"))
+      }
     val minRows = checks.collect { case MinRows(n) => n }
     val aggs = count(lit(1)).as("_n") +: rowRules.map(_._3)
     val one = df.agg(aggs.head, aggs.tail: _*).collect().head
