@@ -1090,6 +1090,149 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q2 adapted (no partsupp table in this schema): minimum-cost
+    // supplier per part, with "supply cost" proxied by the minimum effective
+    // unit price a supplier ever charged for the part
+    // (l_extendedprice / l_quantity * (1 - l_discount)). Region-scoped
+    // suppliers and the part filter broadcast into the lineitem scan; the
+    // spec's correlated min-cost subquery is a window MIN over partkey —
+    // one shuffle serves the per-supplier min and the per-part min. Ties
+    // (all suppliers at the min) are kept, as in the spec; the full sort key
+    // is unique so LIMIT is deterministic.
+    "q_tpch_q2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val eu = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      val su = t(s, dir, "supplier")
+        .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name"))
+      val unit = col("l_extendedprice") / col("l_quantity") * (lit(1) - col("l_discount"))
+      val perSupp = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su.select(col("s_suppkey").as("_sk"))),
+          col("l_suppkey") === col("_sk"), "left_semi")
+        .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"))
+        .agg(min(unit).as("cost"))
+      val w = Window.partitionBy(col("l_partkey"))
+      perSupp.withColumn("_min_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("_min_cost"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_name"),
+          round(col("cost"), 4).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 adapted (no partsupp => no supply-cost term): revenue by
+    // supplier nation and order year for parts whose name contains a token.
+    // The part filter broadcasts into the lineitem scan first (~1/7
+    // survives), supplier/nation broadcast, orders is the only big-big
+    // join — the Q9 plan at 100 TB is exactly this: prune with the smallest
+    // dimension, shuffle once on orderkey.
+    "q_tpch_q9" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"))
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(su.select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 adapted (no partsupp => part "value" proxied by region-
+    // scoped trade volume): parts whose lineitem revenue from EUROPE
+    // suppliers exceeds 0.1% of the region total. Revenue is accumulated in
+    // EXACT integer cents (floor of the per-row product — bit-identical in
+    // any engine, any aggregation order), so the global-threshold compare
+    // cannot flip on a last-ulp double difference. The total is a 1-row
+    // aggregate broadcast back over the per-part rollup.
+    "q_tpch_q11" -> ((s, dir) => {
+      val eu = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"))
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")
+      val perPart = t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("_total"))
+      perPart.join(broadcast(total))
+        .filter(col("value_cents").cast("double") >
+          col("_total").cast("double") * 0.001)
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q16 adapted: supplier breadth per (brand, type, size) for parts
+    // outside one brand/type, sizes from a fixed list, excluding suppliers
+    // in deficit (acctbal < 0 — the schema has no comment column for the
+    // spec's complaint scan). Part filter broadcasts into the scan, the
+    // exclusion is a broadcast anti-join, and the count-distinct groups on
+    // (brand, type, size) — supplier breadth, the Q16 shape.
+    "q_tpch_q16" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(2, 3, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 adapted (no partsupp availqty): suppliers who moved more
+    // than half the per-supplier average quantity of 'cold%' parts in 1996,
+    // by nation — the spec's correlated availability threshold becomes a
+    // 1-row average broadcast over the per-supplier rollup, and the final
+    // supplier selection is a semi-join (the Q20 nested-EXISTS shape).
+    // Quantities are integer-valued doubles: sums and the average are exact
+    // in any engine and any order.
+    "q_tpch_q20" -> ((s, dir) => {
+      val coldParts = t(s, dir, "part").filter(col("p_name").like("cold%"))
+        .select(col("p_partkey"))
+      val qty96 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(coldParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("_qty"))
+      val avgq = qty96.agg(avg(col("_qty")).as("_avg"))
+      val keep = qty96.join(broadcast(avgq))
+        .filter(col("_qty") > col("_avg") * 0.5)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(keep), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // TPC-H Q12 adapted (no l_shipmode column in this schema): late-shipment
     // priority audit by linestatus — lines shipped >60 days after order date
     // in 1996, split into high/low priority counts. One join, one
@@ -3457,6 +3600,78 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o_orderdate < TIMESTAMP '1998-01-01')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH costs AS (
+        |  SELECT l_partkey AS p_partkey, p_name, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity * (1 - l_discount)) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  ROUND(cost, 4) AS cost
+        |FROM costs
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost = (SELECT MIN(cost) FROM costs c2
+        |              WHERE c2.p_partkey = costs.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                    WHERE p_name LIKE '%widget%')
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |  GROUP BY 1)
+        |SELECT p_partkey, value_cents FROM per_part
+        |WHERE CAST(value_cents AS DOUBLE) >
+        |  (SELECT CAST(SUM(value_cents) AS DOUBLE) FROM per_part) * 0.001
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (2, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH qty96 AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'cold%')
+        |  GROUP BY 1)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM qty96
+        |  WHERE qty > (SELECT AVG(qty) FROM qty96) * 0.5)
+        |ORDER BY s_name""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_linestatus,
         |  CAST(COUNT(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH'))

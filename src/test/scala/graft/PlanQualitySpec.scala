@@ -206,7 +206,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "q_nullsafe_join",
       // Q22: the global avg-acctbal threshold is a 1-row aggregate crossed
       // into the customer scan before the anti-join
-      "q_tpch_q22")
+      "q_tpch_q22",
+      // Q11/Q20: the global value total / average-quantity threshold is a
+      // 1-row aggregate crossed back over the per-key rollup
+      "q_tpch_q11", "q_tpch_q20")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
