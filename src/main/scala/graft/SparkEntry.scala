@@ -1654,6 +1654,48 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Leakage-safe train/val/test split: split assignment keys on the
+    // near-dup CLUSTER representative (connected components over the exact
+    // Jaccard pair graph, label = component min id), so no duplicate pair
+    // can straddle splits — the naive per-document split demonstrably
+    // leaks (naive_cross_pairs > 0), the cluster-keyed one cannot
+    // (safe_cross_pairs = 0). Assignment uses the engine-portable LCG
+    // split, so the DuckDB oracle replays EVERYTHING: pairs brute-forced,
+    // components via recursive-CTE transitive closure (first direct oracle
+    // over the clustering machinery), splits with integer arithmetic.
+    "dd_leakage_split" -> ((s, dir) => {
+      import graft.operators.{Dedup, Sampling}
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.jaccardSelfJoin(d, "doc_id", "text", 0.3)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val clusters = Dedup.connectedComponents(pairs)
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val split = Sampling.leakageSafeSplit(d, "doc_id", clusters, fr)
+        .withColumn("naive", Sampling.portableSplit(col("doc_id"), fr))
+        .select(col("doc_id"), col("naive"), col("split").as("safe"))
+        .localCheckpoint()
+      val counts = split.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("safe") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("safe") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("safe") === "test", 1L).otherwise(0L)).as("n_test"))
+      val audit = pairs
+        .join(split.select(col("doc_id").as("id1"),
+          col("naive").as("_n1"), col("safe").as("_s1")), "id1")
+        .join(split.select(col("doc_id").as("id2"),
+          col("naive").as("_n2"), col("safe").as("_s2")), "id2")
+        .agg(
+          count(lit(1)).as("n_dup_pairs"),
+          coalesce(sum(when(col("_n1") =!= col("_n2"), 1L).otherwise(0L)), lit(0L))
+            .as("naive_cross_pairs"),
+          coalesce(sum(when(col("_s1") =!= col("_s2"), 1L).otherwise(0L)), lit(0L))
+            .as("safe_cross_pairs"))
+      counts.crossJoin(audit)
+        .select(col("n_docs"), col("n_dup_pairs"), col("naive_cross_pairs"),
+          col("safe_cross_pairs"), (col("safe_cross_pairs") === 0L).as("no_leakage"),
+          col("n_train"), col("n_val"), col("n_test"))
+    }),
+
     // Exact-substring containment (quoted/truncated re-posts): strided
     // rolling-anchor index on the container side, first-`stride` anchor
     // offsets on the inner side, hash-join, contains() verify — exact
@@ -3071,6 +3113,66 @@ object SparkEntry {
         |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "dd_leakage_split" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |      x -> x != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM ws),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM edges
+        |  UNION SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN xn < CAST(FLOOR(0.8 * 2147483648) AS BIGINT) THEN 'train'
+        |         WHEN xn < CAST(FLOOR(0.9 * 2147483648) AS BIGINT) THEN 'val'
+        |         ELSE 'test' END AS naive,
+        |    CASE WHEN xs < CAST(FLOOR(0.8 * 2147483648) AS BIGINT) THEN 'train'
+        |         WHEN xs < CAST(FLOOR(0.9 * 2147483648) AS BIGINT) THEN 'val'
+        |         ELSE 'test' END AS safe
+        |  FROM (
+        |    SELECT doc_id,
+        |      ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |        * 1103515245 + 12345) % 2147483648 AS xn,
+        |      ((((rep % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |        * 1103515245 + 12345) % 2147483648 AS xs
+        |    FROM (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+        |          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id))),
+        |audit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+        |    CAST(COALESCE(COUNT(*) FILTER (l1.naive <> l2.naive), 0) AS BIGINT)
+        |      AS naive_cross_pairs,
+        |    CAST(COALESCE(COUNT(*) FILTER (l1.safe <> l2.safe), 0) AS BIGINT)
+        |      AS safe_cross_pairs
+        |  FROM pairs JOIN lab l1 ON id1 = l1.doc_id
+        |             JOIN lab l2 ON id2 = l2.doc_id)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |  n_dup_pairs, naive_cross_pairs, safe_cross_pairs,
+        |  safe_cross_pairs = 0 AS no_leakage,
+        |  (SELECT CAST(COUNT(*) FILTER (safe = 'train') AS BIGINT) FROM lab) AS n_train,
+        |  (SELECT CAST(COUNT(*) FILTER (safe = 'val') AS BIGINT) FROM lab) AS n_val,
+        |  (SELECT CAST(COUNT(*) FILTER (safe = 'test') AS BIGINT) FROM lab) AS n_test
+        |FROM audit""".stripMargin,
     "dd_jaccard_join" ->
       """WITH sh AS (
         |  SELECT doc_id,

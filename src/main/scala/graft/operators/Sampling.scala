@@ -61,6 +61,47 @@ object Sampling {
     }
   }
 
+  /** Engine-portable deterministic split (the [[portableSampleCond]] LCG
+    * scramble with bucket thresholds instead of one cutoff): any ANSI SQL
+    * engine replays the exact assignment with integer arithmetic, so a
+    * split can be audited or re-derived outside Spark. Fractions must sum
+    * to <= 1; the remainder falls into the last bucket.
+    */
+  def portableSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val m = 2147483648L // 2^31
+    val x0 = pmod(key.cast("long"), lit(m))
+    val x1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(m))
+    val x2 = pmod(x1 * lit(1103515245L) + lit(12345L), lit(m))
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.zip(cum).foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) => when(x2 < lit((hi * m).toLong), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Leakage-safe train/val/test split: the split decision keys on the
+    * DUPLICATE-CLUSTER representative instead of the document, so two
+    * near-duplicate documents can never land in different splits — the
+    * train/test contamination a naive per-document split bakes in (a test
+    * document whose near-copy sits in train is a leaked answer, and at
+    * 100 TB web scale a large share of documents have near-copies).
+    *
+    * `clusters` is (id, cluster) from [[Dedup.connectedComponents]] over
+    * any near-dup pair source (minhash LSH, exact Jaccard, simhash);
+    * cluster labels there are the component's minimum id, so the
+    * representative is deterministic. Unclustered documents are their own
+    * representative. Scale shape: one broadcast-or-shuffle left join
+    * against the (small — proportional to duplicates, not corpus) cluster
+    * map, then the map-only portable split on the representative.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame =
+    docs.join(clusters, docs(idCol) === clusters("id"), "left")
+      .withColumn("split",
+        portableSplit(coalesce(col("cluster"), docs(idCol)), fractions))
+      .drop("id", "cluster")
+
   /** Weighted training mix: per-source sampling rates composed into one
     * corpus, tagged with the mix weight used. `rates` maps source-column
     * value -> keep rate; unlisted sources are dropped.

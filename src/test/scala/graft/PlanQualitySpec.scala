@@ -209,7 +209,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q_tpch_q22",
       // Q11/Q20: the global value total / average-quantity threshold is a
       // 1-row aggregate crossed back over the per-key rollup
-      "q_tpch_q11", "q_tpch_q20")
+      "q_tpch_q11", "q_tpch_q20",
+      // leakage audit: two 1-row aggregates (doc counts x pair audit)
+      "dd_leakage_split")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

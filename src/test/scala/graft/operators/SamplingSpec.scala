@@ -65,4 +65,58 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(bySrc("src1") - 5000) < 400)    // rate 0.5
     assert(!bySrc.contains("src2") && !bySrc.contains("src3")) // unlisted/zero dropped
   }
+
+  test("portable split: complete, near fractions, JVM replay matches") {
+    import spark.implicits._
+    val df = (0L until 50000L).toDF("k")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = df.withColumn("s", Sampling.portableSplit(col("k"), fr))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.sum == 50000)
+    assert(math.abs(sizes("train") - 40000) < 800)
+    // plain-JVM replay of the LCG — what any other engine would compute
+    val m = 2147483648L
+    def lcg(x: Long): Long = (x * 1103515245L + 12345L) % m
+    (0L until 50000L).foreach { k =>
+      val x2 = lcg(lcg(k % m))
+      val expect =
+        if (x2 < (0.8 * m).toLong) "train"
+        else if (x2 < (0.9 * m).toLong) "val" else "test"
+      assert(got(k) == expect, s"k=$k")
+    }
+  }
+
+  test("leakage-safe split: no near-dup pair straddles splits; naive split does leak") {
+    import spark.implicits._
+    // 400 base docs; every 8th doc gets a near-copy (one word changed), and
+    // doc ids are adversarially far apart so naive id-keyed splits disagree
+    val base = (0 until 400).map { i =>
+      val words = (0 until 30).map(w => s"w${(i * 31 + w * 7) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    val copies = base.collect { case (id, text) if id % 8 == 0 =>
+      (id + 100000L, text.replaceFirst("w", "v"))
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.6)
+      .select(col("id1"), col("id2"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters, fr)
+      .withColumn("naive", Sampling.portableSplit(col("doc_id"), fr))
+    val audit = pairs
+      .join(split.select(col("doc_id").as("id1"), col("split").as("s1"),
+        col("naive").as("n1")), "id1")
+      .join(split.select(col("doc_id").as("id2"), col("split").as("s2"),
+        col("naive").as("n2")), "id2")
+      .agg(count(lit(1)), sum(when(col("s1") =!= col("s2"), 1).otherwise(0)),
+        sum(when(col("n1") =!= col("n2"), 1).otherwise(0)))
+      .collect().head
+    assert(audit.getLong(0) >= 40, s"pair generation broke: ${audit.getLong(0)}")
+    assert(audit.getLong(1) == 0L, "leakage-safe split leaked")
+    assert(audit.getLong(2) > 0L, "scenario too easy: naive split did not leak")
+    // every document still assigned exactly once
+    assert(split.count() == docs.count())
+  }
 }
