@@ -1654,6 +1654,26 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Per-domain crawl-frequency cap (mix winsorization): keep at most 10
+    // docs per source, chosen by the portable LCG scramble of doc_id — not
+    // crawl order, not RNG. The row_number filter compiles to a map-side
+    // WindowGroupLimit, so a mega-domain ships cap x partitions rows into
+    // the exchange, not its whole corpus (PlanQualitySpec asserts the
+    // pushdown). kept_id_sum/min pin the exact kept SET, which the oracle
+    // replays with ROW_NUMBER over the same integer scramble.
+    "q_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = graft.operators.Sampling.capPerGroup(d, "source", col("doc_id"), 10)
+      kept.groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          min(col("doc_id")).as("kept_id_min"))
+        .join(d.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_id_sum"), col("kept_id_min"))
+        .orderBy(col("source"))
+    }),
+
     // Leakage-safe train/val/test split: split assignment keys on the
     // near-dup CLUSTER representative (connected components over the exact
     // Jaccard pair graph, label = component min id), so no duplicate pair
@@ -1694,6 +1714,39 @@ object SparkEntry {
         .select(col("n_docs"), col("n_dup_pairs"), col("naive_cross_pairs"),
           col("safe_cross_pairs"), (col("safe_cross_pairs") === 0L).as("no_leakage"),
           col("n_train"), col("n_val"), col("n_test"))
+    }),
+
+    // Snapshot-diff-driven incremental dedup: between corpus versions, only
+    // the DELTA (new + changed docs — Upsert.snapshotDelta, cost ∝ churn)
+    // is re-shingled and checked against the standing corpus via the exact
+    // cross-Jaccard join; self-id pairs are excluded (a changed doc
+    // REPLACES its old version, it does not duplicate it). The oracle
+    // replays the delta with a direct text compare and brute-forces the
+    // delta-vs-standing Jaccard — end-to-end proof the incremental path
+    // finds exactly the full recompute's cross pairs.
+    "dd_incremental_snapshot" -> ((s, dir) => {
+      import graft.operators.{Dedup, Upsert}
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      val v2 = d.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated marker")))
+          .otherwise(col("text")).as("text"))
+      val delta = Upsert.snapshotDelta(v1, v2, Seq("doc_id"), Seq("text"))
+        .localCheckpoint()
+      val pairs = Dedup.jaccardCrossJoin(delta, "doc_id", "text",
+          v1, "doc_id", "text", threshold = 0.3)
+        .filter(col("a_id") =!= col("b_id"))
+      val dcounts = delta.agg(
+        count(lit(1)).as("n_delta"),
+        sum(when(col("change") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L)).as("n_changed"))
+      val pstats = pairs.agg(
+        count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("a_id")).as("n_delta_dup"))
+      dcounts.crossJoin(pstats)
+        .select(col("n_delta"), col("n_added"), col("n_changed"),
+          col("n_dup_pairs"), col("n_delta_dup"),
+          (col("n_delta") - col("n_delta_dup")).as("n_delta_clean"))
     }),
 
     // Exact-substring containment (quoted/truncated re-posts): strided
@@ -3113,6 +3166,21 @@ object SparkEntry {
         |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |        * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1)
+        |SELECT t.source, n_docs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+        |  CAST(MIN(doc_id) AS BIGINT) AS kept_id_min
+        |FROM ranked r JOIN tot t ON r.source = t.source
+        |WHERE rk <= 10
+        |GROUP BY t.source, n_docs ORDER BY t.source""".stripMargin,
     "dd_leakage_split" ->
       """WITH RECURSIVE ws AS (
         |  SELECT doc_id,
@@ -3173,6 +3241,59 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) FILTER (safe = 'val') AS BIGINT) FROM lab) AS n_val,
         |  (SELECT CAST(COUNT(*) FILTER (safe = 'test') AS BIGINT) FROM lab) AS n_test
         |FROM audit""".stripMargin,
+    "dd_incremental_snapshot" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' updated marker'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |delta AS (
+        |  SELECT a.doc_id, a.text
+        |  FROM v2 a LEFT JOIN v1 b ON a.doc_id = b.doc_id
+        |  WHERE b.doc_id IS NULL OR a.text <> b.text),
+        |shd AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM (SELECT doc_id,
+        |          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |            x -> x != '') AS ws
+        |        FROM delta)),
+        |shv AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM (SELECT doc_id,
+        |          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |            x -> x != '') AS ws
+        |        FROM v1)),
+        |pairs AS (
+        |  SELECT d.doc_id AS a_id, v.doc_id AS b_id
+        |  FROM shd d JOIN shv v ON d.doc_id <> v.doc_id
+        |  WHERE LEN(d.sh) > 0 AND LEN(v.sh) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(d.sh, v.sh)) AS DOUBLE)
+        |      / LEN(LIST_DISTINCT(LIST_CONCAT(d.sh, v.sh))) >= 0.3)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM delta) AS n_delta,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM delta WHERE doc_id % 7 = 0)
+        |    AS n_added,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM delta
+        |   WHERE doc_id % 7 <> 0) AS n_changed,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_dup_pairs,
+        |  (SELECT CAST(COUNT(DISTINCT a_id) AS BIGINT) FROM pairs) AS n_delta_dup,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM delta)
+        |    - (SELECT CAST(COUNT(DISTINCT a_id) AS BIGINT) FROM pairs)
+        |    AS n_delta_clean""".stripMargin,
     "dd_jaccard_join" ->
       """WITH sh AS (
         |  SELECT doc_id,

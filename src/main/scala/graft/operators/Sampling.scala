@@ -102,6 +102,36 @@ object Sampling {
         portableSplit(coalesce(col("cluster"), docs(idCol)), fractions))
       .drop("id", "cluster")
 
+  /** Per-source document cap (crawl-frequency winsorization): keep at most
+    * `maxPerGroup` rows per group, chosen by the engine-portable LCG
+    * scramble of the row key — not arrival order (which over-samples
+    * whatever the crawler fetched first) and not RNG state (which changes
+    * per run). A handful of mega-domains otherwise dominate a web corpus;
+    * capping them is the standard mix-balancing step before training.
+    *
+    * Scale shape: one shuffle on the group key. The rank filter is a
+    * `row_number <= k` over the window, which Catalyst rewrites to a
+    * map-side WindowGroupLimit: each input partition forwards at most
+    * `maxPerGroup` candidate rows per group BEFORE the exchange, so a
+    * 100M-doc domain ships `maxPerGroup * numPartitions` rows, not 100M.
+    * The ordering key is (scramble, key): unique, so the kept set is exact
+    * and replayable by any engine's ROW_NUMBER.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, key: Column,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val m = 2147483648L // 2^31
+    val x0 = pmod(key.cast("long"), lit(m))
+    val x1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(m))
+    val x2 = pmod(x1 * lit(1103515245L) + lit(12345L), lit(m))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(x2, key)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerGroup)
+      .drop("_rk")
+  }
+
   /** Weighted training mix: per-source sampling rates composed into one
     * corpus, tagged with the mix weight used. `rates` maps source-column
     * value -> keep rate; unlisted sources are dropped.

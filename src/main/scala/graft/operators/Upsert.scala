@@ -106,6 +106,32 @@ object Upsert {
       .groupBy(col("change")).agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Per-key snapshot DELTA: the `after` rows whose key is new or whose
+    * compared columns drifted since `before`, tagged 'added' / 'changed' —
+    * the exact input set an incremental pipeline must re-process. Feeding
+    * downstream work (re-shingle, re-index, re-dedup) from this instead of
+    * the full snapshot makes its cost proportional to |delta|, not
+    * |corpus| — at 100 TB with a ~1% daily churn that is the difference
+    * between a nightly job and an impossible one. Comparison hashes the
+    * null flag alongside each value (see [[snapshotDiff]]); the join
+    * carries one long per before-row, never before's payload columns.
+    */
+  def snapshotDelta(
+      before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && cmpCols.nonEmpty)
+    require(!(keyCols ++ cmpCols).exists(c => c == "_bsig" || c == "_asig" || c == "change"),
+      "snapshotDelta reserves column names _bsig, _asig, change")
+    val sig = xxhash64(cmpCols.flatMap(c => Seq(col(c).isNull, col(c))): _*)
+    val b = before.select((keyCols.map(col) :+ sig.as("_bsig")): _*)
+    after.withColumn("_asig", sig)
+      .join(b, keyCols, "left")
+      .filter(col("_bsig").isNull || col("_bsig") =!= col("_asig"))
+      .withColumn("change",
+        when(col("_bsig").isNull, "added").otherwise("changed"))
+      .drop("_bsig", "_asig")
+  }
+
   /** Build a re-aggregatable rollup at `keyCols` grain: per-key SUMs plus
     * a row count. The measures are chosen to RE-AGGREGATE (sum of sums =
     * sum of the union; avg derives as sum/count downstream), which is what

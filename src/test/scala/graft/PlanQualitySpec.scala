@@ -160,6 +160,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("sim_ann_lsh").contains("hyperplane_bucket"))
   }
 
+  test("domain cap pushes the rank limit map-side (WindowGroupLimit before the exchange)") {
+    val p = plan("q_domain_cap")
+    // Catalyst's rank-limit rewrite must appear on BOTH sides of the
+    // exchange: the Partial limit bounds what each input partition ships
+    // per group — the property that keeps a mega-domain from flooding the
+    // shuffle — and the Final limit finishes after the sort.
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    assert(p.contains("Partial"), s"no partial (map-side) group limit:\n$p")
+  }
+
   test("no contract query plans a cross product (beyond declared tiny sides)") {
     // queries that INTENTIONALLY cross-join a bounded tiny side: the ANN
     // recall baselines broadcast <=5 query rows against the corpus, and the
@@ -211,7 +221,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // 1-row aggregate crossed back over the per-key rollup
       "q_tpch_q11", "q_tpch_q20",
       // leakage audit: two 1-row aggregates (doc counts x pair audit)
-      "dd_leakage_split")
+      "dd_leakage_split",
+      // incremental-snapshot summary: delta counts x pair-audit 1-row aggs
+      "dd_incremental_snapshot")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

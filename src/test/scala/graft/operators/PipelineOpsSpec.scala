@@ -94,6 +94,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unchanged" -> 2L))
   }
 
+  test("snapshot delta: exactly the added+changed AFTER rows, null drift included") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d"))
+    ).toDF("id", "v")
+    val after = Seq(
+      (1L, Some("a")),   // unchanged -> excluded
+      (2L, None),        // value -> null: changed
+      (3L, Some("c")),   // null -> value: changed
+      // 4 removed -> must NOT appear (delta is after-side only)
+      (5L, Some("e"))    // added
+    ).toDF("id", "v")
+    val out = Upsert.snapshotDelta(before, after, Seq("id"), Seq("v"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getString(2))).toSet
+    assert(out == Set(
+      (2L, None, "changed"),
+      (3L, Some("c"), "changed"),
+      (5L, Some("e"), "added")))
+  }
+
   test("incremental rollup equals full rebuild under any batch split") {
     import spark.implicits._
     val raw = (0 until 5000).map(i =>

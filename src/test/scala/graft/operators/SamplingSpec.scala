@@ -87,6 +87,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group cap: binds at cap, partition-invariant, small groups untouched") {
+    import spark.implicits._
+    // group sizes 5 (under cap), 40, 400 (heavily over cap)
+    val rows = (0 until 5).map(i => ("small", i.toLong)) ++
+      (100 until 140).map(i => ("mid", i.toLong)) ++
+      (1000 until 1400).map(i => ("big", i.toLong))
+    val df = rows.toDF("src", "id")
+    val cap = 10
+    val a = Sampling.capPerGroup(df.repartition(3), "src", col("id"), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.capPerGroup(df.repartition(13), "src", col("id"), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "kept set depends on partitioning")
+    val sizes = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("small" -> 5, "mid" -> cap, "big" -> cap))
+    // under-cap groups keep EVERY row, not a sample
+    assert((0 until 5).forall(i => a.contains(("small", i.toLong))))
+  }
+
   test("leakage-safe split: no near-dup pair straddles splits; naive split does leak") {
     import spark.implicits._
     // 400 base docs; every 8th doc gets a near-copy (one word changed), and
