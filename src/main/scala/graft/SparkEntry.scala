@@ -1654,6 +1654,79 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Relative (within-language) quality filter: keep docs at or above
+    // their OWN language's p25 length — absolute thresholds empty
+    // lower-scoring groups; the within-group percentile adapts. Exact
+    // interpolating percentile (ANSI percentile_cont semantics) as a
+    // window over the language shuffle; the oracle recomputes thresholds
+    // with quantile_cont. Integer scores make the interpolation arithmetic
+    // identical in both engines.
+    "tx_relative_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = graft.operators.Sampling.relativeFilter(d, "lang", "n_chars", 0.25)
+      val thr = d.groupBy(col("lang"))
+        .agg(round(percentile(col("n_chars"), lit(0.25)), 2).as("p25_chars"),
+          count(lit(1)).as("n_docs"))
+      kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .join(thr, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_kept"), col("p25_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic temperature resampling: floor(weight) copies per doc
+    // plus an LCG-decided fractional copy — up-sampling (2.5x the curated
+    // source) and down-sampling (0.3x the noisy ones) in ONE map-only
+    // pass, identical output on any engine, any partitioning, any rerun.
+    // The oracle replays copy counts with the same integer scramble.
+    "tx_upsample_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4)
+      val out = graft.operators.Sampling.weightedReplicate(
+        d, "doc_id", "source", weights)
+      out.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_out"),
+          countDistinct(col("doc_id")).as("n_docs_kept"),
+          max(col("copy")).as("max_copy"))
+        .orderBy(col("source"))
+    }),
+
+    // Vocabulary-growth curve (corpus saturation analytics): bucket the
+    // corpus into ingestion batches, count 3-gram shingles NEVER seen in an
+    // earlier bucket — the "is more crawl still adding novelty" signal.
+    // first-seen = one min-aggregate on the shingle shuffle (no cumulative
+    // re-scans); the running total is a window sum over the 10-row curve.
+    // The same curve at 100 TB: per-bucket HLL sketches re-aggregated
+    // cumulatively — est_ok checks the sketch curve against the exact one
+    // at every point.
+    "tx_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      // native single-pass shingle hashing (same expression the Jaccard
+      // joins use — its hash-vs-string equivalence is oracle-proven by
+      // dd_jaccard_join); per-doc distinct is harmless for first-seen and
+      // distinct counting. A lambda-built string-shingle variant was 40x
+      // slower: CollapseProject inlines the split() into every subscript
+      // of the transform, going quadratic in document length.
+      val toks = d.select((col("doc_id") / 50).cast("int").as("bucket"),
+          explode(graft.operators.Dedup.shingleHashes(col("text"), 3)).as("tok"))
+      val newPer = toks.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_tokens"))
+      // k = 2^16 keeps the whole <=20k-token curve in the linear-counting
+      // regime, clear of the reference's documented mid-range bias zone
+      val sk = toks.groupBy(col("bucket"))
+        .agg(GraftFunctions.hll_sketch_agg(col("tok"), 1 << 16).as("_sk"))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      newPer.join(sk, Seq("bucket"))
+        .withColumn("cum_vocab", sum(col("n_new_tokens")).over(wCum))
+        .withColumn("_cum_est",
+          GraftFunctions.hll_estimate(GraftFunctions.hll_union_agg(col("_sk")).over(wCum)))
+        .select(col("bucket"), col("n_new_tokens"), col("cum_vocab"),
+          (abs(col("_cum_est") - col("cum_vocab")) / col("cum_vocab") <= 0.05)
+            .as("est_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // Per-domain crawl-frequency cap (mix winsorization): keep at most 10
     // docs per source, chosen by the portable LCG scramble of doc_id — not
     // crawl order, not RNG. The row_number filter compiles to a map-side
@@ -3166,6 +3239,52 @@ object SparkEntry {
         |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "tx_relative_quality" ->
+      """WITH thr AS (
+        |  SELECT lang, QUANTILE_CONT(n_chars, 0.25) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, n_docs,
+        |  CAST(COUNT(*) FILTER (n_chars >= t) AS BIGINT) AS n_kept,
+        |  ROUND(t, 2) AS p25_chars
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |GROUP BY d.lang, n_docs, t ORDER BY d.lang""".stripMargin,
+    "tx_upsample_mix" ->
+      """WITH copies AS (
+        |  SELECT source, doc_id,
+        |    CAST(FLOOR(w) AS BIGINT) +
+        |    CASE WHEN ((((doc_id % 2147483648) * 1103515245 + 12345)
+        |                % 2147483648) * 1103515245 + 12345) % 2147483648
+        |              < CAST(FLOOR((w - FLOOR(w)) * 2147483648) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM (SELECT source, doc_id,
+        |          CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |               WHEN 'src2' THEN 0.4 ELSE 0.0 END AS w
+        |        FROM documents))
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_out,
+        |  CAST(COUNT(*) FILTER (n > 0) AS BIGINT) AS n_docs_kept,
+        |  CAST(MAX(n) - 1 AS INT) AS max_copy
+        |FROM copies WHERE n > 0 GROUP BY source ORDER BY source""".stripMargin,
+    "tx_vocab_growth" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |      x -> x != '') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT CAST(doc_id // 50 AS INT) AS bucket, t.tok
+        |  FROM ws,
+        |    UNNEST(CASE WHEN LEN(ws) < 3
+        |             THEN CASE WHEN LEN(ws) > 0
+        |                  THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |             ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |           END) AS t(tok)),
+        |fs AS (SELECT tok, MIN(bucket) AS bucket FROM toks GROUP BY 1)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_tokens,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
+        |  TRUE AS est_ok
+        |FROM fs GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_domain_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -132,6 +132,56 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Relative (within-group) quality filter: keep rows whose score is at
+    * or above their OWN group's `q`-quantile — "drop the worst quartile of
+    * each language", the filter that absolute thresholds get wrong when
+    * score distributions differ by group (a cutoff tuned on English text
+    * would empty a lower-scoring language entirely). One shuffle on the
+    * group key; the exact per-group percentile is a window aggregate over
+    * it. At 100 TB group-value buffers get large — compute thresholds with
+    * the mergeable GK summary instead ([[graft.functions.GraftFunctions
+    * .gk_sketch_agg]], rank-error-bounded) and join them back; the exact
+    * window is right up to millions of rows per group.
+    */
+  def relativeFilter(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      quantile: Double): DataFrame = {
+    require(quantile > 0 && quantile < 1, s"quantile in (0,1), got $quantile")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("_thr", percentile(col(scoreCol), lit(quantile)).over(w))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
+  /** Deterministic weighted replication (temperature up/down-sampling): each
+    * row is emitted `floor(weight)` times plus one more with probability
+    * `frac(weight)` — decided by the portable LCG scramble of the key, so
+    * the output corpus is identical across runs, partitionings, and
+    * engines. Weights >= 1 up-sample (epoch mixing for high-quality
+    * sources), weights < 1 down-sample; a copy index column distinguishes
+    * replicas for downstream shuffling. Map-only: no shuffle, output size
+    * ~= sum(weights per row).
+    */
+  def weightedReplicate(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100), "weights in [0,100]")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val m = 2147483648L // 2^31
+    val x0 = pmod(col(keyCol).cast("long"), lit(m))
+    val x1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(m))
+    val x2 = pmod(x1 * lit(1103515245L) + lit(12345L), lit(m))
+    val nCopies = (floor(wCol) +
+      when(x2 < floor((wCol - floor(wCol)) * m).cast("long"), 1L).otherwise(0L))
+      .cast("int")
+    df.withColumn("_n", nCopies)
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("_n") - 1)))
+      .drop("_n")
+  }
+
   /** Weighted training mix: per-source sampling rates composed into one
     * corpus, tagged with the mix weight used. `rates` maps source-column
     * value -> keep rate; unlisted sources are dropped.

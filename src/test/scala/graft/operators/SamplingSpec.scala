@@ -106,6 +106,42 @@ class SamplingSpec extends AnyFunSuite {
     assert((0 until 5).forall(i => a.contains(("small", i.toLong))))
   }
 
+  test("relative filter: per-group quantile thresholds, groups with distinct scales") {
+    import spark.implicits._
+    // group a: scores 0..99; group b: scores 1000..1099 — an absolute
+    // threshold keeping a's top 75% would keep ALL of b
+    val df = ((0 until 100).map(i => ("a", i.toDouble)) ++
+      (0 until 100).map(i => ("b", 1000.0 + i))).toDF("g", "score")
+    val kept = Sampling.relativeFilter(df, "g", "score", 0.25)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byG = kept.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // p25 of 0..99 (percentile_cont) = 24.75 -> keeps 25..99
+    assert(byG("a").size == 75 && byG("a").min == 25.0)
+    assert(byG("b").size == 75 && byG("b").min == 1025.0)
+  }
+
+  test("weighted replicate: floor copies + deterministic fractional, down-sampling") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, s"src${i % 2}")).toDF("id", "src")
+    val out = Sampling.weightedReplicate(df, "id", "src",
+      Map("src0" -> 2.5, "src1" -> 0.3))
+    val stats = out.groupBy("src")
+      .agg(count(lit(1)), countDistinct(col("id")), max(col("copy")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // src0: every doc kept 2 or 3 times -> n_out ~ 2.5x, all docs present
+    val (n0, d0, m0) = stats("src0")
+    assert(d0 == 5000L && m0 == 2 && math.abs(n0 - 12500L) < 300, s"src0: $n0 $d0 $m0")
+    // src1: ~30% of docs kept once
+    val (n1, d1, m1) = stats("src1")
+    assert(n1 == d1 && m1 == 0 && math.abs(n1 - 1500L) < 200, s"src1: $n1 $d1 $m1")
+    // determinism: identical output set under different partitioning
+    val again = Sampling.weightedReplicate(df.repartition(17), "id", "src",
+      Map("src0" -> 2.5, "src1" -> 0.3))
+      .groupBy("src").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == Map("src0" -> n0, "src1" -> n1))
+  }
+
   test("leakage-safe split: no near-dup pair straddles splits; naive split does leak") {
     import spark.implicits._
     // 400 base docs; every 8th doc gets a near-copy (one word changed), and
