@@ -10,7 +10,8 @@ object PlanDrive {
     for (name <- Seq("q_filter_pushdown", "q_revenue_by_nation", "hll_users_total",
         "hll_parts_by_returnflag", "tx_word_topk", "q_funnel", "q_upsert_orders",
         "hll_cms_event_counts", "q_join_size_estimate",
-        "hll_kmv_overlap", "tx_sequence_pack")) {
+        "hll_kmv_overlap", "tx_sequence_pack",
+        "q_bucketed_join", "q_domain_cap", "q_tpch_q21", "tx_vocab_growth")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
