@@ -16,9 +16,13 @@ class ContractSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("every oracleSql key names an implemented query") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  test("queries and oracleSql cover exactly the same keys") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracle entries without queries: $orphanOracles")
+    // every query MUST carry an oracle: the driver downgrades missing ones
+    // to a weak rows-only check, which would silently erode the gate
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracle coverage: $unchecked")
   }
 
   test("entry() returns rows on a plain session (driver smoke)") {
