@@ -1727,6 +1727,22 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Per-source quality drift: total variation distance between the two
+    // corpus halves' length histograms, per source — the "source X
+    // suddenly ships different documents" alarm. TVD stays in exact
+    // integer arithmetic until one final division, so the score is
+    // bit-reproducible in any engine and any aggregation order; the
+    // oracle re-derives it from raw counts.
+    "tx_quality_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Quality.distributionDrift(d, "source",
+          col("doc_id") < 250,
+          least(lit(7), floor(col("n_chars") / 100)).cast("int"))
+        .select(col("source"), col("n_baseline"), col("n_compare"),
+          round(col("tvd"), 6).as("tvd"))
+        .orderBy(col("source"))
+    }),
+
     // Per-domain crawl-frequency cap (mix winsorization): keep at most 10
     // docs per source, chosen by the portable LCG scramble of doc_id — not
     // crawl order, not RNG. The row_number filter compiles to a map-side
@@ -3285,6 +3301,24 @@ object SparkEntry {
         |  CAST(SUM(COUNT(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
         |  TRUE AS est_ok
         |FROM fs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "tx_quality_drift" ->
+      """WITH binned AS (
+        |  SELECT source, doc_id < 250 AS h0,
+        |    CAST(LEAST(7, FLOOR(n_chars / 100)) AS INT) AS bin
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, bin,
+        |    COUNT(*) FILTER (h0) AS c0, COUNT(*) FILTER (NOT h0) AS c1
+        |  FROM binned GROUP BY source, bin),
+        |tot AS (
+        |  SELECT source, CAST(SUM(c0) AS BIGINT) AS t0,
+        |    CAST(SUM(c1) AS BIGINT) AS t1
+        |  FROM cnt GROUP BY source)
+        |SELECT c.source, t0 AS n_baseline, t1 AS n_compare,
+        |  ROUND(CAST(SUM(ABS(c0 * t1 - c1 * t0)) AS DOUBLE)
+        |    / (2.0 * t0 * t1), 6) AS tvd
+        |FROM cnt c JOIN tot t ON c.source = t.source
+        |GROUP BY c.source, t0, t1 ORDER BY c.source""".stripMargin,
     "q_domain_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -54,6 +54,43 @@ object Quality {
     }
   }
 
+  /** Distribution drift between two cohorts (yesterday's crawl vs today's,
+    * shard A vs shard B) per group: total variation distance between the
+    * cohorts' value histograms — `0` identical, `1` disjoint. The alarm
+    * that catches "source X suddenly ships much shorter documents" before
+    * it poisons a training mix, without storing either cohort.
+    *
+    * TVD = 1/2 * sum_bins |p0 - p1| is computed in EXACT integer
+    * arithmetic until the final division: the per-bin term |c0*t1 - c1*t0|
+    * sums exactly in any engine and any aggregation order, so the score is
+    * bit-reproducible (a naive sum of per-bin double ratios is not).
+    * Scale shape: one shuffle to (group, bin) — conditional partial
+    * aggregates, no row survives the scan — then a groups-sized rollup.
+    *
+    * @param cohort boolean column: true = baseline cohort, false = compare
+    * @param bin    integer bin expression (same binning both cohorts)
+    */
+  def distributionDrift(
+      df: DataFrame, groupCol: String, cohort: Column,
+      bin: Column): DataFrame = {
+    val cnt = df
+      .groupBy(col(groupCol), bin.as("_bin"))
+      .agg(
+        sum(when(cohort, 1L).otherwise(0L)).as("_c0"),
+        sum(when(cohort, 0L).otherwise(1L)).as("_c1"))
+    cnt
+      .withColumn("_t0", sum(col("_c0")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("_t1", sum(col("_c1")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol), col("_t0"), col("_t1"))
+      .agg(sum(abs(col("_c0") * col("_t1") - col("_c1") * col("_t0"))).as("_num"))
+      .select(col(groupCol),
+        col("_t0").as("n_baseline"), col("_t1").as("n_compare"),
+        (col("_num").cast("double") / (lit(2.0) * col("_t0") * col("_t1")))
+          .as("tvd"))
+  }
+
   def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "quality suite needs at least one check")
     val spark = df.sparkSession

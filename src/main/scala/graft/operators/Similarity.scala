@@ -114,6 +114,46 @@ object Similarity {
       graft.functions.NearestCentroid(
         org.apache.spark.sql.graftshim.GraftShims.expression(vec), centroids))
 
+  /** Incremental IVF maintenance: assign a NEW embedding batch to the
+    * FROZEN centroids (the same map-only [[assignBucket]] the index uses —
+    * appends never rebuild anything) and report per-bucket drift against
+    * the standing corpus: bucket-share shift plus each side's mean
+    * similarity to its centroid. The refit signal: a bucket whose share of
+    * new data diverges from its corpus share (`share_drift`), or whose new
+    * members sit much farther from the centroid (`fit_drop`), means the
+    * frozen partitioning no longer matches incoming data — refit then, and
+    * only then. Scale shape: two map-only assignment passes and one
+    * nlist-sized aggregate each; no join touches raw vectors across sides.
+    */
+  def ivfAppendStats(
+      corpus: DataFrame, newBatch: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    def stats(df: DataFrame, nCol: String, fitCol: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .withColumn("_b", assignBucket(col(vecCol), centroids))
+        // cosine to the OWN assigned centroid, via the plan-embedded table
+        .withColumn("_fit",
+          cosine(col(vecCol), element_at(centLit, col("_b") + 1)))
+        .groupBy(col("_b").as("bucket"))
+        .agg(count(lit(1)).as(nCol), avg(col("_fit")).as(fitCol))
+    val c = stats(corpus, "n_corpus", "fit_corpus")
+    val n = stats(newBatch, "n_new", "fit_new")
+    val joined = c.join(n, Seq("bucket"), "full_outer").na.fill(0L, Seq("n_corpus", "n_new"))
+    val tc = sum(col("n_corpus")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val tn = sum(col("n_new")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("corpus_share", col("n_corpus") / tc)
+      .withColumn("new_share", col("n_new") / tn)
+      .withColumn("share_drift", abs(col("new_share") - col("corpus_share")))
+      .withColumn("fit_drop",
+        when(col("fit_corpus").isNotNull && col("fit_new").isNotNull,
+          col("fit_corpus") - col("fit_new")).otherwise(lit(null)))
+      .select(col("bucket"), col("n_corpus"), col("n_new"),
+        col("corpus_share"), col("new_share"), col("share_drift"),
+        col("fit_corpus"), col("fit_new"), col("fit_drop"))
+  }
+
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are nearest
     * to each query. Returns the same schema as bruteForceTopK.
     */

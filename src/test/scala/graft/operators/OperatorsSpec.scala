@@ -285,6 +285,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 
+  test("IVF append stats: in-distribution batch quiet, shifted batch flags drift") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.fitCentroids(corpus, "embedding", "vec_id",
+      nlist = 8, sampleSize = 500)
+    // in-distribution append: the odd half of the same corpus
+    val inDist = emb.filter(col("vec_id") % 2 === 1)
+    val quiet = Similarity.ivfAppendStats(corpus, inDist, "embedding", cents)
+      .collect()
+    assert(quiet.nonEmpty)
+    val maxQuietDrift = quiet.map(_.getAs[Double]("share_drift")).max
+    assert(maxQuietDrift < 0.1, s"in-distribution batch drifted: $maxQuietDrift")
+    // shifted append: every new vector lands in ONE bucket -> its new_share
+    // approaches 1 while its corpus share stays ~1/8
+    val oneBucket = Similarity.ivfAppendStats(corpus,
+      corpus.limit(200).withColumn("embedding",
+        expr("transform(embedding, x -> float(0.1))")),
+      "embedding", cents).collect()
+    val hot = oneBucket.filter(_.getAs[Long]("n_new") > 0)
+    assert(hot.length == 1, s"constant vectors spread across ${hot.length} buckets")
+    assert(hot.head.getAs[Double]("share_drift") > 0.5)
+    // bookkeeping: shares sum to 1 on each side
+    val cs = quiet.map(_.getAs[Double]("corpus_share")).sum
+    val ns = quiet.map(_.getAs[Double]("new_share")).sum
+    assert(math.abs(cs - 1.0) < 1e-9 && math.abs(ns - 1.0) < 1e-9)
+  }
+
   test("LSH-bucketed ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

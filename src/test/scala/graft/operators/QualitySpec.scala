@@ -43,4 +43,27 @@ class QualitySpec extends AnyFunSuite {
       Quality.Unique(Seq("k")), Quality.MinRows(2)))
     assert(ok.collect().forall(_.getBoolean(3)))
   }
+
+  test("distribution drift: 0 for identical cohorts, 1 for disjoint, exact midpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical: same values in both cohorts
+    val same = (0 until 100).flatMap(i => Seq(("g", true, i % 10), ("g", false, i % 10)))
+      .toDF("src", "base", "v")
+    val d0 = Quality.distributionDrift(same, "src", col("base"), col("v"))
+      .collect().head
+    assert(d0.getDouble(3) == 0.0)
+    // disjoint: cohorts occupy different bins entirely
+    val disj = ((0 until 50).map(i => ("g", true, 1)) ++
+      (0 until 50).map(i => ("g", false, 2))).toDF("src", "base", "v")
+    assert(Quality.distributionDrift(disj, "src", col("base"), col("v"))
+      .collect().head.getDouble(3) == 1.0)
+    // half-moved mass: baseline all bin 1; compare 50/50 bins 1,2 -> TVD 0.5
+    val half = ((0 until 40).map(_ => ("g", true, 1)) ++
+      (0 until 20).map(_ => ("g", false, 1)) ++
+      (0 until 20).map(_ => ("g", false, 2))).toDF("src", "base", "v")
+    val r = Quality.distributionDrift(half, "src", col("base"), col("v"))
+      .collect().head
+    assert(r.getLong(1) == 40L && r.getLong(2) == 40L && r.getDouble(3) == 0.5)
+  }
 }
