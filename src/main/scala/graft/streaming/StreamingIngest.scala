@@ -26,7 +26,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIngest {
 
-  /** Start the ingestion query (micro-batch, append). Caller stops it. */
+  /** Start the ingestion query (micro-batch, append). Caller stops it.
+    *
+    * `compactSinkEvery` (0 = off): every N batches the SINK itself is
+    * rewritten into `ceil(bytes / targetFileBytes)` even files and swapped
+    * in crash-safely ([[StoreSwap]]). Streaming appends accumulate
+    * per-batch small files whose open/footer cost eventually dominates
+    * scans; compacting inside `foreachBatch` is safe because the batch
+    * callback is the only writer, and the two-rename swap plus the
+    * `recover` call on start mean a crash at any point leaves a complete
+    * generation on disk.
+    */
   def dedupedIngest(
       docs: DataFrame,
       tsCol: String,
@@ -35,9 +45,14 @@ object StreamingIngest {
       outPath: String,
       checkpointPath: String,
       exactCheck: Boolean = false,
-      compactEvery: Int = 10): StreamingQuery = {
+      compactEvery: Int = 10,
+      compactSinkEvery: Int = 0,
+      targetFileBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
     val spark = docs.sparkSession
     val fpPath = outPath + "_fp"
+    // a previous run may have died mid-sink-compaction: restore the
+    // surviving generation before the stream starts appending
+    StoreSwap.recover(spark, outPath)
     // keep the fingerprint the in-flight tier already computed — no second
     // normalization+hash pass over the document text per batch
     val inFlight = StreamingDedup.dedupByContent(
@@ -86,6 +101,16 @@ object StreamingIngest {
             .write.mode("overwrite").parquet(tmpP.toString)
           fs.delete(fpP, true)
           fs.rename(tmpP, fpP)
+        }
+        if (compactSinkEvery > 0 && batchId % compactSinkEvery == (compactSinkEvery - 1)
+            && fs.exists(sinkP)) {
+          // rewrite the sink into scan-sized files and swap crash-safely;
+          // the sink is the SOURCE OF TRUTH, so unlike the fp cache above
+          // it gets the full two-rename generation dance
+          val totalBytes = fs.getContentSummary(sinkP).getLength
+          val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+          StoreSwap.swapIn(
+            spark.read.parquet(outPath).repartition(nFiles.toInt), outPath)
         }
         ()
       }

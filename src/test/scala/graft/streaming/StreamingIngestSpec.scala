@@ -71,6 +71,53 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("sink compaction: small files collapse, content intact, dedup survives the swap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("ingest3").toFile
+    val out = new java.io.File(tmp, "sink").getAbsolutePath
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDS().toDF("doc_id", "text", "tsMillis")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+    // compact the sink every 3 batches into (tiny data ->) one file
+    val q = StreamingIngest.dedupedIngest(
+      docs, "eventTime", "1 second", "text", out, ckpt,
+      compactSinkEvery = 3)
+    try {
+      (0 until 6).foreach { b =>
+        stream.addData(Seq((b.toLong, s"unique doc $b", base + b * 600000L)))
+        q.processAllAvailable()
+      }
+      val sinkDir = new java.io.File(out)
+      val parts = sinkDir.listFiles().count(_.getName.startsWith("part-"))
+      // batches 2 and 5 compacted; appends since the last compaction (none)
+      // ride on top of the single compacted generation
+      assert(parts == 1, s"expected 1 compacted part file, got $parts")
+      assert(!new java.io.File(out + "_old").exists())
+      assert(!new java.io.File(out + "_tmp").exists())
+      val sink = spark.read.parquet(out)
+      assert(sink.count() == 6)
+      // dedup still works against the compacted generation: replay doc 0
+      // after its state horizon, and add one fresh doc
+      stream.addData(Seq(
+        (100L, "unique doc 0", base + 10 * 600000L),
+        (101L, "unique doc new", base + 10 * 600000L + 1)))
+      q.processAllAvailable()
+      val after = spark.read.parquet(out)
+      assert(after.count() == 7, "replay must be dropped after compaction")
+      assert(!after.select("doc_id").collect().map(_.getLong(0)).contains(100L))
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("fingerprint index: compaction, rebuild-from-sink, and exact re-check") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
