@@ -26,6 +26,71 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQuality {
 
+  /** Windowed histogram emission — the streaming half of the drift
+    * monitor: one count per (window, group, bin), constant state per open
+    * (window, group, bin) cell regardless of volume. The emitted rows form
+    * a standing histogram table; [[histogramDrift]] (batch, run over that
+    * table by the alerting job) scores consecutive windows against each
+    * other. Splitting it this way keeps the streaming query a single
+    * stateful aggregation — cross-window comparison happens over the sink,
+    * where both windows are already final.
+    */
+  def windowedHistogram(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      groupCol: String,
+      bin: org.apache.spark.sql.Column): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol),
+        bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("bin"), col("n"))
+
+  /** Window-over-window drift from an emitted histogram table: total
+    * variation distance between each (group, window) histogram and the
+    * SAME group's previous window — [[graft.operators.Quality
+    * .distributionDrift]]'s exact-integer formula applied along the time
+    * axis. Returns one row per (group, window) that has a predecessor.
+    */
+  def histogramDrift(hist: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // successor map: (_g, _w = a window, _next = the window that compares
+    // against it); fresh column names so the hist self-joins below stay
+    // unambiguous
+    val succ = hist
+      .select(col(groupCol).as("_g"), col("window_start").as("_w")).distinct()
+      .withColumn("_next", lead(col("_w"), 1).over(
+        Window.partitionBy(col("_g")).orderBy(col("_w"))))
+      .filter(col("_next").isNotNull)
+    // every histogram cell contributes to the comparison row of its OWN
+    // window (as current) and of its successor window (as previous); the
+    // union + re-aggregation aligns bins without a full-outer join
+    val curContrib = hist
+      .join(succ, col(groupCol) === col("_g") && col("window_start") === col("_next"))
+      .select(col(groupCol), col("window_start"), col("bin"),
+        col("n").as("_c1"), lit(0L).as("_c0"))
+    val prevContrib = hist
+      .join(succ, col(groupCol) === col("_g") && col("window_start") === col("_w"))
+      .select(col(groupCol), col("_next").as("window_start"), col("bin"),
+        lit(0L).as("_c1"), col("n").as("_c0"))
+    val cells = curContrib.unionByName(prevContrib)
+      .groupBy(col(groupCol), col("window_start"), col("bin"))
+      .agg(sum(col("_c0")).as("_c0"), sum(col("_c1")).as("_c1"))
+    val w = Window.partitionBy(col(groupCol), col("window_start"))
+    cells
+      .withColumn("_t0", sum(col("_c0")).over(w))
+      .withColumn("_t1", sum(col("_c1")).over(w))
+      .groupBy(col(groupCol), col("window_start"), col("_t0"), col("_t1"))
+      .agg(sum(abs(col("_c1") * col("_t0") - col("_c0") * col("_t1"))).as("_num"))
+      .select(col(groupCol), col("window_start"),
+        col("_t0").as("n_prev"), col("_t1").as("n_cur"),
+        (col("_num").cast("double") / (lit(2.0) * col("_t0") * col("_t1")))
+          .as("tvd"))
+  }
+
   /** @param df streaming DataFrame with event-time column `tsCol`
     * @return streaming report: one row per (closed window, constraint),
     *         append mode once the watermark passes the window end

@@ -80,6 +80,51 @@ class StreamingQualitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed histogram + drift equals the batch drift monitor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    // srcA keeps its value distribution across hours; srcB shifts hard
+    val events = (0 until 800).map { i =>
+      val hour = if (i < 400) 10 else 11
+      val src = if (i % 2 == 0) "srcA" else "srcB"
+      val v =
+        if (src == "srcA") i % 10
+        else if (hour == 10) i % 5 else 5 + i % 5 // disjoint bins across hours
+      (new Timestamp(base + hour * 3600000L + (i % 600) * 1000L), src, v)
+    }
+    val stream = MemoryStream[(Timestamp, String, Int)]
+    val hist = StreamingQuality.windowedHistogram(
+      stream.toDF().toDF("ts", "src", "v"), "ts", "1 hour", "10 minutes",
+      "src", col("v"))
+    val q = hist.writeStream.outputMode("complete")
+      .format("memory").queryName("hist_stream_out").start()
+    try {
+      events.grouped(300).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val drift = StreamingQuality.histogramDrift(
+          spark.table("hist_stream_out"), "src")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(drift.size == 2) // one (window2 vs window1) row per source
+      // oracle: the batch drift monitor over the same two hour-slices
+      val df = events.toDF("ts", "src", "v")
+        .withColumn("_w", window(col("ts"), "1 hour"))
+      val w0 = df.select(col("_w.start").cast("long")).distinct()
+        .collect().map(_.getLong(0)).min
+      val expected = graft.operators.Quality.distributionDrift(
+          df, "src", col("_w.start").cast("long") === w0, col("v"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(drift == expected)
+      // the shifted source alarms at exactly 1.0 (disjoint bins), the
+      // stable one stays at 0
+      assert(drift("srcB")._3 == 1.0 && drift("srcA")._3 == 0.0)
+    } finally q.stop()
+  }
+
   test("Unique is rejected on streams") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
