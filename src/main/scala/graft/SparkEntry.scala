@@ -1727,6 +1727,30 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // The curation pipeline COMPOSED from portable primitives: relative
+    // quality filter (keep docs >= their language's p25 length) -> per-
+    // source cap (10 docs by LCG rank) -> leakage-safe split (exact
+    // Jaccard clusters on the survivors, split keyed on the
+    // representative). Every stage is engine-replayable, so the oracle
+    // re-derives the ENTIRE pipeline — quantile thresholds, capped sets,
+    // recursive-CTE components, split labels — and the id sums pin the
+    // exact surviving set per split.
+    "tx_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dedup, Sampling}
+      val d = t(s, dir, "documents")
+      val filtered = Sampling.relativeFilter(d, "lang", "n_chars", 0.25)
+      val capped = Sampling.capPerGroup(filtered, "source", col("doc_id"), 10)
+        .localCheckpoint()
+      val pairs = Dedup.jaccardSelfJoin(capped, "doc_id", "text", 0.3)
+        .select(col("id1"), col("id2"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      Sampling.leakageSafeSplit(capped, "doc_id", clusters, fr)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // Per-source quality drift: total variation distance between the two
     // corpus halves' length histograms, per source — the "source X
     // suddenly ships different documents" alarm. TVD stays in exact
@@ -3301,6 +3325,61 @@ object SparkEntry {
         |  CAST(SUM(COUNT(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
         |  TRUE AS est_ok
         |FROM fs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "tx_curation_pipeline" ->
+      """WITH RECURSIVE thr AS (
+        |  SELECT lang, QUANTILE_CONT(n_chars, 0.25) AS t
+        |  FROM documents GROUP BY lang),
+        |filtered AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d JOIN thr ON d.lang = thr.lang
+        |  WHERE n_chars >= t),
+        |ranked AS (
+        |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ((((doc_id + 1013904223) % 2147483647) * 48271
+        |      % 2147483647) * 48271) % 2147483647, doc_id) AS rk
+        |  FROM filtered),
+        |capped AS (SELECT doc_id, text FROM ranked WHERE rk <= 10),
+        |ws AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |      x -> x != '') AS ws
+        |  FROM capped),
+        |sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(ws) < 3
+        |           THEN CASE WHEN LEN(ws) > 0 THEN [ARRAY_TO_STRING(ws, ' ')] ELSE [] END
+        |           ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      END) AS sh
+        |  FROM ws),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM edges
+        |  UNION SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN xs < CAST(FLOOR(0.8 * 2147483648) AS BIGINT) THEN 'train'
+        |         WHEN xs < CAST(FLOOR(0.9 * 2147483648) AS BIGINT) THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT c.doc_id,
+        |      ((((rep % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |        * 1103515245 + 12345) % 2147483648 AS xs
+        |    FROM (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep
+        |          FROM capped d LEFT JOIN clusters cl ON d.doc_id = cl.id) c))
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
     "tx_quality_drift" ->
       """WITH binned AS (
         |  SELECT source, doc_id < 250 AS h0,
@@ -3323,8 +3402,8 @@ object SparkEntry {
       """WITH ranked AS (
         |  SELECT source, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-        |      ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
-        |        * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+        |      ((((doc_id + 1013904223) % 2147483647) * 48271 % 2147483647)
+        |        * 48271) % 2147483647, doc_id) AS rk
         |  FROM documents),
         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         |        FROM documents GROUP BY 1)

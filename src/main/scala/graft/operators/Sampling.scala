@@ -119,12 +119,20 @@ object Sampling {
     */
   def capPerGroup(
       df: DataFrame, groupCol: String, key: Column,
-      maxPerGroup: Int): DataFrame = {
+      maxPerGroup: Int, seed: Long = 1013904223L): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
-    val m = 2147483648L // 2^31
-    val x0 = pmod(key.cast("long"), lit(m))
-    val x1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(m))
-    val x2 = pmod(x1 * lit(1103515245L) + lit(12345L), lit(m))
+    require(seed >= 0, s"seed must be non-negative, got $seed")
+    // the cap must NOT rank by the same scramble family portableSplit
+    // thresholds on: two rounds of an LCG compose to an AFFINE map mod
+    // 2^31, so any same-modulus variant (even seeded) is a constant
+    // rotation of the split's order — composing cap -> split then drains
+    // whole split buckets (found via tx_curation_pipeline, which came out
+    // all-train). MINSTD over the DIFFERENT modulus 2^31-1 breaks the
+    // affine relation while staying pure portable integer arithmetic.
+    val m = 2147483647L // 2^31 - 1 (prime)
+    val x0 = pmod(key.cast("long") + lit(seed), lit(m))
+    val x1 = pmod(x0 * lit(48271L), lit(m))
+    val x2 = pmod(x1 * lit(48271L), lit(m))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(x2, key)
     df.withColumn("_rk", row_number().over(w))
