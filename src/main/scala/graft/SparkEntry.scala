@@ -2980,8 +2980,10 @@ object SparkEntry {
         |  0.0337 AS mean_overlap, 0.1223 AS max_overlap FROM documents""".stripMargin,
     "tx_training_mix" ->
       """SELECT * FROM (VALUES
-        |  ('src0', 'test', CAST(1 AS BIGINT)), ('src0', 'train', 21), ('src0', 'val', 3),
-        |  ('src1', 'train', 10), ('src2', 'train', 6), ('src3', 'train', 4))
+        |  ('src0', 'test', CAST(2 AS BIGINT)), ('src0', 'train', 19), ('src0', 'val', 4),
+        |  ('src1', 'test', 2), ('src1', 'train', 7), ('src1', 'val', 1),
+        |  ('src2', 'train', 6),
+        |  ('src3', 'test', 2), ('src3', 'train', 2))
         |t(source, split, n_docs) ORDER BY source, split""".stripMargin,
     "tx_contamination" ->
       """SELECT CAST(1694 AS BIGINT) AS pairs_at_005, CAST(0 AS BIGINT) AS pairs_at_03,

@@ -51,8 +51,15 @@ object Sampling {
 
   /** Deterministic train/validation/test split: assigns each key a stable
     * bucket from fractions that must sum to <= 1 (remainder -> last bucket).
+    *
+    * The default seed deliberately differs from [[hashSampleCond]] /
+    * [[trainingMix]]'s: both threshold the same uniform u(key, seed), so a
+    * sample composed with a SAME-seed split keeps only low-u keys and
+    * drains every split bucket but the first (a rate-0.5 source would come
+    * out 100% train). Distinct xxhash64 seeds give independent streams;
+    * keep them distinct if overriding.
     */
-  def hashSplit(key: Column, fractions: Seq[(String, Double)], seed: Long = 42L): Column = {
+  def hashSplit(key: Column, fractions: Seq[(String, Double)], seed: Long = 9177L): Column = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
     val u = (shiftrightunsigned(xxhash64(key, lit(seed)), 11)).cast("double") / lit((1L << 53).toDouble)
     val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail

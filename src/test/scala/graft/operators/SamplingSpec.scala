@@ -87,6 +87,21 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sample composed with split stays unbiased (default seeds are decorrelated)") {
+    import spark.implicits._
+    val df = (0 until 50000).map(_.toString).toDF("k")
+    // rate-0.3 sample, then default split: under SAME seeds every sampled
+    // key had u < 0.3 < 0.8 and 100% would land in train
+    val splits = Sampling.hashSample(df, "k", 0.3)
+      .withColumn("s", Sampling.hashSplit(col("k"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = splits.values.sum
+    assert(splits.keySet == Set("train", "val", "test"), s"buckets drained: $splits")
+    assert(math.abs(splits("train").toDouble / total - 0.8) < 0.02, s"$splits")
+    assert(math.abs(splits("val").toDouble / total - 0.1) < 0.02, s"$splits")
+  }
+
   test("per-group cap: binds at cap, partition-invariant, small groups untouched") {
     import spark.implicits._
     // group sizes 5 (under cap), 40, 400 (heavily over cap)
