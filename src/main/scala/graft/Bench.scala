@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,22 +21,38 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
-    // two timed laps, keep the per-query minimum: damps scheduler/GC noise
-    // on shared hosts without hiding real per-query cost. Failures go to
-    // stderr — a crashing query would otherwise read as a fast one.
-    def lap(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn) } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Two timed laps, keep the per-query minimum: damps scheduler/GC noise on
+    // shared hosts without hiding real per-query cost. A query that throws is
+    // NOT timed — it goes into a "failed" list, is excluded from the total,
+    // and flips the exit code, so a broken query can never masquerade as a
+    // fast one (r3 post-mortem: 25 analysis failures read as ~0.05 s each).
+    def lap(): Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          run(fn)
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val (l1, l2) = (lap(), lap())
-    val results = l1.map { case (name, v) => name -> math.min(v, l2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val merged = l1.map { case (name, r1) =>
+      name -> ((r1, l2(name)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(m), _)         => Left(m)
+        case (_, Left(m))         => Left(m)
+      })
+    }
+    val ok = merged.collect { case (k, Right(v)) => k -> v }
+    val failed = merged.collect { case (k, Left(_)) => k }.toSeq.sorted
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -23,14 +23,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 only reads
-    * via the nanosAsLong legacy conf (runtime-settable); expose it as a real
-    * microsecond timestamp column alongside the raw long.
+  /** `events.ts` has shipped in two encodings across testdata generations:
+    * parquet `timestamp[us]` (current — reads directly as a Spark timestamp)
+    * and nanosecond-precision int64 (older — only readable via the
+    * nanosAsLong legacy conf, then `/1000` to micros). Branch on the dtype
+    * the scan actually produced so both generations decode to the same
+    * microsecond timestamp column.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ =>
+        // already a timestamp; parquet [us] not-UTC-adjusted reads as
+        // TIMESTAMP_NTZ — cast to TIMESTAMP (LTZ) so downstream queries see
+        // the same type the legacy long-nanos path produced. Sessions here
+        // always run UTC, so the cast is value-identical.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Flagship: approximate + exact distinct users per event type on sf0.001 —
