@@ -2255,7 +2255,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-          q, "qid", "qvec", k = 10)
+          q, "qid", "qvec", k = 10, excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2272,9 +2272,9 @@ object SparkEntry {
       val cents = graft.operators.Similarity.fitCentroids(e, "embedding", "vec_id",
         nlist = 16, sampleSize = 500)
       val approx = graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", cents, k = 10, nprobe = 4)
+        q, "qid", "qvec", cents, k = 10, nprobe = 4, excludeSelf = true)
       val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+        q, "qid", "qvec", k = 10, excludeSelf = true).select(col("query_id"), col("neighbor_id"))
       approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
         .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
@@ -2292,9 +2292,9 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val planes = graft.operators.Similarity.randomHyperplaneTables(4, 4, 64)
       val approx = graft.operators.Similarity.lshTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", planes, k = 10)
+        q, "qid", "qvec", planes, k = 10, excludeSelf = true)
       val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+        q, "qid", "qvec", k = 10, excludeSelf = true).select(col("query_id"), col("neighbor_id"))
       approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
         .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
@@ -2312,9 +2312,9 @@ object SparkEntry {
       val cbs = graft.operators.Similarity.fitPqCodebooks(e, "embedding", "vec_id",
         m = 8, ksub = 16, sampleSize = 500)
       val approx = graft.operators.Similarity.pqTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", cbs, k = 10, refine = 8)
+        q, "qid", "qvec", cbs, k = 10, refine = 8, excludeSelf = true)
       val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+        q, "qid", "qvec", k = 10, excludeSelf = true).select(col("query_id"), col("neighbor_id"))
       approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
         .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))
@@ -2334,9 +2334,9 @@ object SparkEntry {
       val cbs = graft.operators.Similarity.fitPqCodebooks(e, "embedding", "vec_id",
         m = 8, ksub = 16, sampleSize = 500)
       val approx = graft.operators.Similarity.ivfPqTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", cents, cbs, k = 10, nprobe = 6, refine = 8)
+        q, "qid", "qvec", cents, cbs, k = 10, nprobe = 6, refine = 8, excludeSelf = true)
       val exact = graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10).select(col("query_id"), col("neighbor_id"))
+        q, "qid", "qvec", k = 10, excludeSelf = true).select(col("query_id"), col("neighbor_id"))
       approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
         .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_results")), Seq("query_id"))

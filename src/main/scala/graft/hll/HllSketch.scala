@@ -418,17 +418,23 @@ object HllSketch {
     require(bytes.length >= 6, s"sketch buffer truncated: ${bytes.length} bytes")
     val sparse = (bytes(0) & 0x80) != 0
     val bits = bytes(0).toInt & 0x7f
-    val hashName = hashNames((bytes(1) >>> 5) & 0x7)
+    val hid = (bytes(1) >>> 5) & 0x7
+    require(hid < hashNames.length, s"unknown hash id $hid in sketch header")
+    val hashName = hashNames(hid)
     val k = ((bytes(2) & 0xff) << 24) | ((bytes(3) & 0xff) << 16) |
             ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
     validateK(k, bits)
     val m = 1 << pFor(k)
+    val maxRho = bits - pFor(k) + 1
     if (sparse) {
       require(bytes.length >= 10, s"sparse sketch header truncated: ${bytes.length} bytes")
       val count = ((bytes(6) & 0xff) << 24) | ((bytes(7) & 0xff) << 16) |
                   ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
-      require(count >= 0 && bytes.length == 10 + 4 * count,
-        s"sparse sketch length ${bytes.length} != ${10 + 4 * count} for $count entries")
+      // Long arithmetic: a hostile count near 2^30 makes 10 + 4*count wrap
+      // around Int and collide with the true buffer length, sending the
+      // read loop past the end (found by HllSerdeFuzzSpec bit-flipping)
+      require(count >= 0 && bytes.length.toLong == 10L + 4L * count,
+        s"sparse sketch length ${bytes.length} != ${10L + 4L * count} for $count entries")
       // rebuild sparse in memory while it's worth it, else straight to dense
       val h =
         if (m >= sparseMinM && count < (m >>> 4)) HllSketch.empty(k, bits, hashName)
@@ -438,6 +444,8 @@ object HllSketch {
       while (e < count) {
         val idx = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
         require(idx < m, s"sparse register index $idx out of range (m=$m)")
+        require((bytes(o + 3) & 0xff) <= maxRho,
+          s"sparse register value ${bytes(o + 3) & 0xff} out of range [0, $maxRho]")
         // a zero-valued entry never comes from serialize() (rho >= 1); in a
         // corrupt buffer it would silently skew the sparse countZero
         // shortcut (m - occupied), so drop it rather than store it
@@ -451,6 +459,12 @@ object HllSketch {
         s"dense sketch length ${bytes.length} != ${6 + m} (m=$m)")
       val regs = new Array[Byte](m)
       System.arraycopy(bytes, 6, regs, 0, m)
+      var i = 0
+      while (i < m) {
+        require((regs(i) & 0xff) <= maxRho,
+          s"dense register $i value ${regs(i) & 0xff} out of range [0, $maxRho]")
+        i += 1
+      }
       new HllSketch(k, bits, hashName, regs, null, null, 0)
     }
   }

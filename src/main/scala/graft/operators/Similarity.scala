@@ -42,15 +42,17 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * queryDf must be small (it is broadcast).
     *
-    * @param excludeSelf drop corpus rows whose id equals the query id — only
-    *                    meaningful when queries are drawn from the corpus;
-    *                    set false for unrelated id spaces (a coincidental id
-    *                    match would otherwise silently drop a true neighbor).
+    * @param excludeSelf drop corpus rows whose id equals the query id. OFF
+    *                    by default: the guard only makes sense when queries
+    *                    are drawn from the corpus (same id space) — opt in
+    *                    there. With unrelated id spaces a coincidental id
+    *                    match would silently drop a true neighbor (same
+    *                    default across the whole topK family).
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.alias("c")
     val q = queries.alias("q")
     val joined = c.crossJoin(broadcast(q))
@@ -161,7 +163,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: Array[Array[Double]],
-      k: Int = 10, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val bucketed = corpus.withColumn("_bucket", assignBucket(col(corpusVec), centroids)).alias("c")
     // probe list per query: nprobe nearest centroids (small; computed as columns)
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
@@ -278,7 +280,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       codebooks: Array[Array[Array[Double]]],
-      k: Int = 10, refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = 10, refine: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val ksub = codebooks(0).length
     val coded = corpus.select(col(corpusId).as("_cid"),
       pqEncode(col(corpusVec), codebooks).as("_code"))
@@ -305,7 +307,7 @@ object Similarity {
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       k: Int = 10, nprobe: Int = 4, refine: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = false): DataFrame = {
     val ksub = codebooks(0).length
     // corpus: bucket + byte code, both map-only against plan-embedded params
     val coded = corpus.select(col(corpusId).as("_cid"),
@@ -378,7 +380,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       tablePlanes: Array[Array[Array[Double]]],
-      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
     val nbits = tablePlanes.head.length
     def bucketOf(vec: Column, t: Int) =
       org.apache.spark.sql.graftshim.GraftShims.column(

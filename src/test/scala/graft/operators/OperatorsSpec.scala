@@ -262,9 +262,36 @@ class OperatorsSpec extends AnyFunSuite {
     val queries = corpus.filter($"vec_id" === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-      queries, "query_id", "qvec", k = 2).collect()
+      queries, "query_id", "qvec", k = 2, excludeSelf = true).collect()
     assert(top(0).getAs[Long]("neighbor_id") == 1L) // rank 1 = closest
     assert(top(1).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("topK family: unrelated id spaces keep coincident-id neighbors (excludeSelf off by default)") {
+    import spark.implicits._
+    // corpus id 7 is the TRUE nearest neighbor of a query that happens to
+    // also carry id 7 in its own, unrelated id space. The old default
+    // (excludeSelf=true) silently dropped it; the guard is now opt-in.
+    val corpus = Seq(
+      (7L, Array(1.0f, 0.0f, 0.0f)),
+      (8L, Array(0.7f, 0.7f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((7L, Array(0.99f, 0.05f, 0.0f)))
+      .toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 1).collect()
+    assert(bf.head.getAs[Long]("neighbor_id") == 7L,
+      "coincident-id true neighbor dropped by default self-exclusion")
+    val planes = Similarity.randomHyperplaneTables(8, 2, 3)
+    val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", planes, k = 1).collect()
+    assert(lsh.head.getAs[Long]("neighbor_id") == 7L)
+    // opt-in still works for corpus-drawn queries (self-search)
+    val self = corpus.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .filter($"qid" === 7L)
+    val ex = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      self, "qid", "qvec", k = 1, excludeSelf = true).collect()
+    assert(ex.head.getAs[Long]("neighbor_id") == 8L)
   }
 
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
@@ -272,11 +299,11 @@ class OperatorsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", k = 10).collect()
+      queries, "query_id", "qvec", k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val cents = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", cents, k = 10, nprobe = 3).collect()
+      queries, "query_id", "qvec", cents, k = 10, nprobe = 3, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.6, s"IVF recall too low: $recall") // nprobe=3/8 buckets
@@ -317,11 +344,11 @@ class OperatorsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", k = 10).collect()
+      queries, "query_id", "qvec", k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val planes = Similarity.randomHyperplaneTables(4, 4, 64)
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", planes, k = 10).collect()
+      queries, "query_id", "qvec", planes, k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     // these embeddings are near-isotropic (true neighbors at cos ~0.3), the
     // hard case for sign-bit LSH: 4 tables x 4 bits + H<=1 probing is sized
@@ -331,7 +358,7 @@ class OperatorsSpec extends AnyFunSuite {
     // every reported neighbor must carry its true cosine (verify step is exact):
     // re-derive one row's cosine via the builtin formulation
     val one = Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", planes, k = 1)
+      queries, "query_id", "qvec", planes, k = 1, excludeSelf = true)
       .orderBy(col("query_id")).limit(1).collect()(0)
     val qv = emb.filter(col("vec_id") === one.getAs[Long]("query_id"))
     val nv = emb.filter(col("vec_id") === one.getAs[Long]("neighbor_id"))
@@ -346,12 +373,12 @@ class OperatorsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", k = 10).collect()
+      queries, "query_id", "qvec", k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
       m = 8, ksub = 16, sampleSize = 500)
     val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", cbs, k = 10, refine = 8).collect()
+      queries, "query_id", "qvec", cbs, k = 10, refine = 8, excludeSelf = true).collect()
     val pqSet = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     // 16 centroids/subspace on near-isotropic vectors is coarse; the exact
     // re-rank of 8k candidates recovers most of the loss
@@ -377,13 +404,13 @@ class OperatorsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", k = 10).collect()
+      queries, "query_id", "qvec", k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val cents = Similarity.fitCentroids(emb, "embedding", "vec_id", nlist = 8, sampleSize = 500)
     val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
       m = 8, ksub = 16, sampleSize = 500)
     val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", cents, cbs, k = 10, nprobe = 4, refine = 8)
+      queries, "query_id", "qvec", cents, cbs, k = 10, nprobe = 4, refine = 8, excludeSelf = true)
     val got = ivfpq.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (bf & got).size.toDouble / bf.size
@@ -393,7 +420,7 @@ class OperatorsSpec extends AnyFunSuite {
     // every returned neighbor must actually live in a probed bucket: the
     // result set is a subset of the pure-IVF candidate universe at same nprobe
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", cents, k = 1000, nprobe = 4).collect()
+      queries, "query_id", "qvec", cents, k = 1000, nprobe = 4, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(got.subsetOf(ivf), s"IVF-PQ returned a neighbor outside its probed buckets")
   }
@@ -413,7 +440,7 @@ class OperatorsSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 2).filter(col("embedding").isNotNull)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val got = Similarity.pqTopK(emb, "vec_id", "embedding",
-      q, "query_id", "qvec", cbs, k = 5, refine = 4).collect()
+      q, "query_id", "qvec", cbs, k = 5, refine = 4, excludeSelf = true).collect()
     assert(got.length == 10) // 2 queries x 5 results, null row never surfaces
     assert(!got.exists(_.getAs[Long]("neighbor_id") == 99990L))
   }
@@ -438,19 +465,19 @@ class OperatorsSpec extends AnyFunSuite {
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      q, "query_id", "qvec", k = 10).collect()
+      q, "query_id", "qvec", k = 10, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val cbs = Similarity.fitPqCodebooks(emb, "embedding", "vec_id",
       m = 8, ksub = 16, sampleSize = 1000)
     val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
-      q, "query_id", "qvec", cbs, k = 10, refine = 12).collect()
+      q, "query_id", "qvec", cbs, k = 10, refine = 12, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (bf & pq).size.toDouble / bf.size
     assert(recall >= 0.9, s"clustered PQ recall $recall < 0.9")
     // under-budgeted candidates demonstrably truncate the cell: same query,
     // refine=4 (40 candidates < 100-member cell) must do measurably worse
     val small = Similarity.pqTopK(emb, "vec_id", "embedding",
-      q, "query_id", "qvec", cbs, k = 10, refine = 4).collect()
+      q, "query_id", "qvec", cbs, k = 10, refine = 4, excludeSelf = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert((bf & small).size.toDouble / bf.size < recall)
   }
