@@ -71,22 +71,38 @@ object Similarity {
   def fitCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       nlist: Int = 16, sampleSize: Int = 1024, iters: Int = 10): Array[Array[Double]] = {
-    val sample = corpus.filter(col(vecCol).isNotNull)
+    val sample = sampleVectors(corpus, vecCol, idCol, sampleSize)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    kmeansDot(sample, nlist, iters)
+  }
+
+  /** Deterministic bounded driver-side sample (id-sorted TakeOrdered, not a
+    * full sort): the shared fit input for all centroid training.
+    */
+  private def sampleVectors(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    corpus.filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
-    var centroids = Array.tabulate(nlist)(i => sample(i * sample.length / nlist).clone())
+
+  /** Deterministic dot-product k-means on a driver-side sample: seeds chosen
+    * evenly from the (already id-ordered) sample, fixed iteration count.
+    */
+  private def kmeansDot(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearestCentroid(v, centroids)
         counts(c) += 1
         var i = 0
         while (i < v.length) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(nlist) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
@@ -154,6 +170,56 @@ object Similarity {
       .select(col("bucket"), col("n_corpus"), col("n_new"),
         col("corpus_share"), col("new_share"), col("share_drift"),
         col("fit_corpus"), col("fit_new"), col("fit_drop"))
+  }
+
+  /** The refit executor that consumes [[ivfAppendStats]]'s drift signal:
+    * buckets whose `share_drift` or `fit_drop` crosses its threshold get
+    * their centroid REPLACED by re-running k-means over a bounded sample of
+    * just those buckets' members (corpus + new batch together); undrifted
+    * centroids are untouched. nlist is preserved, so existing bucket ids
+    * outside the drifted set — and anything keyed on them — stay valid.
+    *
+    * Because assignment here is always computed map-only from the centroid
+    * table ([[assignBucket]] plan-embedded), "re-assigning the drifted
+    * buckets" costs nothing at refit time: the next query/encode pass
+    * simply runs against the returned table. At 100 TB that is the point —
+    * the refit touches a driver-side sample plus one nlist-sized stats
+    * aggregate, never the full corpus.
+    *
+    * @return (updated centroids, the drift stats that drove the decision,
+    *         the drifted bucket ids that were refit)
+    */
+  def ivfRefit(
+      corpus: DataFrame, newBatch: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]],
+      shareDriftThreshold: Double = 0.25,
+      fitDropThreshold: Double = 0.15,
+      sampleSize: Int = 1024, iters: Int = 10)
+      : (Array[Array[Double]], DataFrame, Seq[Int]) = {
+    val stats = ivfAppendStats(corpus, newBatch, vecCol, centroids)
+      .localCheckpoint() // nlist-sized; pin so callers can reuse it cheaply
+    val drifted = stats
+      .filter(col("share_drift") > shareDriftThreshold ||
+        col("fit_drop") > fitDropThreshold)
+      .select(col("bucket")).collect().map(_.getInt(0)).toSeq.sorted
+    if (drifted.isEmpty) return (centroids, stats, Nil)
+    val driftedSet = drifted.toSet
+    val members = corpus.select(col(idCol), col(vecCol))
+      .unionByName(newBatch.select(col(idCol), col(vecCol)))
+      .filter(col(vecCol).isNotNull)
+      .filter(assignBucket(col(vecCol), centroids)
+        .isInCollection(driftedSet))
+    val sample = sampleVectors(members, vecCol, idCol, sampleSize)
+    // fewer members than drifted slots (pathological): refit what the data
+    // supports, keep the starved slots' old centroids
+    val kEff = math.min(drifted.length, sample.length)
+    if (kEff == 0) return (centroids, stats, Nil)
+    val replacements = kmeansDot(sample, kEff, iters)
+    val updated = centroids.map(_.clone())
+    drifted.take(kEff).zipWithIndex.foreach { case (b, i) =>
+      updated(b) = replacements(i)
+    }
+    (updated, stats, drifted.take(kEff))
   }
 
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are nearest

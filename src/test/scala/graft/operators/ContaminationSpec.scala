@@ -68,6 +68,44 @@ class ContaminationSpec extends AnyFunSuite {
     assert(pruned == plain, s"pruned diverged: ${pruned.diff(plain)} / ${plain.diff(pruned)}")
   }
 
+  test("maxPostings cap scores docs on distinctive content, not boilerplate") {
+    import spark.implicits._
+    val boiler = "copyright notice all rights reserved terms of service apply to this document"
+    val leak = "the treaty of westphalia ended the thirty years war in sixteen forty eight"
+    // 20 train docs all carry the boilerplate -> its fingerprints have 20
+    // postings, over the cap of 5; doc 0 also carries the leaked sentence
+    val train = (0 until 20).map { i =>
+      val extra = if (i == 0) s" $leak" else s" unique filler ${i * 31} for doc $i"
+      (i.toLong, s"$boiler$extra")
+    }.toDF("doc_id", "text")
+    // eval doc = boilerplate + the leaked sentence; its boilerplate
+    // fingerprints are capped on BOTH sides, so the score is measured over
+    // the distinctive (leaked) fingerprints only -> high overlap
+    val eval = Seq(
+      (900L, s"$boiler $leak"),
+      (901L, boiler) // pure boilerplate: all fingerprints capped -> no pairs
+    ).toDF("doc_id", "text")
+    val hits = Contamination.overlap(eval, "doc_id", "text",
+        train, "doc_id", "text", threshold = 0.1, maxPostings = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val leakHit = hits.filter(h => h._1 == 900L && h._2 == 0L)
+    assert(leakHit.nonEmpty, s"distinctive leak not detected: ${hits.mkString(",")}")
+    assert(leakHit.head._3 > 0.5,
+      s"boilerplate diluted the leak score: ${leakHit.head._3} (a_total must be post-cap)")
+    assert(!hits.exists(h => h._2 > 0L),
+      s"boilerplate-only train docs must produce no pairs: ${hits.mkString(",")}")
+    assert(!hits.exists(_._1 == 901L),
+      "all-boilerplate eval doc has no identifiable overlap")
+    // sanity: WITHOUT the cap, boilerplate alone manufactures pairs between
+    // the eval doc and every unrelated train doc — the quadratic blowup and
+    // false-positive source the cap exists to remove
+    val uncapped = Contamination.overlap(eval, "doc_id", "text",
+        train, "doc_id", "text", threshold = 0.1, maxPostings = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(uncapped.count(h => h._2 > 0L) > 10,
+      s"expected boilerplate false-positive pairs without cap: ${uncapped.length}")
+  }
+
   test("kmv shard matrix ranks the contaminated shard; disjoint shards at 0") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"

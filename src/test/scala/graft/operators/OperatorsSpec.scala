@@ -339,6 +339,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(cs - 1.0) < 1e-9 && math.abs(ns - 1.0) < 1e-9)
   }
 
+  test("IVF refit: collapsed batch triggers centroid replacement and fit recovers") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.fitCentroids(corpus, "embedding", "vec_id",
+      nlist = 8, sampleSize = 500)
+    // quiet append: nothing crosses a threshold, centroids come back frozen.
+    // fit_drop runs ~0.07-0.15 on these near-isotropic vectors even in
+    // distribution (centroids overfit the 250-row corpus sample), so the
+    // fit threshold is tuned above that noise floor — it's a per-corpus knob
+    val inDist = emb.filter(col("vec_id") % 2 === 1)
+    val (same, _, refitNone) = Similarity.ivfRefit(
+      corpus, inDist, "embedding", "vec_id", cents, fitDropThreshold = 0.2)
+    assert(refitNone.isEmpty)
+    assert(same.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // collapsed append: every vector is the constant 0.1-vector -> one hot
+    // bucket, share_drift ~1 there
+    val collapsed = corpus.limit(200).withColumn("embedding",
+      expr("transform(embedding, x -> float(0.1))"))
+    val (updated, stats, refit) = Similarity.ivfRefit(
+      corpus, collapsed, "embedding", "vec_id", cents, fitDropThreshold = 0.2)
+    val hot = stats.filter(col("n_new") > 0).collect()
+    assert(hot.length == 1)
+    val hotBucket = hot.head.getAs[Int]("bucket")
+    assert(refit.contains(hotBucket), s"hot bucket $hotBucket not refit: $refit")
+    // untouched slots keep their exact centroids
+    cents.indices.filterNot(refit.contains).foreach { b =>
+      assert(updated(b).toSeq == cents(b).toSeq, s"frozen bucket $b moved")
+    }
+    // recovery: re-run the stats with the NEW centroids and the collapsed
+    // batch folded into the corpus — the batch's bucket now fits tightly
+    // (a refit centroid sits on the constant vector). share_drift is NOT
+    // expected to recover: a homogeneous batch always differs in
+    // composition from the mixed corpus no matter how good the centroids
+    // are — fit is the signal that measures the partitioning itself
+    val stats2 = Similarity.ivfAppendStats(
+      corpus.unionByName(collapsed), collapsed, "embedding", updated).collect()
+    val hot2 = stats2.filter(_.getAs[Long]("n_new") > 0)
+    assert(hot2.nonEmpty)
+    val fitNew2 = hot2.map(_.getAs[Double]("fit_new")).min
+    assert(fitNew2 > 0.99, s"post-refit fit_new $fitNew2 not recovered")
+    val preFit = hot.head.getAs[Double]("fit_new")
+    assert(fitNew2 > preFit, s"fit did not improve: $preFit -> $fitNew2")
+  }
+
   test("LSH-bucketed ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

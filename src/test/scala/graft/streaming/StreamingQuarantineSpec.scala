@@ -65,4 +65,74 @@ class StreamingQuarantineSpec extends AnyFunSuite {
       rm(tmp)
     }
   }
+
+  test("readmit drains quarantined slices once the reference blesses them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("readmit").toFile
+    val out = new java.io.File(tmp, "corpus").getAbsolutePath
+    val quar = new java.io.File(tmp, "quarantine").getAbsolutePath
+    val refPath = new java.io.File(tmp, "reference").getAbsolutePath
+    try {
+      // quarantine holds three slices, written the way driftGatedIngest
+      // writes them (extra tvd column): src1 collapsed to v=3 (drifted at
+      // quarantine time), src2 uniform (was unknown at quarantine time),
+      // src9 collapsed AND still unknown
+      val qrows =
+        (0 until 50).map(i => ("src1", 3, 1000L + i, Some(0.9))) ++
+        (0 until 40).map(i => ("src2", i % 10, 2000L + i, None)) ++
+        (0 until 10).map(i => ("src9", 7, 3000L + i, None))
+      qrows.toDF("src", "v", "doc_id", "tvd")
+        .write.parquet(quar)
+      // refreshed reference: src1's single-value distribution is now BLESSED
+      // (the upstream change was legitimate), src2 is now known and uniform,
+      // src9 still absent
+      val good =
+        (0 until 500).map(i => ("src1", 3)) ++
+        (0 until 500).map(i => ("src2", i % 10))
+      StreamingQuarantine.writeReference(good.toDF("src", "v"), "src", col("v"), refPath)
+
+      val summary = StreamingQuarantine.readmit(
+        spark, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar)
+      val bySrc = summary.collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(bySrc("src1")._3 && bySrc("src2")._3, s"expected src1+src2 readmitted: $bySrc")
+      assert(!bySrc("src9")._3 && bySrc("src9")._1.isEmpty, "unknown source must stay put")
+      assert(bySrc.values.map(_._2).sum == 100L)
+
+      // corpus got exactly the two blessed slices, without the tvd column
+      val corpus = spark.read.parquet(out)
+      assert(corpus.count() == 90)
+      assert(!corpus.columns.contains("tvd"))
+      assert(corpus.filter(col("src") === "src9").count() == 0)
+      // quarantine keeps only src9, score refreshed (still null: unknown)
+      val left = spark.read.parquet(quar)
+      assert(left.count() == 10)
+      assert(left.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("src9"))
+
+      // second pass: nothing newly blessed -> corpus unchanged, no dupes
+      val again = StreamingQuarantine.readmit(
+        spark, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar)
+      assert(again.collect().forall(!_.getBoolean(3)))
+      assert(spark.read.parquet(out).count() == 90)
+
+      // bless src9 too -> quarantine dir drains away entirely
+      val good2 = good ++ (0 until 100).map(_ => ("src9", 7))
+      StreamingQuarantine.writeReference(good2.toDF("src", "v"), "src", col("v"), refPath)
+      val last = StreamingQuarantine.readmit(
+        spark, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar)
+      assert(last.collect().forall(_.getBoolean(3)))
+      assert(spark.read.parquet(out).count() == 100)
+      assert(!new java.io.File(quar).exists())
+      // and an empty-quarantine readmit is a clean no-op
+      val noop = StreamingQuarantine.readmit(
+        spark, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar)
+      assert(noop.isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
