@@ -2727,6 +2727,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // real CONTAINER demux: the same deterministic JPEG frames shipped in a
+    // spec-correct RIFF/AVI container (hdrl+movi+idx1), demuxed by chunk
+    // structure and decoded through the JPEG codec. The query proves the
+    // container path end-to-end AND that it lands on identical frame hashes
+    // as the raw concatenated-MJPEG path — per media_id, the sampled hash
+    // multisets from both containers must be equal.
+    "mm_avi_frames" -> ((s, dir) => {
+      val avi = graft.operators.Multimodal.aviMediaFromDocuments(s, dir)
+      val mjpeg = graft.operators.Multimodal.mjpegMediaFromDocuments(s, dir)
+      def sampled(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.sampleFrames(m, everyN = 2,
+            () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sort_array(collect_list(col("frame_hash"))).as("hashes"))
+      sampled(avi).alias("a")
+        .join(sampled(mjpeg).alias("m"), "media_id")
+        .select(col("media_id"), col("a.n_sampled").as("n_sampled"),
+          (col("a.hashes") === col("m.hashes") &&
+            col("a.n_sampled") === col("m.n_sampled")).as("container_parity"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
       graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
@@ -4459,6 +4482,11 @@ object SparkEntry {
         |  (doc_id % 2) + 1 AS channels,
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS pcm_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_avi_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
+        |  TRUE AS container_parity
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

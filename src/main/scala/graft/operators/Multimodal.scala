@@ -158,16 +158,35 @@ object Multimodal {
       ImageFeatures0(w, h, img.getColorModel.getNumComponents, hash)
     }
 
-    /** Real frame sampling for MJPEG payloads (concatenated JPEG frames —
-      * the motion-JPEG container): split at SOI-plus-marker boundaries
-      * (0xFF 0xD8 0xFF then any APPn/DQT/DHT/SOF/COM marker — JPEG
-      * byte-stuffing guarantees a raw SOI cannot occur inside entropy-coded
-      * data, and accepting every post-SOI marker keeps EXIF-led frames
-      * (FF D8 FF E1) on the real-decode path), decode every `everyN`-th
-      * frame through ImageIO, and emit its 8x8 average hash. Non-JPEG
-      * payloads fall back to the stub chunking.
+    /** Real frame sampling for video payloads, dispatched on container
+      * magic:
+      *  - AVI (`RIFF....AVI `): demux the chunk tree via [[AviMjpeg]] and
+      *    decode the `##dc`/`##db` frame payloads — the container MJPEG
+      *    actually ships in. A frame payload ImageIO cannot decode (e.g. a
+      *    raw-DIB `##db` chunk) hashes by FNV instead, so mixed-codec files
+      *    still produce a total result.
+      *  - raw MJPEG (concatenated JPEG frames): split at SOI-plus-marker
+      *    boundaries (0xFF 0xD8 0xFF then any APPn/DQT/DHT/SOF/COM marker —
+      *    JPEG byte-stuffing guarantees a raw SOI cannot occur inside
+      *    entropy-coded data, and accepting every post-SOI marker keeps
+      *    EXIF-led frames (FF D8 FF E1) on the real-decode path).
+      *  - anything else falls back to the stub chunking.
+      * Sampled frames decode through ImageIO to the 8x8 average hash.
       */
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] = {
+      if (AviMjpeg.isAvi(bytes)) {
+        val step = math.max(1, everyN)
+        return AviMjpeg.demuxFrames(bytes).zipWithIndex
+          .filter(_._2 % step == 0)
+          .map { case (frame, _) =>
+            try decodeImage(frame).ahash
+            catch { case _: IllegalArgumentException | _: javax.imageio.IIOException =>
+              var h = 0xcbf29ce484222325L
+              frame.foreach { b => h ^= b; h *= 0x100000001b3L }
+              h
+            }
+          }
+      }
       def isSoi(i: Int): Boolean = {
         if (i + 3 >= bytes.length || bytes(i) != 0xff.toByte || bytes(i + 1) != 0xd8.toByte ||
           bytes(i + 2) != 0xff.toByte) return false
@@ -386,6 +405,37 @@ object Multimodal {
       f += 1
     }
     baos.toByteArray
+  }
+
+  /** Deterministic REAL AVI bytes: the same deterministic JPEG frames as
+    * [[deterministicMjpeg]], wrapped in a spec-correct RIFF/AVI container
+    * (hdrl + movi + idx1) by [[AviMjpeg.writeAvi]] — so the container
+    * demux path is exercised with frames whose hashes are known to match
+    * the raw-MJPEG path bit-for-bit.
+    */
+  def deterministicAvi(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    disableImageIoDiskCache()
+    val frames = (0 until nFrames).map(f => deterministicMjpeg(seed + f * 97L, width, height, 1))
+    AviMjpeg.writeAvi(frames, width, height)
+  }
+
+  /** AVI video demo corpus: same per-document geometry as
+    * [[mjpegMediaFromDocuments]] (frame count from doc_id, so the oracle
+    * predicts sampled-frame counts), but shipped in the real container.
+    */
+  def aviMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.avi",
+          media_type = "video/avi",
+          content = deterministicAvi(id, 16, 16, ((id % 8) + 2).toInt),
+          meta = Map("source" -> source))
+      }
   }
 
   /** Video demo corpus: one real MJPEG clip per document, frame count

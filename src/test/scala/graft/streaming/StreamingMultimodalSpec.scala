@@ -311,6 +311,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: AVI container demux matches the raw-MJPEG path frame-for-frame") {
+    import graft.operators.{AviMjpeg, Multimodal}
+    import graft.operators.Multimodal.{ImageIoDecoder, deterministicAvi, deterministicMjpeg}
+    val dec = new ImageIoDecoder
+    // same deterministic frames, two containers -> identical hashes
+    val avi = deterministicAvi(seed = 9L, width = 16, height = 16, nFrames = 5)
+    val raw = deterministicMjpeg(seed = 9L, width = 16, height = 16, nFrames = 5)
+    assert(AviMjpeg.isAvi(avi) && !AviMjpeg.isAvi(raw))
+    val fromAvi = dec.sampleFrames(avi, everyN = 1).toSeq
+    val fromRaw = dec.sampleFrames(raw, everyN = 1).toSeq
+    assert(fromAvi.length == 5)
+    assert(fromAvi == fromRaw, "container demux diverged from raw MJPEG split")
+    assert(dec.sampleFrames(avi, everyN = 2).toSeq == Seq(fromAvi(0), fromAvi(2), fromAvi(4)))
+    // demuxer recovers the exact JPEG payloads (SOI-headed, byte-identical
+    // to what the writer was given), honoring odd-size chunk padding
+    val frames = (0 until 5).map(f => deterministicMjpeg(9L + f * 97L, 16, 16, 1))
+    assert(frames.exists(_.length % 2 == 1), "fixture should include an odd-size frame")
+    val demuxed = AviMjpeg.demuxFrames(AviMjpeg.writeAvi(frames, 16, 16)).toSeq
+    assert(demuxed.map(_.toSeq) == frames.map(_.toSeq))
+    // truncated file: yields the frames that fully landed, cleanly
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - avi.length / 4)
+    val partial = dec.sampleFrames(cut, everyN = 1).toSeq
+    assert(partial.length < 5 && partial == fromAvi.take(partial.length))
+    // garbage that merely claims RIFF: no frames, no throw
+    val junk = "RIFF    AVI not actually a file".getBytes
+    assert(AviMjpeg.demuxFrames(junk).isEmpty)
+    // a non-JPEG ##db frame chunk hashes by FNV instead of failing the row
+    val mixed = AviMjpeg.writeAvi(frames :+ Array.fill[Byte](33)(7), 16, 16)
+    val mixedHashes = dec.sampleFrames(mixed, everyN = 1).toSeq
+    assert(mixedHashes.length == 6 && mixedHashes.take(5) == fromAvi)
+  }
+
   test("multimodal: decode runs under Structured Streaming (same seam, same results)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
