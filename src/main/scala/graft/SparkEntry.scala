@@ -2303,6 +2303,33 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // IVF index maintenance: a collapsed append batch must trigger the
+    // refit executor for its hot bucket ONLY — frozen slots keep their
+    // exact centroids — and re-running the fit stats against the updated
+    // centroids (batch folded into the corpus) must show the batch fitting
+    // its bucket tightly. All three invariants are deterministic booleans
+    // (fixed seeds and centroids), so the oracle asserts them as hard
+    // invariants, est_ok-style.
+    "sim_ivf_refit" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+      val cents = graft.operators.Similarity.fitCentroids(corpus, "embedding", "vec_id",
+        nlist = 16, sampleSize = 500)
+      val collapsed = corpus.limit(200).withColumn("embedding",
+        expr("transform(embedding, x -> float(0.1))"))
+      val (updated, _, refit) = graft.operators.Similarity.ivfRefit(
+        corpus, collapsed, "embedding", "vec_id", cents, fitDropThreshold = 0.2)
+      val frozenOk = cents.indices.filterNot(refit.contains)
+        .forall(b => updated(b).toSeq == cents(b).toSeq)
+      val fitNew = graft.operators.Similarity.ivfAppendStats(
+          corpus.unionByName(collapsed), collapsed, "embedding", updated)
+        .filter(col("n_new") > 0)
+        .agg(min(col("fit_new"))).collect()(0).getDouble(0)
+      Seq((cents.length, refit.nonEmpty, frozenOk, fitNew > 0.99))
+        .toDF("n_buckets", "refit_triggered", "frozen_ok", "fit_recovered")
+    }),
+
     // PQ-compressed ANN (the 100 TB storage layout: byte codes + ADC scan +
     // exact re-rank); same recall-vs-in-query-brute-force contract shape
     "sim_ann_pq" -> ((s, dir) => {
@@ -2756,6 +2783,41 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // quarantine re-admission, oracle-replayed END TO END: reference
+    // histogram + quarantined slices are deterministic subsets of the
+    // documents table, the per-source TVD is exact integer arithmetic, and
+    // the readmit decision (tvd < threshold) is recomputed independently by
+    // DuckDB — full row parity on (source, tvd, n_rows, readmitted).
+    // Three slice kinds ride in the quarantine: in-distribution per-source
+    // slices (low TVD -> readmitted), a 'drifted' source collapsed to a
+    // single histogram bin (stays), and an 'unknown_src' absent from the
+    // reference (null tvd, stays by definition).
+    "tx_quarantine_readmit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_readmit")
+      val refPath = tmp.resolve("reference").toString
+      val quarPath = tmp.resolve("quarantine").toString
+      val outPath = tmp.resolve("corpus").toString
+      val bin = col("n_chars") % 8
+      val good = d.filter(col("doc_id") % 3 =!= 0).select(col("source"), col("n_chars"))
+      graft.streaming.StreamingQuarantine.writeReference(
+        good.unionByName(good.withColumn("source", lit("drifted"))),
+        "source", bin, refPath)
+      val q0 = d.filter(col("doc_id") % 3 === 0)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      q0.unionByName(q0.filter(col("n_chars") % 8 === 0)
+          .withColumn("source", lit("drifted")))
+        .unionByName(q0.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("unknown_src")))
+        .withColumn("tvd", lit(null).cast("double"))
+        .write.mode("overwrite").parquet(quarPath)
+      graft.streaming.StreamingQuarantine.readmit(
+          s, "source", bin, refPath, tvdThreshold = 0.35, outPath, quarPath)
+        .select(col("source"), round(col("tvd"), 4).as("tvd"),
+          col("n_rows"), col("readmitted"))
+        .orderBy(col("source"))
     }),
 
     "tx_lang_quality" -> ((s, dir) => {
@@ -4483,6 +4545,38 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS pcm_ok
         |FROM documents ORDER BY media_id""".stripMargin,
+    "tx_quarantine_readmit" ->
+      """WITH good AS (
+        |  SELECT source, n_chars % 8 AS bin FROM documents WHERE doc_id % 3 <> 0),
+        |ref AS (
+        |  SELECT source, bin, COUNT(*) AS n FROM (
+        |    SELECT * FROM good UNION ALL SELECT 'drifted', bin FROM good)
+        |  GROUP BY 1, 2),
+        |q0 AS (
+        |  SELECT source, doc_id, n_chars % 8 AS bin FROM documents WHERE doc_id % 3 = 0),
+        |quar AS (
+        |  SELECT source, bin FROM q0
+        |  UNION ALL SELECT 'drifted', bin FROM q0 WHERE bin = 0
+        |  UNION ALL SELECT 'unknown_src', bin FROM q0 WHERE doc_id % 5 = 0),
+        |qh AS (SELECT source, bin, COUNT(*) AS n FROM quar GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT source, bin, SUM(c0) AS c0, SUM(c1) AS c1 FROM (
+        |    SELECT source, bin, n AS c0, 0 AS c1 FROM ref
+        |    UNION ALL SELECT source, bin, 0, n FROM qh)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(c0) AS t0, SUM(c1) AS t1 FROM cells GROUP BY 1),
+        |tvd AS (
+        |  SELECT c.source, SUM(ABS(c.c1 * t.t0 - c.c0 * t.t1)) / (2.0 * t.t0 * t.t1) AS tvd
+        |  FROM cells c JOIN tot t USING (source)
+        |  WHERE t.t0 > 0 AND t.t1 > 0
+        |  GROUP BY c.source, t.t0, t.t1),
+        |nr AS (SELECT source, COUNT(*) AS n_rows FROM quar GROUP BY 1)
+        |SELECT nr.source, ROUND(tvd.tvd, 4) AS tvd, nr.n_rows,
+        |  COALESCE(tvd.tvd < 0.35, FALSE) AS readmitted
+        |FROM nr LEFT JOIN tvd USING (source) ORDER BY source""".stripMargin,
+    "sim_ivf_refit" ->
+      """SELECT 16 AS n_buckets, TRUE AS refit_triggered,
+        |  TRUE AS frozen_ok, TRUE AS fit_recovered""".stripMargin,
     "mm_avi_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
