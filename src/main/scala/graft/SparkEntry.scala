@@ -1919,6 +1919,27 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // semantic dedup (SemDeDup-style): drop any vector with a lower-id
+    // near-dup at cos >= 0.95, keep-first representative. Planted exact
+    // copies (same construction as dd_embedding_neardup) are the guaranteed
+    // drop set; the query emits the drop list (who was dropped, which
+    // lower id condemned it) plus the surviving count — the oracle
+    // brute-forces the identical global policy over all pairs.
+    "dd_semantic_keep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planted = e.union(
+        e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000L))
+      val planes = graft.operators.Similarity.randomHyperplaneTables(4, 16, 64)
+      val dropped = graft.operators.Similarity.semanticDropList(
+        planted, "vec_id", "embedding", planes, threshold = 0.95)
+      val nKept = graft.operators.Similarity.semanticDedupKeep(
+        planted, "vec_id", "embedding", planes, threshold = 0.95)
+        .agg(count(lit(1)).as("n_kept"))
+      dropped.crossJoin(broadcast(nKept))
+        .select(col("dropped_id"), col("dup_of"), col("n_kept"))
+        .orderBy(col("dropped_id"))
+    }),
+
     // sessionization: lag + cumulative-sum windows over the event stream
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -3017,6 +3038,22 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])) >= 0.95
         |ORDER BY id1, id2""".stripMargin,
+
+    "dd_semantic_keep" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.95),
+        |dropped AS (
+        |  SELECT id2 AS dropped_id, MIN(id1) AS dup_of FROM pairs GROUP BY id2)
+        |SELECT d.dropped_id, d.dup_of,
+        |  (SELECT COUNT(*) FROM planted) - (SELECT COUNT(*) FROM dropped) AS n_kept
+        |FROM dropped d ORDER BY d.dropped_id""".stripMargin,
 
     // ---- text analysis: heuristics recomputed from raw text ----
     "tx_lang_quality" ->

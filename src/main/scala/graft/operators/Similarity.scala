@@ -538,4 +538,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): drop every
+    * vector that has ANY lower-id near-duplicate at `cos >= threshold`,
+    * keep the rest — the embedding-space analogue of the minhash keep-best
+    * policy, with "first id wins" as the deterministic representative rule.
+    * The drop rule is GLOBAL (any lower-id partner, whether or not that
+    * partner itself survives), so the semantics are closed-form and an
+    * external engine can replay them from the raw pair set — no dependence
+    * on cluster assignments or iteration order.
+    *
+    * Returns the drop LIST (dropped_id, dup_of = the smallest-id partner
+    * that condemned it); [[semanticDedupKeep]] anti-joins it to produce the
+    * surviving corpus. Scale shape is [[embeddingNearDupPairs]]'s: map-only
+    * multi-table LSH bucketing, bucket-capped self-join, pair-level dedupe
+    * before the cosine verify.
+    */
+  def semanticDropList(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tablePlanes: Array[Array[Array[Double]]],
+      threshold: Double = 0.95,
+      maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupPairs(corpus, idCol, vecCol, tablePlanes, threshold, maxBucket)
+      .groupBy(col("id2").as("dropped_id"))
+      .agg(min(col("id1")).as("dup_of"))
+
+  /** The surviving corpus under [[semanticDropList]]'s policy. */
+  def semanticDedupKeep(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tablePlanes: Array[Array[Array[Double]]],
+      threshold: Double = 0.95,
+      maxBucket: Int = 1000): DataFrame = {
+    val dropped = semanticDropList(corpus, idCol, vecCol, tablePlanes, threshold, maxBucket)
+    corpus.join(dropped, corpus(idCol) === dropped("dropped_id"), "left_anti")
+  }
 }

@@ -223,7 +223,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // leakage audit: two 1-row aggregates (doc counts x pair audit)
       "dd_leakage_split",
       // incremental-snapshot summary: delta counts x pair-audit 1-row aggs
-      "dd_incremental_snapshot")
+      "dd_incremental_snapshot",
+      // semantic dedup: the drop list crosses the 1-row surviving-count agg
+      "dd_semantic_keep")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {

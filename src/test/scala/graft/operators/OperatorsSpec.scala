@@ -544,6 +544,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == Seq[Byte](1, 1))
   }
 
+  test("semantic dedup: lower-id-wins drop policy, incl. chains and ties") {
+    import spark.implicits._
+    // crafted unit vectors: 0≈1≈2 (a chain of near-identicals), 3 isolated,
+    // 4 is an exact copy of 0 with a higher id
+    val base = Array(1.0f, 0.0f, 0.0f)
+    val near = Array(0.999f, 0.045f, 0.0f)
+    val near2 = Array(0.998f, 0.06f, 0.0f)
+    val far = Array(0.0f, 0.0f, 1.0f)
+    val corpus = Seq(
+      (0L, base), (1L, near), (2L, near2), (3L, far), (4L, base.clone()))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.randomHyperplaneTables(8, 16, 3)
+    val dropped = Similarity.semanticDropList(
+        corpus, "vec_id", "embedding", planes, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1, 2, 4 all have 0 as a lower-id near-dup (global policy: 2 drops
+    // even though 1, its other partner, is itself dropped)
+    assert(dropped == Map(1L -> 0L, 2L -> 0L, 4L -> 0L), s"got $dropped")
+    val kept = Similarity.semanticDedupKeep(
+        corpus, "vec_id", "embedding", planes, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L), s"got $kept")
+  }
+
   test("embedding near-dup finds planted duplicates (multi-table, capped)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // plant: vec 9001 = copy of vec 1, vec 9002 = copy of vec 2
