@@ -310,6 +310,38 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // physical layout for data skipping: Z-order (Morton interleave of
+    // custkey x totalprice via the native interleave_bits expression) vs a
+    // single-dim sort, compared on the metric min/max pruning actually
+    // uses — the per-bucket span of each dimension. The sorted layout
+    // clusters custkey perfectly and leaves price spans at ~full range;
+    // the z-order layout bounds BOTH. The oracle re-derives the interleave
+    // bit-for-bit in SQL (bit j of dim i lands at j*n+i, matching
+    // InterleaveBits).
+    "q_zorder_layout" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val x = col("o_custkey").bitwiseAND(lit(0xffffL))
+      val y = floor(col("o_totalprice")).cast("long").bitwiseAND(lit(0xffffL))
+      def z(cols: Seq[org.apache.spark.sql.Column]) =
+        org.apache.spark.sql.graftshim.GraftShims.column(
+          graft.functions.InterleaveBits(
+            cols.map(org.apache.spark.sql.graftshim.GraftShims.expression), 16))
+      val base = o.select(x.as("x"), y.as("y"))
+        .withColumn("zb", shiftright(z(Seq(col("x"), col("y"))), 27))
+        .withColumn("sb", shiftright(col("x"), 6))
+      def spans(df: DataFrame, bucket: String, label: String) =
+        df.groupBy(col(bucket))
+          .agg((max(col("x")) - min(col("x")) + 1).as("_xs"),
+            (max(col("y")) - min(col("y")) + 1).as("_ys"))
+          .agg(round(avg(col("_xs")) / 65536.0, 4).as("avg_x_span"),
+            round(avg(col("_ys")) / 65536.0, 4).as("avg_y_span"),
+            count(lit(1)).as("n_buckets"))
+          .select(lit(label).as("layout"), col("n_buckets"),
+            col("avg_x_span"), col("avg_y_span"))
+      spans(base, "zb", "zorder").unionByName(spans(base, "sb", "custkey_sorted"))
+        .orderBy(col("layout"))
+    }),
+
     // sort + limit (top-k)
     "q_top20_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -3736,6 +3768,31 @@ object SparkEntry {
     "q_top20_orders" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_zorder_layout" -> {
+      // the Morton interleave, expanded term-by-term for DuckDB: bit i of x
+      // lands at 2i, bit i of y at 2i+1 (matches Layout.zValue for n=2)
+      val zExpr = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH pts AS (
+         |  SELECT o_custkey & 65535 AS x,
+         |         CAST(FLOOR(o_totalprice) AS BIGINT) & 65535 AS y
+         |  FROM orders),
+         |keyed AS (SELECT x, y, ($zExpr) >> 27 AS zb, x >> 6 AS sb FROM pts),
+         |zs AS (
+         |  SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+         |    ROUND(AVG(xs) / 65536.0, 4) AS avg_x_span,
+         |    ROUND(AVG(ys) / 65536.0, 4) AS avg_y_span
+         |  FROM (SELECT zb, MAX(x) - MIN(x) + 1 AS xs, MAX(y) - MIN(y) + 1 AS ys
+         |        FROM keyed GROUP BY zb)),
+         |ss AS (
+         |  SELECT 'custkey_sorted' AS layout, COUNT(*) AS n_buckets,
+         |    ROUND(AVG(xs) / 65536.0, 4) AS avg_x_span,
+         |    ROUND(AVG(ys) / 65536.0, 4) AS avg_y_span
+         |  FROM (SELECT sb, MAX(x) - MIN(x) + 1 AS xs, MAX(y) - MIN(y) + 1 AS ys
+         |        FROM keyed GROUP BY sb))
+         |SELECT * FROM zs UNION ALL SELECT * FROM ss ORDER BY layout""".stripMargin
+    },
     "q_range_window" ->
       """SELECT o_custkey, o_orderkey,
         |  ROUND(SUM(o_totalprice) OVER w, 2) AS nearby_revenue,
