@@ -141,8 +141,9 @@ object StreamingQuarantine {
     if (!fs.exists(quarP))
       return Seq.empty[(String, Option[Double], Long, Boolean)]
         .toDF(groupCol, "tvd", "n_rows", "readmitted")
-    // the previous readmit rewrote this path in place; drop any cached
-    // file listing before re-reading or the scan chases deleted part files
+    // the previous readmit rewrote this path in place; refresh any cached
+    // plans touching it before re-reading (file listings themselves are
+    // per-read in this path — each spark.read.parquet lists fresh)
     spark.catalog.refreshByPath(quarantinePath)
     val quarantined = spark.read.parquet(quarantinePath).drop("tvd")
     val ref = spark.read.parquet(referencePath)

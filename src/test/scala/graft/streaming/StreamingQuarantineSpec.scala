@@ -66,6 +66,57 @@ class StreamingQuarantineSpec extends AnyFunSuite {
     }
   }
 
+  test("full loop: stream quarantines a drifted source, refreshed reference readmits it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("quarloop").toFile
+    val out = new java.io.File(tmp, "corpus").getAbsolutePath
+    val quar = new java.io.File(tmp, "quarantine").getAbsolutePath
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val refPath = new java.io.File(tmp, "reference").getAbsolutePath
+    val good = (0 until 1000).map(i => (s"src${i % 2}", (i / 2) % 10)).toDF("src", "v")
+    StreamingQuarantine.writeReference(good, "src", col("v"), refPath)
+    val stream = MemoryStream[(String, Int, Long)]
+    val docs = stream.toDS().toDF("src", "v", "doc_id")
+    val q = StreamingQuarantine.driftGatedIngest(
+      docs, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar, ckpt)
+    try {
+      // src1 has legitimately moved to a single value; the stream, scoring
+      // against the stale reference, diverts it
+      stream.addData(
+        (0 until 50).map(i => ("src0", i % 10, i.toLong)) ++
+        (0 until 50).map(i => ("src1", 3, 1000L + i)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 50)
+      assert(spark.read.parquet(quar).count() == 50)
+      // operations blesses the new distribution: the refreshed good corpus
+      // REPLACES src1's profile with the new single-value one (appending to
+      // the stale profile would just dilute it — TVD vs the blend stays
+      // high); the batch readmit then drains the quarantine...
+      val good2 = good.filter($"src" =!= "src1").unionByName(
+        (0 until 500).map(_ => ("src1", 3)).toDF("src", "v"))
+      StreamingQuarantine.writeReference(good2, "src", col("v"), refPath)
+      val summary = StreamingQuarantine.readmit(
+        spark, "src", col("v"), refPath, tvdThreshold = 0.3, out, quar)
+      assert(summary.collect().forall(_.getBoolean(3)), "blessed slice must readmit")
+      assert(spark.read.parquet(out).count() == 100)
+      assert(!new java.io.File(quar).exists())
+      // ...and the STREAM now accepts the same distribution (it re-reads
+      // the reference per batch — no restart needed)
+      stream.addData((0 until 30).map(i => ("src1", 3, 2000L + i)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 130)
+      assert(!new java.io.File(quar).exists(), "re-ingested slice must not re-quarantine")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("readmit drains quarantined slices once the reference blesses them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("readmit").toFile
