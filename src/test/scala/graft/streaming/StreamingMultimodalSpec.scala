@@ -335,7 +335,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val partial = dec.sampleFrames(cut, everyN = 1).toSeq
     assert(partial.length < 5 && partial == fromAvi.take(partial.length))
     // garbage that merely claims RIFF: no frames, no throw
-    val junk = "RIFF    AVI not actually a file".getBytes
+    val junk = "RIFF\u0000\u0000\u0000\u0000AVI not actually a file".getBytes
     assert(AviMjpeg.demuxFrames(junk).isEmpty)
     // a non-JPEG ##db frame chunk hashes by FNV instead of failing the row
     val mixed = AviMjpeg.writeAvi(frames :+ Array.fill[Byte](33)(7), 16, 16)
