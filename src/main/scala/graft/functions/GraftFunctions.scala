@@ -304,7 +304,18 @@ object GraftFunctions {
     "bigram_repetition" ->
       ((args: Seq[Expression]) => BigramRepetition(args.head)),
     "repeated_span_stats" ->
-      ((args: Seq[Expression]) => RepeatedSpanStats(args.head)))
+      ((args: Seq[Expression]) => RepeatedSpanStats(args.head)),
+    // interleave_bits(r1, r2[, r3[, r4]][, bits]): a trailing foldable
+    // integer (when at least two rank columns precede it) is the bit width,
+    // default 16 — `ORDER BY interleave_bits(x, y)` is the SQL-surface
+    // z-order layout key
+    "interleave_bits" -> { (args: Seq[Expression]) =>
+      val hasBits = args.length > 2 && args.last.foldable &&
+        (args.last.dataType == IntegerType || args.last.dataType == LongType)
+      val (ranks, bits) =
+        if (hasBits) (args.init, intArg(args.last, "bits")) else (args, 16)
+      InterleaveBits(ranks.map(Cast(_, LongType)), bits)
+    })
 
   /** Register all functions in the session's FunctionRegistry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -30,6 +30,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(keyed((3L, 3L)) == 15L)
   }
 
+  test("interleave_bits is SQL-registered: z-key from plain SQL, bits rule works") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT interleave_bits(3, 1) AS z2,
+        |       interleave_bits(3L, 1L, 2) AS z2b,
+        |       interleave_bits(1, 1, 1) AS z3
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 7L)  // default 16 bits, same placement as the expr
+    assert(r.getLong(1) == 7L)  // trailing literal consumed as bits=2
+    assert(r.getLong(2) == 3L)  // all-literal: trailing 1 is bits, ranks=(1,1)
+    // 3 ranks where the last is NOT foldable stays a rank column
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1L)).toDF("a", "b", "c")
+    df.createOrReplaceTempView("ib_t")
+    val v = spark.sql("SELECT interleave_bits(a, b, c) AS z FROM ib_t").collect()(0).getLong(0)
+    assert(v == (1L | (1L << 2)), s"got $v") // bit0 of a -> pos0, bit0 of c -> pos2
+  }
+
   test("interleave_bits handles 3 columns: bit j of rank i lands at j*3+i") {
     import spark.implicits._
     val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
