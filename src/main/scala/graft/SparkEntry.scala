@@ -32,6 +32,11 @@ object SparkEntry {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->LTZ cast below reinterprets wall-clock values in the session
+    // timezone; pin UTC here (alongside nanosAsLong) so the conversion is
+    // value-identical to the legacy long-nanos path on ANY host, not just
+    // ones whose session happens to run UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -39,8 +44,7 @@ object SparkEntry {
       case _ =>
         // already a timestamp; parquet [us] not-UTC-adjusted reads as
         // TIMESTAMP_NTZ — cast to TIMESTAMP (LTZ) so downstream queries see
-        // the same type the legacy long-nanos path produced. Sessions here
-        // always run UTC, so the cast is value-identical.
+        // the same type the legacy long-nanos path produced
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

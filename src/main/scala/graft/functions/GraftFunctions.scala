@@ -306,14 +306,18 @@ object GraftFunctions {
     "repeated_span_stats" ->
       ((args: Seq[Expression]) => RepeatedSpanStats(args.head)),
     // interleave_bits(r1, r2[, r3[, r4]][, bits]): a trailing foldable
-    // integer (when at least two rank columns precede it) is the bit width,
-    // default 16 — `ORDER BY interleave_bits(x, y)` is the SQL-surface
-    // z-order layout key
+    // INTEGER LITERAL (when at least two rank columns precede it) is the bit
+    // width — so a literal meant as a third/fourth rank must be wrapped
+    // (e.g. `int(3)` via a column or `interleave_bits(x, y, 3, 16)` with an
+    // explicit width). Without an explicit width the default is
+    // min(16, 63/ranks) so every arity analyzes (4 ranks -> 15 bits);
+    // `ORDER BY interleave_bits(x, y)` is the SQL-surface z-order layout key
     "interleave_bits" -> { (args: Seq[Expression]) =>
       val hasBits = args.length > 2 && args.last.foldable &&
         (args.last.dataType == IntegerType || args.last.dataType == LongType)
       val (ranks, bits) =
-        if (hasBits) (args.init, intArg(args.last, "bits")) else (args, 16)
+        if (hasBits) (args.init, intArg(args.last, "bits"))
+        else (args, math.min(16, 63 / math.max(1, args.length)))
       InterleaveBits(ranks.map(Cast(_, LongType)), bits)
     })
 

@@ -50,6 +50,10 @@ object AviMjpeg {
   def demuxFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
     if (!isAvi(bytes)) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // The walk cursor is a Long (RIFF sizes are u32) but indexing is Int.
+    // Safe because a JVM byte[] is bounded by Int.MaxValue — clamping
+    // riffEnd to bytes.length keeps every toInt below that bound; the
+    // dataEnd > end check rejects any u32 size that would overshoot.
     val riffEnd = math.min(bytes.length.toLong, 8L + (leInt(bytes, 4) & 0xffffffffL))
 
     def walk(start: Long, end: Long, inMovi: Boolean): Unit = {

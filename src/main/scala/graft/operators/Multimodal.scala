@@ -179,8 +179,12 @@ object Multimodal {
         return AviMjpeg.demuxFrames(bytes).zipWithIndex
           .filter(_._2 % step == 0)
           .map { case (frame, _) =>
+            // NonFatal, not just IIOException: the JDK JPEG reader throws
+            // AIOOBE / NegativeArraySizeException / bare IOException on
+            // corrupt entropy-coded data — one bad frame in a crawled file
+            // must not fail the whole task
             try decodeImage(frame).ahash
-            catch { case _: IllegalArgumentException | _: javax.imageio.IIOException =>
+            catch { case scala.util.control.NonFatal(_) =>
               var h = 0xcbf29ce484222325L
               frame.foreach { b => h ^= b; h *= 0x100000001b3L }
               h

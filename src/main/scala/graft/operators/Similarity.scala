@@ -198,18 +198,33 @@ object Similarity {
       : (Array[Array[Double]], DataFrame, Seq[Int]) = {
     val stats = ivfAppendStats(corpus, newBatch, vecCol, centroids)
       .localCheckpoint() // nlist-sized; pin so callers can reuse it cheaply
-    val drifted = stats
+    val driftRows = stats
       .filter(col("share_drift") > shareDriftThreshold ||
         col("fit_drop") > fitDropThreshold)
-      .select(col("bucket")).collect().map(_.getInt(0)).toSeq.sorted
+      .select(col("bucket"), col("n_corpus"), col("n_new")).collect()
+    val drifted = driftRows.map(_.getInt(0)).toSeq.sorted
     if (drifted.isEmpty) return (centroids, stats, Nil)
     val driftedSet = drifted.toSet
-    val members = corpus.select(col(idCol), col(vecCol))
-      .unionByName(newBatch.select(col(idCol), col(vecCol)))
-      .filter(col(vecCol).isNotNull)
-      .filter(assignBucket(col(vecCol), centroids)
-        .isInCollection(driftedSet))
-    val sample = sampleVectors(members, vecCol, idCol, sampleSize)
+    def driftedMembers(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(vecCol))
+        .filter(col(vecCol).isNotNull)
+        .filter(assignBucket(col(vecCol), centroids)
+          .isInCollection(driftedSet))
+    // Bounded PER-SIDE samples, sized proportional to each side's drifted
+    // membership (floor of sampleSize/4 for a non-empty new batch). An
+    // id-ascending sample of the union would hold zero new-batch vectors
+    // whenever appended ids sort above corpus ids (the normal append case),
+    // so the replacement centroids would chase the old distribution and the
+    // same buckets would re-trigger refit on every maintenance pass.
+    val tc = driftRows.map(_.getLong(1)).sum
+    val tn = driftRows.map(_.getLong(2)).sum
+    val newBudget =
+      if (tn == 0L) 0
+      else math.min(sampleSize, math.max(sampleSize / 4,
+        (sampleSize.toLong * tn / math.max(1L, tc + tn)).toInt))
+    val sample =
+      sampleVectors(driftedMembers(corpus), vecCol, idCol, sampleSize - newBudget) ++
+      sampleVectors(driftedMembers(newBatch), vecCol, idCol, newBudget)
     // fewer members than drifted slots (pathological): refit what the data
     // supports, keep the starved slots' old centroids
     val kEff = math.min(drifted.length, sample.length)

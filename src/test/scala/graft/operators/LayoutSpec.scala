@@ -46,6 +46,13 @@ class LayoutSpec extends AnyFunSuite {
     df.createOrReplaceTempView("ib_t")
     val v = spark.sql("SELECT interleave_bits(a, b, c) AS z FROM ib_t").collect()(0).getLong(0)
     assert(v == (1L | (1L << 2)), s"got $v") // bit0 of a -> pos0, bit0 of c -> pos2
+    // 4 rank columns with NO explicit bits: default drops to 63/4 = 15 so
+    // the documented r1..r4 form analyzes (4*16=64 > 63 used to reject it)
+    val df4 = Seq((1L, 1L, 1L, 1L)).toDF("a", "b", "c", "d")
+    df4.createOrReplaceTempView("ib_t4")
+    val v4 = spark.sql("SELECT interleave_bits(a, b, c, d) AS z FROM ib_t4")
+      .collect()(0).getLong(0)
+    assert(v4 == 15L, s"got $v4") // bit0 of each rank -> positions 0..3
   }
 
   test("interleave_bits handles 3 columns: bit j of rank i lands at j*3+i") {

@@ -383,6 +383,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fitNew2 > preFit, s"fit did not improve: $preFit -> $fitNew2")
   }
 
+  test("IVF refit: high-id append still reaches the sample (per-side budgets)") {
+    // Regression: the refit sample used to be the lowest-id slice of
+    // corpus ∪ newBatch. With appended ids above every corpus id (the normal
+    // append case) and a drifted bucket holding >= sampleSize corpus rows,
+    // the sample held zero new vectors, the replacement centroid refit the
+    // OLD distribution, and the same bucket re-triggered forever.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    // nlist=2 so each bucket holds ~125 corpus rows > sampleSize=64
+    val cents = Similarity.fitCentroids(corpus, "embedding", "vec_id",
+      nlist = 2, sampleSize = 500)
+    val collapsedHighId = corpus.limit(200)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding", expr("transform(embedding, x -> float(0.1))"))
+    val (updated, stats, refit) = Similarity.ivfRefit(
+      corpus, collapsedHighId, "embedding", "vec_id", cents,
+      fitDropThreshold = 0.2, sampleSize = 64)
+    assert(refit.nonEmpty, "collapsed high-id batch did not trigger a refit")
+    // the refit centroids must reflect the NEW vectors: folding the batch in
+    // and re-scoring, its bucket now fits tightly (a centroid sits on the
+    // constant vector). Under the old union-lowest-ids sample this stayed at
+    // the pre-refit fit because no new vector ever reached the sample.
+    val stats2 = Similarity.ivfAppendStats(
+      corpus.unionByName(collapsedHighId), collapsedHighId, "embedding", updated)
+      .collect()
+    val hot2 = stats2.filter(_.getAs[Long]("n_new") > 0)
+    assert(hot2.nonEmpty)
+    val fitNew2 = hot2.map(_.getAs[Double]("fit_new")).min
+    // with k=1 over the mixed per-side sample the replacement is a weighted
+    // mean, not exactly the constant vector — 0.95 still cleanly separates
+    // from the old union-lowest-ids behavior (which refit to the corpus
+    // mean, fit_new ~0.7)
+    val preFit = stats.filter(col("n_new") > 0).collect()
+      .map(_.getAs[Double]("fit_new")).min
+    assert(fitNew2 > 0.95 && fitNew2 > preFit,
+      s"post-refit fit_new $fitNew2 (pre $preFit): new batch never reached the refit sample")
+  }
+
   test("LSH-bucketed ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
