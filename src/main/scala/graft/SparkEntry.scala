@@ -2834,6 +2834,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // real ISO BMFF demux: the same deterministic JPEG frames shipped in a
+    // spec-correct MP4 (ftyp + moov stsc/stsz/stco tables + mdat), demuxed
+    // by box structure and decoded through the JPEG codec. Same parity
+    // contract as mm_avi_frames: per media_id, the sampled hash multisets
+    // from the MP4 path and the raw concatenated-MJPEG path must be equal.
+    "mm_mp4_frames" -> ((s, dir) => {
+      val mp4 = graft.operators.Multimodal.mp4MediaFromDocuments(s, dir)
+      val mjpeg = graft.operators.Multimodal.mjpegMediaFromDocuments(s, dir)
+      def sampled(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.sampleFrames(m, everyN = 2,
+            () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sort_array(collect_list(col("frame_hash"))).as("hashes"))
+      sampled(mp4).alias("a")
+        .join(sampled(mjpeg).alias("m"), "media_id")
+        .select(col("media_id"), col("a.n_sampled").as("n_sampled"),
+          (col("a.hashes") === col("m.hashes") &&
+            col("a.n_sampled") === col("m.n_sampled")).as("container_parity"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
       graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
@@ -4676,6 +4698,11 @@ object SparkEntry {
       """SELECT 16 AS n_buckets, TRUE AS refit_triggered,
         |  TRUE AS frozen_ok, TRUE AS fit_recovered""".stripMargin,
     "mm_avi_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
+        |  TRUE AS container_parity
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_mp4_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
         |  TRUE AS container_parity

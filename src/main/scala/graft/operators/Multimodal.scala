@@ -165,6 +165,10 @@ object Multimodal {
       *    actually ships in. A frame payload ImageIO cannot decode (e.g. a
       *    raw-DIB `##db` chunk) hashes by FNV instead, so mixed-codec files
       *    still produce a total result.
+      *  - MP4 (`....ftyp`): walk the ISO BMFF box tree via [[IsoBmff]] and
+      *    extract the video track's sample payloads from its
+      *    stsc/stsz/stco tables — what a real crawl mostly contains. Same
+      *    FNV fallback for undecodable samples.
       *  - raw MJPEG (concatenated JPEG frames): split at SOI-plus-marker
       *    boundaries (0xFF 0xD8 0xFF then any APPn/DQT/DHT/SOF/COM marker —
       *    JPEG byte-stuffing guarantees a raw SOI cannot occur inside
@@ -173,24 +177,30 @@ object Multimodal {
       *  - anything else falls back to the stub chunking.
       * Sampled frames decode through ImageIO to the 8x8 average hash.
       */
-    override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] = {
-      if (AviMjpeg.isAvi(bytes)) {
-        val step = math.max(1, everyN)
-        return AviMjpeg.demuxFrames(bytes).zipWithIndex
-          .filter(_._2 % step == 0)
-          .map { case (frame, _) =>
-            // NonFatal, not just IIOException: the JDK JPEG reader throws
-            // AIOOBE / NegativeArraySizeException / bare IOException on
-            // corrupt entropy-coded data — one bad frame in a crawled file
-            // must not fail the whole task
-            try decodeImage(frame).ahash
-            catch { case scala.util.control.NonFatal(_) =>
-              var h = 0xcbf29ce484222325L
-              frame.foreach { b => h ^= b; h *= 0x100000001b3L }
-              h
-            }
-          }
+    // NonFatal, not just IIOException: the JDK JPEG reader throws AIOOBE /
+    // NegativeArraySizeException / bare IOException on corrupt entropy-coded
+    // data — one bad frame in a crawled file must not fail the whole task,
+    // so an undecodable payload hashes by FNV instead
+    private def frameHashOrFnv(frame: Array[Byte]): Long =
+      try decodeImage(frame).ahash
+      catch { case scala.util.control.NonFatal(_) =>
+        var h = 0xcbf29ce484222325L
+        frame.foreach { b => h ^= b; h *= 0x100000001b3L }
+        h
       }
+
+    private def demuxedHashes(
+        frames: Iterator[Array[Byte]], everyN: Int): Iterator[Long] = {
+      val step = math.max(1, everyN)
+      frames.zipWithIndex.filter(_._2 % step == 0)
+        .map { case (frame, _) => frameHashOrFnv(frame) }
+    }
+
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Iterator[Long] = {
+      if (AviMjpeg.isAvi(bytes))
+        return demuxedHashes(AviMjpeg.demuxFrames(bytes), everyN)
+      if (IsoBmff.isMp4(bytes))
+        return demuxedHashes(IsoBmff.demuxFrames(bytes), everyN)
       def isSoi(i: Int): Boolean = {
         if (i + 3 >= bytes.length || bytes(i) != 0xff.toByte || bytes(i + 1) != 0xd8.toByte ||
           bytes(i + 2) != 0xff.toByte) return false
@@ -421,6 +431,37 @@ object Multimodal {
     disableImageIoDiskCache()
     val frames = (0 until nFrames).map(f => deterministicMjpeg(seed + f * 97L, width, height, 1))
     AviMjpeg.writeAvi(frames, width, height)
+  }
+
+  /** Deterministic REAL MP4 bytes: the same deterministic JPEG frames as
+    * [[deterministicMjpeg]], wrapped in a spec-correct ISO BMFF container
+    * (ftyp + moov sample tables + mdat) by [[IsoBmff.writeMp4]] — so the
+    * MP4 demux path is exercised with frames whose hashes are known to
+    * match the raw-MJPEG path bit-for-bit.
+    */
+  def deterministicMp4(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    disableImageIoDiskCache()
+    val frames = (0 until nFrames).map(f => deterministicMjpeg(seed + f * 97L, width, height, 1))
+    IsoBmff.writeMp4(frames, width, height)
+  }
+
+  /** MP4 video demo corpus: same per-document geometry as
+    * [[mjpegMediaFromDocuments]] (frame count from doc_id, so the oracle
+    * predicts sampled-frame counts), but shipped in the ISO BMFF container.
+    */
+  def mp4MediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.mp4",
+          media_type = "video/mp4",
+          content = deterministicMp4(id, 16, 16, ((id % 8) + 2).toInt),
+          meta = Map("source" -> source))
+      }
   }
 
   /** AVI video demo corpus: same per-document geometry as
