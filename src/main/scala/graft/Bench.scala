@@ -51,14 +51,30 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
-    println(json)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    // stdout gets a COMPACT line (<2000 chars): harnesses that keep only a
+    // stdout tail must still be able to json-parse the result, so the
+    // printed "queries" map carries a fixed headline subset (one per
+    // operator family) at 3-decimal precision; the complete map is in
+    // bench_full.json.
+    val headline = Seq(
+      "q_pricing_summary", "q_tpch_q3", "q_tpch_q9", "q_tpch_q18",
+      "q_top_orders_per_cust", "q_sessionize", "q_profile_orders",
+      "q_zorder_layout", "hll_users_by_type", "hll_wire_roundtrip",
+      "dd_exact_keep", "dd_minhash_pairs", "dd_neardedup_keep",
+      "dd_line_dedup", "sim_bruteforce_topk", "sim_ann_ivf", "sim_ann_ivfpq",
+      "tx_token_counts", "tx_contamination", "tx_release_pipeline",
+      "mm_image_features", "mm_mp4_frames")
+    val hqs = headline.flatMap(k => ok.get(k).map(v =>
+        s"\"" + k + "\":" + math.rint(v * 1000) / 1000))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$hqs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir","full":"bench_full.json"}""")
     // Persist the full per-query map next to the repo so the numbers stay
     // machine-checkable even when a harness truncates captured stdout, and
     // so BenchBandSpec can gate the latest run against the committed
     // baseline (regenerate the baseline by copying this file over
     // src/test/resources/bench_baseline.json after a quiet-host run).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write bench_full.json: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

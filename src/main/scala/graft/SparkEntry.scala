@@ -496,6 +496,20 @@ object SparkEntry {
             .as("distinct_ok"))
         .orderBy(col("col_name"))
     }),
+    // Profile's exactness escape hatch: designated low-cardinality columns
+    // get a precise n_distinct from per-column pruned-scan aggregates (one
+    // narrow columnar scan each — never the Expand xN shape), broadcast-
+    // joined back into the single-pass report; the high-card o_custkey
+    // stays estimate-only (null n_distinct). Fully DuckDB-replayable.
+    "q_profile_exact" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cs = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      graft.operators.Profile.profile(o, cs, k = 1 << 16,
+          exact = Set("o_orderstatus", "o_orderpriority"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_s"), col("max_s"), col("n_distinct"))
+        .orderBy(col("col_name"))
+    }),
     // ntile + lead window functions: per-segment account-balance deciles
     // with the average gap to the next-ranked customer.
     "q_ntile_lead" -> ((s, dir) => {
@@ -2160,6 +2174,47 @@ object SparkEntry {
           .as("users_jaccard_ok"))
     }),
 
+    // KMV wire contract, asserted against INDEPENDENT implementations (see
+    // WIRE.md): (a) wire_exact — the exported sketch contents equal the
+    // bottom-k distinct values of Spark's own xxhash64 builtin in unsigned
+    // order (sign-bit flip = unsigned sort), computed with generic SQL
+    // array ops that never touch the sketch code; (b) roundtrip_exact —
+    // kmv_import(kmv_export(s)) estimates identically (byte-identical
+    // rebuild); (c) replay_exact — the estimate re-derived from the wire
+    // row with PLAIN SQL arithmetic (n < k ? n : (k-1)*2^64/unsigned(h_k))
+    // matches kmv_estimate bit-for-bit, the "any engine can consume this"
+    // claim executed. The collect_set side is verification-only (it holds
+    // every distinct hash; production reads the kilobyte sketch).
+    "hll_kmv_wire_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val kk = 1024
+      val signBit = lit(Long.MinValue)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(GraftFunctions.kmv_sketch_agg(col("user_id"), kk).as("_sk"),
+          countDistinct(col("user_id")).as("exact_users"),
+          collect_set(xxhash64(col("user_id").cast("string"))).as("_all"))
+        .withColumn("_w", GraftFunctions.kmv_export(col("_sk")))
+      val bottom = transform(
+        slice(array_sort(transform(col("_all"), h => h.bitwiseXOR(signBit))),
+          1, kk),
+        h => h.bitwiseXOR(signBit))
+      val n = size(col("_w.hashes"))
+      val hk = element_at(col("_w.hashes"), n) // ascending unsigned: last = h_k
+      val twoTo64 = lit(1.8446744073709552e19)
+      val uHk = when(hk >= 0, hk.cast("double"))
+        .otherwise(hk.cast("double") + twoTo64)
+      val replay = when(n < col("_w.k"), n.cast("double"))
+        .otherwise((col("_w.k") - 1).cast("double") * twoTo64 / uHk)
+      sk.select(col("event_type"), col("exact_users"),
+          (col("_w.hashes") === bottom).as("wire_exact"),
+          (GraftFunctions.kmv_estimate(GraftFunctions.kmv_import(col("_w")))
+            === GraftFunctions.kmv_estimate(col("_sk"))).as("roundtrip_exact"),
+          (replay === GraftFunctions.kmv_estimate(col("_sk"))).as("replay_exact"),
+          (abs(GraftFunctions.kmv_estimate(col("_sk")) - col("exact_users"))
+            / col("exact_users") <= 0.1).as("est_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // Audience-overlap matrix from stored KMV sketches: one scan builds a
     // sketch per event_type, then every pairwise intersection/Jaccard comes
     // from kilobyte sketch values — the |types|^2 pair join never touches
@@ -2385,6 +2440,57 @@ object SparkEntry {
         .agg(min(col("fit_new"))).collect()(0).getDouble(0)
       Seq((cents.length, refit.nonEmpty, frozenOk, fitNew > 0.99))
         .toDF("n_buckets", "refit_triggered", "frozen_ok", "fit_recovered")
+    }),
+
+    // Streaming ANN index maintenance, batch-replayed through the EXACT
+    // streaming code path (StreamingAnnIndex.maintainBatch drives both):
+    // batch 0 bootstraps the centroid store, an in-distribution batch must
+    // NOT refit (store byte-stable), a collapsed batch appended with HIGHER
+    // ids — the append shape that exercises the per-side sample budgets —
+    // must refit its hot bucket only (frozen slots byte-identical), and the
+    // collapsed slice re-statted under the swapped-in store must fit
+    // tightly. All invariants are deterministic booleans (fixed stores,
+    // fixed seeds), asserted hard by the oracle, sim_ivf_refit-style.
+    "sim_ann_maintain" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx")
+      val paths = graft.streaming.StreamingAnnIndex.IndexPaths(
+        tmp.resolve("index").toString)
+      // fitDropThreshold sits above the bootstrap's in-sample/out-of-sample
+      // fit gap (~0.22 here, where the 500-sample covers the whole 250-row
+      // toy batch — see the Config scaladoc); the collapse is detected by
+      // share_drift, which has no in/out-of-sample asymmetry.
+      val cfg = graft.streaming.StreamingAnnIndex.Config(
+        nlist = 16, sampleSize = 500, fitDropThreshold = 0.35)
+      val b0 = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val b1 = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val collapsed = b0.limit(200)
+        .withColumn("embedding", expr("transform(embedding, x -> float(0.1))"))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+        graft.streaming.StreamingAnnIndex.maintainBatch(
+          s, b, "vec_id", "embedding", paths, cfg, id)
+      val r0 = step(b0, 0L)
+      val c0 = graft.streaming.StreamingAnnIndex.readCentroids(s, paths)
+      val r1 = step(b1, 1L)
+      val c1 = graft.streaming.StreamingAnnIndex.readCentroids(s, paths)
+      val r2 = step(collapsed, 2L)
+      val c2 = graft.streaming.StreamingAnnIndex.readCentroids(s, paths)
+      val stable = r1.isEmpty &&
+        c0.indices.forall(b => c1(b).toSeq == c0(b).toSeq)
+      val frozenOk = c1.indices.filterNot(r2.contains)
+        .forall(b => c2(b).toSeq == c1(b).toSeq)
+      val fitNew = graft.operators.Similarity.ivfAppendStats(
+          b0.unionByName(b1).unionByName(collapsed), collapsed, "embedding", c2)
+        .filter(col("n_new") > 0)
+        .agg(min(col("fit_new"))).collect()(0).getDouble(0)
+      Seq((cfg.nlist, r0.isEmpty && c0.length == cfg.nlist, stable,
+          r2.nonEmpty, frozenOk, fitNew > 0.99))
+        .toDF("n_buckets", "bootstrap_ok", "indist_stable",
+          "refit_on_shift", "frozen_ok", "fit_recovered")
     }),
 
     // PQ-compressed ANN (the 100 TB storage layout: byte codes + ADC scan +
@@ -2968,6 +3074,11 @@ object SparkEntry {
         |  TRUE AS union_ok, TRUE AS disjoint_exact,
         |  TRUE AS users_intersect_ok, TRUE AS users_jaccard_ok
         |FROM nh""".stripMargin,
+    "hll_kmv_wire_roundtrip" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS wire_exact, TRUE AS roundtrip_exact,
+        |  TRUE AS replay_exact, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hll_kmv_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |nd AS (SELECT event_type, COUNT(*) AS nd FROM ut GROUP BY event_type),
@@ -3930,6 +4041,22 @@ object SparkEntry {
         |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR), TRUE
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_profile_exact" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_s,
+        |  CAST(NULL AS BIGINT) AS n_distinct
+        |FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |  COUNT(*) - COUNT(o_orderpriority),
+        |  MIN(o_orderpriority), MAX(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |  COUNT(*) - COUNT(o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |ORDER BY col_name""".stripMargin,
     "q_ntile_lead" ->
       """WITH r AS (
         |  SELECT c_mktsegment, c_acctbal,
@@ -4697,6 +4824,10 @@ object SparkEntry {
     "sim_ivf_refit" ->
       """SELECT 16 AS n_buckets, TRUE AS refit_triggered,
         |  TRUE AS frozen_ok, TRUE AS fit_recovered""".stripMargin,
+    "sim_ann_maintain" ->
+      """SELECT 16 AS n_buckets, TRUE AS bootstrap_ok, TRUE AS indist_stable,
+        |  TRUE AS refit_on_shift, TRUE AS frozen_ok,
+        |  TRUE AS fit_recovered""".stripMargin,
     "mm_avi_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,

@@ -186,6 +186,21 @@ object GraftFunctions {
   def kmv_intersect_n(sketches: Column*): Column =
     GraftShims.column(KmvIntersectN(sketches.map(e)))
 
+  /** Engine-portable export: struct(k, hash, hashes) — the sketch's bottom-k
+    * hashes as plain SQL data in ascending unsigned order (see [[KmvWire]]:
+    * the contents are exactly the bottom-k distinct `xxhash64` values of the
+    * input, so any xxh64-capable engine can rebuild or extend the sketch).
+    */
+  def kmv_export(col: Column): Column =
+    GraftShims.column(KmvExport(e(col)))
+
+  /** Rebuild a stored KMV sketch from the portable wire struct; inverse of
+    * [[kmv_export]], order-insensitive, bottom-k-folding over concatenated
+    * exports (union-by-rows imports to the merged sketch).
+    */
+  def kmv_import(col: Column): Column =
+    GraftShims.column(KmvImport(e(col)))
+
   /** Scale-path variant: Spark's built-in HLL++ (xxHash64-based) at the
     * precision matching `k`, via rsd = 1.04/sqrt(2^p) (HLL/HyperLogLog.py:86).
     * Same algorithm family and error bound, different hash — use when raw
@@ -280,6 +295,8 @@ object GraftFunctions {
     "kmv_difference_estimate" ->
       ((args: Seq[Expression]) => KmvDifferenceEstimate(args(0), args(1))),
     "kmv_intersect_n" -> ((args: Seq[Expression]) => KmvIntersectN(args)),
+    "kmv_export" -> ((args: Seq[Expression]) => KmvExport(args.head)),
+    "kmv_import" -> ((args: Seq[Expression]) => KmvImport(args.head)),
     "minhash_signature" -> { (args: Seq[Expression]) =>
       val nh = if (args.length > 1) intArg(args(1), "numHashes") else 64
       val sh = if (args.length > 2) intArg(args(2), "shingleSize") else 3

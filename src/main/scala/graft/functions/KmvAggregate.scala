@@ -418,6 +418,115 @@ case class KmvIntersectN(children: Seq[Expression])
   override def prettyName: String = "kmv_intersect_n"
 }
 
+/** The engine-portable wire shape shared by [[KmvExport]] / [[KmvImport]]
+  * (the KMV analogue of [[HllWire]]): struct(k, hash, hashes) with the
+  * retained bottom-k hashes as plain BIGINTs in ascending UNSIGNED order.
+  *
+  * The cross-engine contract is exact and replayable with nothing but
+  * xxHash64: a KMV(k) sketch of column c IS
+  * `bottom-k of (SELECT DISTINCT xxhash64(CAST(c AS STRING)) ...)` in
+  * unsigned 64-bit order (xxHash64 seed 42 — Spark's `xxhash64` builtin
+  * default), and the estimator is plain arithmetic over the wire row:
+  * `n < k ? n : (k-1) * 2^64 / unsigned(h_k)`. Any engine with xxh64 can
+  * therefore BUILD these sketches; any engine at all can CONSUME them
+  * (estimate, union via concatenation: duplicate hashes fold on import,
+  * bottom-k re-trims — union of two sketches' exported rows imports to
+  * their merged sketch). The contract query `hll_kmv_wire_roundtrip`
+  * asserts all of this against the builtin; WIRE.md carries the DuckDB
+  * replay SQL.
+  */
+object KmvWire {
+  /** Fixed hash id carried on the wire: xxHash64, seed 42. */
+  val hashName: String = "XXH64_42"
+  val wireType: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false),
+    StructField("hashes", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Structural acceptance (names may differ — see [[HllWire.accepts]]). */
+  private[functions] def accepts(dt: DataType): Boolean = dt match {
+    case StructType(Array(a, b, c)) =>
+      a.dataType == IntegerType && b.dataType == StringType &&
+        (c.dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+}
+
+/** `kmv_export(sketchCol)` -> struct(k, hash, hashes): the retained bottom-k
+  * hashes as plain SQL data (see [[KmvWire]]). The empty sketch (a stored
+  * all-null-group union output, zero bytes) exports as (0, hash, []).
+  */
+case class KmvExport(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+  override def dataType: DataType = KmvWire.wireType
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val hn = UTF8String.fromString(KmvWire.hashName)
+    if (bytes.length == 0)
+      return InternalRow(0, hn,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))
+    val s = KmvSketch.deserialize(bytes)
+    val out = new Array[Any](s.values.size)
+    val it = s.values.iterator() // TreeSet iterates in ascending unsigned order
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    InternalRow(s.k, hn,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): KmvExport = copy(child = c)
+  override def prettyName: String = "kmv_export"
+}
+
+/** `kmv_import(wireStruct)` -> Binary: rebuild a stored sketch from the
+  * portable hash listing (see [[KmvWire]]). Inverse of [[KmvExport]]:
+  * import(export(s)) serializes byte-identically to s. Order-insensitive;
+  * duplicate hashes fold and anything beyond the bottom k is re-trimmed, so
+  * unioning two sketches' exported rows imports to their merged sketch.
+  */
+case class KmvImport(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (KmvWire.accepts(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(k INT, hash STRING, hashes ARRAY<BIGINT>), " +
+        s"got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val k = row.getInt(0)
+    val hash = row.getUTF8String(1).toString
+    require(hash == KmvWire.hashName,
+      s"kmv_import: wire hash '$hash' != '${KmvWire.hashName}' — sketches " +
+        "built under a different hash cannot merge with this family")
+    val hs = row.getArray(2)
+    if (k == 0) {
+      require(hs.numElements() == 0,
+        s"kmv_import: k=0 (empty sketch) with ${hs.numElements()} hashes")
+      return Array.emptyByteArray
+    }
+    require(k >= 2, s"kmv_import: k must be >= 2 or 0 (empty), got $k")
+    val s = new KmvSketch(k)
+    var i = 0
+    while (i < hs.numElements()) { s.addHash(hs.getLong(i)); i += 1 }
+    s.serialize()
+  }
+
+  override protected def withNewChildInternal(c: Expression): KmvImport = copy(child = c)
+  override def prettyName: String = "kmv_import"
+}
+
 /** `kmv_difference_estimate(a, b)` -> DOUBLE |A \ B| estimate (a-not-b). */
 case class KmvDifferenceEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {

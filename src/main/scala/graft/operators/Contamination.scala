@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * content rather than silently biased below threshold. A document whose
   * fingerprints are ALL capped produces no pairs at all: it consists
   * entirely of corpus-wide boilerplate and has no identifiable overlap.
+  *
+  * Bias direction (applies to [[overlap]] and [[overlapPruned]] equally —
+  * the Bloom prune is lossless; only the cap biases): capping is strictly
+  * conservative-DOWN. Dropping a fingerprint removes it from numerator and
+  * denominator together, so a pair's reported overlap can only fall toward
+  * the score of its distinctive content, never rise, and contamination
+  * carried entirely by >maxPostings boilerplate is invisible at this layer.
+  * If boilerplate-level leakage matters for a corpus, raise maxPostings,
+  * pre-dedup the boilerplate, or rank with [[groupOverlapMatrix]] (sketch
+  * estimates, no cap) before auditing.
   */
 object Contamination {
 

@@ -22,6 +22,40 @@ object Profile {
     * types stack into one report.
     */
   def profile(df: DataFrame, cols: Seq[String], k: Int = 4096): DataFrame = {
+    profileImpl(df, cols, k)
+  }
+
+  /** [[profile]] plus an exactness escape hatch: columns in `exact` get a
+    * precise `n_distinct` alongside the estimate — the "is this column an
+    * enum" question that an HLL answer of 4.0000x leaves open.
+    *
+    * The exact side deliberately does NOT join the estimate pass's
+    * aggregation: N exact distincts in one agg make Catalyst plan an Expand
+    * (input ×N before the shuffle — the shape [[profile]] exists to avoid).
+    * Instead each exact column runs its own two-level aggregate
+    * (partial-distinct then count) over a ONE-column pruned scan; columnar
+    * formats make that scan proportional to the single column, and the
+    * results broadcast-join back into the report on col_name. Reserve it
+    * for the low-cardinality columns the flag is named for — a high-card
+    * column's exact distinct is the full shuffle the estimate path saves.
+    */
+  def profile(df: DataFrame, cols: Seq[String], k: Int,
+      exact: Set[String]): DataFrame = {
+    require(exact.subsetOf(cols.toSet),
+      s"exact columns ${exact.diff(cols.toSet).mkString(",")} not in profiled columns")
+    val base = profileImpl(df, cols, k)
+    if (exact.isEmpty)
+      return base.withColumn("n_distinct", lit(null).cast("long"))
+    def src(c: String) = col("`" + c.replace("`", "``") + "`")
+    val exacts = exact.toSeq.sorted.map { c =>
+      df.select(src(c)).distinct()
+        .agg(count(src(c)).as("n_distinct")) // count(col): nulls excluded,
+        .withColumn("col_name", lit(c))      // matching the estimate side
+    }.reduce(_ unionByName _)
+    base.join(broadcast(exacts), Seq("col_name"), "left")
+  }
+
+  private def profileImpl(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // positional intermediate aliases + backtick-quoted source refs: column
     // names with dots/spaces/quotes must not leak into parsed expressions

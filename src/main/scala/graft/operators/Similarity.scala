@@ -79,7 +79,7 @@ object Similarity {
   /** Deterministic bounded driver-side sample (id-sorted TakeOrdered, not a
     * full sort): the shared fit input for all centroid training.
     */
-  private def sampleVectors(
+  private[graft] def sampleVectors(
       corpus: DataFrame, vecCol: String, idCol: String,
       sampleSize: Int): Array[Array[Double]] =
     corpus.filter(col(vecCol).isNotNull)
@@ -90,7 +90,7 @@ object Similarity {
   /** Deterministic dot-product k-means on a driver-side sample: seeds chosen
     * evenly from the (already id-ordered) sample, fixed iteration count.
     */
-  private def kmeansDot(
+  private[graft] def kmeansDot(
       sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     for (_ <- 0 until iters) {
