@@ -2962,6 +2962,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // container-parity contract as mm_avi_frames/mm_mp4_frames: per
+    // media_id, the sampled hash multisets from the Matroska path (DocType
+    // alternating matroska/webm — the demux is structural and must not
+    // care) and the raw concatenated-MJPEG path must be equal.
+    "mm_mkv_frames" -> ((s, dir) => {
+      val mkv = graft.operators.Multimodal.mkvMediaFromDocuments(s, dir)
+      val mjpeg = graft.operators.Multimodal.mjpegMediaFromDocuments(s, dir)
+      def sampled(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.sampleFrames(m, everyN = 2,
+            () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sort_array(collect_list(col("frame_hash"))).as("hashes"))
+      sampled(mkv).alias("a")
+        .join(sampled(mjpeg).alias("m"), "media_id")
+        .select(col("media_id"), col("a.n_sampled").as("n_sampled"),
+          (col("a.hashes") === col("m.hashes") &&
+            col("a.n_sampled") === col("m.n_sampled")).as("container_parity"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = graft.operators.Multimodal.fakeMediaFromDocuments(s, dir)
       graft.operators.Multimodal.sampleFrames(media, everyN = 100).toDF()
@@ -4834,6 +4855,11 @@ object SparkEntry {
         |  TRUE AS container_parity
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_mp4_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
+        |  TRUE AS container_parity
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_mkv_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(CEIL(((doc_id % 8) + 2) / 2.0) AS BIGINT) AS n_sampled,
         |  TRUE AS container_parity

@@ -169,6 +169,9 @@ object Multimodal {
       *    extract the video track's sample payloads from its
       *    stsc/stsz/stco tables — what a real crawl mostly contains. Same
       *    FNV fallback for undecodable samples.
+      *  - Matroska/WebM (EBML magic `1A45DFA3`): walk the EBML tree via
+      *    [[Matroska]] and extract the video track's SimpleBlock/Block
+      *    payloads. Same FNV fallback.
       *  - raw MJPEG (concatenated JPEG frames): split at SOI-plus-marker
       *    boundaries (0xFF 0xD8 0xFF then any APPn/DQT/DHT/SOF/COM marker —
       *    JPEG byte-stuffing guarantees a raw SOI cannot occur inside
@@ -201,6 +204,8 @@ object Multimodal {
         return demuxedHashes(AviMjpeg.demuxFrames(bytes), everyN)
       if (IsoBmff.isMp4(bytes))
         return demuxedHashes(IsoBmff.demuxFrames(bytes), everyN)
+      if (Matroska.isMatroska(bytes))
+        return demuxedHashes(Matroska.demuxFrames(bytes), everyN)
       def isSoi(i: Int): Boolean = {
         if (i + 3 >= bytes.length || bytes(i) != 0xff.toByte || bytes(i + 1) != 0xd8.toByte ||
           bytes(i + 2) != 0xff.toByte) return false
@@ -443,6 +448,42 @@ object Multimodal {
     disableImageIoDiskCache()
     val frames = (0 until nFrames).map(f => deterministicMjpeg(seed + f * 97L, width, height, 1))
     IsoBmff.writeMp4(frames, width, height)
+  }
+
+  /** Deterministic REAL Matroska/WebM bytes: the same deterministic JPEG
+    * frames as [[deterministicMjpeg]], wrapped in a spec-correct EBML
+    * container (header + Segment/Info/Tracks/Cluster SimpleBlocks) by
+    * [[Matroska.writeMkv]] — so the MKV demux path is exercised with frames
+    * whose hashes are known to match the raw-MJPEG path bit-for-bit.
+    */
+  def deterministicMkv(
+      seed: Long, width: Int, height: Int, nFrames: Int,
+      docType: String = "matroska"): Array[Byte] = {
+    disableImageIoDiskCache()
+    val frames = (0 until nFrames).map(f => deterministicMjpeg(seed + f * 97L, width, height, 1))
+    Matroska.writeMkv(frames, width, height, docType)
+  }
+
+  /** MKV/WebM video demo corpus: same per-document geometry as
+    * [[mjpegMediaFromDocuments]], shipped in the EBML container —
+    * alternating `matroska` and `webm` DocTypes, because the demuxer is
+    * structural and must treat both dialects identically.
+    */
+  def mkvMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        val webm = id % 2 == 1
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.${if (webm) "webm" else "mkv"}",
+          media_type = if (webm) "video/webm" else "video/x-matroska",
+          content = deterministicMkv(id, 16, 16, ((id % 8) + 2).toInt,
+            if (webm) "webm" else "matroska"),
+          meta = Map("source" -> source))
+      }
   }
 
   /** MP4 video demo corpus: same per-document geometry as
