@@ -2546,6 +2546,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer trained ON the corpus (Bpe.train: one distributed pass
+    // to the word-frequency table, bounded driver merge loop — the split
+    // every production tokenizer trainer uses) then applied with the
+    // map-only native encoder. Contract: the FIRST merge rule is
+    // independently re-derived by DuckDB (most frequent adjacent character
+    // pair of the word table, same tie-break); roundtrip/compression/
+    // determinism are hard Spark-side invariants, sim_ivf_refit-style.
+    "tx_bpe_tokenize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // nMerges=50 stays safely below vocabulary exhaustion (the synthetic
+      // corpus builds from a bounded word list and fully merges at ~89
+      // rules), so the merge count is the constant the oracle predicts;
+      // early-stop behavior at the exhaustion/floor boundary is
+      // BpeSpec-covered
+      val merges = graft.operators.Bpe.train(d, "text", nMerges = 50)
+      val merges2 = graft.operators.Bpe.train(d, "text", nMerges = 50)
+      val enc = graft.operators.Bpe.encode(col("text"), merges)
+      val words = filter(split(lower(col("text")), "[^\\p{L}]+"),
+        w => w =!= "")
+      d.select(concat_ws("", enc).as("_tj"),
+          concat_ws("", words).as("_wj"),
+          size(enc).cast("long").as("_ntok"))
+        .agg(count(lit(1)).as("_docs"),
+          sum(when(col("_tj") === col("_wj"), 1L).otherwise(0L)).as("_rt"),
+          sum(col("_ntok")).as("_tok"),
+          sum(length(col("_wj")).cast("long")).as("_chr"))
+        .select(
+          lit(merges.head._1 + " " + merges.head._2).as("first_merge"),
+          lit(merges.length).as("n_merges"),
+          (col("_rt") === col("_docs")).as("roundtrip_ok"),
+          (col("_tok") < col("_chr")).as("compresses"),
+          lit(merges == merges2).as("deterministic_ok"))
+    }),
+
     // RAG-style overlapping-window chunking: 64-token windows at stride 48
     // (16-token overlap), built with higher-order functions (sequence →
     // transform → slice → aggregate) — pure map work, no shuffle until the
@@ -3374,6 +3408,25 @@ object SparkEntry {
         |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_bpe_tokenize" ->
+      """WITH ws AS (
+        |  SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^\p{L}]+'),
+        |    x -> x != '') AS ws
+        |  FROM documents),
+        |wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT UNNEST(ws) AS w FROM ws) GROUP BY w),
+        |pc AS (
+        |  SELECT pair, SUM(n) AS c FROM (
+        |    SELECT UNNEST(CASE WHEN LENGTH(w) < 2 THEN []
+        |      ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(w) - 1),
+        |        i -> substring(w, i, 2)) END) AS pair, n
+        |    FROM wc)
+        |  GROUP BY pair)
+        |SELECT (SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1)
+        |        FROM pc ORDER BY c DESC, pair LIMIT 1) AS first_merge,
+        |  50 AS n_merges, TRUE AS roundtrip_ok, TRUE AS compresses,
+        |  TRUE AS deterministic_ok""".stripMargin,
     "tx_release_pipeline" ->
       s"""WITH RECURSIVE $shingleCte,
         |stats AS (
