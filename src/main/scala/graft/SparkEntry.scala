@@ -699,6 +699,28 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("o_orderstatus"))
     }),
+    // ORC source/sink round-trip — the other mainstream columnar warehouse
+    // format (built-in DataSource, same predicate-pushdown surface as
+    // parquet). Write a projection, read it back with a pushable filter,
+    // aggregate; the oracle computes the same aggregate from the parquet
+    // original, so the ORC writer/reader pair must preserve values exactly.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_" +
+        java.lang.ProcessHandle.current().pid()
+      l.coalesce(4).write.mode("overwrite").orc(path)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(hp)
+      s.read.orc(path)
+        .filter(col("l_quantity") > 10.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     // Hive-style partitioned layout + planning-time pruning: write orders
     // partitioned by status, read back with a partition predicate — the
     // scan's PartitionFilters drop non-matching directories before any file
@@ -2185,6 +2207,41 @@ object SparkEntry {
     // matches kmv_estimate bit-for-bit, the "any engine can consume this"
     // claim executed. The collect_set side is verification-only (it holds
     // every distinct hash; production reads the kilobyte sketch).
+    // CMS row wire: export the non-zero counters as SQL rows + per-item
+    // positions, replay the point query as a plain join/group-min over that
+    // data (the engine-portable handshake — no murmur needed on the
+    // consuming side), and round-trip import back to the identical sketch.
+    // All booleans are hard TRUE: replay must equal cms_query exactly, and
+    // at width 2048 over a handful of event types the sketch is
+    // collision-free, so the estimate equals the exact count.
+    "hll_cms_wire_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val depth = 5
+      val width = 2048
+      val sk = ev.agg(GraftFunctions.cms_sketch_agg(col("event_type"), depth, width).as("_sk"))
+        .withColumn("_w", GraftFunctions.cms_export(col("_sk")))
+        .localCheckpoint() // 1 row; cells, cross-join, and import all reuse it
+      val cells = sk.select(explode(col("_w.cells")).as("_c"))
+        .select(col("_c.d").as("d"), col("_c.w").as("w"), col("_c.n").as("n"))
+      val types = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      val pos = types.select(col("event_type"),
+        posexplode(GraftFunctions.cms_positions(col("event_type"), depth, width))
+          .as(Seq("d", "w")))
+      // absent cell = 0 (sparse export): left join, coalesce, min over rows
+      val replayed = pos.join(cells, Seq("d", "w"), "left")
+        .groupBy(col("event_type"))
+        .agg(min(coalesce(col("n"), lit(0L))).as("_replayed"))
+      types.join(replayed, Seq("event_type"))
+        .crossJoin(broadcast(sk))
+        .select(col("event_type"), col("exact_n"),
+          (GraftFunctions.cms_import(col("_w")) === col("_sk")).as("roundtrip_exact"),
+          (col("_replayed") ===
+            GraftFunctions.cms_query(col("_sk"), col("event_type"))).as("replay_exact"),
+          (GraftFunctions.cms_query(col("_sk"), col("event_type"))
+            === col("exact_n")).as("est_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     "hll_kmv_wire_roundtrip" -> ((s, dir) => {
       val ev = events(s, dir)
       val kk = 1024
@@ -3070,6 +3127,44 @@ object SparkEntry {
           graft.operators.TextAnalysis.langIdFrom(col("_ts")).as("lang_pred"),
           graft.operators.TextAnalysis.qualityScoreFrom(col("_ts")).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HTML-to-text extraction — the first transform of every crawl pipeline.
+    // Each document is wrapped in a deterministic page skeleton (head/style
+    // block, comment, h1, script with markup-looking JS, entity showcase;
+    // raw & and < in the body escaped, as any real serializer would), then
+    // the single-pass native `html_to_text` recovers the visible text. The
+    // oracle rebuilds the SAME page in SQL and replays the extraction as a
+    // regex/REPLACE chain — full-string hash compare, so tag stripping,
+    // script/comment elision, entity decoding, and whitespace collapse all
+    // have to agree byte-for-byte. Map-only scalar: safe on a 100 TB scan.
+    "tx_html_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val esc = regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;")
+      val html = concat(
+        lit("<html><head><title>doc</title><style type=\"text/css\">p { color: #333; }</style></head><body><!-- id "),
+        col("doc_id").cast("string"),
+        lit(" --><h1>"), col("source"),
+        lit("</h1>\n<p>"), esc,
+        lit("</p><script type=\"text/javascript\">var n = 1 < 2 && \"</p>\";</script><div>&quot;fin&quot;&nbsp;&#8212;&nbsp;ok</div></body></html>"))
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.htmlToText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode cleanup — NFC canonical composition + C0/DEL control strip
+    // (keeping tab/newline/CR). The input plants the classic hazards after
+    // each document: combining acute (e+U+0301), the ANGSTROM SIGN singleton
+    // (U+212B -> U+00C5), control bytes, A+combining ring. DuckDB replays
+    // with its own nfc_normalize + the same RE2 class — two independent
+    // Unicode implementations must produce identical strings.
+    "tx_unicode_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val messy = concat(col("text"),
+        lit(" Cafe\u0301 \u212B over\u0002flow\u0007 A\u030A"))
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.unicodeClean(messy).as("cleaned"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3133,6 +3228,10 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS wire_exact, TRUE AS roundtrip_exact,
         |  TRUE AS replay_exact, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hll_cms_wire_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS exact_n,
+        |  TRUE AS roundtrip_exact, TRUE AS replay_exact, TRUE AS est_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hll_kmv_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -4163,6 +4262,52 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_price
+        |FROM lineitem WHERE l_quantity > 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // html_to_text replayed as a regex/REPLACE chain over the SAME page
+    // construction (escape & and < first, wrap in skeleton, strip scripts/
+    // styles/comments/tags, decode entities with &amp; last, collapse ASCII
+    // whitespace) — full-string equality via the hash compare
+    "tx_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title><style type="text/css">p { color: #333; }</style></head><body><!-- id '
+        |    || CAST(doc_id AS VARCHAR) || ' --><h1>' || source || '</h1>' || CHR(10) || '<p>'
+        |    || REPLACE(REPLACE(text, '&', '&amp;'), '<', '&lt;')
+        |    || '</p><script type="text/javascript">var n = 1 < 2 && "</p>";</script><div>&quot;fin&quot;&nbsp;&#8212;&nbsp;ok</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |strip AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+        |      '<script[^>]*>.*?</script>', ' ', 'gs'),
+        |      '<style[^>]*>.*?</style>', ' ', 'gs'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]*>', ' ', 'g') AS t
+        |  FROM h),
+        |dec AS (
+        |  SELECT doc_id,
+        |    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+        |      '&#8212;', CHR(8212)),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&apos;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM strip)
+        |SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(t, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS extracted
+        |FROM dec ORDER BY doc_id""".stripMargin,
+    // independent Unicode implementation: DuckDB's nfc_normalize + the same
+    // RE2 control class must produce byte-identical strings
+    "tx_unicode_clean" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(
+        |    NFC_NORMALIZE(text || ' Cafe' || CHR(769) || ' ' || CHR(8491)
+        |                  || ' over' || CHR(2) || 'flow' || CHR(7) || ' A' || CHR(778)),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -76,6 +76,19 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
 }
 
 object CmsSketch {
+  /** The counter cells item hits, one per row: `w(d) = floorMod(h1+d*h2,
+    * width)` (Kirsch-Mitzenmacher; see WIRE.md). Engine-portable query
+    * handshake: engine A ships positions alongside exported counters so
+    * engine B can answer `min(counter[d][w(d)])` with NO murmur
+    * implementation of its own.
+    */
+  def positions(item: String, depth: Int, width: Int): Array[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c).toLong
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(item, 0x85ebca6b).toLong | 1L
+    Array.tabulate(depth)(d =>
+      java.lang.Math.floorMod(h1 + d.toLong * h2, width.toLong).toInt)
+  }
+
   def deserialize(bytes: Array[Byte]): CmsSketch = {
     require(bytes.length >= 16, s"cms buffer truncated: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -156,4 +169,134 @@ case class CmsQuery(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
     copy(left = l, right = r)
   override def prettyName: String = "cms_query"
+}
+
+/** CMS row-wire layout (see WIRE.md): header params + the NON-ZERO counter
+  * cells as plain SQL rows. Sparse on purpose — a depth×width table whose
+  * width far exceeds the distinct-key count (the recommended sizing) is
+  * mostly zeros, and any engine can merge exports by summing cell counts
+  * grouped on (d, w).
+  */
+object CmsWire {
+  val cellType: StructType = StructType(Seq(
+    StructField("d", IntegerType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  val wireType: StructType = StructType(Seq(
+    StructField("depth", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("cells", ArrayType(cellType, containsNull = false), nullable = false)))
+
+  /** Structural acceptance (names may differ — same rule as HllWire). */
+  private[functions] def accepts(dt: DataType): Boolean = dt match {
+    case StructType(Array(a, b, c, d)) =>
+      a.dataType == IntegerType && b.dataType == IntegerType &&
+        c.dataType == LongType && (d.dataType match {
+          case ArrayType(StructType(Array(x, y, z)), _) =>
+            x.dataType == IntegerType && y.dataType == IntegerType &&
+              z.dataType == LongType
+          case _ => false
+        })
+    case _ => false
+  }
+}
+
+/** `cms_export(sketch)` -> struct(depth, width, total, cells): the non-zero
+  * counters as plain SQL data, cells ordered by (d, w) ascending so the
+  * export is deterministic. See [[CmsWire]].
+  */
+case class CmsExport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+  override def dataType: DataType = CmsWire.wireType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = CmsSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    val cells = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < s.counts.length) {
+      if (s.counts(i) != 0L)
+        cells += InternalRow(i / s.width, i % s.width, s.counts(i))
+      i += 1
+    }
+    InternalRow(s.depth, s.width, s.total,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(cells.toArray))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CmsExport = copy(child = c)
+  override def prettyName: String = "cms_export"
+}
+
+/** `cms_import(wireStruct)` -> Binary: rebuild a stored sketch from exported
+  * cells. Inverse of [[CmsExport]] (import(export(s)) serializes
+  * byte-identically). Duplicate (d, w) cells fold ADDITIVELY — CMS merge is
+  * element-wise addition, so concatenating two sketches' exports and
+  * importing yields their merged sketch.
+  */
+case class CmsImport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (CmsWire.accepts(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(depth INT, width INT, total BIGINT, " +
+        s"cells ARRAY<STRUCT<d INT, w INT, n BIGINT>>), got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val depth = row.getInt(0)
+    val width = row.getInt(1)
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"cms_import: header out of range: depth=$depth width=$width")
+    val s = new CmsSketch(depth, width)
+    s.total = row.getLong(2)
+    val cells = row.getArray(3)
+    var i = 0
+    while (i < cells.numElements()) {
+      val c = cells.getStruct(i, 3)
+      val d = c.getInt(0)
+      val w = c.getInt(1)
+      require(d >= 0 && d < depth && w >= 0 && w < width,
+        s"cms_import: cell ($d,$w) outside ${depth}x$width")
+      s.counts(d * width + w) += c.getLong(2)
+      i += 1
+    }
+    s.serialize()
+  }
+
+  override protected def withNewChildInternal(c: Expression): CmsImport = copy(child = c)
+  override def prettyName: String = "cms_import"
+}
+
+/** `cms_positions(item, depth, width)` -> ARRAY<INT>: the counter column the
+  * item hashes to in each of the `depth` rows. Pairs with [[CmsExport]] to
+  * make point queries engine-portable: ship (positions, cells) and any
+  * engine answers `min over d of cells[d][positions[d]]` (absent cell = 0)
+  * with no murmur implementation — see the DuckDB replay in WIRE.md.
+  */
+case class CmsPositions(child: Expression, depth: Int, width: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
+    else if (depth < 1 || depth > 16 || width < 2)
+      TypeCheckResult.TypeCheckFailure(s"need 1 <= depth <= 16 and width >= 2, got depth=$depth width=$width")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CmsSketch.positions(v.asInstanceOf[UTF8String].toString, depth, width)
+        .map(_.asInstanceOf[Any]))
+
+  override protected def withNewChildInternal(c: Expression): CmsPositions = copy(child = c)
+  override def prettyName: String = "cms_positions"
 }

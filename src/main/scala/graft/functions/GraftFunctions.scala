@@ -128,6 +128,24 @@ object GraftFunctions {
   def cms_query(sketch: Column, item: Column): Column =
     GraftShims.column(CmsQuery(e(sketch), e(str(item))))
 
+  /** Engine-portable export: struct(depth, width, total, cells) — the
+    * non-zero counters as plain SQL data (see [[CmsWire]]).
+    */
+  def cms_export(col: Column): Column =
+    GraftShims.column(CmsExport(e(col)))
+
+  /** Rebuild a stored sketch from exported cells; duplicate (d, w) cells
+    * fold additively, so unioned exports import to the merged sketch.
+    */
+  def cms_import(col: Column): Column =
+    GraftShims.column(CmsImport(e(col)))
+
+  /** Per-row counter positions for an item — ships alongside [[cms_export]]
+    * so engines without the murmur hash can replay point queries.
+    */
+  def cms_positions(item: Column, depth: Int = 5, width: Int = 2048): Column =
+    GraftShims.column(CmsPositions(e(str(item)), depth, width))
+
   /** Greenwald-Khanna quantile summary as a stored BinaryType value (rank
     * error <= relativeError × n): store per-(day, group) sketches once,
     * answer any later percentile at any rollup via [[gk_union_agg]] +
@@ -266,6 +284,13 @@ object GraftFunctions {
     },
     "cms_query" ->
       ((args: Seq[Expression]) => CmsQuery(args(0), PyStrCoerce(args(1)))),
+    "cms_export" -> ((args: Seq[Expression]) => CmsExport(args.head)),
+    "cms_import" -> ((args: Seq[Expression]) => CmsImport(args.head)),
+    "cms_positions" -> { (args: Seq[Expression]) =>
+      val depth = if (args.length > 1) intArg(args(1), "depth") else 5
+      val width = if (args.length > 2) intArg(args(2), "width") else 2048
+      CmsPositions(PyStrCoerce(args.head), depth, width)
+    },
     "gk_sketch_agg" -> { (args: Seq[Expression]) =>
       val relErr = if (args.length > 1) {
         require(args(1).foldable, "gk_sketch_agg relativeError must be a literal")
@@ -320,6 +345,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => CompressionRatio(args.head)),
     "bigram_repetition" ->
       ((args: Seq[Expression]) => BigramRepetition(args.head)),
+    "html_to_text" -> ((args: Seq[Expression]) => HtmlToText(args.head)),
+    "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
     "repeated_span_stats" ->
       ((args: Seq[Expression]) => RepeatedSpanStats(args.head)),
     // interleave_bits(r1, r2[, r3[, r4]][, bits]): a trailing foldable

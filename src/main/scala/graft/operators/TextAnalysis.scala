@@ -140,6 +140,37 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = qualityScoreFrom(textStats(text))
 
+  /** Crawl-grade HTML-to-text extraction (single-pass native expression):
+    * drops comments and script/style bodies, turns tags into word
+    * boundaries, decodes the core entities, collapses ASCII whitespace.
+    * See [[graft.functions.HtmlToText]] for the exact rules the DuckDB
+    * oracle replays.
+    */
+  def htmlToText(html: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HtmlToText(
+        org.apache.spark.sql.graftshim.GraftShims.expression(html)))
+
+  /** Unicode NFC normalization (canonical composition) — same name and
+    * semantics as DuckDB's `nfc_normalize`, so oracles replay it verbatim.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftshim.GraftShims.expression(text)))
+
+  // C0 controls except \t \n \r, plus DEL — the characters a clean corpus
+  // never wants; RE2-compatible class so the oracle strips the same set.
+  private val controlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Standard text-cleanup pass: NFC-normalize, then strip C0/C1 control
+    * characters (keeping tab/newline/CR). Composition of the native NFC
+    * expression with the codegen'd `regexp_replace`; both steps replay
+    * identically in DuckDB (`nfc_normalize` + the same RE2 class).
+    */
+  def unicodeClean(text: Column): Column =
+    regexp_replace(nfcNormalize(text), controlClass, "")
+
   /** 64-bit document fingerprint over whitespace-normalized, lowercased text
     * (xxhash64 — codegen'd). Equal fingerprints = exact near-normalized dups.
     */
