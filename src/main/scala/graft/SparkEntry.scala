@@ -2242,6 +2242,90 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // GK row wire: export the complete quantile-summary state (the textbook
+    // (v, g, delta) tuples), replay the median query from those rows with
+    // the classic GK rank rule, and verify BOTH the replayed answer and
+    // gk_quantile's own answer sit within rank relErr*n of the true median
+    // against the raw data. The bound is the GK theorem (post-compress
+    // max(g+delta) <= 2*relErr*n), so every boolean is hard TRUE.
+    "hll_gk_wire_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = t(s, dir, "lineitem")
+      val relErr = 0.01
+      val qv = 0.5
+      val sk = l.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.gk_sketch_agg(col("l_quantity"), relErr).as("_sk"),
+          count(lit(1)).as("exact_n"))
+        .withColumn("_w", GraftFunctions.gk_export(col("_sk")))
+        .localCheckpoint()
+      // classic GK answer from the exported tuples alone: first tuple (in
+      // value order) whose [minRank, minRank+delta] sits within rank +- eps
+      val tup = sk.select(col("l_returnflag"),
+          col("_w.count").as("_cnt"), col("_w.rel_err").as("_re"),
+          posexplode(col("_w.tuples")).as(Seq("_i", "_t")))
+        .withColumn("_minRank",
+          sum(col("_t.g")).over(Window.partitionBy("l_returnflag").orderBy("_i")))
+        .withColumn("_rank", ceil(lit(qv) * col("_cnt")))
+        .withColumn("_eps", col("_re") * col("_cnt"))
+      val firstHit = tup.filter(
+          (col("_minRank") + col("_t.delta") - col("_eps") <= col("_rank")) &&
+          (col("_rank") <= col("_minRank") + col("_eps")))
+        .groupBy(col("l_returnflag"))
+        .agg(min_by(col("_t.v"), col("_i")).as("_hit"))
+      val lastV = tup.groupBy(col("l_returnflag"))
+        .agg(max_by(col("_t.v"), col("_i")).as("_last"))
+      val replay = lastV.join(firstHit, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), coalesce(col("_hit"), col("_last")).as("_replay"))
+      val both = sk.join(replay, Seq("l_returnflag"))
+        .withColumn("_gkv", GraftFunctions.gk_quantile(col("_sk"), lit(qv)))
+      // true rank brackets of each answer, from the raw column
+      val ranks = l.select(col("l_returnflag"), col("l_quantity"))
+        .join(broadcast(both.select(col("l_returnflag"), col("_replay"), col("_gkv"))),
+          Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") < col("_replay"), 1L).otherwise(0L)).as("_rep_lt"),
+          sum(when(col("l_quantity") <= col("_replay"), 1L).otherwise(0L)).as("_rep_le"),
+          sum(when(col("l_quantity") < col("_gkv"), 1L).otherwise(0L)).as("_gk_lt"),
+          sum(when(col("l_quantity") <= col("_gkv"), 1L).otherwise(0L)).as("_gk_le"))
+      def inBound(lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val rank = ceil(lit(qv) * n)
+        val eps = lit(relErr) * n
+        (rank - eps <= le) && (lt + lit(1L) <= rank + eps)
+      }
+      both.join(ranks, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_n"),
+          (GraftFunctions.gk_import(col("_w")) === col("_sk")).as("roundtrip_exact"),
+          inBound(col("_rep_lt"), col("_rep_le"), col("exact_n")).as("replay_in_bound"),
+          inBound(col("_gk_lt"), col("_gk_le"), col("exact_n")).as("gk_in_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Misra-Gries row wire: stored-binary MG sketch on event_type at a
+    // capacity above the distinct count (the exact regime — results are
+    // partition-order independent), exported entries joined against the
+    // exact counts; semantic roundtrip through topk_import. The oracle
+    // recomputes every (item, count) pair from raw events.
+    "hll_topk_wire_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.agg(GraftFunctions.topk_sketch_agg(col("event_type"), 64).as("_sk"))
+        .withColumn("_w", GraftFunctions.topk_export(col("_sk")))
+        .localCheckpoint()
+      val entries = sk.select(
+          (GraftFunctions.topk_export(GraftFunctions.topk_import(col("_w")))
+            === col("_w")).as("roundtrip_exact"),
+          explode(col("_w.entries")).as("_e"))
+        .select(col("_e.item").as("event_type"), col("_e.n").as("mg_n"),
+          col("roundtrip_exact"))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      entries.join(exact, Seq("event_type"), "full")
+        .select(col("event_type"), col("exact_n"),
+          (col("mg_n") === col("exact_n")).as("mg_exact"),
+          col("roundtrip_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     "hll_kmv_wire_roundtrip" -> ((s, dir) => {
       val ev = events(s, dir)
       val kk = 1024
@@ -2417,6 +2501,36 @@ object SparkEntry {
           round(min(col("_n")), 4).as("norm_min"),
           round(avg(col("_n")), 4).as("norm_avg"),
           round(max(col("_n")), 4).as("norm_max"))
+    }),
+
+    // Affine int8 embedding quantization — 1 byte/dim vs 4 (the difference
+    // between a 100 TB and a 25 TB embedding store). One map-side-combined
+    // calibration pass (vec_minmax_agg), then map-only quantize/dequantize.
+    // The oracle independently re-derives every per-dimension (mn, mx) via
+    // unnest+group, and bound_ok asserts the analytic guarantee Spark-side:
+    // every vector reconstructs within half a quantization step in EVERY
+    // dimension (hard TRUE — it is a theorem, not a tolerance).
+    "sim_int8_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mm = emb.agg(GraftFunctions.vec_minmax_agg(col("embedding")).as("_r"),
+          count(lit(1)).as("n_vecs")).localCheckpoint()
+      val deq = GraftFunctions.vec_dequantize8(
+        GraftFunctions.vec_quantize8(col("embedding"), col("_r")), col("_r"))
+      val rowOk = forall(
+        zip_with(
+          zip_with(col("embedding").cast("array<double>"), deq,
+            (a, b) => abs(a - b)),
+          transform(col("_r"),
+            r => (r.getField("mx") - r.getField("mn")) / lit(510.0) + lit(1e-9)),
+          (err, half) => err <= half),
+        x => x)
+      val ok = emb.crossJoin(broadcast(mm))
+        .agg(min(rowOk).as("bound_ok"))
+      mm.select(col("n_vecs"), posexplode(col("_r")).as(Seq("pos", "r")))
+        .select(col("pos"), round(col("r.mn"), 6).as("mn"),
+          round(col("r.mx"), 6).as("mx"), col("n_vecs"))
+        .crossJoin(broadcast(ok))
+        .orderBy(col("pos"))
     }),
 
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -3233,6 +3347,14 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS exact_n,
         |  TRUE AS roundtrip_exact, TRUE AS replay_exact, TRUE AS est_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hll_gk_wire_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS exact_n, TRUE AS roundtrip_exact,
+        |  TRUE AS replay_in_bound, TRUE AS gk_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_topk_wire_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS exact_n, TRUE AS mg_exact,
+        |  TRUE AS roundtrip_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hll_kmv_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |nd AS (SELECT event_type, COUNT(*) AS nd FROM ut GROUP BY event_type),
@@ -3478,6 +3600,20 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), 0.9),
         |  (1, 10, 0.8), (2, 10, 0.9), (3, 10, 1.0), (4, 10, 0.9))
         |t(query_id, n_results, recall_at_10) ORDER BY query_id""".stripMargin,
+    // per-dimension calibration re-derived from raw lists; the bound is a
+    // theorem, so bound_ok is a hard TRUE
+    "sim_int8_quantize" ->
+      """WITH u AS (
+        |  SELECT unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT i - 1 AS pos, MIN(x) AS mn0, MAX(x) AS mx0
+        |  FROM u GROUP BY i),
+        |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+        |SELECT pos, ROUND(CAST(mn0 AS DOUBLE), 6) AS mn,
+        |  ROUND(CAST(mx0 AS DOUBLE), 6) AS mx, n_vecs, TRUE AS bound_ok
+        |FROM d, n ORDER BY pos""".stripMargin,
     "sim_embedding_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |  CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,

@@ -193,3 +193,110 @@ case class GkQuantile(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "gk_quantile"
 }
+
+/** GK row-wire layout (see WIRE.md): the summary's COMPLETE state — header
+  * params + the Greenwald-Khanna tuples — as plain SQL data. The tuples are
+  * the textbook (value, g, delta) triples in value order, so any GK
+  * implementation can merge them or answer rank queries within
+  * relativeError × count; no Spark types on the wire.
+  */
+object GkWire {
+  val tupleType: StructType = StructType(Seq(
+    StructField("v", DoubleType, nullable = false),
+    StructField("g", LongType, nullable = false),
+    StructField("delta", LongType, nullable = false)))
+  val wireType: StructType = StructType(Seq(
+    StructField("rel_err", DoubleType, nullable = false),
+    StructField("threshold", IntegerType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("tuples", ArrayType(tupleType, containsNull = false), nullable = false)))
+
+  /** Structural acceptance (names may differ — same rule as HllWire). */
+  private[functions] def accepts(dt: DataType): Boolean = dt match {
+    case StructType(Array(a, b, c, d)) =>
+      a.dataType == DoubleType && b.dataType == IntegerType &&
+        c.dataType == LongType && (d.dataType match {
+          case ArrayType(StructType(Array(x, y, z)), _) =>
+            x.dataType == DoubleType && y.dataType == LongType &&
+              z.dataType == LongType
+          case _ => false
+        })
+    case _ => false
+  }
+}
+
+/** `gk_export(sketch)` -> struct(rel_err, threshold, count, tuples): the
+  * complete summary state as SQL rows (see [[GkWire]]). Tuples keep their
+  * value order; import(export(s)) serializes byte-identically.
+  */
+case class GkExport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+  override def dataType: DataType = GkWire.wireType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = GkBuffer.deserialize(v.asInstanceOf[Array[Byte]]).compressed()
+    val out = new Array[Any](s.sampled.length)
+    var i = 0
+    while (i < s.sampled.length) {
+      val st = s.sampled(i)
+      out(i) = InternalRow(st.value, st.g, st.delta)
+      i += 1
+    }
+    InternalRow(s.relativeError, s.compressThreshold, s.count,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): GkExport = copy(child = c)
+  override def prettyName: String = "gk_export"
+}
+
+/** `gk_import(wireStruct)` -> Binary: rebuild a stored summary from the
+  * portable tuple listing. Inverse of [[GkExport]]; tuples must be in
+  * ascending value order (the GK invariant — enforced, because a scrambled
+  * summary would silently answer wrong ranks).
+  */
+case class GkImport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GkWire.accepts(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(rel_err DOUBLE, threshold INT, count BIGINT, " +
+        s"tuples ARRAY<STRUCT<v DOUBLE, g BIGINT, delta BIGINT>>), got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val relErr = row.getDouble(0)
+    val threshold = row.getInt(1)
+    val count = row.getLong(2)
+    val ts = row.getArray(3)
+    require(relErr > 0.0 && relErr < 1.0, s"gk_import: rel_err $relErr not in (0, 1)")
+    val sampled = new Array[Stats](ts.numElements())
+    var i = 0
+    var gSum = 0L
+    while (i < sampled.length) {
+      val t = ts.getStruct(i, 3)
+      val st = Stats(t.getDouble(0), t.getLong(1), t.getLong(2))
+      require(i == 0 || st.value >= sampled(i - 1).value,
+        s"gk_import: tuples out of value order at $i (${st.value} < ${sampled(i - 1).value})")
+      require(st.g >= 0 && st.delta >= 0, s"gk_import: negative g/delta at $i")
+      gSum += st.g
+      sampled(i) = st
+      i += 1
+    }
+    require(gSum <= count,
+      s"gk_import: sum of g ($gSum) exceeds count ($count) — corrupt summary")
+    val b = new GkBuffer(relErr)
+    b.summaries = new QuantileSummaries(threshold, relErr, sampled, count, true)
+    b.serialize()
+  }
+
+  override protected def withNewChildInternal(c: Expression): GkImport = copy(child = c)
+  override def prettyName: String = "gk_import"
+}

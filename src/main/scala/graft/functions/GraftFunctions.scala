@@ -116,6 +116,13 @@ object GraftFunctions {
   def approx_top_k(col: Column, k: Int = 10, capacity: Int = 1024): Column =
     aggCol(ApproxTopK(e(str(col)), k, capacity))
 
+  /** Stored-binary Misra-Gries sketch (the warehouse variant of
+    * [[approx_top_k]]): merge later with [[topk_import]]/[[topk_export]]
+    * row wires or re-aggregate, finalize with `topk_export(...).entries`.
+    */
+  def topk_sketch_agg(col: Column, capacity: Int = 1024): Column =
+    aggCol(TopKSketchAgg(e(str(col)), capacity))
+
   /** Count-Min frequency sketch as a BinaryType value: point-queryable,
     * mergeable frequency estimates for arbitrary keys (never undercounts;
     * overcount <= 2n/width w.p. 1 - 2^-depth). Complements [[approx_top_k]]
@@ -146,6 +153,23 @@ object GraftFunctions {
   def cms_positions(item: Column, depth: Int = 5, width: Int = 2048): Column =
     GraftShims.column(CmsPositions(e(str(item)), depth, width))
 
+  /** Per-dimension (mn, mx) calibration of an embedding corpus in one
+    * map-side-combined pass — the range table affine int8 quantization
+    * needs (see [[VecMinMaxAgg]]).
+    */
+  def vec_minmax_agg(col: Column): Column =
+    aggCol(VecMinMaxAgg(e(col)))
+
+  /** Affine int8 quantization of a vector against a calibration range
+    * table: 1 byte/dim, reconstruction error <= step/2 per dimension.
+    */
+  def vec_quantize8(vec: Column, ranges: Column): Column =
+    GraftShims.column(VecQuantize8(e(vec), e(ranges)))
+
+  /** Reconstruction inverse of [[vec_quantize8]]. */
+  def vec_dequantize8(bytes: Column, ranges: Column): Column =
+    GraftShims.column(VecDequantize8(e(bytes), e(ranges)))
+
   /** Greenwald-Khanna quantile summary as a stored BinaryType value (rank
     * error <= relativeError × n): store per-(day, group) sketches once,
     * answer any later percentile at any rollup via [[gk_union_agg]] +
@@ -161,6 +185,30 @@ object GraftFunctions {
   /** Approximate quantile q in [0,1] from a stored GK summary. */
   def gk_quantile(sketch: Column, q: Column): Column =
     GraftShims.column(GkQuantile(e(sketch), e(q.cast("double"))))
+
+  /** Engine-portable export: struct(rel_err, threshold, count, tuples) —
+    * the complete GK state as plain SQL data (see [[GkWire]]).
+    */
+  def gk_export(col: Column): Column =
+    GraftShims.column(GkExport(e(col)))
+
+  /** Rebuild a stored summary from exported tuples; inverse of
+    * [[gk_export]] (byte-identical), value order enforced.
+    */
+  def gk_import(col: Column): Column =
+    GraftShims.column(GkImport(e(col)))
+
+  /** Engine-portable export: struct(capacity, entries) — the retained
+    * Misra-Gries counters as plain SQL data (see [[TopKWire]]).
+    */
+  def topk_export(col: Column): Column =
+    GraftShims.column(TopKExport(e(col)))
+
+  /** Rebuild a stored MG sketch from exported entries; duplicates fold
+    * additively with the standard decrement when over capacity.
+    */
+  def topk_import(col: Column): Column =
+    GraftShims.column(TopKImport(e(col)))
 
   /** KMV bottom-k distinct sketch as a stored BinaryType value: exact below
     * k, RSE ~ 1/sqrt(k-2) beyond, and — unlike HLL — supports NATIVE set
@@ -291,6 +339,12 @@ object GraftFunctions {
       val width = if (args.length > 2) intArg(args(2), "width") else 2048
       CmsPositions(PyStrCoerce(args.head), depth, width)
     },
+    "vec_minmax_agg" ->
+      ((args: Seq[Expression]) => VecMinMaxAgg(args.head).toAggregateExpression()),
+    "vec_quantize8" ->
+      ((args: Seq[Expression]) => VecQuantize8(args(0), args(1))),
+    "vec_dequantize8" ->
+      ((args: Seq[Expression]) => VecDequantize8(args(0), args(1))),
     "gk_sketch_agg" -> { (args: Seq[Expression]) =>
       val relErr = if (args.length > 1) {
         require(args(1).foldable, "gk_sketch_agg relativeError must be a literal")
@@ -307,6 +361,14 @@ object GraftFunctions {
       ((args: Seq[Expression]) => GkUnionAgg(args.head).toAggregateExpression()),
     "gk_quantile" ->
       ((args: Seq[Expression]) => GkQuantile(args(0), Cast(args(1), DoubleType))),
+    "gk_export" -> ((args: Seq[Expression]) => GkExport(args.head)),
+    "gk_import" -> ((args: Seq[Expression]) => GkImport(args.head)),
+    "topk_export" -> ((args: Seq[Expression]) => TopKExport(args.head)),
+    "topk_import" -> ((args: Seq[Expression]) => TopKImport(args.head)),
+    "topk_sketch_agg" -> { (args: Seq[Expression]) =>
+      val cap = if (args.length > 1) intArg(args(1), "capacity") else 1024
+      TopKSketchAgg(PyStrCoerce(args.head), cap).toAggregateExpression()
+    },
     "kmv_sketch_agg" -> { (args: Seq[Expression]) =>
       val k = if (args.length > 1) intArg(args(1), "k") else 1024
       KmvSketchAgg(PyStrCoerce(args.head), k).toAggregateExpression()

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -143,4 +144,139 @@ case class ApproxTopK(
   override def withNewInputAggBufferOffset(o: Int): ApproxTopK = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): ApproxTopK = copy(child = c)
   override def prettyName: String = "approx_top_k"
+}
+
+/** `topk_sketch_agg(col, capacity)` -> BinaryType stored MG sketch — the
+  * sketch-warehouse variant of [[ApproxTopK]] (store per-(day, group)
+  * sketches once, merge and read top-k at any later rollup). Same state,
+  * same merge; eval keeps the bytes instead of finalizing to an array.
+  */
+case class TopKSketchAgg(
+    child: Expression,
+    capacity: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
+    else if (capacity < 1)
+      TypeCheckResult.TypeCheckFailure(s"need capacity >= 1, got $capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKSketch = new TopKSketch(capacity)
+
+  override def update(buffer: TopKSketch, input: InternalRow): TopKSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(b1: TopKSketch, b2: TopKSketch): TopKSketch = b1.merge(b2)
+  override def eval(buffer: TopKSketch): Any = buffer.serialize()
+  override def serialize(buffer: TopKSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKSketch = TopKSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TopKSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TopKSketchAgg = copy(child = c)
+  override def prettyName: String = "topk_sketch_agg"
+}
+
+/** Misra-Gries row-wire layout (see WIRE.md): capacity + the retained
+  * (item, count) entries, ordered by (count DESC, item ASC) so the export
+  * is deterministic even though the in-memory hash map is not.
+  */
+object TopKWire {
+  val entryType: StructType = StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  val wireType: StructType = StructType(Seq(
+    StructField("capacity", IntegerType, nullable = false),
+    StructField("entries", ArrayType(entryType, containsNull = false), nullable = false)))
+
+  /** Structural acceptance (names may differ — same rule as HllWire). */
+  private[functions] def accepts(dt: DataType): Boolean = dt match {
+    case StructType(Array(a, b)) =>
+      a.dataType == IntegerType && (b.dataType match {
+        case ArrayType(StructType(Array(x, y)), _) =>
+          x.dataType == StringType && y.dataType == LongType
+        case _ => false
+      })
+    case _ => false
+  }
+}
+
+/** `topk_export(sketch)` -> struct(capacity, entries): the retained MG
+  * counters as plain SQL data, (count DESC, item ASC) ordered. Two sketches'
+  * exports merge in any engine by summing counts per item and applying the
+  * standard MG decrement when over capacity; [[TopKImport]] is the inverse
+  * (semantic — the byte wire's map order is not canonical, so roundtrip
+  * identity is export(import(export(s))) == export(s)).
+  */
+case class TopKExport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch input, got ${child.dataType.sql}")
+  override def dataType: DataType = TopKWire.wireType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = TopKSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    val sorted = s.topK(Int.MaxValue) // (count DESC, item ASC) — all entries
+    val out = new Array[Any](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      out(i) = InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sorted(i)._1),
+        sorted(i)._2)
+      i += 1
+    }
+    InternalRow(s.capacity,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopKExport = copy(child = c)
+  override def prettyName: String = "topk_export"
+}
+
+/** `topk_import(wireStruct)` -> Binary: rebuild a stored MG sketch from
+  * exported entries. Duplicate items fold additively; if the entry set
+  * exceeds capacity the standard MG decrement applies (the same rule the
+  * aggregate's merge uses), so unioned exports import to a valid summary.
+  */
+case class TopKImport(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (TopKWire.accepts(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(capacity INT, entries ARRAY<STRUCT<item STRING, " +
+        s"n BIGINT>>), got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val capacity = row.getInt(0)
+    require(capacity >= 1, s"topk_import: capacity must be >= 1, got $capacity")
+    val s = new TopKSketch(capacity)
+    val es = row.getArray(1)
+    var i = 0
+    while (i < es.numElements()) {
+      val e = es.getStruct(i, 2)
+      val n = e.getLong(1)
+      require(n > 0, s"topk_import: non-positive count at $i")
+      s.add(e.getUTF8String(0).toString, n)
+      i += 1
+    }
+    s.serialize()
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopKImport = copy(child = c)
+  override def prettyName: String = "topk_import"
 }
