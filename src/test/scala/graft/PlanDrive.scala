@@ -11,7 +11,8 @@ object PlanDrive {
         "hll_parts_by_returnflag", "tx_word_topk", "q_funnel", "q_upsert_orders",
         "hll_cms_event_counts", "q_join_size_estimate",
         "hll_kmv_overlap", "tx_sequence_pack",
-        "q_bucketed_join", "q_domain_cap", "q_tpch_q21", "tx_vocab_growth")) {
+        "q_bucketed_join", "q_domain_cap", "q_tpch_q21", "tx_vocab_growth",
+        "tx_html_extract", "sim_int8_quantize", "hll_gk_wire_roundtrip")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

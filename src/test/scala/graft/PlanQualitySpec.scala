@@ -225,7 +225,14 @@ class PlanQualitySpec extends AnyFunSuite {
       // incremental-snapshot summary: delta counts x pair-audit 1-row aggs
       "dd_incremental_snapshot",
       // semantic dedup: the drop list crosses the 1-row surviving-count agg
-      "dd_semantic_keep")
+      "dd_semantic_keep",
+      // CMS row wire: the 1-row sketch+export crosses into the per-type
+      // replay; GK row wire broadcasts the per-group answers into the
+      // rank-bracket scan (3 rows)
+      "hll_cms_wire_roundtrip", "hll_gk_wire_roundtrip",
+      // int8 quantization: the 1-row calibration aggregate crosses into
+      // the corpus for the bound check and into the 1-row bound verdict
+      "sim_int8_quantize")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
