@@ -1880,6 +1880,27 @@ object SparkEntry {
     // split, so the DuckDB oracle replays EVERYTHING: pairs brute-forced,
     // components via recursive-CTE transitive closure (first direct oracle
     // over the clustering machinery), splits with integer arithmetic.
+    // Rendezvous (HRW) shard assignment: elastic resharding for bucketed
+    // layouts — growing 8 shards to 9 moves ONLY the keys whose new shard
+    // wins the argmax (every mover lands on shard 8; expected 1/9 of the
+    // corpus), where modulo sharding would reshuffle ~8/9 of every shard.
+    // md5-based so the DuckDB oracle replays the assignment verbatim; the
+    // per-shard counts AND the exact mover counts are all hash-compared.
+    "dd_rendezvous_shard" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("shard8") =!= col("shard9")).cast("long")).as("moved"),
+          // HRW theorem: a key moves under n -> n+1 ONLY to the new shard
+          min(col("shard9") === col("shard8") || col("shard9") === 8)
+            .as("moves_only_to_new"))
+        .orderBy(col("shard8"))
+    }),
+
     "dd_leakage_split" -> ((s, dir) => {
       import graft.operators.{Dedup, Sampling}
       val d = t(s, dir, "documents")
@@ -4027,6 +4048,19 @@ object SparkEntry {
         |FROM ranked r JOIN tot t ON r.source = t.source
         |WHERE rk <= 10
         |GROUP BY t.source, n_docs ORDER BY t.source""".stripMargin,
+    "dd_rendezvous_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id, s,
+        |    MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+        |  FROM documents, UNNEST(GENERATE_SERIES(0, 8)) AS t(s)),
+        |w8 AS (SELECT doc_id, ARG_MAX(s, h) AS shard8 FROM a WHERE s < 8 GROUP BY doc_id),
+        |w9 AS (SELECT doc_id, ARG_MAX(s, h) AS shard9 FROM a GROUP BY doc_id)
+        |SELECT shard8, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+        |  CAST(MIN(CASE WHEN shard9 = shard8 OR shard9 = 8 THEN 1 ELSE 0 END) AS BOOLEAN)
+        |    AS moves_only_to_new
+        |FROM w8 JOIN w9 USING (doc_id)
+        |GROUP BY shard8 ORDER BY shard8""".stripMargin,
     "dd_leakage_split" ->
       """WITH RECURSIVE ws AS (
         |  SELECT doc_id,

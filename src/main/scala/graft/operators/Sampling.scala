@@ -216,4 +216,30 @@ object Sampling {
       .withColumn("mix_rate", col("_rate"))
       .drop("_rate")
   }
+  /** Rendezvous (highest-random-weight) shard assignment: the shard of
+    * `key` is `argmax over s in [0, nShards) of md5(key || ':' || s)`.
+    *
+    * Why HRW instead of `hash(key) % n` at 100 TB: changing the shard
+    * count from n to n+1 reassigns ONLY the keys whose new shard wins the
+    * argmax — an expected 1/(n+1) of the corpus — while modulo reshuffles
+    * (n-1)/n of every shard. Elastic resharding (adding output writers,
+    * growing a bucketed layout) becomes an incremental move of one shard's
+    * worth of data, not a full rewrite. A key's move target under n+1 is
+    * always the NEW shard, so the delta is computable shard-locally.
+    *
+    * md5 (not xxhash) on purpose: every engine has it, so the assignment is
+    * engine-portable and the DuckDB oracle replays it verbatim (hex strings
+    * compare identically under binary collation). Cost is nShards hashes
+    * per key -- inherent to HRW; cap nShards at 4096 and use a two-level
+    * scheme (HRW over shard groups, then within) beyond that.
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"rendezvousShard: nShards must be in [1, 4096], got $nShards")
+    array_max(transform(sequence(lit(0), lit(nShards - 1)),
+        s => struct(
+          md5(concat(key.cast("string"), lit(":"), s.cast("string"))).as("h"),
+          s.as("shard"))))
+      .getField("shard")
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rendezvous (HRW) sharding: the minimal-movement theorem holds exactly,
+  * assignments are balanced, and the md5 basis matches an independent JVM
+  * digest (the engine-portability contract the DuckDB oracle relies on).
+  */
+class RendezvousSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def shards(n: Int, keys: Int): Map[Long, Int] = {
+    import spark.implicits._
+    (0L until keys.toLong).toDF("k")
+      .select(col("k"), Sampling.rendezvousShard(col("k"), n).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("growing n to n+1 moves keys ONLY to the new shard, ~1/(n+1) of them") {
+    for (n <- Seq(4, 8, 16)) {
+      val a = shards(n, 4000)
+      val b = shards(n + 1, 4000)
+      val moved = a.keys.filter(k => a(k) != b(k))
+      moved.foreach(k => assert(b(k) == n, s"key $k moved to ${b(k)}, not the new shard $n"))
+      val frac = moved.size.toDouble / 4000
+      assert(frac > 0.5 / (n + 1) && frac < 2.0 / (n + 1),
+        s"n=$n: moved fraction $frac far from 1/${n + 1}")
+    }
+  }
+
+  test("assignment is balanced and total") {
+    val a = shards(8, 8000)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == (0 until 8).toSet)
+    assert(sizes.values.max < sizes.values.min * 2,
+      s"imbalanced: ${sizes.toMap}")
+  }
+
+  test("md5 basis matches an independent JVM digest (engine portability)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = shards(8, 64)
+    for ((k, got) <- a) {
+      val want = (0 until 8).maxBy(s => hex(s"$k:$s"))
+      assert(got == want, s"key $k: $got != $want")
+    }
+  }
+}
