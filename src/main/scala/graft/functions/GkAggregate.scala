@@ -72,13 +72,19 @@ final class GkBuffer(val relativeError: Double) extends Serializable {
 
 object GkBuffer {
   def deserialize(bytes: Array[Byte]): GkBuffer = {
+    require(bytes.length >= 24, s"gk buffer truncated: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val relErr = bb.getDouble
     val threshold = bb.getInt
     val count = bb.getLong
     val n = bb.getInt
-    require(bytes.length == 24 + 24 * n,
-      s"gk buffer length ${bytes.length} != ${24 + 24 * n} for $n samples")
+    // header sanity BEFORE the n-sized allocation: stored sketches cross
+    // trust boundaries (SQL binary args, wire tables), and a corrupt
+    // header must not drive a multi-GB Array[Stats] or a nonsense summary
+    require(relErr > 0.0 && relErr < 1.0, s"gk rel_err $relErr not in (0, 1)")
+    require(count >= 0, s"gk negative count $count")
+    require(n >= 0 && bytes.length.toLong == 24L + 24L * n,
+      s"gk buffer length ${bytes.length} != ${24L + 24L * n} for $n samples")
     val sampled = new Array[Stats](n)
     var i = 0
     while (i < n) {

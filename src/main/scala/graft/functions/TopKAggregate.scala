@@ -84,15 +84,37 @@ final class TopKSketch(val capacity: Int) extends Serializable {
 }
 
 object TopKSketch {
+  /** Stored sketches cross trust boundaries (SQL-surface binary args, wire
+    * tables), so corrupt bytes must fail the cheap header checks BEFORE any
+    * length-driven allocation — an adversarial entry length would otherwise
+    * drive a 2 GB `new Array[Byte]` (same hardening as HllSketch round 4).
+    */
   def deserialize(bytes: Array[Byte]): TopKSketch = {
+    require(bytes.length >= 8, s"topk buffer truncated: ${bytes.length} bytes")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val s = new TopKSketch(in.readInt())
+    val capacity = in.readInt()
+    require(capacity >= 1 && capacity <= (1 << 24),
+      s"topk capacity out of range: $capacity")
     val n = in.readInt()
+    require(n >= 0 && n <= capacity,
+      s"topk entry count out of range: $n for capacity $capacity")
+    // every entry needs >= 12 bytes (len int + >=0 utf8 + count long): a
+    // huge n on a short buffer dies here, not on EOF mid-loop
+    require(bytes.length.toLong >= 8L + 12L * n,
+      s"topk buffer length ${bytes.length} too short for $n entries")
+    val s = new TopKSketch(capacity)
+    var remaining = bytes.length - 8
     var i = 0
     while (i < n) {
       val len = in.readInt()
+      remaining -= 4
+      require(len >= 0 && len <= remaining - 8,
+        s"topk entry $i: utf8 length $len exceeds remaining $remaining bytes")
       val b = new Array[Byte](len); in.readFully(b)
-      s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      val count = in.readLong()
+      remaining -= len + 8
+      require(count > 0, s"topk entry $i: non-positive count $count")
+      s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), count)
       i += 1
     }
     s

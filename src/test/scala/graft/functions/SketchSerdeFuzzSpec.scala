@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deserialize fuzz for the non-HLL sketch families (HLL got this in
+  * round 4 — HllSerdeFuzzSpec). Stored sketches cross trust boundaries
+  * (SQL-surface binary args, wire tables, checkpoints), so every corrupt
+  * input must die in a cheap `require` — never an EOFException mid-loop, a
+  * NegativeArraySizeException, or a length-driven multi-GB allocation.
+  */
+class SketchSerdeFuzzSpec extends AnyFunSuite {
+
+  private def intBytes(vals: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+    vals.foreach(bb.putInt)
+    bb.array()
+  }
+
+  private def assertDiesCleanly(f: => Any, label: String): Unit = {
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException](f)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 200, s"$label took $ms ms to reject — allocation before validation?")
+  }
+
+  test("topk: adversarial headers and entry lengths rejected before allocation") {
+    assertDiesCleanly(TopKSketch.deserialize(Array.emptyByteArray), "empty")
+    assertDiesCleanly(TopKSketch.deserialize(intBytes(0, 0)), "capacity 0")
+    assertDiesCleanly(TopKSketch.deserialize(intBytes(-5, 0)), "negative capacity")
+    assertDiesCleanly(TopKSketch.deserialize(intBytes(Int.MaxValue, 0)), "huge capacity")
+    assertDiesCleanly(TopKSketch.deserialize(intBytes(1024, Int.MaxValue)), "huge n")
+    assertDiesCleanly(TopKSketch.deserialize(intBytes(1024, -1)), "negative n")
+    // one entry claiming a 2 GB string on a 32-byte buffer
+    val bb = java.nio.ByteBuffer.allocate(8 + 12)
+    bb.putInt(16).putInt(1).putInt(Int.MaxValue).putLong(1L)
+    assertDiesCleanly(TopKSketch.deserialize(bb.array()), "2GB entry length")
+    // negative entry length
+    val bb2 = java.nio.ByteBuffer.allocate(8 + 12)
+    bb2.putInt(16).putInt(1).putInt(-4).putLong(1L)
+    assertDiesCleanly(TopKSketch.deserialize(bb2.array()), "negative entry length")
+    // non-positive count
+    val bb3 = java.nio.ByteBuffer.allocate(8 + 13)
+    bb3.putInt(16).putInt(1).putInt(1).put('a'.toByte).putLong(0L)
+    assertDiesCleanly(TopKSketch.deserialize(bb3.array()), "zero count")
+  }
+
+  test("gk: corrupt headers rejected before the sample allocation") {
+    assertDiesCleanly(GkBuffer.deserialize(Array.emptyByteArray), "empty")
+    def hdr(relErr: Double, thr: Int, count: Long, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putDouble(relErr).putInt(thr).putLong(count).putInt(n)
+      bb.array()
+    }
+    assertDiesCleanly(GkBuffer.deserialize(hdr(0.0, 10000, 5L, 0)), "rel_err 0")
+    assertDiesCleanly(GkBuffer.deserialize(hdr(1.5, 10000, 5L, 0)), "rel_err > 1")
+    assertDiesCleanly(GkBuffer.deserialize(hdr(-0.01, 10000, 5L, 0)), "negative rel_err")
+    assertDiesCleanly(GkBuffer.deserialize(hdr(0.01, 10000, -5L, 0)), "negative count")
+    assertDiesCleanly(GkBuffer.deserialize(hdr(0.01, 10000, 5L, Int.MaxValue)), "huge n")
+    assertDiesCleanly(GkBuffer.deserialize(hdr(0.01, 10000, 5L, -1)), "negative n")
+  }
+
+  test("kmv and cms: headers already gated (regression pins)") {
+    assertDiesCleanly(KmvSketch.deserialize(intBytes(1)), "kmv truncated")
+    assertDiesCleanly(KmvSketch.deserialize(intBytes(1024, Int.MaxValue)), "kmv huge n")
+    assertDiesCleanly(KmvSketch.deserialize(intBytes(1024, -1)), "kmv negative n")
+    assertDiesCleanly(CmsSketch.deserialize(intBytes(5)), "cms truncated")
+    assertDiesCleanly(CmsSketch.deserialize(
+      intBytes(Int.MaxValue, Int.MaxValue, 0, 0)), "cms huge dims")
+  }
+
+  test("random bit flips either round-trip or die in a require, for all families") {
+    val rnd = new scala.util.Random(99)
+    val tk = new TopKSketch(64)
+    (0 until 500).foreach(i => tk.add(s"item${i % 40}"))
+    val gk = new GkBuffer(0.01)
+    (0 until 5000).foreach(_ => gk.add(rnd.nextDouble()))
+    val kmv = new KmvSketch(128)
+    (0 until 2000).foreach(i => kmv.add(s"k$i"))
+    val cms = new CmsSketch(5, 256)
+    (0 until 2000).foreach(i => cms.add(s"c${i % 97}"))
+    val cases: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("topk", tk.serialize(), TopKSketch.deserialize _),
+      ("gk", gk.serialize(), GkBuffer.deserialize _),
+      ("kmv", kmv.serialize(), KmvSketch.deserialize _),
+      ("cms", cms.serialize(), CmsSketch.deserialize _))
+    for ((name, good, des) <- cases; trial <- 0 until 200) {
+      val mutated = good.clone()
+      val bit = rnd.nextInt(mutated.length * 8)
+      mutated(bit / 8) = (mutated(bit / 8) ^ (1 << (bit % 8))).toByte
+      try des(mutated)
+      catch {
+        case _: IllegalArgumentException => // clean reject
+        case e: Throwable =>
+          fail(s"$name trial $trial (bit $bit): unclean failure ${e.getClass}: ${e.getMessage}")
+      }
+    }
+  }
+}
