@@ -2263,6 +2263,48 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // CMS warehouse rollup: per-day frequency sketches union (element-wise
+    // addition) to EXACTLY the sketch a single pass over all events builds
+    // — merged-vs-direct byte equality is the strongest possible rollup
+    // check, and collision-free sizing makes every per-type lookup exact.
+    "hll_cms_reagg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("_d"))
+        .agg(GraftFunctions.cms_sketch_agg(col("event_type"), 5, 2048).as("_sk"))
+      val merged = daily.agg(
+        GraftFunctions.cms_union_agg(col("_sk")).as("_m"),
+        count(lit(1)).as("n_days"))
+      val direct = ev.agg(
+        GraftFunctions.cms_sketch_agg(col("event_type"), 5, 2048).as("_dir"))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(broadcast(merged.crossJoin(direct)))
+        .select(col("event_type"), col("exact_n"), col("n_days"),
+          (col("_m") === col("_dir")).as("merge_exact"),
+          (GraftFunctions.cms_query(col("_m"), col("event_type"))
+            === col("exact_n")).as("est_exact"))
+        .orderBy(col("event_type"))
+    }),
+
+    // MG warehouse rollup: per-day heavy-hitter sketches union with the
+    // standard MG decrement; at capacity >= distinct the rollup stays
+    // exact, so every merged count equals the raw per-type count.
+    "hll_topk_reagg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("_d"))
+        .agg(GraftFunctions.topk_sketch_agg(col("event_type"), 64).as("_sk"))
+      val merged = daily.agg(
+        GraftFunctions.topk_union_agg(col("_sk")).as("_m"),
+        count(lit(1)).as("n_days"))
+      val entries = merged.select(col("n_days"),
+          explode(GraftFunctions.topk_export(col("_m")).getField("entries")).as("_e"))
+        .select(col("_e.item").as("event_type"), col("_e.n").as("_mg_n"), col("n_days"))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      entries.join(exact, Seq("event_type"), "full")
+        .select(col("event_type"), col("exact_n"), col("n_days"),
+          (col("_mg_n") === col("exact_n")).as("mg_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     // GK row wire: export the complete quantile-summary state (the textbook
     // (v, g, delta) tuples), replay the median query from those rows with
     // the classic GK rank rule, and verify BOTH the replayed answer and
@@ -3372,6 +3414,16 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS exact_n, TRUE AS roundtrip_exact,
         |  TRUE AS replay_in_bound, TRUE AS gk_in_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_cms_reagg" ->
+      """SELECT event_type, COUNT(*) AS exact_n,
+        |  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS n_days,
+        |  TRUE AS merge_exact, TRUE AS est_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hll_topk_reagg" ->
+      """SELECT event_type, COUNT(*) AS exact_n,
+        |  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS n_days,
+        |  TRUE AS mg_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hll_topk_wire_roundtrip" ->
       """SELECT event_type, COUNT(*) AS exact_n, TRUE AS mg_exact,
         |  TRUE AS roundtrip_exact

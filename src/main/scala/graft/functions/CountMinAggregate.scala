@@ -146,10 +146,70 @@ case class CmsSketchAgg(
   override def prettyName: String = "cms_sketch_agg"
 }
 
+/** Union-aggregate buffer: parameters come from the FIRST stored sketch
+  * merged in (an all-null group stays empty and evals to zero-length
+  * bytes — the same empty-sketch convention as the KMV family).
+  */
+final class CmsUnionBuffer extends Serializable {
+  var sk: CmsSketch = null
+  def fold(other: CmsSketch): Unit =
+    if (sk == null) sk = other else sk.merge(other)
+  def serialize(): Array[Byte] =
+    if (sk == null) Array.emptyByteArray else sk.serialize()
+}
+
+/** `cms_union_agg(sketchCol)` -> BinaryType: merge stored CMS sketches —
+  * the warehouse rollup (per-(day, group) frequency sketches re-aggregate
+  * to any coarser grain by element-wise counter addition). Mixed
+  * (depth, width) inputs are an error, not a silent mis-merge.
+  */
+case class CmsUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsUnionBuffer] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY sketch input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CmsUnionBuffer = new CmsUnionBuffer
+
+  override def update(buffer: CmsUnionBuffer, input: InternalRow): CmsUnionBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.nonEmpty) buffer.fold(CmsSketch.deserialize(bytes))
+    }
+    buffer
+  }
+
+  override def merge(b1: CmsUnionBuffer, b2: CmsUnionBuffer): CmsUnionBuffer = {
+    if (b2.sk != null) b1.fold(b2.sk)
+    b1
+  }
+
+  override def eval(buffer: CmsUnionBuffer): Any = buffer.serialize()
+  override def serialize(buffer: CmsUnionBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): CmsUnionBuffer = {
+    val b = new CmsUnionBuffer
+    if (bytes.nonEmpty) b.sk = CmsSketch.deserialize(bytes)
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CmsUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsUnionAgg = copy(child = c)
+  override def prettyName: String = "cms_union_agg"
+}
+
 /** `cms_query(sketch, item)` -> LongType frequency estimate (never an
-  * undercount). Deserializes the sketch per call — fine for lookup-style
-  * use (few rows against a broadcast sketch); for bulk lookups join the
-  * exact aggregate instead.
+  * undercount; 0 for the empty sketch). Deserializes the sketch per call —
+  * fine for lookup-style use (few rows against a broadcast sketch); for
+  * bulk lookups join the exact aggregate instead.
   */
 case class CmsQuery(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -162,9 +222,12 @@ case class CmsQuery(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(sk: Any, item: Any): Any =
-    CmsSketch.deserialize(sk.asInstanceOf[Array[Byte]])
+  override protected def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) 0L
+    else CmsSketch.deserialize(bytes)
       .query(item.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
     copy(left = l, right = r)
@@ -216,7 +279,11 @@ case class CmsExport(child: Expression)
   override def dataType: DataType = CmsWire.wireType
 
   override def nullSafeEval(v: Any): Any = {
-    val s = CmsSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) // empty union output -> (0, 0, 0, []) wire
+      return InternalRow(0, 0, 0L,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))
+    val s = CmsSketch.deserialize(bytes)
     val cells = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i < s.counts.length) {
@@ -252,6 +319,11 @@ case class CmsImport(child: Expression)
     val row = v.asInstanceOf[InternalRow]
     val depth = row.getInt(0)
     val width = row.getInt(1)
+    if (depth == 0 && width == 0) { // the empty-sketch wire
+      require(row.getLong(2) == 0L && row.getArray(3).numElements() == 0,
+        "cms_import: empty header (0, 0) with non-empty total/cells")
+      return Array.emptyByteArray
+    }
     require(depth >= 1 && depth <= 16 && width >= 2,
       s"cms_import: header out of range: depth=$depth width=$width")
     val s = new CmsSketch(depth, width)

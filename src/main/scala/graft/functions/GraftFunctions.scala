@@ -117,11 +117,17 @@ object GraftFunctions {
     aggCol(ApproxTopK(e(str(col)), k, capacity))
 
   /** Stored-binary Misra-Gries sketch (the warehouse variant of
-    * [[approx_top_k]]): merge later with [[topk_import]]/[[topk_export]]
-    * row wires or re-aggregate, finalize with `topk_export(...).entries`.
+    * [[approx_top_k]]): merge later with [[topk_union_agg]] or the
+    * row wires, finalize with `topk_export(...).entries`.
     */
   def topk_sketch_agg(col: Column, capacity: Int = 1024): Column =
     aggCol(TopKSketchAgg(e(str(col)), capacity))
+
+  /** Merge stored MG sketches — per-(day, group) heavy-hitter sketches
+    * roll up to any coarser grain (standard MG decrement).
+    */
+  def topk_union_agg(col: Column): Column =
+    aggCol(TopKUnionAgg(e(col)))
 
   /** Count-Min frequency sketch as a BinaryType value: point-queryable,
     * mergeable frequency estimates for arbitrary keys (never undercounts;
@@ -134,6 +140,12 @@ object GraftFunctions {
   /** Frequency estimate for one item from a stored Count-Min sketch. */
   def cms_query(sketch: Column, item: Column): Column =
     GraftShims.column(CmsQuery(e(sketch), e(str(item))))
+
+  /** Merge stored CMS sketches (element-wise counter addition) — the
+    * warehouse rollup; mixed (depth, width) inputs are an error.
+    */
+  def cms_union_agg(col: Column): Column =
+    aggCol(CmsUnionAgg(e(col)))
 
   /** Engine-portable export: struct(depth, width, total, cells) — the
     * non-zero counters as plain SQL data (see [[CmsWire]]).
@@ -332,6 +344,8 @@ object GraftFunctions {
     },
     "cms_query" ->
       ((args: Seq[Expression]) => CmsQuery(args(0), PyStrCoerce(args(1)))),
+    "cms_union_agg" ->
+      ((args: Seq[Expression]) => CmsUnionAgg(args.head).toAggregateExpression()),
     "cms_export" -> ((args: Seq[Expression]) => CmsExport(args.head)),
     "cms_import" -> ((args: Seq[Expression]) => CmsImport(args.head)),
     "cms_positions" -> { (args: Seq[Expression]) =>
@@ -369,6 +383,8 @@ object GraftFunctions {
       val cap = if (args.length > 1) intArg(args(1), "capacity") else 1024
       TopKSketchAgg(PyStrCoerce(args.head), cap).toAggregateExpression()
     },
+    "topk_union_agg" ->
+      ((args: Seq[Expression]) => TopKUnionAgg(args.head).toAggregateExpression()),
     "kmv_sketch_agg" -> { (args: Seq[Expression]) =>
       val k = if (args.length > 1) intArg(args(1), "k") else 1024
       KmvSketchAgg(PyStrCoerce(args.head), k).toAggregateExpression()

@@ -208,6 +208,66 @@ case class TopKSketchAgg(
   override def prettyName: String = "topk_sketch_agg"
 }
 
+/** Union-aggregate buffer: capacity comes from the FIRST stored sketch
+  * merged in; an all-null group evals to zero-length bytes (the shared
+  * empty-sketch convention).
+  */
+final class TopKUnionBuffer extends Serializable {
+  var sk: TopKSketch = null
+  def fold(other: TopKSketch): Unit =
+    if (sk == null) sk = other else sk.merge(other)
+  def serialize(): Array[Byte] =
+    if (sk == null) Array.emptyByteArray else sk.serialize()
+}
+
+/** `topk_union_agg(sketchCol)` -> BinaryType: merge stored MG sketches —
+  * per-(day, group) heavy-hitter sketches roll up to any coarser grain
+  * with the standard MG decrement, preserving the
+  * frequency > n/capacity retention guarantee.
+  */
+case class TopKUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKUnionBuffer] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY sketch input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKUnionBuffer = new TopKUnionBuffer
+
+  override def update(buffer: TopKUnionBuffer, input: InternalRow): TopKUnionBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.nonEmpty) buffer.fold(TopKSketch.deserialize(bytes))
+    }
+    buffer
+  }
+
+  override def merge(b1: TopKUnionBuffer, b2: TopKUnionBuffer): TopKUnionBuffer = {
+    if (b2.sk != null) b1.fold(b2.sk)
+    b1
+  }
+
+  override def eval(buffer: TopKUnionBuffer): Any = buffer.serialize()
+  override def serialize(buffer: TopKUnionBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKUnionBuffer = {
+    val b = new TopKUnionBuffer
+    if (bytes.nonEmpty) b.sk = TopKSketch.deserialize(bytes)
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TopKUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TopKUnionAgg = copy(child = c)
+  override def prettyName: String = "topk_union_agg"
+}
+
 /** Misra-Gries row-wire layout (see WIRE.md): capacity + the retained
   * (item, count) entries, ordered by (count DESC, item ASC) so the export
   * is deterministic even though the in-memory hash map is not.
@@ -249,7 +309,11 @@ case class TopKExport(child: Expression)
   override def dataType: DataType = TopKWire.wireType
 
   override def nullSafeEval(v: Any): Any = {
-    val s = TopKSketch.deserialize(v.asInstanceOf[Array[Byte]])
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) // empty union output -> (0, []) wire
+      return InternalRow(0,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))
+    val s = TopKSketch.deserialize(bytes)
     val sorted = s.topK(Int.MaxValue) // (count DESC, item ASC) — all entries
     val out = new Array[Any](sorted.length)
     var i = 0
@@ -285,6 +349,11 @@ case class TopKImport(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val row = v.asInstanceOf[InternalRow]
     val capacity = row.getInt(0)
+    if (capacity == 0) { // the empty-sketch wire
+      require(row.getArray(1).numElements() == 0,
+        "topk_import: capacity 0 (empty sketch) with entries")
+      return Array.emptyByteArray
+    }
     require(capacity >= 1, s"topk_import: capacity must be >= 1, got $capacity")
     val s = new TopKSketch(capacity)
     val es = row.getArray(1)

@@ -232,7 +232,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "hll_cms_wire_roundtrip", "hll_gk_wire_roundtrip",
       // int8 quantization: the 1-row calibration aggregate crosses into
       // the corpus for the bound check and into the 1-row bound verdict
-      "sim_int8_quantize")
+      "sim_int8_quantize",
+      // CMS rollup: merged and direct 1-row sketches cross into the
+      // per-type exact counts
+      "hll_cms_reagg")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
