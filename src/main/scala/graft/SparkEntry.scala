@@ -479,6 +479,63 @@ object SparkEntry {
     // Single-pass column profiling (Profile): nulls/min/max/HLL-distinct for
     // five heterogeneous columns in ONE aggregation — no Expand, no
     // per-column scans. The exact-distinct side here is verification only.
+    // Full one-pass profiler: base stats + GK quantiles on the numeric
+    // column + MG top values on the categoricals, ONE scan, no Expand.
+    // Estimates leave as booleans: distinct within 5%, each quantile's
+    // true rank within relErr*n (GK theorem — the returned sample varies
+    // with merge order, its rank bound does not), top values exact in the
+    // capacity >= distinct regime the DuckDB oracle re-derives.
+    "q_profile_deep" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val relErr = 0.01
+      val prof = graft.operators.Profile.profileDeep(o,
+          numeric = Seq("o_totalprice"),
+          categorical = Seq("o_orderstatus", "o_orderpriority"),
+          k = 1 << 16, relErr = relErr, topCapacity = 64)
+        .localCheckpoint() // reused by the rank-check scan below
+      val cs = Seq("o_totalprice", "o_orderstatus", "o_orderpriority")
+      val exact = o
+        .select(cs.map(c => count_distinct(col(c)).as(s"_x_$c")): _*)
+        .selectExpr(s"stack(${cs.length}, " +
+          cs.map(c => s"'$c', _x_$c").mkString(", ") + ") AS (col_name, _n_exact)")
+      val pv = prof.filter(col("col_name") === "o_totalprice")
+        .select(col("p25").as("_q25"), col("p50").as("_q50"), col("p75").as("_q75"))
+      val ranks = o.select(col("o_totalprice")).crossJoin(broadcast(pv))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("o_totalprice") < col("_q25"), 1L).otherwise(0L)).as("_lt25"),
+          sum(when(col("o_totalprice") <= col("_q25"), 1L).otherwise(0L)).as("_le25"),
+          sum(when(col("o_totalprice") < col("_q50"), 1L).otherwise(0L)).as("_lt50"),
+          sum(when(col("o_totalprice") <= col("_q50"), 1L).otherwise(0L)).as("_le50"),
+          sum(when(col("o_totalprice") < col("_q75"), 1L).otherwise(0L)).as("_lt75"),
+          sum(when(col("o_totalprice") <= col("_q75"), 1L).otherwise(0L)).as("_le75"))
+      def rankOk(q: Double, lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val rank = ceil(lit(q) * col("_n"))
+        val eps = lit(relErr) * col("_n")
+        (rank - eps <= le) && (lt + lit(1L) <= rank + eps)
+      }
+      prof.join(exact, Seq("col_name"))
+        .crossJoin(broadcast(ranks))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_s"), col("max_s"),
+          (abs(col("n_distinct_est") - col("_n_exact")) / col("_n_exact") <= 0.05)
+            .as("distinct_ok"),
+          // 'n/a' sentinels, not NULLs: the two engines' NULL renderings
+          // differ under the driver's string-normalized hash compare
+          when(col("col_name") === "o_totalprice",
+            rankOk(0.25, col("_lt25"), col("_le25")).cast("string"))
+            .otherwise("n/a").as("p25_ok"),
+          when(col("col_name") === "o_totalprice",
+            rankOk(0.50, col("_lt50"), col("_le50")).cast("string"))
+            .otherwise("n/a").as("p50_ok"),
+          when(col("col_name") === "o_totalprice",
+            rankOk(0.75, col("_lt75"), col("_le75")).cast("string"))
+            .otherwise("n/a").as("p75_ok"),
+          coalesce(col("top_value"), lit("n/a")).as("top_value"),
+          coalesce(col("top_n").cast("string"), lit("n/a")).as("top_n"))
+        .orderBy(col("col_name"))
+    }),
+
     "q_profile_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val cs = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
@@ -4418,6 +4475,34 @@ object SparkEntry {
         |SELECT valid_from, COALESCE(valid_to, 0) AS valid_to,
         |  (valid_to IS NULL) AS is_current, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pts GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q_profile_deep" ->
+      """SELECT 'o_orderpriority' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_orderpriority) AS n_nulls,
+        |  CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s,
+        |  TRUE AS distinct_ok,
+        |  'n/a' AS p25_ok, 'n/a' AS p50_ok, 'n/a' AS p75_ok,
+        |  (SELECT o_orderpriority FROM orders GROUP BY 1
+        |   ORDER BY COUNT(*) DESC, 1 ASC LIMIT 1) AS top_value,
+        |  (SELECT CAST(COUNT(*) AS VARCHAR) FROM orders GROUP BY o_orderpriority
+        |   ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_n
+        |FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |  COUNT(*) - COUNT(o_orderstatus),
+        |  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+        |  TRUE, 'n/a', 'n/a', 'n/a',
+        |  (SELECT o_orderstatus FROM orders GROUP BY 1
+        |   ORDER BY COUNT(*) DESC, 1 ASC LIMIT 1),
+        |  (SELECT CAST(COUNT(*) AS VARCHAR) FROM orders GROUP BY o_orderstatus
+        |   ORDER BY COUNT(*) DESC, o_orderstatus ASC LIMIT 1)
+        |FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*),
+        |  COUNT(*) - COUNT(o_totalprice),
+        |  CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR),
+        |  TRUE, CAST(TRUE AS VARCHAR), CAST(TRUE AS VARCHAR), CAST(TRUE AS VARCHAR),
+        |  'n/a', 'n/a'
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
     "q_profile_orders" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
         |  COUNT(*) - COUNT(o_custkey) AS n_nulls,

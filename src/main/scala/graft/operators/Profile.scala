@@ -55,6 +55,66 @@ object Profile {
     base.join(broadcast(exacts), Seq("col_name"), "left")
   }
 
+  /** The full one-pass profiler: [[profile]]'s base stats plus, per NUMERIC
+    * column, GK quantiles (p25/p50/p75), and per CATEGORICAL column the
+    * Misra-Gries top value with its count. Still ONE partial-aggregated
+    * scan — per-column state is a KB-scale GK summary / `topCapacity` MG
+    * entries, never an Expand, never a per-column rescan.
+    *
+    * Determinism contract: quantiles are within `relErr × n` ranks but the
+    * exact returned sample can vary with partition merge order — treat
+    * them as bounded estimates (the contract query checks rank bounds, not
+    * values). Top values ARE deterministic when `topCapacity` covers the
+    * column's distinct count (the regime categorical profiling targets).
+    */
+  def profileDeep(df: DataFrame, numeric: Seq[String], categorical: Seq[String],
+      k: Int = 4096, relErr: Double = 0.01, topCapacity: Int = 64): DataFrame = {
+    require(numeric.nonEmpty || categorical.nonEmpty, "profileDeep needs columns")
+    require(numeric.intersect(categorical).isEmpty,
+      s"columns in both lists: ${numeric.intersect(categorical).mkString(",")}")
+    val cols = numeric ++ categorical
+    def src(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = count(lit(1)).as("_rows") +: (cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
+        min(src(c)).cast("string").as(s"_min_$i"),
+        max(src(c)).cast("string").as(s"_max_$i"),
+        GraftFunctions.hll_cardinality(src(c), k).as(s"_dist_$i"))
+    } ++ numeric.indices.map { i =>
+      GraftFunctions.gk_sketch_agg(src(numeric(i)).cast("double"), relErr).as(s"_gk_$i")
+    } ++ categorical.indices.map { i =>
+      GraftFunctions.topk_sketch_agg(src(categorical(i)), topCapacity).as(s"_tk_$i")
+    })
+    var one = df.agg(aggs.head, aggs.tail: _*)
+    numeric.indices.foreach { i =>
+      one = one
+        .withColumn(s"_p25_$i", GraftFunctions.gk_quantile(col(s"_gk_$i"), lit(0.25)))
+        .withColumn(s"_p50_$i", GraftFunctions.gk_quantile(col(s"_gk_$i"), lit(0.5)))
+        .withColumn(s"_p75_$i", GraftFunctions.gk_quantile(col(s"_gk_$i"), lit(0.75)))
+    }
+    categorical.indices.foreach { i =>
+      val top = element_at(
+        GraftFunctions.topk_export(col(s"_tk_$i")).getField("entries"), 1)
+      one = one
+        .withColumn(s"_tv_$i", top.getField("item"))
+        .withColumn(s"_tn_$i", top.getField("n"))
+    }
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+      val (p25, p50, p75) =
+        if (i < numeric.length) (s"_p25_$i", s"_p50_$i", s"_p75_$i")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (tv, tn) =
+        if (i >= numeric.length) (s"_tv_${i - numeric.length}", s"_tn_${i - numeric.length}")
+        else ("CAST(NULL AS STRING)", "CAST(NULL AS BIGINT)")
+      s"'$lit', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i, $p25, $p50, $p75, $tv, $tn"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, min_s, max_s, n_distinct_est, " +
+        "p25, p50, p75, top_value, top_n)")
+  }
+
   private def profileImpl(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // positional intermediate aliases + backtick-quoted source refs: column

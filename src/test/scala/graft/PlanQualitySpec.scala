@@ -235,7 +235,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "sim_int8_quantize",
       // CMS rollup: merged and direct 1-row sketches cross into the
       // per-type exact counts
-      "hll_cms_reagg")
+      "hll_cms_reagg",
+      // deep profile: the 1-row quantile set crosses into the rank-check
+      // scan, and the 1-row rank verdict crosses back into the report
+      "q_profile_deep")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
