@@ -162,6 +162,12 @@ final class CmsUnionBuffer extends Serializable {
   * the warehouse rollup (per-(day, group) frequency sketches re-aggregate
   * to any coarser grain by element-wise counter addition). Mixed
   * (depth, width) inputs are an error, not a silent mis-merge.
+  *
+  * Sizing: pick `width` for the MERGED key population, not the per-group
+  * one — a union over g groups carries all their keys, and point lookups
+  * stay collision-free only while width comfortably exceeds that total
+  * (the overcount bound degrades gracefully to 2·N_total/width otherwise,
+  * never undercounts).
   */
 case class CmsUnionAgg(
     child: Expression,

@@ -94,6 +94,46 @@ object StressDriveR5b {
     println(f"DRIVE topk-wire-10M: $tMg%.1f s = ${1.0e7 / tMg / 1e6}%.1f M rows/s, " +
       s"${mg.getInt(0)} entries, total=${mg.getLong(1)} (exact)")
 
+    // 6. Deep profile at 10M rows: 1 numeric + 2 categorical columns in ONE
+    // partial-aggregated scan (HLL + GK + MG state per column, no Expand)
+    val wide = spark.range(10000000L).select(
+        (rand(7) * 100000.0).as("price"),
+        concat(lit("s"), (col("id") % 5)).as("status"),
+        concat(lit("p"), (col("id") % 9)).as("prio"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val profRows = graft.operators.Profile.profileDeep(wide,
+        numeric = Seq("price"), categorical = Seq("status", "prio"))
+      .collect()
+    val tProf = (System.nanoTime() - t0) / 1e9
+    println(f"DRIVE profile-deep-10M: $tProf%.1f s = ${1.0e7 / tProf / 1e6}%.1f M rows/s (${profRows.length} report rows)")
+
+    // 7. Rendezvous sharding at 10M keys x 16 shards (160M md5s)
+    t0 = System.nanoTime()
+    spark.range(10000000L)
+      .select(graft.operators.Sampling.rendezvousShard(col("id"), 16).as("s"))
+      .groupBy("s").count().collect()
+    val tHrw = (System.nanoTime() - t0) / 1e9
+    println(f"DRIVE rendezvous-10M-x16: $tHrw%.1f s = ${1.0e7 / tHrw / 1e6}%.1f M keys/s")
+
+    // 8. CMS warehouse rollup: 200 stored group sketches union to one —
+    // sketch algebra only, no raw-data rescans. Width sized for the MERGED
+    // key population (2000 keys into 16384: P(all-rows collide) ~ 1e-5),
+    // the sizing rule the union's doc prescribes — an undersized union
+    // still honors the 2N/width bound but stops being point-exact.
+    val groupSks = spark.range(100000000L)
+      .select((col("id") % 200).as("g"), concat(lit("k"), col("id") % 2000).as("k"))
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.cms_sketch_agg(col("k"), 5, 16384).as("sk"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val totalEst = groupSks
+      .agg(graft.functions.GraftFunctions.cms_query(
+        graft.functions.GraftFunctions.cms_union_agg(col("sk")), lit("k42")).as("q"))
+      .collect()(0).getLong(0)
+    val tUnion = (System.nanoTime() - t0) / 1e9
+    println(f"DRIVE cms-union-200-sketches: $tUnion%.1f s, merged lookup k42 = $totalEst (exact 50000)")
+
     spark.stop()
   }
 }
