@@ -76,6 +76,12 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
 }
 
 object CmsSketch {
+  /** Allocation bound for (depth × width), enforced wherever parameters
+    * enter (aggregate construction, byte/row imports): 2^24 longs = 128 MB
+    * — far above any sensible sketch, far below an executor-killing one.
+    */
+  val maxCells: Long = 1L << 24
+
   /** The counter cells item hits, one per row: `w(d) = floorMod(h1+d*h2,
     * width)` (Kirsch-Mitzenmacher; see WIRE.md). Engine-portable query
     * handshake: engine A ships positions alongside exported counters so
@@ -97,8 +103,9 @@ object CmsSketch {
     // validate the header BEFORE allocating depth*width longs: corrupt
     // bytes must not drive a multi-GB allocation, and the expected-length
     // check runs in long math so it can't wrap
-    require(depth >= 1 && depth <= 16 && width >= 2,
-      s"cms header out of range: depth=$depth width=$width")
+    require(depth >= 1 && depth <= 16 && width >= 2 &&
+        depth.toLong * width <= maxCells,
+      s"cms header out of range: depth=$depth width=$width (cells capped at $maxCells)")
     require(bytes.length.toLong == 16L + 8L * depth * width,
       s"cms buffer length ${bytes.length} != ${16L + 8L * depth * width}")
     val s = new CmsSketch(depth, width)
@@ -121,8 +128,11 @@ case class CmsSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
-    else if (depth < 1 || depth > 16 || width < 2)
-      TypeCheckResult.TypeCheckFailure(s"need 1 <= depth <= 16 and width >= 2, got depth=$depth width=$width")
+    else if (depth < 1 || depth > 16 || width < 2 ||
+        depth.toLong * width > CmsSketch.maxCells)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= depth <= 16, width >= 2, depth*width <= ${CmsSketch.maxCells}, " +
+          s"got depth=$depth width=$width")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BinaryType
@@ -330,8 +340,13 @@ case class CmsImport(child: Expression)
         "cms_import: empty header (0, 0) with non-empty total/cells")
       return Array.emptyByteArray
     }
-    require(depth >= 1 && depth <= 16 && width >= 2,
-      s"cms_import: header out of range: depth=$depth width=$width")
+    // bound width AND the product BEFORE `new CmsSketch` allocates
+    // depth*width longs — wire rows are untrusted, and a ~100-byte row must
+    // not drive a multi-GB allocation or overflow the Int product
+    require(depth >= 1 && depth <= 16 && width >= 2 &&
+        depth.toLong * width <= CmsSketch.maxCells,
+      s"cms_import: header out of range: depth=$depth width=$width " +
+        s"(cells capped at ${CmsSketch.maxCells})")
     val s = new CmsSketch(depth, width)
     s.total = row.getLong(2)
     val cells = row.getArray(3)
@@ -364,8 +379,11 @@ case class CmsPositions(child: Expression, depth: Int, width: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
-    else if (depth < 1 || depth > 16 || width < 2)
-      TypeCheckResult.TypeCheckFailure(s"need 1 <= depth <= 16 and width >= 2, got depth=$depth width=$width")
+    else if (depth < 1 || depth > 16 || width < 2 ||
+        depth.toLong * width > CmsSketch.maxCells)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= depth <= 16, width >= 2, depth*width <= ${CmsSketch.maxCells}, " +
+          s"got depth=$depth width=$width")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

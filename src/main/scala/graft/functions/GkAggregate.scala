@@ -82,6 +82,7 @@ object GkBuffer {
     // trust boundaries (SQL binary args, wire tables), and a corrupt
     // header must not drive a multi-GB Array[Stats] or a nonsense summary
     require(relErr > 0.0 && relErr < 1.0, s"gk rel_err $relErr not in (0, 1)")
+    require(threshold >= 1, s"gk compress threshold out of range: $threshold")
     require(count >= 0, s"gk negative count $count")
     require(n >= 0 && bytes.length.toLong == 24L + 24L * n,
       s"gk buffer length ${bytes.length} != ${24L + 24L * n} for $n samples")
@@ -283,6 +284,8 @@ case class GkImport(child: Expression)
     val count = row.getLong(2)
     val ts = row.getArray(3)
     require(relErr > 0.0 && relErr < 1.0, s"gk_import: rel_err $relErr not in (0, 1)")
+    require(threshold >= 1, s"gk_import: compress threshold out of range: $threshold")
+    require(count >= 0, s"gk_import: negative count $count")
     val sampled = new Array[Stats](ts.numElements())
     var i = 0
     var gSum = 0L
@@ -293,11 +296,13 @@ case class GkImport(child: Expression)
         s"gk_import: tuples out of value order at $i (${st.value} < ${sampled(i - 1).value})")
       require(st.g >= 0 && st.delta >= 0, s"gk_import: negative g/delta at $i")
       gSum += st.g
+      // check INSIDE the loop: g values near Long.Max could wrap gSum
+      // negative and sneak a corrupt summary past a post-loop check
+      require(gSum >= 0 && gSum <= count,
+        s"gk_import: running g sum $gSum exceeds count ($count) at tuple $i")
       sampled(i) = st
       i += 1
     }
-    require(gSum <= count,
-      s"gk_import: sum of g ($gSum) exceeds count ($count) — corrupt summary")
     val b = new GkBuffer(relErr)
     b.summaries = new QuantileSummaries(threshold, relErr, sampled, count, true)
     b.serialize()

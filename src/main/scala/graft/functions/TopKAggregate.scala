@@ -84,6 +84,12 @@ final class TopKSketch(val capacity: Int) extends Serializable {
 }
 
 object TopKSketch {
+  /** Capacity bound, enforced at EVERY parameter entry (aggregate
+    * construction, wire import, byte deserialize) so a sketch the builders
+    * accept is always one the readers accept.
+    */
+  val maxCapacity: Int = 1 << 24
+
   /** Stored sketches cross trust boundaries (SQL-surface binary args, wire
     * tables), so corrupt bytes must fail the cheap header checks BEFORE any
     * length-driven allocation — an adversarial entry length would otherwise
@@ -93,7 +99,7 @@ object TopKSketch {
     require(bytes.length >= 8, s"topk buffer truncated: ${bytes.length} bytes")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val capacity = in.readInt()
-    require(capacity >= 1 && capacity <= (1 << 24),
+    require(capacity >= 1 && capacity <= maxCapacity,
       s"topk capacity out of range: $capacity")
     val n = in.readInt()
     require(n >= 0 && n <= capacity,
@@ -117,6 +123,9 @@ object TopKSketch {
       s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), count)
       i += 1
     }
+    // an understated entry count must not silently drop trailing entries
+    require(remaining == 0,
+      s"topk buffer has $remaining trailing bytes after $n entries — corrupt count")
     s
   }
 }
@@ -135,8 +144,9 @@ case class ApproxTopK(
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
-    else if (k < 1 || capacity < k)
-      TypeCheckResult.TypeCheckFailure(s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    else if (k < 1 || capacity < k || capacity > TopKSketch.maxCapacity)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= k <= capacity <= ${TopKSketch.maxCapacity}, got k=$k capacity=$capacity")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -183,8 +193,9 @@ case class TopKSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input, got ${child.dataType.sql}")
-    else if (capacity < 1)
-      TypeCheckResult.TypeCheckFailure(s"need capacity >= 1, got $capacity")
+    else if (capacity < 1 || capacity > TopKSketch.maxCapacity)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= capacity <= ${TopKSketch.maxCapacity}, got $capacity")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BinaryType
@@ -354,7 +365,8 @@ case class TopKImport(child: Expression)
         "topk_import: capacity 0 (empty sketch) with entries")
       return Array.emptyByteArray
     }
-    require(capacity >= 1, s"topk_import: capacity must be >= 1, got $capacity")
+    require(capacity >= 1 && capacity <= TopKSketch.maxCapacity,
+      s"topk_import: capacity must be in [1, ${TopKSketch.maxCapacity}], got $capacity")
     val s = new TopKSketch(capacity)
     val es = row.getArray(1)
     var i = 0

@@ -29,6 +29,9 @@ final class VecMinMax extends Serializable {
       s"vec_minmax_agg: ragged input — ${n} dims vs ${mins.length}")
     var i = 0
     while (i < n) {
+      // null elements would read as 0.0 through getFloat/getDouble and
+      // silently corrupt the calibration — same policy as ragged input
+      require(!v.isNullAt(i), s"vec_minmax_agg: null element at dimension $i")
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       if (x < mins(i)) mins(i) = x
       if (x > maxs(i)) maxs(i) = x
@@ -178,6 +181,7 @@ case class VecQuantize8(left: Expression, right: Expression)
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      require(!v.isNullAt(i), s"vec_quantize8: null element at dimension $i")
       val r = ranges.getStruct(i, 2)
       val mn = r.getDouble(0)
       val mx = r.getDouble(1)

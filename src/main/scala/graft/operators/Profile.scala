@@ -46,7 +46,6 @@ object Profile {
     val base = profileImpl(df, cols, k)
     if (exact.isEmpty)
       return base.withColumn("n_distinct", lit(null).cast("long"))
-    def src(c: String) = col("`" + c.replace("`", "``") + "`")
     val exacts = exact.toSeq.sorted.map { c =>
       df.select(src(c)).distinct()
         .agg(count(src(c)).as("n_distinct")) // count(col): nulls excluded,
@@ -73,13 +72,8 @@ object Profile {
     require(numeric.intersect(categorical).isEmpty,
       s"columns in both lists: ${numeric.intersect(categorical).mkString(",")}")
     val cols = numeric ++ categorical
-    def src(c: String) = col("`" + c.replace("`", "``") + "`")
     val aggs = count(lit(1)).as("_rows") +: (cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(
-        sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
-        min(src(c)).cast("string").as(s"_min_$i"),
-        max(src(c)).cast("string").as(s"_max_$i"),
-        GraftFunctions.hll_cardinality(src(c), k).as(s"_dist_$i"))
+      baseAggs(c, i, k)
     } ++ numeric.indices.map { i =>
       GraftFunctions.gk_sketch_agg(src(numeric(i)).cast("double"), relErr).as(s"_gk_$i")
     } ++ categorical.indices.map { i =>
@@ -93,21 +87,24 @@ object Profile {
         .withColumn(s"_p75_$i", GraftFunctions.gk_quantile(col(s"_gk_$i"), lit(0.75)))
     }
     categorical.indices.foreach { i =>
-      val top = element_at(
-        GraftFunctions.topk_export(col(s"_tk_$i")).getField("entries"), 1)
+      // try_element_at, not element_at: an all-null column exports an
+      // EMPTY entry list, and under ANSI (Spark 4 default) element_at on
+      // an empty array throws instead of yielding the null row we want
+      val top = try_element_at(
+        GraftFunctions.topk_export(col(s"_tk_$i")).getField("entries"), lit(1))
       one = one
         .withColumn(s"_tv_$i", top.getField("item"))
         .withColumn(s"_tn_$i", top.getField("n"))
     }
     val stacked = cols.zipWithIndex.map { case (c, i) =>
-      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
       val (p25, p50, p75) =
         if (i < numeric.length) (s"_p25_$i", s"_p50_$i", s"_p75_$i")
         else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
       val (tv, tn) =
         if (i >= numeric.length) (s"_tv_${i - numeric.length}", s"_tn_${i - numeric.length}")
         else ("CAST(NULL AS STRING)", "CAST(NULL AS BIGINT)")
-      s"'$lit', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i, $p25, $p50, $p75, $tv, $tn"
+      s"'${stackLit(c)}', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i, " +
+        s"$p25, $p50, $p75, $tv, $tn"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.length}, $stacked) AS " +
@@ -115,23 +112,27 @@ object Profile {
         "p25, p50, p75, top_value, top_n)")
   }
 
+  // positional intermediate aliases + backtick-quoted source refs: column
+  // names with dots/spaces/quotes must not leak into parsed expressions;
+  // shared by profile and profileDeep so escaping fixes apply to both
+  private def src(c: String) =
+    col("`" + c.replace("`", "``") + "`")
+  private def stackLit(c: String): String =
+    c.replace("\\", "\\\\").replace("'", "\\'")
+  private def baseAggs(c: String, i: Int, k: Int) = Seq(
+    sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
+    min(src(c)).cast("string").as(s"_min_$i"),
+    max(src(c)).cast("string").as(s"_max_$i"),
+    GraftFunctions.hll_cardinality(src(c), k).as(s"_dist_$i"))
+
   private def profileImpl(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    // positional intermediate aliases + backtick-quoted source refs: column
-    // names with dots/spaces/quotes must not leak into parsed expressions
-    def src(c: String) = col("`" + c.replace("`", "``") + "`")
-    val aggs = count(lit(1)).as("_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(
-        sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
-        min(src(c)).cast("string").as(s"_min_$i"),
-        max(src(c)).cast("string").as(s"_max_$i"),
-        GraftFunctions.hll_cardinality(src(c), k).as(s"_dist_$i"))
-    }
+    val aggs = count(lit(1)).as("_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) => baseAggs(c, i, k) }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a flat argument list, 6 values per output row
     val stacked = cols.zipWithIndex.map { case (c, i) =>
-      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
-      s"'$lit', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i"
+      s"'${stackLit(c)}', _rows, _nulls_$i, _min_$i, _max_$i, _dist_$i"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.length}, $stacked) AS " +

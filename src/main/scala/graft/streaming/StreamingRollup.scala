@@ -60,8 +60,12 @@ object StreamingRollup {
         val applied = store.agg(max(col("_applied_batch"))).head()
         if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return
         val keys = batch.select(keyCols.map(col): _*).distinct()
-        val untouched = store.join(keys, keyCols, "left_anti")
-        val touched = store.join(keys, keyCols, "left_semi")
+        // null-SAFE key split (see StreamingSketchRollup): equality joins
+        // never match a null key, which would duplicate its store row on
+        // every batch that carries it
+        val cond = keyCols.map(k => store(k) <=> keys(k)).reduce(_ && _)
+        val untouched = store.join(keys, cond, "left_anti")
+        val touched = store.join(keys, cond, "left_semi")
           .drop("_applied_batch")
         graft.operators.Upsert.incrementalRollup(
             touched, batch, keyCols, sumCols, countCol)

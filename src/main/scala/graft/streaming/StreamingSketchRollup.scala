@@ -68,8 +68,13 @@ object StreamingSketchRollup {
         val applied = store.agg(max(col("_applied_batch"))).head()
         if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return
         val keys = partial.select(keyCols.map(col): _*)
-        val untouched = store.join(keys, keyCols, "left_anti")
-        val touched = store.join(keys, keyCols, "left_semi")
+        // null-SAFE key split: groupBy keeps a null-key group, but plain
+        // equality joins never match null — an equi-join split would leave
+        // the store's null-key row in `untouched` every batch and append a
+        // fresh one, silently accumulating duplicate null-key rows
+        val cond = keyCols.map(k => store(k) <=> keys(k)).reduce(_ && _)
+        val untouched = store.join(keys, cond, "left_anti")
+        val touched = store.join(keys, cond, "left_semi")
           .drop("_applied_batch")
         touched.unionByName(partial)
           .groupBy(keyCols.map(col): _*)

@@ -68,6 +68,50 @@ class SketchSerdeFuzzSpec extends AnyFunSuite {
       intBytes(Int.MaxValue, Int.MaxValue, 0, 0)), "cms huge dims")
   }
 
+  test("cms_import: width bomb and Int-overflow products rejected (SQL surface)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    GraftFunctions.registerAll(spark)
+    def imp(depth: Int, width: Int): Unit =
+      spark.sql(
+        s"""SELECT cms_import(named_struct('depth', $depth, 'width', $width,
+           |'total', CAST(0 AS BIGINT),
+           |'cells', CAST(array() AS ARRAY<STRUCT<d: INT, w: INT, n: BIGINT>>)))""".stripMargin)
+        .collect()
+    imp(5, 2048) // sane header imports — and warms the SQL session so the
+                 // timing assertion below measures rejection, not codegen
+    assertDiesCleanly(imp(5, 500000000), "2.5e9-cell width bomb")
+    assertDiesCleanly(imp(16, 134217728), "Int-overflow product")
+  }
+
+  test("topk: understated entry count (trailing bytes) rejected, not truncated") {
+    val s = new TopKSketch(16)
+    Seq("aa", "bb", "cc").foreach(s.add(_))
+    val good = s.serialize()
+    val bad = good.clone()
+    // entry count lives at bytes 4..7 — understate it by one
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    val n = bb.getInt(4)
+    bb.putInt(4, n - 1)
+    assertDiesCleanly(TopKSketch.deserialize(bad), "understated entry count")
+  }
+
+  test("gk: g-sum Long overflow cannot sneak past the count guard") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val big = Long.MaxValue / 2 + 10
+    val e = intercept[Exception] {
+      Seq((0.01, 10000, 1L, Seq((1.0, big, 0L), (2.0, big, 0L)))).toDF("rel_err", "threshold", "count", "tuples")
+        .select(GraftFunctions.gk_import(
+          struct(col("rel_err"), col("threshold"), col("count"),
+            col("tuples").cast("array<struct<v:double,g:bigint,delta:bigint>>"))))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("random bit flips either round-trip or die in a require, for all families") {
     val rnd = new scala.util.Random(99)
     val tk = new TopKSketch(64)

@@ -71,6 +71,19 @@ class SketchUnionAggSpec extends AnyFunSuite {
     assert(entries.head._2 <= 900L) // MG never overcounts
   }
 
+  test("profileDeep survives an all-null categorical column (empty MG export)") {
+    import spark.implicits._
+    val df = Seq((1.0, Option.empty[String]), (2.0, None), (3.0, None))
+      .toDF("x", "c")
+    val rows = graft.operators.Profile.profileDeep(df,
+        numeric = Seq("x"), categorical = Seq("c"))
+      .orderBy("col_name").collect()
+    assert(rows.length == 2)
+    val cRow = rows.find(_.getString(0) == "c").get
+    assert(cRow.isNullAt(cRow.fieldIndex("top_value"))) // null, not a crash
+    assert(cRow.getLong(cRow.fieldIndex("n_nulls")) == 3L)
+  }
+
   test("all-null groups follow the empty-bytes convention end to end") {
     import spark.implicits._
     val df = Seq.fill(5)(Option.empty[Array[Byte]]).toDF("sk")

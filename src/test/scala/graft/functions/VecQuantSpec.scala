@@ -80,6 +80,16 @@ class VecQuantSpec extends AnyFunSuite {
     assert(d == Seq(0.0, 1.0))
   }
 
+  test("null vector elements are an error, not silent zeros") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some(1f), None, Some(3f))), (2L, Seq(Some(1f), Some(2f), Some(3f))))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      df.agg(GraftFunctions.vec_minmax_agg(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("ragged input is an error, not a silent truncation") {
     import spark.implicits._
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")

@@ -88,4 +88,34 @@ class StreamingSketchRollupSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("null grouping keys fold into ONE store row, not one per batch") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_nullkey_" +
+      java.lang.ProcessHandle.current().pid()
+    val store = s"$base/store"
+    try {
+      val buildAggs = Seq(
+        GraftFunctions.hll_sketch_agg(col("user"), 1 << 12).as("users_hll"))
+      val unionAggs = Seq(
+        GraftFunctions.hll_union_agg(col("users_hll")).as("users_hll"))
+      def fold(id: Long, rows: Seq[(Option[String], Long)]): Unit =
+        StreamingSketchRollup.foldBatch(
+          rows.toDF("day", "user"), id, store, Seq("day"), buildAggs, unionAggs)
+      fold(0L, Seq((None, 1L), (Some("d1"), 2L)))
+      fold(1L, Seq((None, 3L), (None, 4L)))
+      fold(2L, Seq((Some("d1"), 5L)))
+      val rows = spark.read.parquet(store)
+      assert(rows.count() == 2, "null key duplicated across batches")
+      val nullEst = rows.filter(col("day").isNull)
+        .select(GraftFunctions.hll_estimate(col("users_hll")))
+        .head.getDouble(0)
+      assert(math.round(nullEst) == 3L) // users 1, 3, 4 all folded into it
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
