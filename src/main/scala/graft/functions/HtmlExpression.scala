@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  3. Any other `<...>` tag is replaced by ONE space (tags are word
   *     boundaries: `a<br>b` -> "a b"). A `<` with no closing `>` is literal
   *     text — exactly what the oracle's `<[^>]*>` regex leaves behind.
-  *  4. Character entities are decoded: named `&amp; &lt; &gt; &quot; &apos;
-  *     &nbsp;` (case-sensitive; `&nbsp;` -> plain space so step 5 can fold
-  *     it), numeric `&#NNN;` and `&#xHH;` (any valid code point).
+  *  4. Character entities are decoded: the core + common-crawl named set
+  *     (see `namedEntities` — case-sensitive; `&nbsp;` -> plain space so
+  *     step 5 can fold it), numeric `&#NNN;` and `&#xHH;` (any valid
+  *     code point).
   *     Anything else after `&` is literal text. Decoded `<` is NOT
   *     re-scanned as markup (single-pass, same as decode-after-strip).
   *  5. Runs of ASCII whitespace (space, \t, \n, \r, \f, \u000B) collapse to
@@ -128,24 +129,47 @@ object HtmlToText {
         (cp.toInt, j + 1 - i)
       else null
     } else {
-      // longest named entity is 5 chars + ';'
+      // longest named entity in the table is 6 chars + ';'
       val semi = {
         var j = i + 1
-        val lim = math.min(n, i + 7)
+        val lim = math.min(n, i + 8)
         while (j < lim && s.charAt(j) != ';') j += 1
         if (j < lim) j else -1
       }
       if (semi < 0) return null
-      s.substring(i + 1, semi) match {
-        case "amp"  => ('&'.toInt, semi + 1 - i)
-        case "lt"   => ('<'.toInt, semi + 1 - i)
-        case "gt"   => ('>'.toInt, semi + 1 - i)
-        case "quot" => ('"'.toInt, semi + 1 - i)
-        case "apos" => ('\''.toInt, semi + 1 - i)
-        case "nbsp" => (' '.toInt, semi + 1 - i)
-        case _      => null
-      }
+      val cp = namedEntities.get(s.substring(i + 1, semi))
+      if (cp == null) null else (cp.intValue, semi + 1 - i)
     }
+  }
+
+  /** The named entities a crawl actually contains (the HTML5 core set plus
+    * the common typographic/Latin-1 names). Each maps to ONE code point;
+    * `&nbsp;` maps to a plain space so whitespace collapse folds it.
+    * Anything else after `&` stays literal text — same rule as before.
+    */
+  private val namedEntities: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    for ((k, v) <- Seq(
+      "amp" -> '&'.toInt, "lt" -> '<'.toInt, "gt" -> '>'.toInt,
+      "quot" -> '"'.toInt, "apos" -> '\''.toInt, "nbsp" -> ' '.toInt,
+      // typography
+      "ndash" -> 0x2013, "mdash" -> 0x2014, "hellip" -> 0x2026,
+      "lsquo" -> 0x2018, "rsquo" -> 0x2019, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "bull" -> 0x2022, "middot" -> 0x00B7,
+      "laquo" -> 0x00AB, "raquo" -> 0x00BB, "prime" -> 0x2032,
+      // symbols
+      "copy" -> 0x00A9, "reg" -> 0x00AE, "trade" -> 0x2122,
+      "deg" -> 0x00B0, "sect" -> 0x00A7, "para" -> 0x00B6,
+      "times" -> 0x00D7, "divide" -> 0x00F7, "plusmn" -> 0x00B1,
+      "frac12" -> 0x00BD, "frac14" -> 0x00BC, "micro" -> 0x00B5,
+      "cent" -> 0x00A2, "pound" -> 0x00A3, "euro" -> 0x20AC, "yen" -> 0x00A5,
+      // common Latin-1 letters
+      "eacute" -> 0x00E9, "egrave" -> 0x00E8, "agrave" -> 0x00E0,
+      "ccedil" -> 0x00E7, "ouml" -> 0x00F6, "uuml" -> 0x00FC,
+      "auml" -> 0x00E4, "szlig" -> 0x00DF, "ntilde" -> 0x00F1,
+      "aacute" -> 0x00E1, "iacute" -> 0x00ED, "oacute" -> 0x00F3,
+      "uacute" -> 0x00FA)) m.put(k, v)
+    m
   }
 
   def extract(s: String): String = {

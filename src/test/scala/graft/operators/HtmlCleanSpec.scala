@@ -50,7 +50,8 @@ class HtmlCleanSpec extends AnyFunSuite {
     assert(x("&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;") == "<tag> & \"q\" 'a'")
     assert(x("x&nbsp;y") == "x y")              // nbsp folds to plain space
     assert(x("&#65;&#x42;&#x1F600;") == "AB" + new String(Character.toChars(0x1F600)))
-    assert(x("&ndash; &unknown; &amp") == "&ndash; &unknown; &amp")
+    assert(x("&ndash; &unknown; &amp") == "\u2013 &unknown; &amp")
+    assert(x("&eacute;&hellip;&copy;") == "\u00E9\u2026\u00A9") // crawl-set names
     assert(x("&amp;lt;") == "&lt;")             // single decode, no cascade
     assert(x("&lt;script&gt;alert(1)&lt;/script&gt;") == "<script>alert(1)</script>")
     assert(x("&#0;&#xD800;&#1114112;") == "&#0;&#xD800;&#1114112;") // invalid cps literal

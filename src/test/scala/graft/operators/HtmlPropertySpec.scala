@@ -54,7 +54,8 @@ class HtmlPropertySpec extends AnyFunSuite {
     t = t.replaceAll("(?s)<style[^>]*>.*?</style>", " ")
     t = t.replaceAll("(?s)<!--.*?-->", " ")
     t = t.replaceAll("<[^>]*>", " ")
-    for ((e, d) <- Seq("&#65;" -> "A", "&#x42;" -> "B", "&lt;" -> "<",
+    for ((e, d) <- Seq("&#65;" -> "A", "&#x42;" -> "B", "&ndash;" -> "\u2013",
+        "&lt;" -> "<",
         "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&nbsp;" -> " ",
         "&amp;" -> "&"))
       t = t.replace(e, d)
