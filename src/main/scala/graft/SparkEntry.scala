@@ -3386,6 +3386,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML metadata extraction — the companion pass to tx_html_extract:
+    // crawl pipelines keep (title, link density, heading structure) next to
+    // the visible text for quality filters and dedup keys. Pure builtin
+    // composition (regexp_extract/regexp_count are codegen'd; the title
+    // fragment reuses html_to_text for decode+collapse), all replayed
+    // verbatim in DuckDB. Link count varies per document (doc_id % 4 + 1
+    // repeated anchors) so the counts are data, not constants.
+    "tx_html_metadata" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val esc = regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" — "), col("source"), lit("</title></head><body><h1>Doc</h1><h2>part one</h2>"),
+        expr("repeat('<a href=\"/x\">link</a>', CAST(doc_id % 4 + 1 AS INT))"),
+        lit("<p>"), esc, lit("</p><h3>notes</h3></body></html>"))
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.htmlToText(
+            regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)).as("title"),
+          regexp_count(html, lit("<a\\s")).as("n_links"),
+          regexp_count(html, lit("<h[1-6][\\s>]")).as("n_headings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode cleanup — NFC canonical composition + C0/DEL control strip
     // (keeping tab/newline/CR). The input plants the classic hazards after
     // each document: combining acute (e+U+0301), the ANGSTROM SIGN singleton
@@ -4606,6 +4629,22 @@ object SparkEntry {
         |SELECT doc_id,
         |  TRIM(REGEXP_REPLACE(t, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS extracted
         |FROM dec ORDER BY doc_id""".stripMargin,
+    "tx_html_metadata" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' — ' || source
+        |    || '</title></head><body><h1>Doc</h1><h2>part one</h2>'
+        |    || REPEAT('<a href="/x">link</a>', CAST(doc_id % 4 + 1 AS INT))
+        |    || '<p>' || REPLACE(REPLACE(text, '&', '&amp;'), '<', '&lt;')
+        |    || '</p><h3>notes</h3></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(
+        |    REGEXP_EXTRACT(html, '(?s)<title[^>]*>(.*?)</title>', 1),
+        |    '[ \t\n\r\f\x0B]+', ' ', 'g')) AS title,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(html, '<a\s')) AS INT) AS n_links,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(html, '<h[1-6][\s>]')) AS INT) AS n_headings
+        |FROM h ORDER BY doc_id""".stripMargin,
     // independent Unicode implementation: DuckDB's nfc_normalize + the same
     // RE2 control class must produce byte-identical strings
     "tx_unicode_clean" ->
