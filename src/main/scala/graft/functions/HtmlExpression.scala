@@ -176,6 +176,11 @@ object HtmlToText {
     val n = s.length
     val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
     var pendingSpace = false
+    // beyond the LAST '>' no tag can close, so every '<' there is literal.
+    // Without this, junk like a megabyte of '<' with no '>' (binary blobs,
+    // adversarial crawl bytes) makes each position rescan the tail via
+    // indexOf — quadratic; with it the whole input stays one pass.
+    val lastGt = s.lastIndexOf('>')
 
     def emit(cp: Int): Unit = {
       if (cp < 0x80 && isAsciiSpace(cp.toChar)) pendingSpace = true
@@ -210,10 +215,11 @@ object HtmlToText {
             i = if (end < 0) n else end
           }
           pendingSpace = true
+        } else if (i > lastGt) {
+          emit('<'); i += 1 // no closing '>' anywhere ahead: literal text
         } else {
-          val gt = s.indexOf('>', i)
-          if (gt < 0) { emit('<'); i += 1 } // no closing '>': literal text
-          else { i = gt + 1; pendingSpace = true } // tag -> word boundary
+          val gt = s.indexOf('>', i) // exists — i <= lastGt
+          i = gt + 1; pendingSpace = true // tag -> word boundary
         }
       } else if (c == '&') {
         val e = entityAt(s, i)

@@ -73,6 +73,19 @@ class HtmlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial '<' floods stay linear (no quadratic tail rescans)") {
+    val junk = "<" * 1000000 // binary-blob shape: no '>' anywhere
+    val t0 = System.nanoTime()
+    assert(HtmlToText.extract(junk) == junk)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000, s"1MB of '<' took $ms ms — quadratic rescans are back")
+    // mixed: a real page followed by a gt-less tail
+    val mixed = "<p>ok</p>" + "<" * 200000
+    val t1 = System.nanoTime()
+    assert(HtmlToText.extract(mixed) == "ok " + "<" * 200000)
+    assert((System.nanoTime() - t1) / 1e6 < 1000)
+  }
+
   test("extraction never emits markup or collapsible whitespace runs") {
     for (seed <- 500 until 700) {
       val r = new scala.util.Random(seed)
