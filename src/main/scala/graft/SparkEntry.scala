@@ -500,8 +500,11 @@ object SparkEntry {
           cs.map(c => s"'$c', _x_$c").mkString(", ") + ") AS (col_name, _n_exact)")
       val pv = prof.filter(col("col_name") === "o_totalprice")
         .select(col("p25").as("_q25"), col("p50").as("_q50"), col("p75").as("_q75"))
+      // _n = NON-NULL count: the GK sketch and the lt/le counters both
+      // exclude nulls, so the target rank must be computed in the same
+      // population (count(lit(1)) would silently shift it on nullable data)
       val ranks = o.select(col("o_totalprice")).crossJoin(broadcast(pv))
-        .agg(count(lit(1)).as("_n"),
+        .agg(count(col("o_totalprice")).as("_n"),
           sum(when(col("o_totalprice") < col("_q25"), 1L).otherwise(0L)).as("_lt25"),
           sum(when(col("o_totalprice") <= col("_q25"), 1L).otherwise(0L)).as("_le25"),
           sum(when(col("o_totalprice") < col("_q50"), 1L).otherwise(0L)).as("_lt50"),

@@ -49,6 +49,12 @@ final class TopKSketch(val capacity: Int) extends Serializable {
   }
 
   def merge(other: TopKSketch): TopKSketch = {
+    // mismatched capacities must fail loudly (same rule as CmsSketch.merge):
+    // silently merging would make the result's truncation threshold — and
+    // in the decrement regime the surviving entries — depend on partition
+    // merge order, breaking run-to-run determinism
+    require(other.capacity == capacity,
+      s"cannot merge topk(capacity=$capacity) with topk(capacity=${other.capacity})")
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

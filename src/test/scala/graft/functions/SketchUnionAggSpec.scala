@@ -42,6 +42,16 @@ class SketchUnionAggSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("topk: mixed capacities fail loudly") {
+    import spark.implicits._
+    val a = Seq("x").toDF("k").agg(GraftFunctions.topk_sketch_agg(col("k"), 64).as("sk"))
+    val b = Seq("y").toDF("k").agg(GraftFunctions.topk_sketch_agg(col("k"), 128).as("sk"))
+    val e = intercept[Exception] {
+      a.unionByName(b).agg(GraftFunctions.topk_union_agg(col("sk"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("topk: daily rollup stays exact at capacity >= distinct, any partitioning") {
     import spark.implicits._
     val df = (0 until 20000).map(i => (i % 13, s"t${i % 23}")).toDF("day", "k")
