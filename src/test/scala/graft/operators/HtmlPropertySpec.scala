@@ -14,7 +14,8 @@ class HtmlPropertySpec extends AnyFunSuite {
   private val words = Array("the", "quick", "brown", "fox", "café", "中文",
     "1", "<", ">", "&", "\"", "'", "magpie", "footer", "x&y", "a<b")
   private val entities = Array("&amp;", "&lt;", "&gt;", "&quot;", "&apos;",
-    "&nbsp;", "&#65;", "&#x42;", "&ndash;", "&bogus;")
+    "&nbsp;", "&#65;", "&#x42;", "&ndash;", "&mdash;", "&hellip;",
+    "&eacute;", "&copy;", "&euro;", "&frac12;", "&bogus;", "&nosuchone;")
   private val ws = Array(" ", "  ", "\t", "\n", "\r\n", "\f", "")
   private val tagPool = Array("p", "div", "span", "h1", "li", "em", "br")
 
@@ -55,6 +56,8 @@ class HtmlPropertySpec extends AnyFunSuite {
     t = t.replaceAll("(?s)<!--.*?-->", " ")
     t = t.replaceAll("<[^>]*>", " ")
     for ((e, d) <- Seq("&#65;" -> "A", "&#x42;" -> "B", "&ndash;" -> "\u2013",
+        "&mdash;" -> "\u2014", "&hellip;" -> "\u2026", "&eacute;" -> "\u00E9",
+        "&copy;" -> "\u00A9", "&euro;" -> "\u20AC", "&frac12;" -> "\u00BD",
         "&lt;" -> "<",
         "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&nbsp;" -> " ",
         "&amp;" -> "&"))
