@@ -27,17 +27,21 @@ class BenchBandSpec extends AnyFunSuite {
 
   /** Minimal parser for Bench's flat JSON: {"queries":{"name":sec,...},
     * "failed":["name",...]}. No nesting beyond those two objects, names are
-    * `[A-Za-z0-9_]+` by construction, so regex extraction is exact.
+    * `[A-Za-z0-9_]+` by construction, so regex extraction is exact. Both
+    * `":"` and `": "` separator styles must parse — the r5 baseline refresh
+    * switched styles and the old whitespace-intolerant regex extracted ZERO
+    * bands, turning this gate vacuous for a full round. The size floor in
+    * the test body is the guard against that ever recurring.
     */
   private def parse(s: String): (Map[String, Double], Seq[String]) = {
     def obj(key: String): String = {
-      val i = s.indexOf("\"" + key + "\":")
+      val i = s.indexOf("\"" + key + "\"")
       if (i < 0) return ""
       val start = s.indexOf(if (key == "failed") '[' else '{', i)
       val end = s.indexOf(if (key == "failed") ']' else '}', start)
       s.substring(start + 1, end)
     }
-    val q = """"(\w+)":([0-9.Ee+-]+)""".r
+    val q = """"(\w+)"\s*:\s*([0-9.Ee+-]+)""".r
       .findAllMatchIn(obj("queries"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val f = """"(\w+)"""".r.findAllMatchIn(obj("failed")).map(_.group(1)).toSeq
@@ -56,6 +60,13 @@ class BenchBandSpec extends AnyFunSuite {
 
     val (bands, baseFailed) = parse(read(basePath))
     val (run, runFailed) = parse(read(runPath))
+    // Self-check: an empty/near-empty parse means the parser no longer
+    // matches the file format — that must be a loud failure, never a
+    // vacuous pass (this exact failure disabled the gate for round 5).
+    assert(bands.size >= 150,
+      s"baseline parsed to only ${bands.size} bands — parser/format mismatch, gate would be vacuous")
+    assert(run.size >= 150,
+      s"bench run parsed to only ${run.size} queries — parser/format mismatch, gate would be vacuous")
     assert(baseFailed.isEmpty, s"baseline itself records failures: $baseFailed")
     assert(runFailed.isEmpty, s"bench run FAILED queries: ${runFailed.sorted.mkString(", ")}")
 
