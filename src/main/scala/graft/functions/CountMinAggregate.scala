@@ -348,16 +348,31 @@ case class CmsImport(child: Expression)
       s"cms_import: header out of range: depth=$depth width=$width " +
         s"(cells capped at ${CmsSketch.maxCells})")
     val s = new CmsSketch(depth, width)
-    s.total = row.getLong(2)
+    val total = row.getLong(2)
+    require(total >= 0, s"cms_import: negative total $total")
+    s.total = total
     val cells = row.getArray(3)
     var i = 0
     while (i < cells.numElements()) {
+      // wire rows are untrusted: reject null elements cleanly rather than
+      // letting getStruct-on-null die with an NPE
+      require(!cells.isNullAt(i), s"cms_import: null cell at $i")
       val c = cells.getStruct(i, 3)
       val d = c.getInt(0)
       val w = c.getInt(1)
+      val n = c.getLong(2)
       require(d >= 0 && d < depth && w >= 0 && w < width,
         s"cms_import: cell ($d,$w) outside ${depth}x$width")
-      s.counts(d * width + w) += c.getLong(2)
+      // a negative (or zero) cell would break the documented never-
+      // undercount invariant of cms_query; repeated large cells must fail
+      // loudly instead of wrapping the Long counter
+      require(n > 0, s"cms_import: non-positive cell count $n at ($d,$w)")
+      val idx = d * width + w
+      // both sides positive, so overflow iff prev > Max - n; fail with the
+      // same clean IllegalArgumentException as every other wire check
+      require(s.counts(idx) <= Long.MaxValue - n,
+        s"cms_import: cell ($d,$w) overflows Long")
+      s.counts(idx) += n
       i += 1
     }
     s.serialize()

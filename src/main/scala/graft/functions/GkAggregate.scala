@@ -290,6 +290,9 @@ case class GkImport(child: Expression)
     var i = 0
     var gSum = 0L
     while (i < sampled.length) {
+      // wire rows are untrusted: reject null elements cleanly rather than
+      // letting getStruct-on-null die with an NPE
+      require(!ts.isNullAt(i), s"gk_import: null tuple at $i")
       val t = ts.getStruct(i, 3)
       val st = Stats(t.getDouble(0), t.getLong(1), t.getLong(2))
       require(i == 0 || st.value >= sampled(i - 1).value,
@@ -303,6 +306,11 @@ case class GkImport(child: Expression)
       sampled(i) = st
       i += 1
     }
+    // the GK invariant: sampled g's sum to EXACTLY the observed count — a
+    // truncated tuple list passes every running check but fails this one,
+    // and importing it would yield silently-wrong quantiles
+    require(gSum == count,
+      s"gk_import: tuple g sum $gSum != count $count (truncated tuple list?)")
     val b = new GkBuffer(relErr)
     b.summaries = new QuantileSummaries(threshold, relErr, sampled, count, true)
     b.serialize()

@@ -377,7 +377,11 @@ case class TopKImport(child: Expression)
     val es = row.getArray(1)
     var i = 0
     while (i < es.numElements()) {
+      // wire rows are untrusted: reject null elements/items cleanly rather
+      // than letting getStruct/getUTF8String-on-null die with an NPE
+      require(!es.isNullAt(i), s"topk_import: null entry at $i")
       val e = es.getStruct(i, 2)
+      require(!e.isNullAt(0), s"topk_import: null item at $i")
       val n = e.getLong(1)
       require(n > 0, s"topk_import: non-positive count at $i")
       s.add(e.getUTF8String(0).toString, n)

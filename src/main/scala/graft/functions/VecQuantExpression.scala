@@ -182,6 +182,7 @@ case class VecQuantize8(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       require(!v.isNullAt(i), s"vec_quantize8: null element at dimension $i")
+      require(!ranges.isNullAt(i), s"vec_quantize8: null range at dimension $i")
       val r = ranges.getStruct(i, 2)
       val mn = r.getDouble(0)
       val mx = r.getDouble(1)
@@ -223,6 +224,7 @@ case class VecDequantize8(left: Expression, right: Expression)
     val out = new Array[Any](bytes.length)
     var i = 0
     while (i < bytes.length) {
+      require(!ranges.isNullAt(i), s"vec_dequantize8: null range at dimension $i")
       val r = ranges.getStruct(i, 2)
       val mn = r.getDouble(0)
       val mx = r.getDouble(1)

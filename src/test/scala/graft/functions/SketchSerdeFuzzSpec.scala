@@ -112,6 +112,49 @@ class SketchSerdeFuzzSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("row-wire imports: malformed untrusted rows die in a clean IllegalArgumentException") {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def irow(values: Any*) = new GenericInternalRow(values.toArray[Any])
+    def iarr(values: Any*) = new GenericArrayData(values.toArray[Any])
+
+    // the wire `accepts` matchers are structural and tolerate nullable
+    // arrays, so null elements and hostile values ARE reachable from real
+    // engine-portable ingest rows — each must die in a require, never an
+    // NPE, a wrapped Long, or a silently-wrong sketch
+    val cms = CmsImport(Literal(null))
+    cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 3L), irow(1, 2, 2L)))) // positive control
+    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, -1L, iarr())), "cms negative total")
+    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, -3L)))), "cms negative cell")
+    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 0L)))), "cms zero cell")
+    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(null))), "cms null cell")
+    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L,
+      iarr(irow(0, 1, Long.MaxValue), irow(0, 1, Long.MaxValue)))), "cms Long-wrap cells")
+
+    val gk = GkImport(Literal(null))
+    gk.nullSafeEval(irow(0.01, 10000, 3L,
+      iarr(irow(1.0, 1L, 0L), irow(2.0, 1L, 0L), irow(3.0, 1L, 0L)))) // positive control
+    assertDiesCleanly(gk.nullSafeEval(irow(0.01, 10000, 3L,
+      iarr(irow(1.0, 1L, 0L), irow(2.0, 1L, 0L)))), "gk truncated tuples (g sum < count)")
+    assertDiesCleanly(gk.nullSafeEval(irow(0.01, 10000, 3L,
+      iarr(irow(1.0, 1L, 0L), null, irow(3.0, 1L, 0L)))), "gk null tuple")
+
+    val tk = TopKImport(Literal(null))
+    tk.nullSafeEval(irow(4, iarr(
+      irow(UTF8String.fromString("a"), 3L),
+      irow(UTF8String.fromString("b"), 1L)))) // positive control
+    assertDiesCleanly(tk.nullSafeEval(irow(4, iarr(null))), "topk null entry")
+    assertDiesCleanly(tk.nullSafeEval(irow(4, iarr(irow(null, 3L)))), "topk null item")
+
+    val ranges = iarr(irow(0.0, 1.0), null)
+    val vq = VecQuantize8(Literal.create(null, ArrayType(DoubleType)), Literal(null))
+    assertDiesCleanly(vq.nullSafeEval(iarr(0.5, 0.5), ranges), "vec_quantize8 null range")
+    val vd = VecDequantize8(Literal(null), Literal(null))
+    assertDiesCleanly(vd.nullSafeEval(Array[Byte](1, 2), ranges), "vec_dequantize8 null range")
+  }
+
   test("random bit flips either round-trip or die in a require, for all families") {
     val rnd = new scala.util.Random(99)
     val tk = new TopKSketch(64)
