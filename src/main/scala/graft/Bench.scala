@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The WindowExec "No Partition Defined" warnings in the bench tail are
+    // benign: a handful of contract queries (e.g. tx_vocab_growth's
+    // cumulative-novelty window) legitimately run an ORDER-BY-only window
+    // over an already-reduced small aggregate, not over raw data.
     // force FULL output materialization: count() lets Catalyst prune every
     // unreferenced projection, so map-heavy queries would be timed as little
     // more than a scan; the noop sink evaluates every output column
@@ -45,13 +49,34 @@ object Bench {
         case (_, Left(m))         => Left(m)
       })
     }
-    val ok = merged.collect { case (k, Right(v)) => k -> v }
+    val okLaps = merged.collect { case (k, Right(v)) => k -> v }
     val failed = merged.collect { case (k, Left(_)) => k }.toSeq.sorted
+    // Re-time-on-miss (r5/r6 verdict): one CPU burst during a lap can push a
+    // query past its hard band even after the two-lap min (r5 saw four such
+    // phantoms). If the committed baseline is readable, any query the gate
+    // would hard-fail gets ONE more timed run and keeps the overall min — a
+    // burst clears on the re-run, a real regression fails three times.
+    val bands = try {
+      val p = java.nio.file.Paths.get("src/test/resources/bench_baseline.json")
+      if (java.nio.file.Files.exists(p)) BenchGate.parse(java.nio.file.Files.readString(p))._1
+      else Map.empty[String, Double]
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline unreadable, skipping re-time: $e")
+      Map.empty[String, Double]
+    }
+    val retried = BenchGate.retryCandidates(bands, okLaps)
+    val ok = okLaps ++ retried.flatMap { name =>
+      System.err.println(s"[bench] $name over its hard band — re-timing once")
+      val t0 = System.nanoTime()
+      try { run(SparkEntry.queries(name)); Some(name -> math.min(okLaps(name), (System.nanoTime() - t0) / 1e9)) }
+      catch { case _: Throwable => None } // it ran twice already; keep the lap time
+    }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rt = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"retried":$rt,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     // stdout gets a COMPACT line (<2000 chars): harnesses that keep only a
     // stdout tail must still be able to json-parse the result, so the
     // printed "queries" map carries a fixed headline subset (one per
@@ -68,7 +93,7 @@ object Bench {
     val hqs = headline.flatMap(k => ok.get(k).map(v =>
         s"\"" + k + "\":" + math.rint(v * 1000) / 1000))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$hqs,"failed":$fl,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir","full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$hqs,"failed":$fl,"retried":$rt,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir","full":"bench_full.json"}""")
     // Persist the full per-query map next to the repo so the numbers stay
     // machine-checkable even when a harness truncates captured stdout, and
     // so BenchBandSpec can gate the latest run against the committed

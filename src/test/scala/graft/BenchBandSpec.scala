@@ -4,49 +4,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Bench-band regression gate (r3 post-mortem: 25 analysis failures were
   * silently timed as ~0.05 s "successes", so the bench total looked healthy
-  * for a round while a third of the surface was broken).
+  * for a round while a third of the surface was broken; r5 post-mortem: a
+  * separator-style change made the parser extract zero bands and the gate
+  * passed vacuously for a full round).
   *
-  * Compares the most recent `bench_full.json` (written by every
-  * [[Bench]] run, committed per round) against the committed per-query
-  * baseline `src/test/resources/bench_baseline.json`:
+  * The parse + band logic lives in [[BenchGate]] (shared with [[Bench]]'s
+  * re-time-on-miss); this spec (a) runs the real gate over the most recent
+  * `bench_full.json` vs the committed `src/test/resources/bench_baseline
+  * .json`, and (b) pins the gate's NEGATIVE paths on synthetic inputs, so
+  * the gate's bite is proven by tests rather than trusted.
   *
-  *   - any query in the run's `failed` list → FAIL
-  *   - any baseline query missing from the run → FAIL (a query that stops
-  *     being timed is exactly the r3 failure mode)
-  *   - any query slower than `max(band × 2.5, band + 1 s)` → FAIL (the
-  *     documented same-code host-noise spread is ±25%; 2.5× is far outside
-  *     it on ANY host, so a hard failure here is a real regression)
-  *   - queries in the 1.25×..2.5× gray zone are listed as warnings via
-  *     `info()` — visible in CI output, not a failure.
-  *
-  * Regenerate the baseline after an intended perf change:
-  * run Bench on a quiet host, review, then
+  * Regenerate the baseline after an intended perf change: run Bench on a
+  * quiet host, review, then
   * `cp bench_full.json src/test/resources/bench_baseline.json`.
   */
 class BenchBandSpec extends AnyFunSuite {
-
-  /** Minimal parser for Bench's flat JSON: {"queries":{"name":sec,...},
-    * "failed":["name",...]}. No nesting beyond those two objects, names are
-    * `[A-Za-z0-9_]+` by construction, so regex extraction is exact. Both
-    * `":"` and `": "` separator styles must parse — the r5 baseline refresh
-    * switched styles and the old whitespace-intolerant regex extracted ZERO
-    * bands, turning this gate vacuous for a full round. The size floor in
-    * the test body is the guard against that ever recurring.
-    */
-  private def parse(s: String): (Map[String, Double], Seq[String]) = {
-    def obj(key: String): String = {
-      val i = s.indexOf("\"" + key + "\"")
-      if (i < 0) return ""
-      val start = s.indexOf(if (key == "failed") '[' else '{', i)
-      val end = s.indexOf(if (key == "failed") ']' else '}', start)
-      s.substring(start + 1, end)
-    }
-    val q = """"(\w+)"\s*:\s*([0-9.Ee+-]+)""".r
-      .findAllMatchIn(obj("queries"))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val f = """"(\w+)"""".r.findAllMatchIn(obj("failed")).map(_.group(1)).toSeq
-    (q, f)
-  }
 
   private def read(p: java.nio.file.Path): String =
     java.nio.file.Files.readString(p)
@@ -57,34 +29,91 @@ class BenchBandSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(basePath), "missing bench_baseline.json")
     if (!java.nio.file.Files.exists(runPath))
       cancel("no bench_full.json in repo root — run graft.Bench first")
+    val report = BenchGate.check(read(basePath), read(runPath))
+    info(f"host factor (median run/band ratio): ${report.factor}%.2f")
+    if (report.gray.nonEmpty)
+      info(s"${report.gray.size} queries in the calibrated >1.25x gray zone:\n  ${report.gray.mkString("\n  ")}")
+  }
 
-    val (bands, baseFailed) = parse(read(basePath))
-    val (run, runFailed) = parse(read(runPath))
-    // Self-check: an empty/near-empty parse means the parser no longer
-    // matches the file format — that must be a loud failure, never a
-    // vacuous pass (this exact failure disabled the gate for round 5).
-    assert(bands.size >= 150,
-      s"baseline parsed to only ${bands.size} bands — parser/format mismatch, gate would be vacuous")
-    assert(run.size >= 150,
-      s"bench run parsed to only ${run.size} queries — parser/format mismatch, gate would be vacuous")
-    assert(baseFailed.isEmpty, s"baseline itself records failures: $baseFailed")
-    assert(runFailed.isEmpty, s"bench run FAILED queries: ${runFailed.sorted.mkString(", ")}")
+  // ---- negative-path pins on synthetic baseline/run pairs ----
 
-    val missing = bands.keySet -- run.keySet
-    assert(missing.isEmpty,
-      s"queries in baseline but absent from the bench run (r3 failure mode): ${missing.toSeq.sorted.mkString(", ")}")
+  /** 160 bands of 2.0 s in the `": "` separator style that broke the r5
+    * parser, behind a decoy string VALUE "queries" that must not anchor
+    * extraction.
+    */
+  private val names = (0 until 160).map(i => f"q$i%03d")
+  private def json(times: Map[String, Double], failed: Seq[String] = Nil,
+      sep: String = ": "): String = {
+    val qs = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\"" + sep + v }.mkString("{", ", ", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric"$sep"queries", "value"$sep${times.values.sum}, "queries"$sep$qs, "failed"$sep$fl}"""
+  }
+  private val bands = names.map(_ -> 2.0).toMap
+  private val baseJson = json(bands)
 
-    val out = bands.toSeq.sorted.flatMap { case (name, band) =>
-      val limit = math.max(band * 2.5, band + 1.0)
-      if (run(name) > limit) Some(f"$name: ${run(name)}%.2f s > limit ${limit}%.2f s (band ${band}%.2f)")
-      else None
-    }
-    val warn = bands.toSeq.sorted.flatMap { case (name, band) =>
-      if (run(name) > band * 1.25 && run(name) <= math.max(band * 2.5, band + 1.0))
-        Some(f"$name: ${run(name)}%.2f s vs band ${band}%.2f s")
-      else None
-    }
-    if (warn.nonEmpty) info(s"${warn.size} queries in the >1.25x gray zone:\n  ${warn.mkString("\n  ")}")
-    assert(out.isEmpty, s"${out.size} queries out of band:\n  ${out.mkString("\n  ")}")
+  test("gate: ': '-separated JSON with a decoy \"queries\" string value parses every band") {
+    val (parsed, failed) = BenchGate.parse(baseJson)
+    assert(parsed.size == 160 && parsed("q007") == 2.0 && failed.isEmpty)
+    // the legacy compact ":" style must keep parsing too
+    assert(BenchGate.parse(json(bands, sep = ":"))._1.size == 160)
+  }
+
+  test("gate: uniformly 1.35x-slow host -> empty gray list, no failures") {
+    val report = BenchGate.check(baseJson, json(names.map(_ -> 2.7).toMap))
+    assert(math.abs(report.factor - 1.35) < 1e-9)
+    assert(report.gray.isEmpty, s"uniform host slowdown mis-read as drift: ${report.gray}")
+  }
+
+  test("gate: single-query drift on a slow host still warns (calibration) ...") {
+    val run = names.map(_ -> 2.7).toMap + ("q007" -> 4.4) // raw 2.2x: inside raw limit
+    val report = BenchGate.check(baseJson, json(run))
+    assert(report.gray.exists(_.startsWith("q007")),
+      s"calibrated 1.63x drift not warned: ${report.gray}")
+    assert(report.gray.size == 1, s"gray list should be ONLY the drifting query: ${report.gray}")
+  }
+
+  test("gate: ... and a hard out-of-band query FAILS, naming it") {
+    val run = names.map(_ -> 2.7).toMap + ("q007" -> 12.0) // raw 6x
+    val e = intercept[IllegalArgumentException](BenchGate.check(baseJson, json(run)))
+    assert(e.getMessage.contains("q007") && e.getMessage.contains("out of band"))
+  }
+
+  test("gate: calibrated-only regression on a FAST host fails too") {
+    // uniformly 0.5x host: raw 4.0 is inside the raw limit (5.0) but
+    // calibrated it is 8.0 — a 4x regression the fast host was hiding
+    val run = names.map(_ -> 1.0).toMap + ("q007" -> 4.0)
+    val e = intercept[IllegalArgumentException](BenchGate.check(baseJson, json(run)))
+    assert(e.getMessage.contains("q007") && e.getMessage.contains("calibrated"))
+  }
+
+  test("gate: a sub-150-band parse FAILS loudly instead of passing vacuously") {
+    val tiny = json(names.take(10).map(_ -> 2.0).toMap)
+    val e1 = intercept[IllegalArgumentException](BenchGate.check(tiny, json(names.map(_ -> 2.0).toMap)))
+    assert(e1.getMessage.contains("parser/format mismatch"))
+    val e2 = intercept[IllegalArgumentException](BenchGate.check(baseJson, tiny))
+    assert(e2.getMessage.contains("parser/format mismatch"))
+  }
+
+  test("gate: a run with many failures reports THEM, not a size-floor mismatch") {
+    // 155 failed + 5 timed: the combined count passes the format floor, so
+    // the message must list failed queries (ADVICE r6: a failure storm must
+    // not masquerade as a parser problem)
+    val run = json(names.take(5).map(_ -> 2.0).toMap, failed = names.drop(5))
+    val e = intercept[IllegalArgumentException](BenchGate.check(baseJson, run))
+    assert(e.getMessage.contains("FAILED queries") && e.getMessage.contains("q155"))
+  }
+
+  test("gate: retry candidates are exactly the hard-fail set (Bench re-time path)") {
+    assert(BenchGate.retryCandidates(bands, names.map(_ -> 2.7).toMap) == Nil)
+    val run = names.map(_ -> 2.7).toMap + ("q007" -> 12.0)
+    assert(BenchGate.retryCandidates(bands, run) == Seq("q007"))
+    assert(BenchGate.retryCandidates(Map.empty, run) == Nil) // no baseline -> no retries
+  }
+
+  test("gate: a baseline query absent from the run FAILS (r3 failure mode)") {
+    val run = json((names.toSet - "q042").map(_ -> 2.0).toMap)
+    val e = intercept[IllegalArgumentException](BenchGate.check(baseJson, run))
+    assert(e.getMessage.contains("q042") && e.getMessage.contains("absent"))
   }
 }
