@@ -418,6 +418,13 @@ object GraftFunctions {
       WinnowingFingerprint(args.head, k, w)
     },
     "dot_f" -> ((args: Seq[Expression]) => DotProductF(args(0), args(1))),
+    // hrw_shard(key, nShards[, seed]): fast xxh64 HRW sharding; key cast to
+    // string for surface parity with the md5 rendezvousShard form
+    "hrw_shard" -> { (args: Seq[Expression]) =>
+      val n = intArg(args(1), "nShards")
+      val seed = if (args.length > 2) intArg(args(2), "seed").toLong else 0L
+      HrwShard(Cast(args.head, StringType), n, seed)
+    },
     "text_stats" -> ((args: Seq[Expression]) => TextStats(args.head)),
     "compression_ratio" ->
       ((args: Seq[Expression]) => CompressionRatio(args.head)),

@@ -242,4 +242,17 @@ object Sampling {
           s.as("shard"))))
       .getField("shard")
   }
+
+  /** The INGEST-PATH rendezvous variant: same HRW structure and elasticity
+    * guarantees as [[rendezvousShard]], but one xxhash64 of the key plus one
+    * long-mix per shard instead of nShards md5 rounds over concatenated
+    * strings — [[graft.functions.HrwShard]] documents the scheme and the
+    * deliberate md5/xxh64 split (portability vs throughput). The two
+    * variants produce different (both valid) assignments.
+    */
+  def rendezvousShardFast(key: Column, nShards: Int, seed: Long = 0L): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HrwShard(
+        org.apache.spark.sql.graftshim.GraftShims.expression(key.cast("string")),
+        nShards, seed))
 }

@@ -1,0 +1,45 @@
+package graftdrive
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-7 scale stress: the md5 vs xxh64 rendezvous-shard throughput split
+  * (run manually via `sbt 'Test/runMain graftdrive.StressDriveR7'`; results
+  * in SCALING.md). The md5 form exists for engine portability; the fast
+  * form is the one allowed on an ingest path — this drive records the
+  * factor between them at a realistic shard count.
+  */
+object StressDriveR7 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val n = 2000000L
+    val keys = spark.range(n).select(
+        concat(lit("doc-"), col("id"), lit("-"), md5(col("id").cast("string"))).as("k"))
+      .localCheckpoint()
+
+    def time(label: String)(body: => Unit): Double = {
+      body // warm lap: codegen + JIT
+      val t0 = System.nanoTime()
+      body
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"DRIVE $label: $t%.2f s = ${n / t / 1e6}%.2f M keys/s")
+      t
+    }
+
+    val tMd5 = time("hrw-md5-2M-16shards") {
+      keys.select(graft.operators.Sampling.rendezvousShard(col("k"), 16).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tFast = time("hrw-xxh64-2M-16shards") {
+      keys.select(graft.operators.Sampling.rendezvousShardFast(col("k"), 16).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"DRIVE hrw-speedup: ${tMd5 / tFast}%.1fx (md5 $tMd5%.2f s vs xxh64 $tFast%.2f s)")
+    spark.stop()
+  }
+}

@@ -43,6 +43,53 @@ class RendezvousSpec extends AnyFunSuite {
       s"imbalanced: ${sizes.toMap}")
   }
 
+  private def fastShards(n: Int, keys: Int, seed: Long = 0L): Map[Long, Int] = {
+    import spark.implicits._
+    (0L until keys.toLong).toDF("k")
+      .select(col("k"), Sampling.rendezvousShardFast(col("k"), n, seed).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("fast variant: growing n to n+1 moves keys ONLY to the new shard, ~1/(n+1)") {
+    for (n <- Seq(4, 8, 16)) {
+      val a = fastShards(n, 4000)
+      val b = fastShards(n + 1, 4000)
+      val moved = a.keys.filter(k => a(k) != b(k))
+      moved.foreach(k => assert(b(k) == n, s"key $k moved to ${b(k)}, not the new shard $n"))
+      val frac = moved.size.toDouble / 4000
+      assert(frac > 0.5 / (n + 1) && frac < 2.0 / (n + 1),
+        s"n=$n: moved fraction $frac far from 1/${n + 1}")
+    }
+  }
+
+  test("fast variant: balanced, total, seed-sensitive, md5-independent") {
+    val a = fastShards(8, 8000)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == (0 until 8).toSet)
+    assert(sizes.values.max < sizes.values.min * 2, s"imbalanced: ${sizes.toMap}")
+    // a different seed is a different (equally valid) HRW universe
+    val b = fastShards(8, 2000, seed = 1L)
+    assert((0L until 2000L).count(k => a(k) != b(k)) > 500,
+      "seed change barely moved assignments — seed not mixed into the hash")
+    // and it is NOT the md5 assignment (different hash by design)
+    val md5 = shards(8, 2000)
+    assert((0L until 2000L).count(k => a(k) != md5(k)) > 500,
+      "fast variant suspiciously agrees with md5 — same hash basis?")
+  }
+
+  test("fast variant: SQL surface (hrw_shard) agrees with the DataFrame API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    (0L until 500L).toDF("k").createOrReplaceTempView("_hrw_keys")
+    val viaSql = spark.sql("SELECT k, hrw_shard(k, 8) AS s FROM _hrw_keys")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == fastShards(8, 500))
+    // explicit seed arg
+    val seeded = spark.sql("SELECT k, hrw_shard(k, 8, 7) AS s FROM _hrw_keys")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(seeded == fastShards(8, 500, seed = 7L))
+  }
+
   test("md5 basis matches an independent JVM digest (engine portability)") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(s: String): String =
