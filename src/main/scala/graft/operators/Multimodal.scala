@@ -229,11 +229,21 @@ object Multimodal {
         }
     }
 
-    /** Real audio parse: container geometry from the codec's AudioFormat,
-      * peak/RMS over the decoded 16-bit PCM samples (any channel layout;
-      * samples normalized by 1/32768).
+    /** Real audio parse, dispatched on container magic:
+      *  - FLAC (`fLaC`): structural frame decode via [[FlacCodec]]
+      *    (verbatim/constant subframes, CRC-8/CRC-16/MD5 verified).
+      *  - OGG-FLAC (`OggS` + the xiph `0x7F FLAC` mapping): page demux +
+      *    packet reassembly via [[OggStream]], then the same FLAC decode.
+      *  - anything else: `javax.sound.sampled` (PCM WAV/AIFF/AU).
+      * Geometry from the container, peak/RMS over the decoded 16-bit PCM
+      * samples (any channel layout; samples normalized by 1/32768) — the
+      * same feature math on every path, so a clip transcoded losslessly
+      * between containers reports bit-identical features.
       */
     override def decodeAudio(bytes: Array[Byte]): AudioFeatures0 = {
+      if (FlacCodec.isFlac(bytes)) return flacFeatures(FlacCodec.decodeFlac(bytes))
+      if (OggStream.isOggFlac(bytes))
+        return flacFeatures(FlacCodec.decodeFlac(OggStream.extractFlac(bytes)))
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -242,24 +252,32 @@ object Multimodal {
           s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
         val nFrames = in.getFrameLength
         val data = in.readAllBytes()
-        val le = !fmt.isBigEndian
-        var i = 0
-        var peak = 0.0
-        var sumSq = 0.0
-        var n = 0
-        while (i + 1 < data.length) {
-          val s =
-            if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
-            else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
-          val v = math.abs(s.toDouble) / 32768.0
-          if (v > peak) peak = v
-          sumSq += v * v
-          n += 1
-          i += 2
-        }
-        AudioFeatures0(fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
-          peak, if (n > 0) math.sqrt(sumSq / n) else 0.0)
+        val (peak, rms) = pcm16Features(data, le = !fmt.isBigEndian)
+        AudioFeatures0(fmt.getSampleRate.toInt, fmt.getChannels, nFrames, peak, rms)
       } finally in.close()
+    }
+
+    private def flacFeatures(a: FlacCodec.FlacAudio): AudioFeatures0 = {
+      val (peak, rms) = pcm16Features(a.pcmLE, le = true)
+      AudioFeatures0(a.sampleRate, a.channels, a.totalFrames, peak, rms)
+    }
+
+    private def pcm16Features(data: Array[Byte], le: Boolean): (Double, Double) = {
+      var i = 0
+      var peak = 0.0
+      var sumSq = 0.0
+      var n = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+          else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+        val v = math.abs(s.toDouble) / 32768.0
+        if (v > peak) peak = v
+        sumSq += v * v
+        n += 1
+        i += 2
+      }
+      (peak, if (n > 0) math.sqrt(sumSq / n) else 0.0)
     }
   }
 
@@ -368,6 +386,23 @@ object Multimodal {
   def deterministicWav(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val pcm = deterministicPcm(seed, nFrames, channels)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The shared deterministic PCM generator behind the WAV/FLAC/OGG
+    * corpora: interleaved signed 16-bit little-endian, every sample derived
+    * purely from the seed (integer triangle-ish wave — no RNG, no
+    * transcendentals, so bit-identical across JVMs). Because all three
+    * containers carry THIS byte sequence losslessly, their decoded features
+    * must match bit-for-bit — the parity the mm_flac/mm_ogg contracts pin.
+    */
+  def deterministicPcm(seed: Long, nFrames: Int, channels: Int): Array[Byte] = {
     val pcm = new Array[Byte](nFrames * channels * 2)
     val step = (seed % 97 + 3).toInt
     var f = 0
@@ -387,13 +422,21 @@ object Multimodal {
       }
       f += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    pcm
   }
+
+  /** Deterministic REAL FLAC bytes: the same PCM as [[deterministicWav]],
+    * encoded through [[FlacCodec]] (verbatim subframes, full CRC/MD5
+    * integrity fields).
+    */
+  def deterministicFlac(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] =
+    FlacCodec.writeFlac(deterministicPcm(seed, nFrames, channels), sampleRate, channels)
+
+  /** Deterministic REAL OGG-FLAC bytes: the same PCM again, FLAC-encoded
+    * and shipped in OGG pages per the xiph mapping by [[OggStream]].
+    */
+  def deterministicOgg(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] =
+    OggStream.writeOggFlac(deterministicPcm(seed, nFrames, channels), sampleRate, channels)
 
   /** Deterministic REAL MJPEG bytes: `nFrames` JPEG-encoded frames
     * concatenated (the motion-JPEG container), pixels derived purely from
@@ -558,6 +601,54 @@ object Multimodal {
           uri = s"fake://$source/$id.wav",
           media_type = "audio/wav",
           content = deterministicWav(
+            seed = id,
+            sampleRate = 8000 * ((id % 3) + 1).toInt,
+            nFrames = ((id % 25) + 1).toInt * 200,
+            channels = ((id % 2) + 1).toInt),
+          meta = Map("source" -> source))
+      }
+  }
+
+  /** FLAC audio demo corpus: IDENTICAL per-document geometry and PCM as
+    * [[wavMediaFromDocuments]] (same seed → same samples), so the decoded
+    * features of the two paths must match bit-for-bit — the lossless-codec
+    * parity the mm_flac_features contract query pins.
+    */
+  def flacMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.flac",
+          media_type = "audio/flac",
+          content = deterministicFlac(
+            seed = id,
+            sampleRate = 8000 * ((id % 3) + 1).toInt,
+            nFrames = ((id % 25) + 1).toInt * 200,
+            channels = ((id % 2) + 1).toInt),
+          meta = Map("source" -> source))
+      }
+  }
+
+  /** OGG-FLAC audio demo corpus: the same geometry/PCM once more, shipped
+    * in OGG pages — the mm_ogg_features contract pins its parity with the
+    * WAV path, proving page demux + packet reassembly + FLAC decode
+    * end-to-end.
+    */
+  def oggMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.ogg",
+          media_type = "audio/ogg",
+          content = deterministicOgg(
             seed = id,
             sampleRate = 8000 * ((id % 3) + 1).toInt,
             nFrames = ((id % 25) + 1).toInt * 200,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FLAC + OGG codec properties: lossless round-trips across geometries,
+  * multi-block frame numbering, OGG lacing edge cases (255-multiples,
+  * continuation pages), and the integrity checks actually biting on
+  * corruption — the audio siblings of AviMjpeg/IsoBmff/MatroskaProperties.
+  */
+class FlacOggPropertiesSpec extends AnyFunSuite {
+
+  private def pcm(seed: Long, frames: Int, channels: Int): Array[Byte] =
+    Multimodal.deterministicPcm(seed, frames, channels)
+
+  test("flac: encode/decode round-trips the PCM bit-for-bit across geometries") {
+    for {
+      channels <- Seq(1, 2)
+      frames <- Seq(0, 1, 16, 1000, 1024, 1025)
+      seed <- Seq(0L, 7L)
+    } {
+      val raw = pcm(seed, frames, channels)
+      val flac = FlacCodec.writeFlac(raw, 16000, channels)
+      val dec = FlacCodec.decodeFlac(flac)
+      assert(dec.sampleRate == 16000 && dec.channels == channels)
+      assert(dec.totalFrames == frames.toLong)
+      assert(java.util.Arrays.equals(dec.pcmLE, raw),
+        s"PCM mismatch at channels=$channels frames=$frames seed=$seed")
+    }
+  }
+
+  test("flac: multi-block streams exercise multi-byte frame numbers") {
+    // blockSize 16 over 2400 frames -> 150 frames, numbers past 0x7F use
+    // the 2-byte UTF-8-style coding
+    val raw = pcm(3L, 2400, 1)
+    val (si, frames) = FlacCodec.encodeParts(raw, 8000, 1, blockSize = 16)
+    assert(frames.length == 150)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(si); frames.foreach(out.write)
+    val dec = FlacCodec.decodeFlac(out.toByteArray)
+    assert(java.util.Arrays.equals(dec.pcmLE, raw))
+  }
+
+  test("flac: corruption anywhere dies in a require (CRC/MD5/structure), never wrong PCM") {
+    val raw = pcm(11L, 500, 2)
+    val good = FlacCodec.writeFlac(raw, 24000, 2)
+    val rnd = new scala.util.Random(42)
+    var caught = 0
+    for (_ <- 0 until 300) {
+      val bad = good.clone()
+      val i = rnd.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val dec = FlacCodec.decodeFlac(bad)
+        // a flip the checks cannot see must at least leave the PCM intact
+        // (e.g. a bit inside the unvalidated min/max-frame-size fields)
+        assert(java.util.Arrays.equals(dec.pcmLE, raw),
+          s"byte $i: undetected corruption CHANGED the decoded PCM")
+      } catch { case _: IllegalArgumentException => caught += 1 }
+    }
+    assert(caught > 250, s"only $caught/300 corruptions caught — integrity checks not biting")
+  }
+
+  test("ogg: page round-trip incl. 255-multiple packets and continuation pages") {
+    val rnd = new scala.util.Random(9)
+    val packets = Seq(
+      Array.fill(10)(rnd.nextInt().toByte),
+      Array.fill(255)(rnd.nextInt().toByte),      // forces the 0-lacing terminator
+      Array.fill(510)(rnd.nextInt().toByte),      // two full segments
+      Array.fill(70000)(rnd.nextInt().toByte),    // > 255 segments -> continuation page
+      Array.emptyByteArray,                       // zero-length packet
+      Array.fill(3)(rnd.nextInt().toByte))
+    val ogg = OggStream.writePages(packets, serial = 123)
+    val back = OggStream.readPackets(ogg)
+    assert(back.length == packets.length)
+    packets.zip(back).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.util.Arrays.equals(a, b), s"packet $i mismatch")
+    }
+  }
+
+  test("ogg: page corruption dies in the CRC require") {
+    val packets = Seq(pcm(1L, 300, 1), pcm(2L, 300, 1))
+    val good = OggStream.writePages(packets, serial = 7)
+    val bad = good.clone()
+    bad(good.length / 2) = (bad(good.length / 2) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException](OggStream.readPackets(bad))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("capture"))
+  }
+
+  test("ogg-flac: container round-trip matches the native flac decode exactly") {
+    for (channels <- Seq(1, 2)) {
+      val raw = pcm(21L, 3000, channels)
+      val ogg = OggStream.writeOggFlac(raw, 16000, channels)
+      assert(OggStream.isOggFlac(ogg))
+      assert(!FlacCodec.isFlac(ogg))
+      val dec = FlacCodec.decodeFlac(OggStream.extractFlac(ogg))
+      assert(dec.channels == channels && dec.sampleRate == 16000)
+      assert(java.util.Arrays.equals(dec.pcmLE, raw))
+    }
+  }
+
+  test("decoder seam: wav, flac, and ogg containers report identical features") {
+    val d = new Multimodal.ImageIoDecoder
+    for (seed <- Seq(5L, 6L)) {
+      val (rate, frames, channels) = (16000, 1200, ((seed % 2) + 1).toInt)
+      val w = d.decodeAudio(Multimodal.deterministicWav(seed, rate, frames, channels))
+      val f = d.decodeAudio(Multimodal.deterministicFlac(seed, rate, frames, channels))
+      val o = d.decodeAudio(Multimodal.deterministicOgg(seed, rate, frames, channels))
+      assert(w == f, s"wav vs flac features differ: $w vs $f")
+      assert(w == o, s"wav vs ogg features differ: $w vs $o")
+    }
+  }
+}
