@@ -545,11 +545,16 @@ object SparkEntry {
         "o_orderstatus")
       // k=2^16 keeps every column in the linear-counting regime at sf0.01
       val prof = graft.operators.Profile.profile(o, cs, k = 1 << 16)
-      val exact = o
-        .select(cs.map(c => count_distinct(col(c)).as(s"_x_$c")): _*)
-        .selectExpr(s"stack(${cs.length}, " +
-          cs.map(c => s"'$c', _x_$c").mkString(", ") + ") AS (col_name, n_exact)")
-      prof.join(exact, "col_name")
+      // Exact verify side: one pruned single-column scan per column (a
+      // columnar read proportional to that column), NEVER N count_distincts
+      // in one agg — Catalyst plans that as Expand xN, multiplying the scan
+      // output into the aggregation exchange at scale.
+      val exact = cs.map { c =>
+        o.select(col(c)).distinct()
+          .agg(count(col(c)).as("n_exact")) // nulls excluded, like the HLL side
+          .withColumn("col_name", lit(c))
+      }.reduce(_ unionByName _)
+      prof.join(broadcast(exact), "col_name")
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
           col("min_s"), col("max_s"),
           (abs(col("n_distinct_est") - col("n_exact")) / col("n_exact") <= 0.05)
@@ -1961,6 +1966,36 @@ object SparkEntry {
         .orderBy(col("shard8"))
     }),
 
+    // Fast (xxh64) rendezvous variant: DuckDB cannot replay the hash, so
+    // the oracle pins the hash-INDEPENDENT HRW invariants, each computed
+    // exactly in Spark and predicted exactly by the oracle: every 8->9
+    // mover lands on the new shard (bad_moves = 0 — the HRW theorem, true
+    // for any per-(key,shard) hash), the moved fraction is ~1/9 (banded),
+    // and the 8-shard layout is fully used and near-uniform. The assignment
+    // itself is deterministic, so flakiness is not a concern — the booleans
+    // are fixed values for the fixed corpus.
+    "dd_rendezvous_fast" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"),
+        Sampling.rendezvousShardFast(col("doc_id"), 8).as("s8"),
+        Sampling.rendezvousShardFast(col("doc_id"), 9).as("s9"))
+      val moves = a.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1L).otherwise(0L))
+          .as("bad_moves"),
+        (sum(when(col("s8") =!= col("s9"), 1.0).otherwise(0.0)) / count(lit(1)))
+          .between(lit(0.05), lit(0.20)).as("move_frac_ok"))
+      // shard-grain stats (8 rows) — count(*) of the groupBy, not a
+      // count_distinct in the agg above, which would plan an Expand
+      val balance = a.groupBy(col("s8")).agg(count(lit(1)).as("n"))
+        .agg((count(lit(1)) === 8).as("all_shards_used"),
+          (max(col("n")) <= min(col("n")) * 2).as("balance_ok"))
+      moves.crossJoin(broadcast(balance))
+        .select(col("n_docs"), col("bad_moves"), col("move_frac_ok"),
+          col("all_shards_used"), col("balance_ok"))
+    }),
+
     "dd_leakage_split" -> ((s, dir) => {
       import graft.operators.{Dedup, Sampling}
       val d = t(s, dir, "documents")
@@ -3229,6 +3264,55 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // real FLAC codec round-trip: the SAME deterministic PCM as the WAV
+    // corpus, encoded as spec-correct FLAC (verbatim subframes, CRC-8/16 +
+    // MD5 integrity fields), decoded by the structural frame walk. The
+    // oracle predicts the geometry independently; codec_parity pins that
+    // the lossless path reproduces the WAV path's features BIT-FOR-BIT
+    // (same PCM bytes, same feature math).
+    "mm_flac_features" -> ((s, dir) => {
+      val flac = graft.operators.Multimodal.flacMediaFromDocuments(s, dir)
+      val wav = graft.operators.Multimodal.wavMediaFromDocuments(s, dir)
+      def feats(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.decodeAudioFeatures(m,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+      feats(flac).alias("a").join(feats(wav).alias("w"), "media_id")
+        .select(col("media_id"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.n_frames").as("n_frames"),
+          (col("a.sample_rate") === col("w.sample_rate") &&
+            col("a.channels") === col("w.channels") &&
+            col("a.n_frames") === col("w.n_frames") &&
+            col("a.peak") === col("w.peak") &&
+            col("a.rms") === col("w.rms")).as("codec_parity"))
+        .orderBy(col("media_id"))
+    }),
+
+    // real OGG container demux: the same FLAC stream shipped in OGG pages
+    // per the xiph mapping (page CRCs verified, packets reassembled across
+    // lacing/continuation), then the same structural FLAC decode. Same
+    // bit-for-bit parity contract vs the WAV path — proving the page walk
+    // end-to-end, the audio sibling of mm_avi/mp4/mkv_frames.
+    "mm_ogg_features" -> ((s, dir) => {
+      val ogg = graft.operators.Multimodal.oggMediaFromDocuments(s, dir)
+      val wav = graft.operators.Multimodal.wavMediaFromDocuments(s, dir)
+      def feats(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.decodeAudioFeatures(m,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+      feats(ogg).alias("a").join(feats(wav).alias("w"), "media_id")
+        .select(col("media_id"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.n_frames").as("n_frames"),
+          (col("a.sample_rate") === col("w.sample_rate") &&
+            col("a.channels") === col("w.channels") &&
+            col("a.n_frames") === col("w.n_frames") &&
+            col("a.peak") === col("w.peak") &&
+            col("a.rms") === col("w.rms")).as("codec_parity"))
+        .orderBy(col("media_id"))
+    }),
+
     // real video-frame decode: deterministic MJPEG clips (frame count
     // derived from doc_id) sampled every 2nd frame through the JPEG codec;
     // the oracle predicts the sampled-frame count independently. Frame
@@ -4196,6 +4280,13 @@ object SparkEntry {
         |    AS moves_only_to_new
         |FROM w8 JOIN w9 USING (doc_id)
         |GROUP BY shard8 ORDER BY shard8""".stripMargin,
+    // the xxh64 assignment is not DuckDB-replayable; the oracle pins the
+    // hash-independent invariants the Spark side computes exactly
+    "dd_rendezvous_fast" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS bad_moves, TRUE AS move_frac_ok,
+        |  TRUE AS all_shards_used, TRUE AS balance_ok
+        |FROM documents""".stripMargin,
     "dd_leakage_split" ->
       """WITH RECURSIVE ws AS (
         |  SELECT doc_id,
@@ -5359,6 +5450,20 @@ object SparkEntry {
         |  (doc_id % 2) + 1 AS channels,
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS pcm_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_flac_features" ->
+      """SELECT doc_id AS media_id,
+        |  8000 * ((doc_id % 3) + 1) AS sample_rate,
+        |  (doc_id % 2) + 1 AS channels,
+        |  ((doc_id % 25) + 1) * 200 AS n_frames,
+        |  TRUE AS codec_parity
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_ogg_features" ->
+      """SELECT doc_id AS media_id,
+        |  8000 * ((doc_id % 3) + 1) AS sample_rate,
+        |  (doc_id % 2) + 1 AS channels,
+        |  ((doc_id % 25) + 1) * 200 AS n_frames,
+        |  TRUE AS codec_parity
         |FROM documents ORDER BY media_id""".stripMargin,
     "tx_quarantine_readmit" ->
       """WITH good AS (

@@ -238,7 +238,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "hll_cms_reagg",
       // deep profile: the 1-row quantile set crosses into the rank-check
       // scan, and the 1-row rank verdict crosses back into the report
-      "q_profile_deep")
+      "q_profile_deep",
+      // fast HRW: the 1-row move audit crosses the 1-row (8-shard-grain)
+      // balance aggregate
+      "dd_rendezvous_fast")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (!tinySideCross(name)) {
