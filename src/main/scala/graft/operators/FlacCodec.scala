@@ -29,24 +29,8 @@ object FlacCodec {
     bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C'
 
-  // ---- bit-level I/O (MSB first, as FLAC packs) ----
-
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var cur = 0
-    private var nb = 0
-    def writeBits(value: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        cur = (cur << 1) | ((value >>> i) & 1L).toInt
-        nb += 1
-        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
-        i -= 1
-      }
-    }
-    def alignByte(): Unit = if (nb > 0) writeBits(0L, 8 - nb)
-    def toByteArray: Array[Byte] = { require(nb == 0, "unaligned"); out.toByteArray }
-  }
+  // ---- bit-level input (MSB first, as FLAC packs; the encoder emits only
+  // byte-aligned shapes and writes bytes directly) ----
 
   private final class BitReader(bytes: Array[Byte]) {
     var bytePos = 0
@@ -188,35 +172,36 @@ object FlacCodec {
   private def encodeFrame(pcmLE: Array[Byte], startFrame: Int, bs: Int,
       channels: Int, frameIdx: Long): Array[Byte] = {
     // header: fixed 4 bytes + frame number + explicit u16 (blockSize - 1)
-    val head = new java.io.ByteArrayOutputStream()
-    head.write(0xff); head.write(0xf8) // sync 0b11111111111110, reserved 0, fixed blocking
-    head.write((0x07 << 4) | 0x00)     // block size: uncommon-u16 code; rate: from STREAMINFO
-    head.write(((channels - 1) << 4) | (0x04 << 1)) // independent channels; 16-bit; reserved 0
-    head.write(encodeFrameNumber(frameIdx))
-    head.write(((bs - 1) >>> 8) & 0xff); head.write((bs - 1) & 0xff)
-    val hb = head.toByteArray
-
-    val w = new BitWriter
-    hb.foreach(b => w.writeBits(b & 0xffL, 8))
-    w.writeBits(crc8(hb, 0, hb.length).toLong, 8)
+    val num = encodeFrameNumber(frameIdx)
+    val hbLen = 6 + num.length
+    // everything this encoder emits is byte-aligned (8-bit subframe
+    // headers, 16-bit verbatim samples), so the frame is assembled
+    // directly as bytes — ~10x the throughput of a per-bit writer
+    val out = new Array[Byte](hbLen + 1 + channels * (1 + bs * 2) + 2)
+    out(0) = 0xff.toByte; out(1) = 0xf8.toByte // sync, reserved 0, fixed blocking
+    out(2) = 0x70 // block size: uncommon-u16 code; rate: from STREAMINFO
+    out(3) = (((channels - 1) << 4) | (0x04 << 1)).toByte // independent; 16-bit; reserved
+    System.arraycopy(num, 0, out, 4, num.length)
+    out(4 + num.length) = (((bs - 1) >>> 8) & 0xff).toByte
+    out(5 + num.length) = ((bs - 1) & 0xff).toByte
+    out(hbLen) = crc8(out, 0, hbLen).toByte
+    var o = hbLen + 1
     var c = 0
     while (c < channels) {
       // subframe header byte = pad(1)=0 | type(6)=000001 VERBATIM | wasted(1)=0
-      w.writeBits(0x02L, 8)
+      out(o) = 0x02; o += 1
       var f = 0
+      var in = startFrame * channels * 2 + c * 2
       while (f < bs) {
-        val o = (startFrame + f) * channels * 2 + c * 2
-        val s = ((pcmLE(o) & 0xff) | (pcmLE(o + 1) << 8)).toShort
-        w.writeBits(s.toLong & 0xffffL, 16)
+        out(o) = pcmLE(in + 1) // LE in-memory -> BE on the wire
+        out(o + 1) = pcmLE(in)
+        o += 2
+        in += channels * 2
         f += 1
       }
       c += 1
     }
-    w.alignByte()
-    val body = w.toByteArray
-    val out = new Array[Byte](body.length + 2)
-    System.arraycopy(body, 0, out, 0, body.length)
-    putU16(out, body.length, crc16(body, 0, body.length))
+    putU16(out, o, crc16(out, 0, o))
     out
   }
 
@@ -319,10 +304,24 @@ object FlacCodec {
             val v = signExtend(r.readBits(width), width) << wasted
             java.util.Arrays.fill(chans(c), v.toShort)
           case 1 => // VERBATIM
-            var f = 0
-            while (f < bs) {
-              chans(c)(f) = (signExtend(r.readBits(width), width) << wasted).toShort
-              f += 1
+            if (wasted == 0 && r.atByteBoundary) {
+              // the common byte-aligned 16-bit shape: bulk byte reads,
+              // ~10x the per-bit loop (what this encoder always produces)
+              var f = 0
+              var o = r.bytePos
+              require(o + bs * 2 <= bytes.length, "flac: truncated stream")
+              while (f < bs) {
+                chans(c)(f) = (((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)).toShort
+                o += 2
+                f += 1
+              }
+              r.bytePos = o
+            } else {
+              var f = 0
+              while (f < bs) {
+                chans(c)(f) = (signExtend(r.readBits(width), width) << wasted).toShort
+                f += 1
+              }
             }
           case t => throw new IllegalArgumentException(
             s"flac: subframe type $t (FIXED/LPC) not supported by this decoder")
@@ -334,16 +333,20 @@ object FlacCodec {
       val wantCrc16 = r.readBits(16).toInt
       require(wantCrc16 == crc16(bytes, frameStart, bodyEnd),
         s"flac: frame CRC-16 mismatch at byte $frameStart")
+      val fb = new Array[Byte](bs * channels * 2)
       var f = 0
+      var o = 0
       while (f < bs) {
         var cc = 0
         while (cc < channels) {
           val s = chans(cc)(f)
-          pcm.write(s & 0xff); pcm.write((s >> 8) & 0xff)
+          fb(o) = (s & 0xff).toByte; fb(o + 1) = ((s >> 8) & 0xff).toByte
+          o += 2
           cc += 1
         }
         f += 1
       }
+      pcm.write(fb)
       expectFrame += 1
     }
     val pcmBytes = pcm.toByteArray

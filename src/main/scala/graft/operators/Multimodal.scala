@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, processed in per-partition
   * batches (the Scala analogue of PySpark's mapInPandas batch shape).
   *
-  * IMAGE decoding is REAL: [[ImageIoDecoder]] parses PNG/BMP/GIF/JPEG via
-  * `javax.imageio` (in the JVM, zero extra dependencies) and computes an 8x8
-  * average perceptual hash. AUDIO/VIDEO decoding remains STUBBED — this
-  * container has no such codecs — behind the same [[MediaDecoder]] seam: a
-  * deterministic fake that parses the 16-byte header convention below.
-  * Everything around the decoders is real and tested: schema, Dataset
-  * encoders, per-partition decoder lifecycle (expensive init once per
-  * partition, not per row), batch iteration, and the downstream feature
-  * columns.
+  * All three modalities decode for REAL on [[ImageIoDecoder]] (zero extra
+  * dependencies): images via `javax.imageio` (PNG/BMP/GIF/JPEG + an 8x8
+  * average perceptual hash); audio via `javax.sound.sampled` (PCM
+  * WAV/AIFF/AU) plus the structural [[FlacCodec]] (native FLAC) and
+  * [[OggStream]] (OGG-FLAC) paths dispatched on container magic; video via
+  * raw-MJPEG SOI splitting plus the structural [[AviMjpeg]] / [[IsoBmff]] /
+  * [[Matroska]] container demuxers. Codecs the JVM genuinely lacks (e.g.
+  * MP3) fail loudly rather than fake a decode. [[StubDecoder]] remains as
+  * the deterministic test seam for plumbing-only paths (the 16-byte header
+  * convention below). Everything around the decoders is real and tested:
+  * schema, Dataset encoders, per-partition decoder lifecycle (expensive
+  * init once per partition, not per row), batch iteration, and the
+  * downstream feature columns.
   *
   * Scale notes (100 TB of media):
   *  - binary payloads ride in their own column; feature extraction projects
