@@ -54,16 +54,26 @@ object FlacCodec {
 
   // ---- the format's three integrity checks ----
 
+  // table-driven CRCs: the frame CRC-16 runs over EVERY byte on both the
+  // encode and decode path, so the bitwise form was the codec's hottest loop
+  private val crc8Table: Array[Int] = Array.tabulate(256) { i =>
+    var crc = i
+    var k = 0
+    while (k < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; k += 1 }
+    crc
+  }
+  private val crc16Table: Array[Int] = Array.tabulate(256) { i =>
+    var crc = i << 8
+    var k = 0
+    while (k < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; k += 1 }
+    crc
+  }
+
   /** CRC-8, polynomial 0x07, init 0 (frame header). */
   def crc8(b: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
-    while (i < until) {
-      crc ^= b(i) & 0xff
-      var k = 0
-      while (k < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; k += 1 }
-      i += 1
-    }
+    while (i < until) { crc = crc8Table((crc ^ b(i)) & 0xff); i += 1 }
     crc
   }
 
@@ -71,12 +81,7 @@ object FlacCodec {
   def crc16(b: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
-    while (i < until) {
-      crc ^= (b(i) & 0xff) << 8
-      var k = 0
-      while (k < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; k += 1 }
-      i += 1
-    }
+    while (i < until) { crc = ((crc << 8) ^ crc16Table(((crc >>> 8) ^ (b(i) & 0xff)) & 0xff)) & 0xffff; i += 1 }
     crc
   }
 
@@ -349,6 +354,7 @@ object FlacCodec {
       pcm.write(fb)
       expectFrame += 1
     }
+    require(r.remainingBytes == 0, s"flac: ${r.remainingBytes} trailing bytes after last frame")
     val pcmBytes = pcm.toByteArray
     if (totalFrames > 0)
       require(pcmBytes.length.toLong == totalFrames * channels * 2,

@@ -248,6 +248,13 @@ object Multimodal {
       if (FlacCodec.isFlac(bytes)) return flacFeatures(FlacCodec.decodeFlac(bytes))
       if (OggStream.isOggFlac(bytes))
         return flacFeatures(FlacCodec.decodeFlac(OggStream.extractFlac(bytes)))
+      if (WavePcm.isWav(bytes)) {
+        // structural parse, NOT AudioSystem: its per-call synchronized
+        // provider probe serializes parallel decode tasks (WavePcm doc)
+        val a = WavePcm.parseWav16(bytes)
+        val (peak, rms) = pcm16Features(a.pcmLE, le = true)
+        return AudioFeatures0(a.sampleRate, a.channels, a.nFrames, peak, rms)
+      }
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -387,17 +394,11 @@ object Multimodal {
     * so bit-identical across JVMs), encoded through the JVM's WAVE writer.
     * Interleaved channels; frame = one sample per channel.
     */
-  def deterministicWav(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
-    val pcm = deterministicPcm(seed, nFrames, channels)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
-  }
+  def deterministicWav(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] =
+    // WavePcm's canonical header is byte-equivalent to AudioSystem's WAVE
+    // writer for this format (spec-pinned both ways in the unit suite) but
+    // free of its synchronized provider machinery
+    WavePcm.writeWav16(deterministicPcm(seed, nFrames, channels), sampleRate, channels)
 
   /** The shared deterministic PCM generator behind the WAV/FLAC/OGG
     * corpora: interleaved signed 16-bit little-endian, every sample derived
@@ -511,6 +512,21 @@ object Multimodal {
     Matroska.writeMkv(frames, width, height, docType)
   }
 
+  /** The (doc_id, source) seed rows every synthetic media corpus expands
+    * from. The tiny documents parquet reads as ONE split, but each seed row
+    * expands ~1000x into media bytes downstream — so spread the seeds
+    * across the cluster BEFORE the expansion (a few KB shuffled) or the
+    * whole encode+decode pipeline runs in a single task. A real media
+    * column arrives pre-sized from thousands of splits and skips this.
+    */
+  private def docSeeds(spark: SparkSession, dir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+  }
+
   /** MKV/WebM video demo corpus: same per-document geometry as
     * [[mjpegMediaFromDocuments]], shipped in the EBML container —
     * alternating `matroska` and `webm` DocTypes, because the demuxer is
@@ -518,9 +534,7 @@ object Multimodal {
     */
   def mkvMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         val webm = id % 2 == 1
         MediaRecord(
@@ -539,9 +553,7 @@ object Multimodal {
     */
   def mp4MediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -558,9 +570,7 @@ object Multimodal {
     */
   def aviMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -577,9 +587,7 @@ object Multimodal {
     */
   def mjpegMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -596,9 +604,7 @@ object Multimodal {
     */
   def wavMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -620,9 +626,7 @@ object Multimodal {
     */
   def flacMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -644,9 +648,7 @@ object Multimodal {
     */
   def oggMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,
@@ -667,9 +669,7 @@ object Multimodal {
     */
   def pngMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    docSeeds(spark, dir)
       .map { case (id, source) =>
         MediaRecord(
           media_id = id,

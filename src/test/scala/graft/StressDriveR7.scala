@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Round-7 scale stress: the md5 vs xxh64 rendezvous-shard throughput split
-  * (run manually via `sbt 'Test/runMain graftdrive.StressDriveR7'`; results
-  * in SCALING.md). The md5 form exists for engine portability; the fast
-  * form is the one allowed on an ingest path — this drive records the
-  * factor between them at a realistic shard count.
+  * and the FLAC/OGG codec path (run manually via
+  * `sbt 'Test/runMain graftdrive.StressDriveR7'`; results in SCALING.md).
+  * The md5 HRW form exists for engine portability; the fast form is the one
+  * allowed on an ingest path — this drive records the factor between them
+  * at a realistic shard count, and the audio decode rate a media crawl
+  * would see per node.
   */
 object StressDriveR7 {
   def main(args: Array[String]): Unit = {
@@ -40,6 +42,24 @@ object StressDriveR7 {
         .write.format("noop").mode("overwrite").save()
     }
     println(f"DRIVE hrw-speedup: ${tMd5 / tFast}%.1fx (md5 $tMd5%.2f s vs xxh64 $tFast%.2f s)")
+
+    // FLAC + OGG-FLAC decode rate: 20k clips x 8000 stereo frames (~640 MB
+    // of PCM) through the full structural path (page demux, CRC-8/16, MD5)
+    import spark.implicits._
+    val clips = 20000
+    val media = spark.range(clips).map { id =>
+      (id, graft.operators.OggStream.writeOggFlac(
+        graft.operators.Multimodal.deterministicPcm(id, 8000, 2), 16000, 2))
+    }.toDF("id", "ogg").localCheckpoint()
+    val oggBytes = media.select(sum(length(col("ogg")))).collect()(0).getLong(0)
+    val decode = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      graft.operators.FlacCodec.decodeFlac(graft.operators.OggStream.extractFlac(b)).pcmLE.length
+    }
+    val t0 = System.nanoTime()
+    media.select(decode(col("ogg")).as("n")).write.format("noop").mode("overwrite").save()
+    val tDec = (System.nanoTime() - t0) / 1e9
+    println(f"DRIVE ogg-flac-decode-20k: $tDec%.2f s = ${clips / tDec}%.0f clips/s, " +
+      f"${oggBytes / tDec / 1e6}%.0f MB/s container in, ${clips * 8000L * 2 * 2 / tDec / 1e6}%.0f MB/s PCM out")
     spark.stop()
   }
 }

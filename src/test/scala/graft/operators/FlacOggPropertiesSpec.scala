@@ -99,6 +99,46 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("wav: WavePcm and javax.sound agree in BOTH directions") {
+    for ((seed, rate, frames, channels) <- Seq((1L, 8000, 700, 1), (2L, 24000, 1024, 2))) {
+      val raw = pcm(seed, frames, channels)
+      // our bytes through AudioSystem
+      val ours = WavePcm.writeWav16(raw, rate, channels)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      try {
+        assert(in.getFormat.getSampleRate.toInt == rate)
+        assert(in.getFormat.getChannels == channels)
+        assert(in.getFrameLength == frames.toLong)
+        assert(java.util.Arrays.equals(in.readAllBytes(), raw))
+      } finally in.close()
+      // AudioSystem's bytes through our parser
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val theirs = WavePcm.parseWav16(baos.toByteArray)
+      assert(theirs.sampleRate == rate && theirs.channels == channels &&
+        theirs.nFrames == frames.toLong)
+      assert(java.util.Arrays.equals(theirs.pcmLE, raw))
+      // and for this canonical format the bytes are in fact identical
+      assert(java.util.Arrays.equals(ours, baos.toByteArray),
+        "WavePcm header diverges from AudioSystem's canonical WAVE layout")
+    }
+  }
+
+  test("wav: corrupt and non-PCM inputs die in a require") {
+    val good = WavePcm.writeWav16(pcm(4L, 100, 1), 8000, 1)
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 7)
+    intercept[IllegalArgumentException](WavePcm.parseWav16(truncated))
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // fmt code: IEEE float
+    intercept[IllegalArgumentException](WavePcm.parseWav16(nonPcm))
+    intercept[IllegalArgumentException](WavePcm.parseWav16(Array[Byte](1, 2, 3)))
+  }
+
   test("decoder seam: wav, flac, and ogg containers report identical features") {
     val d = new Multimodal.ImageIoDecoder
     for (seed <- Seq(5L, 6L)) {
