@@ -3264,6 +3264,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // image resize pass: aspect-preserving integer-NN downscale of the real
+    // PNG corpus to maxDim=16, re-decoded through ImageIO — proving the
+    // resized bytes are genuine PNGs with EXACTLY the dims the oracle
+    // derives from the doc_id geometry (pure integer arithmetic both sides)
+    "mm_image_resize" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngMediaFromDocuments(s, dir)
+      val resized = graft.operators.Multimodal.resizeImages(media, maxDim = 16)
+      graft.operators.Multimodal.decodeImages(resized,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+        .orderBy(col("media_id"))
+    }),
+
     // real FLAC codec round-trip: the SAME deterministic PCM as the WAV
     // corpus, encoded as spec-correct FLAC (verbatim subframes, CRC-8/16 +
     // MD5 integrity fields), decoded by the structural frame walk. The
@@ -5451,6 +5464,16 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS pcm_ok
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_image_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN GREATEST(w, h) <= 16 THEN w
+        |       ELSE GREATEST(1, w * 16 // GREATEST(w, h)) END AS width,
+        |  CASE WHEN GREATEST(w, h) <= 16 THEN h
+        |       ELSE GREATEST(1, h * 16 // GREATEST(w, h)) END AS height,
+        |  3 AS channels
+        |FROM (SELECT doc_id, ((doc_id % 16) + 1) * 4 AS w,
+        |             ((doc_id % 12) + 1) * 4 AS h
+        |      FROM documents) ORDER BY media_id""".stripMargin,
     "mm_flac_features" ->
       """SELECT doc_id AS media_id,
         |  8000 * ((doc_id % 3) + 1) AS sample_rate,

@@ -340,6 +340,52 @@ object Multimodal {
     }
   }
 
+  /** Per-partition batch image RESIZE: aspect-preserving downscale so the
+    * longest side is at most `maxDim`, nearest-neighbor sampled with pure
+    * integer source coordinates (`x*w/nw`) — deterministic across JVMs,
+    * unlike Graphics2D interpolation — then re-encoded PNG. Images already
+    * within bounds pass through byte-identically (no re-encode). Output
+    * stays a [[MediaRecord]] so the result composes with [[decodeImages]] /
+    * any downstream media op; original dims ride in `meta`. Map-only like
+    * every codec stage: at 100 TB this is the thumbnail/normalization pass
+    * before vision featurization, and it shuffles nothing.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    require(maxDim >= 1, s"resizeImages: maxDim $maxDim")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      disableImageIoDiskCache()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"resizeImages: media ${r.media_id} is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = math.max(w, h)
+        val withDims = r.meta + ("orig_width" -> w.toString, "orig_height" -> h.toString)
+        if (m <= maxDim) {
+          r.copy(meta = withDims)
+        } else {
+          val nw = math.max(1, w * maxDim / m)
+          val nh = math.max(1, h * maxDim / m)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          r.copy(content = baos.toByteArray, media_type = "image/png", meta = withDims)
+        }
+      }
+    }
+  }
+
   /** Frame sampling (one row per sampled frame), same lifecycle. */
   def sampleFrames(
       media: Dataset[MediaRecord],

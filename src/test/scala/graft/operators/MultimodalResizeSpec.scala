@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** resizeImages: exact integer geometry, genuine PNG output, byte-stable
+  * determinism, pass-through below the bound, and pixel-level
+  * nearest-neighbor correctness.
+  */
+class MultimodalResizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus(maxDim: Int): Map[Long, Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val media = (0L until 40L).map { id =>
+      Multimodal.MediaRecord(id, s"t://$id.png", "image/png",
+        Multimodal.deterministicPng(id, ((id % 16) + 1).toInt * 4, ((id % 12) + 1).toInt * 4),
+        Map.empty)
+    }
+    Multimodal.resizeImages(spark.createDataset(media), maxDim)
+      .collect().map(r => r.media_id -> r).toMap
+  }
+
+  test("downscale hits the exact integer geometry and stays a real PNG") {
+    val out = corpus(16)
+    for ((id, r) <- out) {
+      val w = ((id % 16) + 1).toInt * 4
+      val h = ((id % 12) + 1).toInt * 4
+      val m = math.max(w, h)
+      val (ew, eh) = if (m <= 16) (w, h) else (math.max(1, w * 16 / m), math.max(1, h * 16 / m))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      assert(img != null, s"media $id: resized bytes are not a decodable image")
+      assert((img.getWidth, img.getHeight) == ((ew, eh)), s"media $id geometry")
+      assert(r.meta("orig_width").toInt == w && r.meta("orig_height").toInt == h)
+    }
+  }
+
+  test("within-bound images pass through byte-identically; output is deterministic") {
+    val a = corpus(16)
+    val small = a.keys.filter { id =>
+      math.max(((id % 16) + 1) * 4, ((id % 12) + 1) * 4) <= 16
+    }
+    assert(small.nonEmpty)
+    small.foreach { id =>
+      val orig = Multimodal.deterministicPng(id, ((id % 16) + 1).toInt * 4, ((id % 12) + 1).toInt * 4)
+      assert(java.util.Arrays.equals(a(id).content, orig), s"media $id re-encoded needlessly")
+    }
+    val b = corpus(16)
+    a.keys.foreach(id => assert(java.util.Arrays.equals(a(id).content, b(id).content),
+      s"media $id resize not byte-deterministic"))
+  }
+
+  test("nearest-neighbor samples exactly src(x*w/nw, y*h/nh)") {
+    val id = 7L
+    val w = ((id % 16) + 1).toInt * 4
+    val h = ((id % 12) + 1).toInt * 4
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.deterministicPng(id, w, h)))
+    val r = corpus(16)(id)
+    val dst = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+    val (nw, nh) = (dst.getWidth, dst.getHeight)
+    for (y <- 0 until nh; x <- 0 until nw)
+      assert((dst.getRGB(x, y) & 0xffffff) == (src.getRGB(x * w / nw, y * h / nh) & 0xffffff),
+        s"pixel ($x,$y)")
+  }
+}
