@@ -146,8 +146,9 @@ object FlacCodec {
     val si = new Array[Byte](4 + 34)
     si(0) = 0x80.toByte // last-metadata-block, type 0 = STREAMINFO
     si(3) = 34
-    val minBlock = if (totalFrames == 0) blockSize else math.min(blockSize, totalFrames).toInt
-    putU16(si, 4, minBlock)
+    // min/max block size describe the BLOCKING (the last, possibly short,
+    // block is excluded by spec), so both are the nominal block size
+    putU16(si, 4, blockSize)
     putU16(si, 6, blockSize)
     // min/max frame size: 0 = unknown (spec-allowed)
     // sampleRate(20) | channels-1(3) | bps-1(5) | totalSamples(36), BE
