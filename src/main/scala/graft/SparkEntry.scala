@@ -3326,6 +3326,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // audio-rate normalization, end to end through the hardest path: the
+    // OGG-FLAC corpus is page-demuxed, FLAC-decoded, integer-NN resampled
+    // to a uniform 16 kHz, re-encoded WAV, and feature-decoded — the oracle
+    // predicts the output geometry (including the floor-division frame
+    // counts of the 24 kHz downsamples) with the same integer arithmetic
+    "mm_audio_resample" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.oggMediaFromDocuments(s, dir)
+      val resampled = graft.operators.Multimodal.resampleAudio(media, targetRate = 16000)
+      graft.operators.Multimodal.decodeAudioFeatures(resampled,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"), col("n_frames"),
+          (col("peak") > 0.0 && col("rms") > 0.0 && col("rms") <= col("peak") &&
+            col("peak") <= lit(1.0)).as("pcm_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     // real video-frame decode: deterministic MJPEG clips (frame count
     // derived from doc_id) sampled every 2nd frame through the JPEG codec;
     // the oracle predicts the sampled-frame count independently. Frame
@@ -5462,6 +5478,13 @@ object SparkEntry {
         |  8000 * ((doc_id % 3) + 1) AS sample_rate,
         |  (doc_id % 2) + 1 AS channels,
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
+        |  TRUE AS pcm_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_audio_resample" ->
+      """SELECT doc_id AS media_id, 16000 AS sample_rate,
+        |  (doc_id % 2) + 1 AS channels,
+        |  (((doc_id % 25) + 1) * 200 * 16000) // (8000 * ((doc_id % 3) + 1))
+        |    AS n_frames,
         |  TRUE AS pcm_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_image_resize" ->

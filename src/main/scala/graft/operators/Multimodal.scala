@@ -340,6 +340,71 @@ object Multimodal {
     }
   }
 
+  /** Decode any supported audio container to raw interleaved 16-bit LE PCM
+    * — the shared front half of feature extraction and resampling.
+    * Dispatches exactly like the decoder seam: FLAC / OGG-FLAC take the
+    * structural codecs, WAV the structural parser, AIFF/AU javax.sound.
+    */
+  def decodePcm16(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (FlacCodec.isFlac(bytes)) {
+      val a = FlacCodec.decodeFlac(bytes)
+      return (a.sampleRate, a.channels, a.pcmLE)
+    }
+    if (OggStream.isOggFlac(bytes)) {
+      val a = FlacCodec.decodeFlac(OggStream.extractFlac(bytes))
+      return (a.sampleRate, a.channels, a.pcmLE)
+    }
+    if (WavePcm.isWav(bytes)) {
+      val a = WavePcm.parseWav16(bytes)
+      return (a.sampleRate, a.channels, a.pcmLE)
+    }
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"decodePcm16: unsupported format $fmt")
+      (fmt.getSampleRate.toInt, fmt.getChannels, in.readAllBytes())
+    } finally in.close()
+  }
+
+  /** Per-partition batch audio RESAMPLE to a uniform rate — the
+    * normalization pass before audio featurization/tokenization.
+    * Nearest-neighbor frame mapping with pure integer source indices
+    * (`j = i * srcRate / dstRate`), deterministic across JVMs like
+    * [[resizeImages]]; output re-encoded WAV via [[WavePcm]]. A clip
+    * already at the target rate passes through byte-identically when it is
+    * WAV (other containers are transcoded so the output corpus is
+    * uniformly WAV — the point of a normalization pass). Map-only.
+    */
+  def resampleAudio(media: Dataset[MediaRecord], targetRate: Int): Dataset[MediaRecord] = {
+    require(targetRate >= 1, s"resampleAudio: targetRate $targetRate")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, channels, pcm) = decodePcm16(r.content)
+        val nIn = pcm.length / (2 * channels)
+        val withMeta = r.meta +
+          ("orig_rate" -> rate.toString, "orig_frames" -> nIn.toString)
+        if (rate == targetRate && WavePcm.isWav(r.content)) {
+          r.copy(meta = withMeta)
+        } else {
+          val nOut = ((nIn.toLong * targetRate) / rate).toInt
+          val frameBytes = channels * 2
+          val out = new Array[Byte](nOut * frameBytes)
+          var i = 0
+          while (i < nOut) {
+            val j = math.min(nIn - 1, ((i.toLong * rate) / targetRate).toInt)
+            System.arraycopy(pcm, j * frameBytes, out, i * frameBytes, frameBytes)
+            i += 1
+          }
+          r.copy(content = WavePcm.writeWav16(out, targetRate, channels),
+            media_type = "audio/wav", meta = withMeta)
+        }
+      }
+    }
+  }
+
   /** Per-partition batch image RESIZE: aspect-preserving downscale so the
     * longest side is at most `maxDim`, nearest-neighbor sampled with pure
     * integer source coordinates (`x*w/nw`) — deterministic across JVMs,

@@ -60,6 +60,24 @@ object StressDriveR7 {
     val tDec = (System.nanoTime() - t0) / 1e9
     println(f"DRIVE ogg-flac-decode-20k: $tDec%.2f s = ${clips / tDec}%.0f clips/s, " +
       f"${oggBytes / tDec / 1e6}%.0f MB/s container in, ${clips * 8000L * 2 * 2 / tDec / 1e6}%.0f MB/s PCM out")
+
+    // image resize: 20k 64x48 PNGs decoded, NN-downscaled to <=16, re-encoded
+    val imgs = spark.range(20000).map { id =>
+      (id, graft.operators.Multimodal.deterministicPng(id, 64, 48))
+    }.toDF("id", "png").localCheckpoint()
+    val resize = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val out = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 12) { var x = 0; while (x < 16) { out.setRGB(x, y, img.getRGB(x * 4, y * 4)); x += 1 }; y += 1 }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.size()
+    }
+    val t1 = System.nanoTime()
+    imgs.select(resize(col("png")).as("n")).write.format("noop").mode("overwrite").save()
+    val tRes = (System.nanoTime() - t1) / 1e9
+    println(f"DRIVE png-resize-20k: $tRes%.2f s = ${20000 / tRes}%.0f images/s (decode + NN downscale + re-encode)")
     spark.stop()
   }
 }

@@ -139,6 +139,41 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavePcm.parseWav16(Array[Byte](1, 2, 3)))
   }
 
+  test("resample: exact NN frame mapping, 2x upsample duplicates, WAV-at-rate passes through") {
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRecord(id, s"t://$id", "audio", bytes, Map.empty)
+    val raw = pcm(3L, 300, 2)
+    val in = Seq(
+      rec(0L, Multimodal.deterministicWav(3L, 8000, 300, 2)),   // 2x upsample
+      rec(1L, Multimodal.deterministicWav(3L, 16000, 300, 2)),  // already at rate
+      rec(2L, Multimodal.deterministicFlac(3L, 24000, 300, 2)), // 2/3 downsample + transcode
+      rec(3L, Multimodal.deterministicOgg(3L, 16000, 300, 2)))  // at-rate but OGG -> transcode
+    val out = Multimodal.resampleAudio(spark.createDataset(in), 16000)
+      .collect().map(r => r.media_id -> r).toMap
+    // 2x upsample: every source frame exactly twice, in order
+    val up = WavePcm.parseWav16(out(0L).content)
+    assert(up.sampleRate == 16000 && up.nFrames == 600)
+    for (i <- 0 until 600; b <- 0 until 4)
+      assert(up.pcmLE(i * 4 + b) == raw((i / 2) * 4 + b), s"frame $i byte $b")
+    // at-rate WAV passes through byte-identically
+    assert(java.util.Arrays.equals(out(1L).content, in(1).content))
+    assert(out(1L).meta("orig_rate") == "16000")
+    // 24 kHz FLAC -> 16 kHz WAV: floor(300*16000/24000) = 200 frames,
+    // frame i sampled from source frame i*24000/16000 = i*3/2
+    val down = WavePcm.parseWav16(out(2L).content)
+    assert(down.sampleRate == 16000 && down.nFrames == 200)
+    for (i <- 0 until 200; b <- 0 until 4)
+      assert(down.pcmLE(i * 4 + b) == raw((i * 3 / 2) * 4 + b), s"frame $i byte $b")
+    // at-rate OGG transcodes to WAV with identical PCM
+    assert(WavePcm.isWav(out(3L).content))
+    assert(java.util.Arrays.equals(WavePcm.parseWav16(out(3L).content).pcmLE, raw))
+  }
+
   test("decoder seam: wav, flac, and ogg containers report identical features") {
     val d = new Multimodal.ImageIoDecoder
     for (seed <- Seq(5L, 6L)) {
