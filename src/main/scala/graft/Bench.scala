@@ -64,7 +64,12 @@ object Bench {
       System.err.println(s"[bench] baseline unreadable, skipping re-time: $e")
       Map.empty[String, Double]
     }
-    val retried = BenchGate.retryCandidates(bands, okLaps)
+    // guard the whole candidate computation: a degenerate run (e.g. zero
+    // overlap with the baseline because every banded query failed) must
+    // fall back to no-retries and still REPORT, not abort three laps in
+    val retried = try BenchGate.retryCandidates(bands, okLaps)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] retry-candidate selection skipped: $e"); Nil }
     val ok = okLaps ++ retried.flatMap { name =>
       System.err.println(s"[bench] $name over its hard band — re-timing once")
       val t0 = System.nanoTime()

@@ -233,62 +233,29 @@ object Multimodal {
         }
     }
 
-    /** Real audio parse, dispatched on container magic:
-      *  - FLAC (`fLaC`): structural frame decode via [[FlacCodec]]
-      *    (verbatim/constant subframes, CRC-8/CRC-16/MD5 verified).
-      *  - OGG-FLAC (`OggS` + the xiph `0x7F FLAC` mapping): page demux +
-      *    packet reassembly via [[OggStream]], then the same FLAC decode.
-      *  - anything else: `javax.sound.sampled` (PCM WAV/AIFF/AU).
-      * Geometry from the container, peak/RMS over the decoded 16-bit PCM
-      * samples (any channel layout; samples normalized by 1/32768) — the
-      * same feature math on every path, so a clip transcoded losslessly
-      * between containers reports bit-identical features.
+    /** Real audio parse: [[Multimodal.decodePcm16]] dispatches on container
+      * magic (structural FLAC / OGG-FLAC / canonical WAV; javax.sound for
+      * the rest, byte-swapped to LE), then one peak/RMS pass over the
+      * decoded 16-bit samples (any channel layout, normalized by 1/32768).
+      * Same PCM and feature math on every path, so a clip transcoded
+      * losslessly between containers reports bit-identical features.
       */
     override def decodeAudio(bytes: Array[Byte]): AudioFeatures0 = {
-      if (FlacCodec.isFlac(bytes)) return flacFeatures(FlacCodec.decodeFlac(bytes))
-      if (OggStream.isOggFlac(bytes))
-        return flacFeatures(FlacCodec.decodeFlac(OggStream.extractFlac(bytes)))
-      if (WavePcm.isWav(bytes)) {
-        // structural parse, NOT AudioSystem: its per-call synchronized
-        // provider probe serializes parallel decode tasks (WavePcm doc)
-        val a = WavePcm.parseWav16(bytes)
-        val (peak, rms) = pcm16Features(a.pcmLE, le = true)
-        return AudioFeatures0(a.sampleRate, a.channels, a.nFrames, peak, rms)
-      }
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16,
-          s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
-        val nFrames = in.getFrameLength
-        val data = in.readAllBytes()
-        val (peak, rms) = pcm16Features(data, le = !fmt.isBigEndian)
-        AudioFeatures0(fmt.getSampleRate.toInt, fmt.getChannels, nFrames, peak, rms)
-      } finally in.close()
-    }
-
-    private def flacFeatures(a: FlacCodec.FlacAudio): AudioFeatures0 = {
-      val (peak, rms) = pcm16Features(a.pcmLE, le = true)
-      AudioFeatures0(a.sampleRate, a.channels, a.totalFrames, peak, rms)
-    }
-
-    private def pcm16Features(data: Array[Byte], le: Boolean): (Double, Double) = {
+      val (rate, channels, pcm) = Multimodal.decodePcm16(bytes)
       var i = 0
       var peak = 0.0
       var sumSq = 0.0
       var n = 0
-      while (i + 1 < data.length) {
-        val s =
-          if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
-          else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+      while (i + 1 < pcm.length) {
+        val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
         val v = math.abs(s.toDouble) / 32768.0
         if (v > peak) peak = v
         sumSq += v * v
         n += 1
         i += 2
       }
-      (peak, if (n > 0) math.sqrt(sumSq / n) else 0.0)
+      AudioFeatures0(rate, channels, pcm.length.toLong / (2 * channels), peak,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0)
     }
   }
 
@@ -343,7 +310,9 @@ object Multimodal {
   /** Decode any supported audio container to raw interleaved 16-bit LE PCM
     * — the shared front half of feature extraction and resampling.
     * Dispatches exactly like the decoder seam: FLAC / OGG-FLAC take the
-    * structural codecs, WAV the structural parser, AIFF/AU javax.sound.
+    * structural codecs, CANONICAL PCM WAV the structural parser, everything
+    * else (AIFF/AU, extensible-fmt WAV) javax.sound — whose native
+    * big-endian output is byte-swapped here so callers always see LE.
     */
   def decodePcm16(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (FlacCodec.isFlac(bytes)) {
@@ -354,7 +323,9 @@ object Multimodal {
       val a = FlacCodec.decodeFlac(OggStream.extractFlac(bytes))
       return (a.sampleRate, a.channels, a.pcmLE)
     }
-    if (WavePcm.isWav(bytes)) {
+    // non-canonical WAVs (e.g. WAVE_FORMAT_EXTENSIBLE) fall through to
+    // javax.sound rather than dying on the fast path's format-1 require
+    if (WavePcm.isWav(bytes) && WavePcm.isCanonicalPcm16(bytes)) {
       val a = WavePcm.parseWav16(bytes)
       return (a.sampleRate, a.channels, a.pcmLE)
     }
@@ -362,9 +333,17 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes))
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"decodePcm16: unsupported format $fmt")
-      (fmt.getSampleRate.toInt, fmt.getChannels, in.readAllBytes())
+      require(fmt.getSampleSizeInBits == 16,
+        s"decodePcm16: only 16-bit PCM supported, got $fmt")
+      val data = in.readAllBytes()
+      if (fmt.isBigEndian) { // AIFF/AU: swap to the LE the callers expect
+        var i = 0
+        while (i + 1 < data.length) {
+          val t = data(i); data(i) = data(i + 1); data(i + 1) = t
+          i += 2
+        }
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, data)
     } finally in.close()
   }
 
@@ -432,8 +411,13 @@ object Multimodal {
         } else {
           val nw = math.max(1, w * maxDim / m)
           val nh = math.max(1, h * maxDim / m)
-          val out = new java.awt.image.BufferedImage(
-            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // keep the channel contract independent of whether the bound
+          // triggered: alpha sources resize to an alpha target (pass-through
+          // keeps alpha too), opaque sources stay 3-channel
+          val outType =
+            if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(nw, nh, outType)
           var y = 0
           while (y < nh) {
             var x = 0

@@ -38,12 +38,19 @@ object OggStream {
     t
   }
 
-  def crc32(b: Array[Byte], from: Int, until: Int): Int = {
-    var crc = 0
+  def crc32(b: Array[Byte], from: Int, until: Int): Int = crc32Acc(0, b, from, until)
+
+  /** Incremental form: thread the accumulator across ranges — lets the
+    * demuxer checksum a page as header-before-CRC + four zeros + rest
+    * without copying the page.
+    */
+  private def crc32Acc(crc0: Int, b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = crc0
     var i = from
     while (i < until) { crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff); i += 1 }
     crc
   }
+  private val fourZeros = new Array[Byte](4)
 
   // ---- mux ----
 
@@ -133,11 +140,12 @@ object OggStream {
       while (i < segCount) { payloadLen += bytes(p + 27 + i) & 0xff; i += 1 }
       val pageEnd = p + 27 + segCount + payloadLen
       require(pageEnd <= bytes.length, "ogg: truncated page payload")
-      // CRC check: recompute with the CRC field zeroed
+      // CRC check: recompute with the CRC field zeroed — incrementally
+      // (header-before-CRC + four zeros + rest), no page copy
       val want = leInt(bytes, p + 22)
-      val copy = java.util.Arrays.copyOfRange(bytes, p, pageEnd)
-      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
-      require(crc32(copy, 0, copy.length) == want, s"ogg: page CRC mismatch at byte $p")
+      val got = crc32Acc(crc32Acc(crc32Acc(0, bytes, p, p + 22),
+        fourZeros, 0, 4), bytes, p + 26, pageEnd)
+      require(got == want, s"ogg: page CRC mismatch at byte $p")
       require(((flags & 0x01) != 0) == pendingOpen,
         s"ogg: continuation flag disagrees with packet state at byte $p")
       var off = p + 27 + segCount

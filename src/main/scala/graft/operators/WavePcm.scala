@@ -29,6 +29,27 @@ object WavePcm {
 
   case class WavAudio(sampleRate: Int, channels: Int, nFrames: Long, pcmLE: Array[Byte])
 
+  /** True iff the file's fmt chunk declares plain PCM (format tag 1) at 16
+    * bits — the shape [[parseWav16]] handles. Dialects like
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) return false so callers can route
+    * them to javax.sound instead of dying on the fast path.
+    */
+  def isCanonicalPcm16(bytes: Array[Byte]): Boolean = {
+    if (!isWav(bytes)) return false
+    val riffEnd = math.min(bytes.length.toLong, 8L + (leInt(bytes, 4) & 0xffffffffL))
+    var p = 12L
+    while (p + 8 <= riffEnd) {
+      val off = p.toInt
+      val len = leInt(bytes, off + 4) & 0xffffffffL
+      if (p + 8 + len > riffEnd) return false
+      if (bytes(off) == 'f' && bytes(off + 1) == 'm' && bytes(off + 2) == 't' &&
+          bytes(off + 3) == ' ')
+        return len >= 16 && leShort(bytes, off + 8) == 1 && leShort(bytes, off + 22) == 16
+      p += 8 + len + (len & 1L)
+    }
+    false
+  }
+
   private def leInt(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
     ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)

@@ -174,7 +174,7 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(WavePcm.parseWav16(out(3L).content).pcmLE, raw))
   }
 
-  test("decoder seam: wav, flac, and ogg containers report identical features") {
+  test("decoder seam: wav, flac, ogg, and (BE) aiff containers report identical features") {
     val d = new Multimodal.ImageIoDecoder
     for (seed <- Seq(5L, 6L)) {
       val (rate, frames, channels) = (16000, 1200, ((seed % 2) + 1).toInt)
@@ -183,6 +183,29 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
       val o = d.decodeAudio(Multimodal.deterministicOgg(seed, rate, frames, channels))
       assert(w == f, s"wav vs flac features differ: $w vs $f")
       assert(w == o, s"wav vs ogg features differ: $w vs $o")
+      // AIFF rides the javax.sound path with native big-endian samples —
+      // decodePcm16 must byte-swap, not reject
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm(seed, frames, channels)), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+      val a = d.decodeAudio(baos.toByteArray)
+      assert(w == a, s"wav vs aiff features differ: $w vs $a")
     }
+  }
+
+  test("wav: non-canonical fmt tags are routed off the fast path, not rejected") {
+    val good = WavePcm.writeWav16(pcm(8L, 100, 1), 8000, 1)
+    assert(WavePcm.isCanonicalPcm16(good))
+    val extensible = good.clone()
+    extensible(20) = 0xfe.toByte; extensible(21) = 0xff.toByte // WAVE_FORMAT_EXTENSIBLE
+    assert(!WavePcm.isCanonicalPcm16(extensible))
+    // decodePcm16 must NOT die in the structural parser's format-1 require
+    // (javax.sound gets its shot; this minimal mutation is not a complete
+    // extensible file, so javax throwing ITS error is the accepted outcome)
+    val e = intercept[Exception](Multimodal.decodePcm16(extensible))
+    assert(!e.getMessage.contains("format 1"), s"fast path swallowed the dispatch: $e")
   }
 }

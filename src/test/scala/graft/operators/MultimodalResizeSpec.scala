@@ -55,6 +55,19 @@ class MultimodalResizeSpec extends AnyFunSuite {
       s"media $id resize not byte-deterministic"))
   }
 
+  test("alpha sources keep alpha when resized (channel contract independent of bound)") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(40, 40, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 40; x <- 0 until 40) img.setRGB(x, y, ((x * 6) << 24) | (x << 16) | y)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rec = Multimodal.MediaRecord(0L, "t://a.png", "image/png", baos.toByteArray, Map.empty)
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(rec)), 16).collect()(0)
+    val resized = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert(resized.getWidth == 16 && resized.getHeight == 16)
+    assert(resized.getColorModel.hasAlpha, "resize dropped the alpha channel")
+  }
+
   test("nearest-neighbor samples exactly src(x*w/nw, y*h/nh)") {
     val id = 7L
     val w = ((id % 16) + 1).toInt * 4
