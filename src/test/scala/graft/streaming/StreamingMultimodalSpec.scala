@@ -194,6 +194,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.map(r => r.media_id -> r.ahash).toMap == again.map(r => r.media_id -> r.ahash).toMap)
   }
 
+  test("multimodal: streaming media normalization (resample + features) is batch-equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a micro-batched OGG-FLAC drop: the map-only normalize pipeline
+    // (page demux -> FLAC decode -> 16 kHz resample -> WAV -> features)
+    // must behave identically on a stream and on the same rows in batch
+    val clips = (0L until 24L).map { id =>
+      Multimodal.MediaRecord(id, s"s://$id.ogg", "audio/ogg",
+        Multimodal.deterministicOgg(id, 8000 * ((id % 3) + 1).toInt,
+          ((id % 5) + 1).toInt * 200, ((id % 2) + 1).toInt),
+        Map.empty)
+    }
+    def normalize(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.decodeAudioFeatures(
+        Multimodal.resampleAudio(ds, targetRate = 16000),
+        () => new Multimodal.ImageIoDecoder)
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val query = normalize(stream.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("media_norm_out").start()
+    try {
+      clips.grouped(8).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("media_norm_out")
+        .as[Multimodal.AudioFeatures].collect().sortBy(_.media_id)
+      val batch = normalize(spark.createDataset(clips)).collect().sortBy(_.media_id)
+      assert(streamed.length == 24)
+      assert(streamed.toSeq == batch.toSeq)
+      streamed.foreach(f => assert(f.sample_rate == 16000))
+    } finally query.stop()
+  }
+
   test("multimodal: real ImageIO decode round-trips deterministic PNGs") {
     import graft.operators.Multimodal.{ImageIoDecoder, deterministicPng}
     val dec = new ImageIoDecoder
