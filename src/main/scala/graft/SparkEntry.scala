@@ -3302,6 +3302,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // wild-FLAC decode: the same PCM compressed with FIXED predictors +
+    // Rice residuals (even ids) or LPC subframes (odd ids), stereo frames
+    // auto-decorrelated — the prediction-based shapes real .flac files
+    // carry, which the verbatim contract never touches. Parity vs the WAV
+    // path proves warmup + residual reconstruction + decorrelation are
+    // bit-exact (each stream also MD5-self-verifies inside the decoder);
+    // `compressed` pins that the predictor genuinely shrinks the bytes.
+    "mm_flac_fixed" -> ((s, dir) => {
+      val flac = graft.operators.Multimodal.flacCompressedMediaFromDocuments(s, dir)
+      val wav = graft.operators.Multimodal.wavMediaFromDocuments(s, dir)
+      def feats(m: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]) =
+        graft.operators.Multimodal.decodeAudioFeatures(m,
+          () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+      feats(flac).alias("a").join(feats(wav).alias("w"), "media_id")
+        .select(col("media_id"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.n_frames").as("n_frames"),
+          (col("a.sample_rate") === col("w.sample_rate") &&
+            col("a.channels") === col("w.channels") &&
+            col("a.n_frames") === col("w.n_frames") &&
+            col("a.peak") === col("w.peak") &&
+            col("a.rms") === col("w.rms")).as("codec_parity"),
+          (col("a.size_bytes") < col("w.size_bytes")).as("compressed"))
+        .orderBy(col("media_id"))
+    }),
+
     // real OGG container demux: the same FLAC stream shipped in OGG pages
     // per the xiph mapping (page CRCs verified, packets reassembled across
     // lacing/continuation), then the same structural FLAC decode. Same
@@ -5503,6 +5530,14 @@ object SparkEntry {
         |  (doc_id % 2) + 1 AS channels,
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_flac_fixed" ->
+      """SELECT doc_id AS media_id,
+        |  8000 * ((doc_id % 3) + 1) AS sample_rate,
+        |  (doc_id % 2) + 1 AS channels,
+        |  ((doc_id % 25) + 1) * 200 AS n_frames,
+        |  TRUE AS codec_parity,
+        |  TRUE AS compressed
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_ogg_features" ->
       """SELECT doc_id AS media_id,

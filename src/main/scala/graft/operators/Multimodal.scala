@@ -532,6 +532,17 @@ object Multimodal {
   def deterministicFlac(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] =
     FlacCodec.writeFlac(deterministicPcm(seed, nFrames, channels), sampleRate, channels)
 
+  /** Deterministic REAL compressed FLAC bytes: the same PCM, encoded with
+    * FIXED predictors + Rice residuals (even seeds) or constant-coefficient
+    * LPC subframes (odd seeds), stereo frames auto-decorrelated — the
+    * wild-FLAC shapes the decoder must handle, unlike the verbatim corpus.
+    */
+  def deterministicFlacCompressed(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] = {
+    val mode = if (seed % 2 == 0) FlacCodec.Mode.Fixed else FlacCodec.Mode.Lpc
+    FlacCodec.writeFlac(deterministicPcm(seed, nFrames, channels), sampleRate, channels,
+      blockSize = 1024, mode = mode)
+  }
+
   /** Deterministic REAL OGG-FLAC bytes: the same PCM again, FLAC-encoded
     * and shipped in OGG pages per the xiph mapping by [[OggStream]].
     */
@@ -728,6 +739,31 @@ object Multimodal {
           uri = s"fake://$source/$id.flac",
           media_type = "audio/flac",
           content = deterministicFlac(
+            seed = id,
+            sampleRate = 8000 * ((id % 3) + 1).toInt,
+            nFrames = ((id % 25) + 1).toInt * 200,
+            channels = ((id % 2) + 1).toInt),
+          meta = Map("source" -> source))
+      }
+  }
+
+  /** Compressed-FLAC audio demo corpus: the same geometry and PCM as
+    * [[wavMediaFromDocuments]], but FIXED+Rice encoded (even doc_ids) or
+    * LPC encoded (odd doc_ids) with auto stereo decorrelation — so the
+    * mm_flac_fixed contract pins the PREDICTION decode paths (warmup +
+    * residual reconstruction + decorrelation, MD5-verified per stream)
+    * against the WAV path bit-for-bit, the way mm_flac_features pins the
+    * verbatim path.
+    */
+  def flacCompressedMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docSeeds(spark, dir)
+      .map { case (id, source) =>
+        MediaRecord(
+          media_id = id,
+          uri = s"fake://$source/$id.flac",
+          media_type = "audio/flac",
+          content = deterministicFlacCompressed(
             seed = id,
             sampleRate = 8000 * ((id % 3) + 1).toInt,
             nFrames = ((id % 25) + 1).toInt * 200,

@@ -28,6 +28,139 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("flac: FIXED mode round-trips bit-for-bit across geometries and stereo modes") {
+    import FlacCodec.{Mode, Stereo}
+    for {
+      channels <- Seq(1, 2)
+      frames <- Seq(0, 1, 16, 1000, 4096, 4097)
+      seed <- Seq(0L, 7L)
+    } {
+      val raw = pcm(seed, frames, channels)
+      val flac = FlacCodec.writeFlacFixed(raw, 16000, channels)
+      val dec = FlacCodec.decodeFlac(flac) // MD5-verifies internally
+      assert(dec.sampleRate == 16000 && dec.channels == channels)
+      assert(java.util.Arrays.equals(dec.pcmLE, raw),
+        s"FIXED PCM mismatch at channels=$channels frames=$frames seed=$seed")
+    }
+    // every stereo assignment decodes — forced, so none hides behind Auto
+    val raw2 = pcm(13L, 3000, 2)
+    for (st <- Seq(Stereo.Independent, Stereo.LeftSide, Stereo.RightSide, Stereo.MidSide)) {
+      val flac = FlacCodec.writeFlac(raw2, 24000, 2, 1024, Mode.Fixed, st)
+      assert(java.util.Arrays.equals(FlacCodec.decodeFlac(flac).pcmLE, raw2),
+        s"stereo mode $st mismatch")
+    }
+  }
+
+  test("flac: LPC mode round-trips and actually emits LPC subframes") {
+    import FlacCodec.Mode
+    for (channels <- Seq(1, 2); frames <- Seq(3, 1000, 2048)) {
+      val raw = pcm(5L, frames, channels)
+      val flac = FlacCodec.writeFlac(raw, 16000, channels, 1024, Mode.Lpc)
+      assert(java.util.Arrays.equals(FlacCodec.decodeFlac(flac).pcmLE, raw),
+        s"LPC PCM mismatch at channels=$channels frames=$frames")
+    }
+    // the verbatim decoder rejected type>=32; prove the stream really
+    // carries LPC by checking a subframe header byte: first frame of a mono
+    // stream, subframe header directly after the 5-byte frame header
+    // (ff f8 70 xx bs bs crc8) -> byte offset 4+34+4+3+2+... use marker scan
+    val mono = FlacCodec.writeFlac(pcm(5L, 1000, 1), 16000, 1, 1024, Mode.Lpc)
+    // frame starts right after fLaC + 38-byte STREAMINFO block
+    val frameStart = 4 + 38
+    assert((mono(frameStart) & 0xff) == 0xff && (mono(frameStart + 1) & 0xff) == 0xf8)
+    // header: 4 fixed + 1 frame-number + 2 blockSize + 1 crc8 -> subframe at +8
+    val subHeader = mono(frameStart + 8) & 0xff
+    assert((subHeader >> 1) >= 32, s"expected an LPC subframe type, got header $subHeader")
+  }
+
+  test("flac: FIXED mode genuinely compresses the deterministic corpus") {
+    val raw = pcm(9L, 5000, 2)
+    val verbatim = FlacCodec.writeFlac(raw, 16000, 2)
+    val fixed = FlacCodec.writeFlacFixed(raw, 16000, 2)
+    assert(fixed.length < verbatim.length / 2,
+      s"FIXED ${fixed.length} B vs verbatim ${verbatim.length} B — predictor not biting")
+  }
+
+  test("flac: decode-only paths — Rice2, partitioned residuals, escape partition, wasted bits") {
+    // hand-built mono frame the encoder never emits: FIXED order 1, 2 wasted
+    // bits, partition order 1 (2 partitions), Rice2 coding, second partition
+    // escaped to 5-bit raw residuals
+    final class BW {
+      val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var n = 0
+      def bits(v: Long, w: Int): Unit = { var i = w - 1; while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt; n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }; i -= 1 } }
+      def align(): Unit = if (n != 0) bits(0, 8 - n)
+    }
+    val bs = 16
+    // residuals (zigzag-small for partition 0; partition 1 raw 5-bit signed)
+    val res = Array(0, 1, -1, 2, -2, 3, -3, 7, -8, 15, -15, 4, -4, 0, 5, -5)
+    val warm0 = 100 // first sample in the width-14 domain
+    val samples14 = new Array[Int](bs)
+    samples14(0) = warm0
+    for (i <- 1 until bs) samples14(i) = res(i) + samples14(i - 1) // order-1 reconstruction
+    val expected = samples14.map(_ << 2) // wasted = 2
+    val pcmBytes = new Array[Byte](bs * 2)
+    for (i <- 0 until bs) {
+      pcmBytes(2 * i) = (expected(i) & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((expected(i) >> 8) & 0xff).toByte
+    }
+    val w = new BW
+    // frame header: sync+reserved+fixed-blocking, bs code 7 (u16), rate 0,
+    // chan 0 (mono), bps 4 (16-bit), reserved
+    w.bits(0x3ffe, 14); w.bits(0, 2); w.bits(7, 4); w.bits(0, 4)
+    w.bits(0, 4); w.bits(4, 3); w.bits(0, 1)
+    w.bits(0, 8) // frame number 0
+    w.bits(bs - 1, 16)
+    val headBytes = w.out.toByteArray
+    w.bits(FlacCodec.crc8(headBytes, 0, headBytes.length).toLong, 8)
+    // subframe: pad 0, FIXED order 1 (001001), wasted flag 1 + unary "01" (=2)
+    w.bits(0, 1); w.bits(9, 6); w.bits(1, 1); w.bits(1, 2) // unary 0b01
+    w.bits(warm0.toLong & 0x3fff, 14) // warmup at width 14
+    // residual: method 1 (Rice2), partition order 1
+    w.bits(1, 2); w.bits(1, 4)
+    // partition 0: 7 residuals (psize 8 minus order 1), Rice2 param 2
+    w.bits(2, 5)
+    for (i <- 1 until 8) {
+      val u = ((res(i).toLong << 1) ^ (res(i).toLong >> 63))
+      var q = (u >>> 2).toInt
+      while (q > 0) { w.bits(0, 1); q -= 1 }
+      w.bits(1, 1); w.bits(u & 3, 2)
+    }
+    // partition 1: escape (31), raw width 5
+    w.bits(31, 5); w.bits(5, 5)
+    for (i <- 8 until 16) w.bits(res(i).toLong & 0x1f, 5)
+    w.align()
+    val soFar = w.out.toByteArray
+    w.bits(FlacCodec.crc16(soFar, 0, soFar.length).toLong, 16)
+    val frame = w.out.toByteArray
+    val (si, _) = FlacCodec.encodeParts(pcmBytes, 8000, 1, blockSize = 16)
+    val stream = new java.io.ByteArrayOutputStream()
+    stream.write('f'); stream.write('L'); stream.write('a'); stream.write('C')
+    stream.write(si); stream.write(frame)
+    val dec = FlacCodec.decodeFlac(stream.toByteArray) // MD5 verifies too
+    assert(java.util.Arrays.equals(dec.pcmLE, pcmBytes),
+      "hand-built Rice2/escape/wasted frame decoded wrong")
+  }
+
+  test("flac: FIXED-mode corruption anywhere dies in a require, never wrong PCM") {
+    val raw = pcm(17L, 2000, 2)
+    val good = FlacCodec.writeFlacFixed(raw, 24000, 2)
+    val rnd = new scala.util.Random(7)
+    var caught = 0
+    for (_ <- 0 until 300) {
+      val bad = good.clone()
+      val i = rnd.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val dec = FlacCodec.decodeFlac(bad)
+        assert(java.util.Arrays.equals(dec.pcmLE, raw),
+          s"byte $i: undetected corruption CHANGED the decoded PCM")
+      } catch { case _: IllegalArgumentException => caught += 1 }
+    }
+    assert(caught > 250, s"only $caught/300 corruptions caught — integrity checks not biting")
+  }
+
   test("flac: multi-block streams exercise multi-byte frame numbers") {
     // blockSize 16 over 2400 frames -> 150 frames, numbers past 0x7F use
     // the 2-byte UTF-8-style coding
