@@ -59,7 +59,14 @@ object Bench {
     val bands = try {
       val p = java.nio.file.Paths.get("src/test/resources/bench_baseline.json")
       if (java.nio.file.Files.exists(p)) BenchGate.parse(java.nio.file.Files.readString(p))._1
-      else Map.empty[String, Double]
+      else {
+        // CWD-relative on purpose (the driver runs Bench from the repo
+        // root), but say so: silently skipping the retry pass from another
+        // working directory looked exactly like "no misses"
+        System.err.println(
+          s"[bench] no baseline at ${p.toAbsolutePath} — re-time-on-miss disabled this run")
+        Map.empty[String, Double]
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline unreadable, skipping re-time: $e")
       Map.empty[String, Double]

@@ -3369,6 +3369,38 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // corrupt-media policy on the normalization stages: every 7th record of
+    // each corpus is truncated to garbage, then pushed through the SAFE
+    // resize/resample variants — the batch must survive with the bad rows
+    // DIVERTED (stable reason tags), and every survivor must be genuinely
+    // processed (image long side <= 16 on re-decode; audio at 16 kHz). The
+    // oracle derives the ok/diverted counts from the doc_id rule.
+    "mm_media_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val mm = graft.operators.Multimodal
+      def dec = () => new mm.ImageIoDecoder
+      val corruptPng = mm.pngMediaFromDocuments(s, dir).map(r =>
+        if (r.media_id % 7 == 0) r.copy(content = java.util.Arrays.copyOf(r.content, 8)) else r)
+      val corruptWav = mm.wavMediaFromDocuments(s, dir).map(r =>
+        if (r.media_id % 7 == 0) r.copy(content = java.util.Arrays.copyOf(r.content, 10)) else r)
+      val imgOut = mm.resizeImagesSafe(corruptPng, maxDim = 16)
+      val audOut = mm.resampleAudioSafe(corruptWav, targetRate = 16000)
+      val imgOk = mm.decodeImages(mm.keptRecords(imgOut), dec).toDF()
+        .select(col("media_id"), (greatest(col("width"), col("height")) <= 16).as("ok"))
+      val audOk = mm.decodeAudioFeatures(mm.keptRecords(audOut), dec).toDF()
+        .select(col("media_id"), (col("sample_rate") === 16000).as("ok"))
+      def statusAgg(out: org.apache.spark.sql.Dataset[mm.MediaOutcome],
+          modality: String, okDf: org.apache.spark.sql.DataFrame) =
+        out.toDF().select(col("media_id"), coalesce(col("error"), lit("ok")).as("status"))
+          .join(okDf, Seq("media_id"), "left")
+          .groupBy(lit(modality).as("modality"), col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            bool_and(coalesce(col("ok"), lit(true))).as("survivors_ok"))
+      statusAgg(imgOut, "image", imgOk)
+        .unionAll(statusAgg(audOut, "audio", audOk))
+        .orderBy(col("modality"), col("status"))
+    }),
+
     // real video-frame decode: deterministic MJPEG clips (frame count
     // derived from doc_id) sampled every 2nd frame through the JPEG codec;
     // the oracle predicts the sampled-frame count independently. Frame
@@ -5531,6 +5563,17 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_media_quarantine" ->
+      """SELECT modality, status, COUNT(*) AS n_rows, TRUE AS survivors_ok
+        |FROM (
+        |  SELECT 'image' AS modality,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'undecodable_image' ELSE 'ok' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'audio',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'undecodable_audio' ELSE 'ok' END
+        |  FROM documents)
+        |GROUP BY modality, status ORDER BY modality, status""".stripMargin,
     "mm_flac_fixed" ->
       """SELECT doc_id AS media_id,
         |  8000 * ((doc_id % 3) + 1) AS sample_rate,

@@ -363,16 +363,20 @@ case class CmsImport(child: Expression)
       val n = c.getLong(2)
       require(d >= 0 && d < depth && w >= 0 && w < width,
         s"cms_import: cell ($d,$w) outside ${depth}x$width")
-      // a negative (or zero) cell would break the documented never-
-      // undercount invariant of cms_query; repeated large cells must fail
-      // loudly instead of wrapping the Long counter
-      require(n > 0, s"cms_import: non-positive cell count $n at ($d,$w)")
-      val idx = d * width + w
-      // both sides positive, so overflow iff prev > Max - n; fail with the
-      // same clean IllegalArgumentException as every other wire check
-      require(s.counts(idx) <= Long.MaxValue - n,
-        s"cms_import: cell ($d,$w) overflows Long")
-      s.counts(idx) += n
+      // a negative cell would break the documented never-undercount
+      // invariant of cms_query; a ZERO cell is harmless (adds nothing), and
+      // engine-portable producers that densely emit every cell including
+      // zeros are valid wire writers — accept and skip. Repeated large
+      // cells must fail loudly instead of wrapping the Long counter.
+      require(n >= 0, s"cms_import: negative cell count $n at ($d,$w)")
+      if (n > 0) {
+        val idx = d * width + w
+        // both sides positive, so overflow iff prev > Max - n; fail with the
+        // same clean IllegalArgumentException as every other wire check
+        require(s.counts(idx) <= Long.MaxValue - n,
+          s"cms_import: cell ($d,$w) overflows Long")
+        s.counts(idx) += n
+      }
       i += 1
     }
     s.serialize()

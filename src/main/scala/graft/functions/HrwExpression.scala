@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,12 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-for-byte (it DuckDB-replays), this one where assignment sits on a
   * hot ingest path. The HRW *structure* is what both guarantee.
   *
+  * Codegen: participates in whole-stage codegen via a static call into
+  * [[HrwShard.shardUTF8]]/[[HrwShard.shardBytes]] — the same pattern as
+  * Spark's own hash expressions (the generated Java stays one call, the
+  * shard loop stays JIT-compiled Scala), so the ingest projection never
+  * drops out of the codegen'd stage the way a CodegenFallback would.
+  *
   * Ties: resolved toward the lower shard index; with 64-bit weights a tie
   * needs an xxh64 collision across shards of one key (~2^-64 per pair) and
   * any fixed resolution preserves the HRW move property.
   */
 case class HrwShard(child: Expression, nShards: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(nShards >= 1 && nShards <= 65536,
     s"hrw_shard: nShards must be in [1, 65536], got $nShards")
@@ -42,14 +48,35 @@ case class HrwShard(child: Expression, nShards: Int, seed: Long)
   }
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(v: Any): Any = {
-    // hash the key bytes ONCE; per-shard weight is a long-mix, not a rehash
-    val keyHash = v match {
-      case s: UTF8String =>
-        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
-      case b: Array[Byte] =>
-        XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => HrwShard.shardUTF8(s, nShards, seed)
+    case b: Array[Byte] => HrwShard.shardBytes(b, nShards, seed)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.functions.HrwShard$.MODULE$"
+    val call = child.dataType match {
+      case _: StringType => (c: String) => s"$helper.shardUTF8($c, $nShards, ${seed}L)"
+      case _ => (c: String) => s"$helper.shardBytes($c, $nShards, ${seed}L)"
     }
+    defineCodeGen(ctx, ev, call)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HrwShard = copy(child = c)
+  override def prettyName: String = "hrw_shard"
+}
+
+object HrwShard {
+
+  /** Hash the key bytes ONCE; per-shard weight is a long-mix, not a rehash. */
+  def shardUTF8(s: UTF8String, nShards: Int, seed: Long): Int =
+    pick(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed), nShards)
+
+  def shardBytes(b: Array[Byte], nShards: Int, seed: Long): Int =
+    pick(XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed), nShards)
+
+  private def pick(keyHash: Long, nShards: Int): Int = {
     var best = 0
     var bestH = XXH64.hashLong(0L, keyHash)
     var s = 1
@@ -61,7 +88,4 @@ case class HrwShard(child: Expression, nShards: Int, seed: Long)
     }
     best
   }
-
-  override protected def withNewChildInternal(c: Expression): HrwShard = copy(child = c)
-  override def prettyName: String = "hrw_shard"
 }

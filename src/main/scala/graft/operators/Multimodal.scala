@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   * Fake header convention (deterministic stand-in for magic bytes):
   * bytes[0..3] = width (BE int), bytes[4..7] = height, bytes[8] = channels,
   * bytes[9] = media kind (0 image, 1 audio, 2 video), rest = payload.
+  *
+  * The full container x codec x failure-behavior matrix (what decodes for
+  * real, what rejects loudly, what falls back to FNV) is documented in
+  * `MEDIA.md` at the repo root — read it before pointing a new corpus at
+  * this path.
   */
 object Multimodal {
 
@@ -59,6 +64,21 @@ object Multimodal {
       size_bytes: Long,
       peak: Double,
       rms: Double)
+
+  /** One record out of a SAFE normalization stage: either the processed
+    * record (`error` null) or the ORIGINAL record diverted with a stable
+    * reason tag (`error` set, exception class preserved in
+    * `meta("error_class")`). At crawl scale one undecodable payload must
+    * divert, not kill the task — the [[graft.operators.Quality]] quarantine
+    * machinery picks the diverted rows up downstream.
+    */
+  case class MediaOutcome(
+      media_id: Long,
+      uri: String,
+      media_type: String,
+      content: Array[Byte],
+      meta: Map[String, String],
+      error: String)
 
   /** Decoder interface — the seam where a real codec (javax.imageio,
     * javax.sound, ffmpeg bindings, ...) would plug in. Implementations must
@@ -359,29 +379,67 @@ object Multimodal {
   def resampleAudio(media: Dataset[MediaRecord], targetRate: Int): Dataset[MediaRecord] = {
     require(targetRate >= 1, s"resampleAudio: targetRate $targetRate")
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val (rate, channels, pcm) = decodePcm16(r.content)
-        val nIn = pcm.length / (2 * channels)
-        val withMeta = r.meta +
-          ("orig_rate" -> rate.toString, "orig_frames" -> nIn.toString)
-        if (rate == targetRate && WavePcm.isWav(r.content)) {
-          r.copy(meta = withMeta)
-        } else {
-          val nOut = ((nIn.toLong * targetRate) / rate).toInt
-          val frameBytes = channels * 2
-          val out = new Array[Byte](nOut * frameBytes)
-          var i = 0
-          while (i < nOut) {
-            val j = math.min(nIn - 1, ((i.toLong * rate) / targetRate).toInt)
-            System.arraycopy(pcm, j * frameBytes, out, i * frameBytes, frameBytes)
-            i += 1
-          }
-          r.copy(content = WavePcm.writeWav16(out, targetRate, channels),
-            media_type = "audio/wav", meta = withMeta)
-        }
+    media.mapPartitions(rows => rows.map(r => resampleOne(r, targetRate)))
+  }
+
+  /** [[resampleAudio]] with the divert-don't-die policy: an undecodable
+    * clip routes to the output with `error = "undecodable_audio"` (original
+    * bytes intact, exception class in `meta("error_class")`) instead of
+    * killing the task — the corrupt-media behavior a crawl pipeline needs,
+    * mirroring the frame-sampler's FNV fallback. Map-only either way.
+    */
+  def resampleAudioSafe(media: Dataset[MediaRecord], targetRate: Int): Dataset[MediaOutcome] = {
+    require(targetRate >= 1, s"resampleAudio: targetRate $targetRate")
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      outcomeOf(r, "undecodable_audio")(resampleOne(r, targetRate))
+    })
+  }
+
+  private def resampleOne(r: MediaRecord, targetRate: Int): MediaRecord = {
+    val (rate, channels, pcm) = decodePcm16(r.content)
+    val nIn = pcm.length / (2 * channels)
+    val withMeta = r.meta +
+      ("orig_rate" -> rate.toString, "orig_frames" -> nIn.toString)
+    if (rate == targetRate && WavePcm.isWav(r.content)) {
+      r.copy(meta = withMeta)
+    } else {
+      val nOut = ((nIn.toLong * targetRate) / rate).toInt
+      val frameBytes = channels * 2
+      val out = new Array[Byte](nOut * frameBytes)
+      var i = 0
+      while (i < nOut) {
+        val j = math.min(nIn - 1, ((i.toLong * rate) / targetRate).toInt)
+        System.arraycopy(pcm, j * frameBytes, out, i * frameBytes, frameBytes)
+        i += 1
       }
+      r.copy(content = WavePcm.writeWav16(out, targetRate, channels),
+        media_type = "audio/wav", meta = withMeta)
     }
+  }
+
+  /** Run one record through a normalization stage, diverting NonFatal
+    * decode failures to a [[MediaOutcome]] with a STABLE reason tag (the
+    * oracle-checkable contract) and the exception class in meta (the
+    * debugging breadcrumb). StackOverflow/OOM stay fatal by design.
+    */
+  private def outcomeOf(r: MediaRecord, reason: String)(body: => MediaRecord): MediaOutcome =
+    try {
+      val out = body
+      MediaOutcome(out.media_id, out.uri, out.media_type, out.content, out.meta, null)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        MediaOutcome(r.media_id, r.uri, r.media_type, r.content,
+          r.meta + ("error_class" -> e.getClass.getSimpleName), reason)
+    }
+
+  /** The surviving records of a safe stage, back in [[MediaRecord]] shape
+    * so they compose with every downstream media op.
+    */
+  def keptRecords(out: Dataset[MediaOutcome]): Dataset[MediaRecord] = {
+    import out.sparkSession.implicits._
+    out.filter(_.error == null)
+      .map(o => MediaRecord(o.media_id, o.uri, o.media_type, o.content, o.meta))
   }
 
   /** Per-partition batch image RESIZE: aspect-preserving downscale so the
@@ -399,39 +457,60 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       disableImageIoDiskCache()
-      rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-        require(img != null, s"resizeImages: media ${r.media_id} is not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        val m = math.max(w, h)
-        val withDims = r.meta + ("orig_width" -> w.toString, "orig_height" -> h.toString)
-        if (m <= maxDim) {
-          r.copy(meta = withDims)
-        } else {
-          val nw = math.max(1, w * maxDim / m)
-          val nh = math.max(1, h * maxDim / m)
-          // keep the channel contract independent of whether the bound
-          // triggered: alpha sources resize to an alpha target (pass-through
-          // keeps alpha too), opaque sources stay 3-channel
-          val outType =
-            if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
-            else java.awt.image.BufferedImage.TYPE_INT_RGB
-          val out = new java.awt.image.BufferedImage(nw, nh, outType)
-          var y = 0
-          while (y < nh) {
-            var x = 0
-            while (x < nw) {
-              out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
-              x += 1
-            }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", baos)
-          r.copy(content = baos.toByteArray, media_type = "image/png", meta = withDims)
-        }
+      rows.map(r => resizeOne(r, maxDim))
+    }
+  }
+
+  /** [[resizeImages]] with the divert-don't-die policy: an undecodable
+    * image routes to the output with `error = "undecodable_image"` instead
+    * of killing the task. See [[resampleAudioSafe]].
+    */
+  def resizeImagesSafe(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaOutcome] = {
+    require(maxDim >= 1, s"resizeImages: maxDim $maxDim")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      disableImageIoDiskCache()
+      rows.map(r => outcomeOf(r, "undecodable_image")(resizeOne(r, maxDim)))
+    }
+  }
+
+  private def resizeOne(r: MediaRecord, maxDim: Int): MediaRecord = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+    require(img != null, s"resizeImages: media ${r.media_id} is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = math.max(w, h)
+    val withDims = r.meta + ("orig_width" -> w.toString, "orig_height" -> h.toString)
+    if (m <= maxDim) {
+      r.copy(meta = withDims)
+    } else {
+      val nw = math.max(1, w * maxDim / m)
+      val nh = math.max(1, h * maxDim / m)
+      // keep the channel contract independent of whether the bound
+      // triggered: alpha sources resize to an alpha target (pass-through
+      // keeps alpha too), opaque sources stay 3-channel
+      val outType =
+        if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val out = new java.awt.image.BufferedImage(nw, nh, outType)
+      // bulk row-buffer transfer: getRGB(x,y,w,1,...) converts a whole row
+      // through the color model in one call (the per-pixel getRGB/setRGB
+      // form pays that conversion per call — ~10x slower on megapixel
+      // sources), and only the nh SAMPLED rows are ever converted, so the
+      // work is O(maxDim * w) regardless of source height
+      val rowBuf = new Array[Int](w)
+      val dstRow = new Array[Int](nw)
+      var y = 0
+      while (y < nh) {
+        img.getRGB(0, y * h / nh, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < nw) { dstRow(x) = rowBuf(x * w / nw); x += 1 }
+        out.setRGB(0, y, nw, 1, dstRow, 0, nw)
+        y += 1
       }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      r.copy(content = baos.toByteArray, media_type = "image/png", meta = withDims)
     }
   }
 

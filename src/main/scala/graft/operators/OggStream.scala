@@ -126,6 +126,11 @@ object OggStream {
     val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pending = new java.io.ByteArrayOutputStream()
     var pendingOpen = false
+    // losing or duplicating a WHOLE page of complete packets passes every
+    // per-page check (each page's own CRC is fine) — only the sequence
+    // counter and serial make the page STREAM contiguous
+    var expectSeq = -1L
+    var serial = 0
     var p = 0
     while (p < bytes.length) {
       require(p + 27 <= bytes.length, "ogg: truncated page header")
@@ -146,6 +151,21 @@ object OggStream {
       val got = crc32Acc(crc32Acc(crc32Acc(0, bytes, p, p + 22),
         fourZeros, 0, 4), bytes, p + 26, pageEnd)
       require(got == want, s"ogg: page CRC mismatch at byte $p")
+      val pageSerial = leInt(bytes, p + 14)
+      val pageSeq = (leInt(bytes, p + 18) & 0xffffffffL)
+      if (expectSeq < 0) {
+        serial = pageSerial
+        // a beginning-of-stream page is page 0 by spec; a headless capture
+        // (no bos flag) may start anywhere but must stay contiguous
+        if ((flags & 0x02) != 0)
+          require(pageSeq == 0, s"ogg: bos page has sequence $pageSeq, expected 0")
+      } else {
+        require(pageSerial == serial,
+          s"ogg: serial $pageSerial at byte $p, stream started with $serial")
+        require(pageSeq == expectSeq,
+          s"ogg: page sequence $pageSeq at byte $p, expected $expectSeq — page lost or duplicated")
+      }
+      expectSeq = pageSeq + 1
       require(((flags & 0x01) != 0) == pendingOpen,
         s"ogg: continuation flag disagrees with packet state at byte $p")
       var off = p + 27 + segCount

@@ -12,7 +12,10 @@ object PlanDrive {
         "hll_cms_event_counts", "q_join_size_estimate",
         "hll_kmv_overlap", "tx_sequence_pack",
         "q_bucketed_join", "q_domain_cap", "q_tpch_q21", "tx_vocab_growth",
-        "tx_html_extract", "sim_int8_quantize", "hll_gk_wire_roundtrip")) {
+        "tx_html_extract", "sim_int8_quantize", "hll_gk_wire_roundtrip",
+        "mm_flac_features", "mm_ogg_features", "mm_image_resize",
+        "mm_audio_resample", "dd_rendezvous_fast",
+        "mm_flac_fixed", "mm_media_quarantine")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -128,7 +128,15 @@ class SketchSerdeFuzzSpec extends AnyFunSuite {
     cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 3L), irow(1, 2, 2L)))) // positive control
     assertDiesCleanly(cms.nullSafeEval(irow(2, 4, -1L, iarr())), "cms negative total")
     assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, -3L)))), "cms negative cell")
-    assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 0L)))), "cms zero cell")
+    // a ZERO cell is a no-op, not a violation: dense engine-portable
+    // producers emit every cell including zeros — the import must equal the
+    // sparse form of the same sketch
+    assert(java.util.Arrays.equals(
+      cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 3L), irow(1, 0, 0L), irow(1, 2, 2L))))
+        .asInstanceOf[Array[Byte]],
+      cms.nullSafeEval(irow(2, 4, 5L, iarr(irow(0, 1, 3L), irow(1, 2, 2L))))
+        .asInstanceOf[Array[Byte]]),
+      "cms zero cell must import as a no-op")
     assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L, iarr(null))), "cms null cell")
     assertDiesCleanly(cms.nullSafeEval(irow(2, 4, 5L,
       iarr(irow(0, 1, Long.MaxValue), irow(0, 1, Long.MaxValue)))), "cms Long-wrap cells")

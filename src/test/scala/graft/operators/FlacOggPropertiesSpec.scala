@@ -220,6 +220,49 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("capture"))
   }
 
+  test("ogg: losing or duplicating a whole page dies in the sequence require") {
+    // 5 packets, each on its own page (writePages starts a fresh page per
+    // packet), every page individually CRC-valid — only sequence continuity
+    // can catch a missing/doubled page
+    val packets = (0 until 5).map(i => Array.fill(40)((i * 7 + 1).toByte))
+    val good = OggStream.writePages(packets, serial = 99)
+    def pageBounds(b: Array[Byte]): Seq[(Int, Int)] = {
+      var p = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      while (p < b.length) {
+        val segs = b(p + 26) & 0xff
+        var pay = 0
+        for (i <- 0 until segs) pay += b(p + 27 + i) & 0xff
+        val end = p + 27 + segs + pay
+        out += ((p, end))
+        p = end
+      }
+      out.toSeq
+    }
+    val bounds = pageBounds(good)
+    assert(bounds.length == 5)
+    // drop page 2
+    val (s2, e2) = bounds(2)
+    val dropped = java.util.Arrays.copyOfRange(good, 0, s2) ++
+      java.util.Arrays.copyOfRange(good, e2, good.length)
+    val e = intercept[IllegalArgumentException](OggStream.readPackets(dropped))
+    assert(e.getMessage.contains("sequence"), s"wrong failure: $e")
+    // duplicate page 2
+    val doubled = java.util.Arrays.copyOfRange(good, 0, e2) ++
+      java.util.Arrays.copyOfRange(good, s2, good.length)
+    val e2x = intercept[IllegalArgumentException](OggStream.readPackets(doubled))
+    assert(e2x.getMessage.contains("sequence"), s"wrong failure: $e2x")
+    // splicing in a page from ANOTHER stream (valid CRC, right sequence)
+    // dies in the serial require
+    val other = OggStream.writePages(packets, serial = 42)
+    val ob = pageBounds(other)(2)
+    val spliced = java.util.Arrays.copyOfRange(good, 0, s2) ++
+      java.util.Arrays.copyOfRange(other, ob._1, ob._2) ++
+      java.util.Arrays.copyOfRange(good, e2, good.length)
+    val e3 = intercept[IllegalArgumentException](OggStream.readPackets(spliced))
+    assert(e3.getMessage.contains("serial"), s"wrong failure: $e3")
+  }
+
   test("ogg-flac: container round-trip matches the native flac decode exactly") {
     for (channels <- Seq(1, 2)) {
       val raw = pcm(21L, 3000, channels)

@@ -88,7 +88,22 @@ class RendezvousSpec extends AnyFunSuite {
     val seeded = spark.sql("SELECT k, hrw_shard(k, 8, 7) AS s FROM _hrw_keys")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(seeded == fastShards(8, 500, seed = 7L))
+    // codegen'd, not CodegenFallback: the generated Java must carry the
+    // static shard call (a silent janino fallback would hide a broken
+    // doGenCode behind identical results)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.HrwShard]))
+    import org.apache.spark.sql.execution.debug._
+    val gen = viaSqlPlanCode(spark)
+    assert(gen.contains("HrwShard$.MODULE$.shardUTF8") || gen.contains("shardUTF8"),
+      s"hrw_shard missing from generated code:\n${gen.take(2000)}")
   }
+
+  private def viaSqlPlanCode(spark: org.apache.spark.sql.SparkSession): String =
+    // range() always whole-stage-codegens, unlike a LocalTableScan toy plan
+    org.apache.spark.sql.execution.debug.codegenString(
+      spark.sql("SELECT hrw_shard(CAST(id AS STRING), 8) AS s FROM range(500)")
+        .queryExecution.executedPlan)
 
   test("md5 basis matches an independent JVM digest (engine portability)") {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -16,6 +16,9 @@ for k, v in sorted(new.items()):
     print(f"add band {k}: {v:.3f}")
     base["queries"][k] = round(v, 4)
 base["n_ok"] = len(base["queries"])
+# keep the headline total equal to the sum of its bands — the parser
+# ignores it, but a stale total misleads anyone reading the file
+base["value"] = round(sum(base["queries"].values()), 4)
 with open(base_path, "w") as f:
     json.dump(base, f, separators=(",", ":"))
     f.write("\n")
