@@ -343,6 +343,14 @@ object Multimodal {
       val a = FlacCodec.decodeFlac(OggStream.extractFlac(bytes))
       return (a.sampleRate, a.channels, a.pcmLE)
     }
+    if (OggStream.isOgg(bytes)) {
+      // identify-then-reject: vorbis/opus/theora/speex have no decoder
+      // here, and a crawl quarantine wants the codec NAMED (MEDIA.md),
+      // not javax.sound's generic probe failure
+      throw new IllegalArgumentException(
+        s"decodePcm16: ogg container with ${OggStream.identifyCodec(bytes)} codec — " +
+          "no decoder in this engine (supported matrix: MEDIA.md)")
+    }
     // non-canonical WAVs (e.g. WAVE_FORMAT_EXTENSIBLE) fall through to
     // javax.sound rather than dying on the fast path's format-1 require
     if (WavePcm.isWav(bytes) && WavePcm.isCanonicalPcm16(bytes)) {

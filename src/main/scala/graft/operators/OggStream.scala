@@ -202,6 +202,28 @@ object OggStream {
       bytes(off + 3) == 'A' && bytes(off + 4) == 'C'
   }
 
+  /** Identify the codec an OGG stream carries from its first packet's
+    * magic (every xiph mapping puts an identification packet alone on page
+    * 0): "flac", "vorbis", "opus", "theora", "speex", or "unknown". Used to
+    * reject undecodable OGG with the codec NAMED — a crawl triage wants
+    * "ogg/vorbis: no decoder" in its quarantine reasons, not a generic
+    * probe failure.
+    */
+  def identifyCodec(bytes: Array[Byte]): String = {
+    if (!isOgg(bytes) || bytes.length < 28) return "unknown"
+    val segCount = bytes(26) & 0xff
+    val off = 27 + segCount
+    def is(sig: String, skip: Int): Boolean =
+      bytes.length >= off + skip + sig.length &&
+        sig.indices.forall(i => bytes(off + skip + i) == sig.charAt(i).toByte)
+    if (bytes.length > off && (bytes(off) & 0xff) == 0x7f && is("FLAC", 1)) "flac"
+    else if (bytes.length > off && (bytes(off) & 0xff) == 0x01 && is("vorbis", 1)) "vorbis"
+    else if (is("OpusHead", 0)) "opus"
+    else if (bytes.length > off && (bytes(off) & 0xff) == 0x80 && is("theora", 1)) "theora"
+    else if (is("Speex   ", 0)) "speex"
+    else "unknown"
+  }
+
   /** Encode PCM as FLAC-in-OGG per the xiph mapping. */
   def writeOggFlac(pcmLE: Array[Byte], sampleRate: Int, channels: Int,
       blockSize: Int = 1024, serial: Int = 0x464c4143): Array[Byte] = {

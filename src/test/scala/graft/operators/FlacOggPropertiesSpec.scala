@@ -263,6 +263,28 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("serial"), s"wrong failure: $e3")
   }
 
+  test("ogg: non-FLAC codecs are identified and rejected BY NAME") {
+    // minimal page-0 shapes: one page, one small identification packet
+    def page0(packet: Array[Byte]): Array[Byte] =
+      OggStream.writePages(Seq(packet), serial = 1)
+    val vorbis = page0(Array[Byte](0x01) ++ "vorbis".getBytes ++ new Array[Byte](20))
+    val opus = page0("OpusHead".getBytes ++ new Array[Byte](10))
+    val theora = page0(Array[Byte](0x80.toByte) ++ "theora".getBytes ++ new Array[Byte](20))
+    val speex = page0("Speex   ".getBytes ++ new Array[Byte](20))
+    assert(OggStream.identifyCodec(vorbis) == "vorbis")
+    assert(OggStream.identifyCodec(opus) == "opus")
+    assert(OggStream.identifyCodec(theora) == "theora")
+    assert(OggStream.identifyCodec(speex) == "speex")
+    assert(OggStream.identifyCodec(
+      OggStream.writeOggFlac(pcm(1L, 100, 1), 8000, 1)) == "flac")
+    assert(OggStream.identifyCodec(page0(Array[Byte](1, 2, 3))) == "unknown")
+    // decodePcm16 names the codec in its reject instead of a generic probe
+    val e = intercept[IllegalArgumentException](Multimodal.decodePcm16(vorbis))
+    assert(e.getMessage.contains("vorbis"), s"codec not named: $e")
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodePcm16(opus))
+    assert(e2.getMessage.contains("opus"), s"codec not named: $e2")
+  }
+
   test("ogg-flac: container round-trip matches the native flac decode exactly") {
     for (channels <- Seq(1, 2)) {
       val raw = pcm(21L, 3000, channels)

@@ -227,6 +227,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("multimodal: SAFE stages divert corrupt records under streaming, batch-equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a crawl drop where every 5th clip is garbage: the streaming query
+    // must SURVIVE every micro-batch, divert the bad rows with the stable
+    // reason, and agree with the batch run row-for-row
+    val clips = (0L until 20L).map { id =>
+      val good = Multimodal.deterministicWav(id, 8000, 400, 1)
+      Multimodal.MediaRecord(id, s"s://$id.wav", "audio/wav",
+        if (id % 5 == 4) java.util.Arrays.copyOf(good, 9) else good, Map.empty)
+    }
+    def safe(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.resampleAudioSafe(ds, targetRate = 16000)
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val query = safe(stream.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("media_safe_out").start()
+    try {
+      clips.grouped(5).foreach { chunk => // every micro-batch has a bad row
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("media_safe_out")
+        .as[Multimodal.MediaOutcome].collect().sortBy(_.media_id)
+      assert(streamed.length == 20)
+      val (bad, good) = streamed.partition(_.error != null)
+      assert(bad.map(_.media_id).toSeq == Seq(4L, 9L, 14L, 19L))
+      assert(bad.forall(_.error == "undecodable_audio"))
+      assert(bad.forall(_.meta.contains("error_class")))
+      good.foreach { o =>
+        val a = graft.operators.WavePcm.parseWav16(o.content)
+        assert(a.sampleRate == 16000, s"survivor ${o.media_id} not resampled")
+      }
+      val batch = safe(spark.createDataset(clips)).collect().sortBy(_.media_id)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.media_id == b.media_id && s.error == b.error &&
+          java.util.Arrays.equals(s.content, b.content),
+          s"stream/batch divergence at ${s.media_id}")
+      }
+    } finally query.stop()
+  }
+
   test("multimodal: real ImageIO decode round-trips deterministic PNGs") {
     import graft.operators.Multimodal.{ImageIoDecoder, deterministicPng}
     val dec = new ImageIoDecoder
