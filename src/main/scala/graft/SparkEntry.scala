@@ -3369,6 +3369,35 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // media dedup end-to-end: grid PNGs whose REAL decoded ahash is
+    // bit-controlled, every third document cloned at hamming distance 2 —
+    // perceptual blocking (4x16-bit pigeonhole equi-join, never all-pairs)
+    // + hamming verify + connected components must cluster each clone with
+    // its original and nothing else; keep-min elects the original. The
+    // oracle derives every (cluster, kept) from the doc_id rule.
+    "mm_image_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.imageDedupCorpusFromDocuments(s, dir)
+      val feats = graft.operators.Multimodal.decodeImages(media,
+        () => new graft.operators.Multimodal.ImageIoDecoder).toDF()
+      graft.operators.Dedup.perceptualDedup(feats, "ahash", "media_id", maxHamming = 3)
+        .select(col("id").as("media_id"), col("cluster"), col("kept"))
+        .orderBy(col("media_id"))
+    }),
+
+    // cross-container audio dedup: the same recording shipped as WAV and
+    // (every third document) as OGG-FLAC must cluster — the fingerprint is
+    // computed from decoded PCM, so lossless transcoding cannot hide a
+    // duplicate. Blocking is the same pigeonhole equi-join as the image
+    // path; AudioFingerprintSpec pins cross-clip separation exhaustively
+    // over the sf0.1 id range, so the oracle's doc_id rule is exact.
+    "mm_audio_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.audioDedupCorpusFromDocuments(s, dir)
+      val fps = graft.operators.Multimodal.audioFingerprints(media)
+      graft.operators.Dedup.perceptualDedup(fps, "fingerprint", "media_id", maxHamming = 2)
+        .select(col("id").as("media_id"), col("cluster"), col("kept"))
+        .orderBy(col("media_id"))
+    }),
+
     // corrupt-media policy on the normalization stages: every 7th record of
     // each corpus is truncated to garbage, then pushed through the SAFE
     // resize/resample variants — the batch must survive with the bad rows
@@ -5563,6 +5592,22 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_audio_dedup" ->
+      """SELECT media_id, cluster, kept FROM (
+        |  SELECT doc_id AS media_id, doc_id AS cluster, TRUE AS kept
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, FALSE
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY media_id""".stripMargin,
+    "mm_image_dedup" ->
+      """SELECT media_id, cluster, kept FROM (
+        |  SELECT doc_id AS media_id, doc_id AS cluster, TRUE AS kept
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, FALSE
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY media_id""".stripMargin,
     "mm_media_quarantine" ->
       """SELECT modality, status, COUNT(*) AS n_rows, TRUE AS survivors_ok
         |FROM (

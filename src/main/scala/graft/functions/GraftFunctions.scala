@@ -425,6 +425,10 @@ object GraftFunctions {
       val seed = if (args.length > 2) intArg(args(2), "seed").toLong else 0L
       HrwShard(Cast(args.head, StringType), n, seed)
     },
+    // audio_fingerprint(content): 64-bit energy-delta fingerprint of
+    // decoded PCM — container-invariant (WAV/FLAC/OGG-FLAC agree)
+    "audio_fingerprint" ->
+      ((args: Seq[Expression]) => AudioFingerprint(args.head)),
     "text_stats" -> ((args: Seq[Expression]) => TextStats(args.head)),
     "compression_ratio" ->
       ((args: Seq[Expression]) => CompressionRatio(args.head)),

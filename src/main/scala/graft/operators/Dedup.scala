@@ -183,8 +183,26 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    hashNearDupPairs(
+      df.select(col(idCol), simhash64(col(textCol)).as("_sh64")), "_sh64", idCol,
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs over a PRECOMPUTED 64-bit hash column — the same
+    * 4x16-bit pigeonhole blocking + Hamming verify as
+    * [[simhashNearDupPairs]], exposed for hashes that don't come from text:
+    * image perceptual hashes (`Multimodal.decodeImages`' ahash), audio
+    * fingerprints, any locality-preserving 64-bit signature. Pigeonhole
+    * guarantee: hamming <= 3 pairs agree on at least one 16-bit chunk, so
+    * candidates come from an equi-join, never an all-pairs scan.
+    */
+  def hashNearDupPairs(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -337,6 +355,34 @@ object Dedup {
     val drop = clusters.join(keep, clusters("id") === col("_keep"), "left_anti")
       .select(col("id").as("_drop"))
     df.join(drop, df(idCol) === col("_drop"), "left_anti")
+  }
+
+  /** Media dedup on perceptual hashes: [[hashNearDupPairs]] blocking over a
+    * precomputed 64-bit hash (image ahash, audio fingerprint) -> connected
+    * components -> keep the smallest id per cluster. Returns EVERY input
+    * row as (id, cluster, kept) — cluster is the representative id
+    * (singletons represent themselves) — so the caller can either filter
+    * `kept` or audit the groups.
+    *
+    * Scale shape: the hash column is all that moves (media bytes were
+    * projected away at decode); candidates come from the 16-bit-chunk
+    * equi-join; the final membership join is dup-rows-only against the
+    * full id list — shuffle proportional to duplicates found plus one
+    * pass of 8-byte hashes.
+    */
+  def perceptualDedup(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = hashNearDupPairs(df, hashCol, idCol, maxHamming, maxBucket)
+    val clusters = connectedComponents(pairs)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(clusters.withColumnRenamed("cluster", "_cl"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_cl"), col("id")).as("cluster"),
+        (coalesce(col("_cl"), col("id")) === col("id")).as("kept"))
   }
 
   /** Corpus-level line dedup (the CCNet/RefinedWeb boilerplate-removal

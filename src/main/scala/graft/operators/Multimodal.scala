@@ -636,6 +636,208 @@ object Multimodal {
   def deterministicOgg(seed: Long, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] =
     OggStream.writeOggFlac(deterministicPcm(seed, nFrames, channels), sampleRate, channels)
 
+  /** Deterministic REAL PNG with ahash-controllable content: a 32x32 image
+    * of uniform bright/dark 4x4 cells driven by an integer bit-mix of
+    * (seed, cell), so the decoded 8x8 average hash equals those 64 bits
+    * EXACTLY (each hash grid cell samples its cell center; the mean sits
+    * strictly between the two levels because cell 0 is forced bright and
+    * cell 63 dark). Hashes across seeds are ~iid, and flipping a cell moves
+    * the hash by exactly one bit — the handle the media-dedup contract
+    * needs: near-duplicates with a KNOWN hamming distance.
+    */
+  def gridPng(seed: Long, flipCells: Seq[Int] = Nil): Array[Byte] = {
+    disableImageIoDiskCache()
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val flips = flipCells.toSet
+    var cell = 0
+    while (cell < 64) {
+      val base =
+        if (cell == 0) true
+        else if (cell == 63) false
+        else {
+          var h = seed * 0x9e3779b97f4a7c15L + cell * 0xc2b2ae3d27d4eb4fL
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          (h & 1L) == 1L
+        }
+      val bright = base ^ flips(cell)
+      val v = if (bright) 200 else 50
+      val rgb = (v << 16) | (v << 8) | v
+      val cx = (cell % 8) * 4
+      val cy = (cell / 8) * 4
+      var y = cy
+      while (y < cy + 4) {
+        var x = cx
+        while (x < cx + 4) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      cell += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The expected average hash of [[gridPng]] — bit i = cell i bright. */
+  def gridPngExpectedHash(seed: Long, flipCells: Seq[Int] = Nil): Long = {
+    val flips = flipCells.toSet
+    var hash = 0L
+    var cell = 0
+    while (cell < 64) {
+      val base =
+        if (cell == 0) true
+        else if (cell == 63) false
+        else {
+          var h = seed * 0x9e3779b97f4a7c15L + cell * 0xc2b2ae3d27d4eb4fL
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          (h & 1L) == 1L
+        }
+      if (base ^ flips(cell)) hash |= (1L << cell)
+      cell += 1
+    }
+    hash
+  }
+
+  /** 64-bit audio fingerprint: the clip is mono-mixed into 65 equal time
+    * windows (pure integer |sample| energy sums, so the value is
+    * bit-deterministic across JVMs) and bit i says whether window i+1 is
+    * louder than window i — the sign-of-energy-delta construction
+    * (Haitsma-Kalker-style, radically simplified to one band). Depends only
+    * on the decoded PCM, so the same recording fingerprints identically out
+    * of WAV, FLAC, or OGG-FLAC — which is exactly what cross-container
+    * audio dedup needs.
+    */
+  def audioFingerprint64(pcmLE: Array[Byte], channels: Int): Long = {
+    require(channels >= 1, s"audioFingerprint64: channels $channels")
+    val frames = pcmLE.length / (2 * channels)
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val from = (w.toLong * frames / 65).toInt
+      val until = ((w + 1).toLong * frames / 65).toInt
+      var sum = 0L
+      var f = from
+      while (f < until) {
+        var c = 0
+        var o = (f * channels) * 2
+        while (c < channels) {
+          val s = ((pcmLE(o) & 0xff) | (pcmLE(o + 1) << 8)).toShort
+          sum += math.abs(s.toLong)
+          o += 2
+          c += 1
+        }
+        f += 1
+      }
+      e(w) = sum
+      w += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  /** [[deterministicPcm]] with a blockwise amplitude envelope: every
+    * 64-frame block is scaled by a level in {1..4} drawn from an integer
+    * mix of (seed, block). The plain triangle corpus is near-stationary —
+    * its window energies are almost equal, which makes energy-DELTA
+    * fingerprints fragile (two unrelated clips can tie on every window).
+    * The envelope makes window energy a strong function of the seed, which
+    * is what a fingerprint-separation contract needs; still pure integer
+    * math, never clipping (max 4 x 8016 < 32768).
+    */
+  def deterministicPcmMod(seed: Long, nFrames: Int, channels: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    val step = (seed % 97 + 3).toInt
+    var f = 0
+    var o = 0
+    while (f < nFrames) {
+      var h = seed * 0x9e3779b97f4a7c15L + (f >> 6) * 0xc2b2ae3d27d4eb4fL
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      val level = ((h & 3L) + 1L).toInt
+      var c = 0
+      while (c < channels) {
+        val phase = (f * step + c * 31) % 2003
+        val tri = math.abs(phase - 1001) - 500
+        val s = (tri * 16 * level).toShort
+        pcm(o) = (s & 0xff).toByte
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      f += 1
+    }
+    pcm
+  }
+
+  /** The `audio_fingerprint` expression as a column (codegen'd projection —
+    * no UDF, no object round-trip): decode any supported container, return
+    * [[audioFingerprint64]] of the PCM.
+    */
+  def audioFingerprintCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.AudioFingerprint(
+        org.apache.spark.sql.graftshim.GraftShims.expression(content)))
+
+  /** Batch fingerprinting: any supported audio container ->
+    * (media_id, fingerprint) — the 8-byte column media dedup shuffles
+    * instead of audio bytes. A codegen'd projection on the scan; bytes
+    * projected away immediately after.
+    */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF().select(col("media_id"),
+      audioFingerprintCol(col("content")).as("fingerprint"))
+
+  /** Audio-dedup demo corpus: one WAV per document, plus — for every third
+    * document — the SAME recording transcoded to OGG-FLAC (identical PCM,
+    * media_id offset by 10^9). Geometry uses a 250-way frame-count spread
+    * so no two doc_ids below sf=1 scale produce identical PCM (the
+    * deterministic generator keys on seed % 97, frames, channels — lcm
+    * 48500); `AudioFingerprintSpec` pins the resulting cross-clip
+    * fingerprint separation exhaustively over the sf0.1 id range.
+    */
+  def audioDedupCorpusFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docSeeds(spark, dir)
+      .flatMap { case (id, source) =>
+        val rate = 8000 * ((id % 3) + 1).toInt
+        val nFrames = ((id % 250) + 1).toInt * 40 + 2600
+        val channels = ((id % 2) + 1).toInt
+        val pcm = deterministicPcmMod(id, nFrames, channels)
+        val orig = MediaRecord(id, s"fake://$source/$id.wav", "audio/wav",
+          WavePcm.writeWav16(pcm, rate, channels), Map("source" -> source))
+        if (id % 3 == 0)
+          Seq(orig, MediaRecord(id + 1000000000L, s"fake://$source/$id-copy.ogg",
+            "audio/ogg", OggStream.writeOggFlac(pcm, rate, channels),
+            Map("source" -> source)))
+        else Seq(orig)
+      }
+  }
+
+  /** Image-dedup demo corpus: one grid PNG per document, plus — for every
+    * third document — a NEAR-DUPLICATE clone (two cells flipped, hamming
+    * distance exactly 2, media_id offset by 10^9). The oracle predicts the
+    * dedup outcome from the doc_id rule alone: each clone clusters with its
+    * original (pigeonhole blocking must find it), nothing else clusters
+    * (hashes across seeds are ~iid 64-bit values, so a spurious <=3-hamming
+    * pair needs a ~2^-48 event).
+    */
+  def imageDedupCorpusFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docSeeds(spark, dir)
+      .flatMap { case (id, source) =>
+        val orig = MediaRecord(id, s"fake://$source/$id.png", "image/png",
+          gridPng(id), Map("source" -> source))
+        if (id % 3 == 0)
+          Seq(orig, MediaRecord(id + 1000000000L, s"fake://$source/$id-copy.png",
+            "image/png", gridPng(id, flipCells = Seq(5, 18)), Map("source" -> source)))
+        else Seq(orig)
+      }
+  }
+
   /** Deterministic REAL MJPEG bytes: `nFrames` JPEG-encoded frames
     * concatenated (the motion-JPEG container), pixels derived purely from
     * (seed, frame index) via the same integer formula as

@@ -50,4 +50,26 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark(Seq("_fp"))
     if (keepFingerprint) deduped else deduped.drop("_fp")
   }
+
+  /** Media-content streaming dedup: key = the 64-bit AUDIO fingerprint of
+    * the decoded PCM, so a clip re-delivered in a different lossless
+    * container (WAV then OGG-FLAC) still drops — the cross-container
+    * property the batch `mm_audio_dedup` contract pins. Same state rule as
+    * [[dedupByContent]]: 8-byte fingerprints in state, never media bytes.
+    * Strict decode (this keys on content; an undecodable clip cannot be
+    * deduped) — run `resampleAudioSafe`-style quarantine upstream for
+    * crawl streams.
+    */
+  def dedupByAudioFingerprint(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      contentCol: String,
+      keepFingerprint: Boolean = false): DataFrame = {
+    val deduped = df.withColumn("_afp",
+        graft.operators.Multimodal.audioFingerprintCol(col(contentCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_afp"))
+    if (keepFingerprint) deduped else deduped.drop("_afp")
+  }
 }

@@ -63,4 +63,34 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(!out.columns.contains("_fp"))
     } finally q.stop()
   }
+
+  test("audio dedup drops a clip re-delivered in a DIFFERENT container") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val pcmA = Multimodal.deterministicPcmMod(1L, 3000, 2)
+    val pcmB = Multimodal.deterministicPcmMod(2L, 3000, 2)
+    val stream = MemoryStream[(Long, Long, Array[Byte])]
+    val clips = stream.toDS().toDF("clip_id", "tsMillis", "content")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+    val deduped = StreamingDedup.dedupByAudioFingerprint(
+      clips, "eventTime", "10 minutes", "content")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_audio").start()
+    try {
+      stream.addData(Seq((1L, base, graft.operators.WavePcm.writeWav16(pcmA, 16000, 2))))
+      q.processAllAvailable()
+      // batch 2: the SAME recording as OGG-FLAC (different bytes, same
+      // PCM) must drop; a genuinely new clip must pass
+      stream.addData(Seq(
+        (2L, base + 5000, graft.operators.OggStream.writeOggFlac(pcmA, 16000, 2)),
+        (3L, base + 6000, graft.operators.WavePcm.writeWav16(pcmB, 16000, 2))))
+      q.processAllAvailable()
+      val out = spark.table("dedup_audio")
+      val ids = out.select("clip_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+      assert(!out.columns.contains("_afp"))
+    } finally q.stop()
+  }
 }
