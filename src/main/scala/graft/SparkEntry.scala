@@ -3384,6 +3384,20 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // cross-container VIDEO dedup, completing the modality triple: the
+    // same frames shipped as raw MJPEG, AVI (every 3rd doc), and MP4
+    // (every 5th) fold to the same ordered-frame-hash fingerprint, so
+    // exact-key clustering (maxHamming 0) recovers every planted clone
+    // group and nothing else — the oracle derives all of it from doc_id.
+    "mm_video_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.videoDedupCorpusFromDocuments(s, dir)
+      val fps = graft.operators.Multimodal.videoFingerprints(media,
+        () => new graft.operators.Multimodal.ImageIoDecoder)
+      graft.operators.Dedup.perceptualDedup(fps, "fingerprint", "media_id", maxHamming = 0)
+        .select(col("id").as("media_id"), col("cluster"), col("kept"))
+        .orderBy(col("media_id"))
+    }),
+
     // cross-container audio dedup: the same recording shipped as WAV and
     // (every third document) as OGG-FLAC must cluster — the fingerprint is
     // computed from decoded PCM, so lossless transcoding cannot hide a
@@ -5592,6 +5606,17 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_video_dedup" ->
+      """SELECT media_id, cluster, kept FROM (
+        |  SELECT doc_id AS media_id, doc_id AS cluster, TRUE AS kept
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, FALSE
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, doc_id, FALSE
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY media_id""".stripMargin,
     "mm_audio_dedup" ->
       """SELECT media_id, cluster, kept FROM (
         |  SELECT doc_id AS media_id, doc_id AS cluster, TRUE AS kept

@@ -647,9 +647,14 @@ object Multimodal {
     */
   def gridPng(seed: Long, flipCells: Seq[Int] = Nil): Array[Byte] = {
     disableImageIoDiskCache()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gridImage(seed, flipCells.toSet), "png", baos)
+    baos.toByteArray
+  }
+
+  private def gridImage(seed: Long, flips: Set[Int]): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val flips = flipCells.toSet
     var cell = 0
     while (cell < 64) {
       val base =
@@ -673,9 +678,25 @@ object Multimodal {
       }
       cell += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
+  }
+
+  /** JPEG frames of [[gridImage]] patterns (frame f keyed by seed*16 + f,
+    * collision-free for < 16 frames per clip) — the video sibling of
+    * [[gridPng]]: each frame's average hash is the constructed grid bits
+    * (the 50/200 contrast dwarfs JPEG artifacts), so frame-hash SEQUENCES
+    * across seeds are ~iid and a video fingerprint can be pinned distinct.
+    * The mjpeg/avi/mp4 corpora wrap these SAME bytes, keeping the
+    * cross-container bit-parity the demux contracts rely on.
+    */
+  def gridJpegFrames(seed: Long, nFrames: Int): IndexedSeq[Array[Byte]] = {
+    disableImageIoDiskCache()
+    require(nFrames < 16, s"gridJpegFrames: $nFrames frames exceeds the seed*16 mix")
+    (0 until nFrames).map { f =>
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gridImage(seed * 16 + f, Set.empty), "jpg", baos)
+      baos.toByteArray
+    }.toIndexedSeq
   }
 
   /** The expected average hash of [[gridPng]] — bit i = cell i bright. */
@@ -814,6 +835,68 @@ object Multimodal {
             "audio/ogg", OggStream.writeOggFlac(pcm, rate, channels),
             Map("source" -> source)))
         else Seq(orig)
+      }
+  }
+
+  /** 64-bit video fingerprint: FNV-style fold over the ORDERED per-frame
+    * perceptual hashes — container-invariant because AVI/MP4/MKV demux
+    * recover the same frame payloads the raw MJPEG carries (the
+    * mm_avi/mp4/mkv_frames contracts pin that hash parity), and
+    * order-sensitive so a re-cut is not a duplicate. An EXACT key (the
+    * fold is not locality-preserving): dedup with maxHamming = 0.
+    */
+  def videoFingerprint64(frameHashes: Iterator[Long]): Long = {
+    var h = 0xcbf29ce484222325L
+    frameHashes.foreach { fh => h = (h ^ fh) * 0x100000001b3L }
+    h
+  }
+
+  /** Per-partition batch video fingerprinting: every frame sampled
+    * (everyN = 1), hashed through the real decoder, folded to 8 bytes —
+    * media dedup shuffles fingerprints, never video bytes. Map-only.
+    */
+  def videoFingerprints(
+      media: Dataset[MediaRecord],
+      mkDecoder: () => MediaDecoder = () => new ImageIoDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = mkDecoder()
+      rows.map(r => (r.media_id, videoFingerprint64(decoder.sampleFrames(r.content, 1))))
+    }.toDF("media_id", "fingerprint")
+  }
+
+  /** Video-dedup demo corpus: one raw MJPEG clip per document, plus the
+    * SAME frames re-containered — AVI for every third document, MP4 for
+    * every fifth (media_id offsets 10^9 / 2x10^9). Identical frame bytes
+    * -> identical hash sequence -> identical fingerprint, so the oracle
+    * predicts every cluster from the doc_id rule;
+    * `VideoFingerprintSpec` pins cross-clip distinctness exhaustively
+    * over the sf0.1 id range.
+    */
+  def videoDedupCorpusFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docSeeds(spark, dir)
+      .flatMap { case (id, source) =>
+        // grid frames, NOT deterministicMjpeg: the gradient generator's
+        // pixel formula wraps mod 256, so seeds 256 apart yield
+        // bit-identical clips — fine for frame-count contracts, fatal for
+        // a dedup oracle (VideoFingerprintSpec caught it exhaustively)
+        val frames = gridJpegFrames(id, ((id % 8) + 2).toInt)
+        val mjpeg = {
+          val baos = new java.io.ByteArrayOutputStream()
+          frames.foreach(baos.write)
+          baos.toByteArray
+        }
+        val out = scala.collection.mutable.ArrayBuffer(
+          MediaRecord(id, s"fake://$source/$id.mjpeg", "video/x-motion-jpeg",
+            mjpeg, Map("source" -> source)))
+        if (id % 3 == 0)
+          out += MediaRecord(id + 1000000000L, s"fake://$source/$id-copy.avi",
+            "video/avi", AviMjpeg.writeAvi(frames, 32, 32), Map("source" -> source))
+        if (id % 5 == 0)
+          out += MediaRecord(id + 2000000000L, s"fake://$source/$id-copy.mp4",
+            "video/mp4", IsoBmff.writeMp4(frames, 32, 32), Map("source" -> source))
+        out.toSeq
       }
   }
 
