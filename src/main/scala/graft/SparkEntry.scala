@@ -3384,6 +3384,38 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // the media CURATION PIPELINE end-to-end, composing the round's
+    // stages the way a crawl job would: corrupt records (every 7th
+    // original truncated) divert in the SAFE resize, survivors are
+    // normalized to <=16px, near-duplicate clones (hamming-2 grid images,
+    // every 3rd doc) collapse in perceptual dedup — and when a clone's
+    // original was quarantined, the clone survives as the cluster's only
+    // member. Every (status, resized_ok) derives from doc_id arithmetic.
+    // The dedup runs ON the resized corpus: the grid construction survives
+    // integer-NN downscale bit-exactly, which the oracle relies on.
+    "mm_media_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val mm = graft.operators.Multimodal
+      val corpus = mm.imageDedupCorpusFromDocuments(s, dir).map(r =>
+        if (r.media_id < 1000000000L && r.media_id % 7 == 0)
+          r.copy(content = java.util.Arrays.copyOf(r.content, 8))
+        else r)
+      val safe = mm.resizeImagesSafe(corpus, maxDim = 16)
+      val feats = mm.decodeImages(mm.keptRecords(safe),
+        () => new mm.ImageIoDecoder).toDF()
+      val deduped = graft.operators.Dedup.perceptualDedup(
+        feats, "ahash", "media_id", maxHamming = 3)
+      safe.toDF().select(col("media_id"), col("error"))
+        .join(deduped.select(col("id").as("media_id"), col("kept")), Seq("media_id"), "left")
+        .join(feats.select(col("media_id"),
+          (greatest(col("width"), col("height")) <= 16).as("rok")), Seq("media_id"), "left")
+        .select(col("media_id"),
+          when(col("error").isNotNull, lit("quarantined"))
+            .when(col("kept"), lit("kept")).otherwise(lit("deduped")).as("status"),
+          coalesce(col("rok"), lit(true)).as("resized_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     // cross-container VIDEO dedup, completing the modality triple: the
     // same frames shipped as raw MJPEG, AVI (every 3rd doc), and MP4
     // (every 5th) fold to the same ordered-frame-hash fingerprint, so
@@ -5606,6 +5638,16 @@ object SparkEntry {
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_media_pipeline" ->
+      """SELECT media_id, status, TRUE AS resized_ok FROM (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'kept' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'kept' ELSE 'deduped' END
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY media_id""".stripMargin,
     "mm_video_dedup" ->
       """SELECT media_id, cluster, kept FROM (
         |  SELECT doc_id AS media_id, doc_id AS cluster, TRUE AS kept

@@ -470,14 +470,18 @@ object FlacCodec {
   private val BlockSizes = Array(0, 192, 576, 1152, 2304, 4608, -8, -16,
     256, 512, 1024, 2048, 4096, 8192, 16384, 32768) // -8/-16: explicit field
 
-  /** Structural decode of a 16-bit FLAC stream across the full subframe
-    * surface (CONSTANT / VERBATIM / FIXED / LPC, Rice + Rice2 + escape
-    * residuals, wasted bits, all stereo decorrelations), verifying CRC-8,
-    * CRC-16, and the STREAMINFO MD5. Strict: corrupt input dies in a
-    * require, never returns silently-wrong PCM — the audio path is a
-    * feature-extraction input, not a best-effort playback surface.
+  /** STREAMINFO geometry plus where the frame section starts — everything
+    * a header-only probe needs (no frame decode, no CRC/MD5 verification;
+    * [[decodeFlac]] layers those on top of this same walk).
     */
-  def decodeFlac(bytes: Array[Byte]): FlacAudio = {
+  case class StreamInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalFrames: Long, md5: Array[Byte], framesOffset: Int)
+
+  /** Walk the metadata blocks and parse STREAMINFO (RFC 9639 §8.2) —
+    * strict on structure, tolerant of bit depth (a 24-bit stream PROBES
+    * fine; only [[decodeFlac]] requires 16-bit).
+    */
+  def readStreamInfo(bytes: Array[Byte]): StreamInfo = {
     require(isFlac(bytes), "flac: missing fLaC marker")
     var p = 4
     // metadata blocks: need STREAMINFO, skip the rest
@@ -507,11 +511,25 @@ object FlacCodec {
       p += 4 + len
     }
     require(sampleRate > 0, "flac: no STREAMINFO block")
-    require(bps == 16, s"flac: only 16-bit supported, got $bps")
+    StreamInfo(sampleRate, channels, bps, totalFrames, md5, p)
+  }
+
+  /** Structural decode of a 16-bit FLAC stream across the full subframe
+    * surface (CONSTANT / VERBATIM / FIXED / LPC, Rice + Rice2 + escape
+    * residuals, wasted bits, all stereo decorrelations), verifying CRC-8,
+    * CRC-16, and the STREAMINFO MD5. Strict: corrupt input dies in a
+    * require, never returns silently-wrong PCM — the audio path is a
+    * feature-extraction input, not a best-effort playback surface.
+    */
+  def decodeFlac(bytes: Array[Byte]): FlacAudio = {
+    val si = readStreamInfo(bytes)
+    val sampleRate = si.sampleRate; val channels = si.channels
+    val totalFrames = si.totalFrames; val md5 = si.md5
+    require(si.bitsPerSample == 16, s"flac: only 16-bit supported, got ${si.bitsPerSample}")
 
     val pcm = new java.io.ByteArrayOutputStream()
     val r = new BitReader(bytes)
-    r.bytePos = p
+    r.bytePos = si.framesOffset
     var expectFrame = 0L
     while (r.remainingBytes >= 2) {
       val frameStart = r.bytePos
@@ -612,7 +630,7 @@ object FlacCodec {
       val got = java.security.MessageDigest.getInstance("MD5").digest(pcmBytes)
       require(java.util.Arrays.equals(got, md5), "flac: STREAMINFO MD5 mismatch on decoded PCM")
     }
-    FlacAudio(sampleRate, channels, bps, totalFrames, pcmBytes)
+    FlacAudio(sampleRate, channels, si.bitsPerSample, totalFrames, pcmBytes)
   }
 
   /** One subframe into `out` (length = block size), at `bps` bits per

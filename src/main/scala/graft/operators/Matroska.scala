@@ -124,6 +124,23 @@ object Matroska {
     out.toSeq
   }
 
+  /** The EBML header's DocType string ("matroska" or "webm" in practice) —
+    * how a triage probe distinguishes the two dialects of the one
+    * container format. None if the header is missing or garbled.
+    */
+  def readDocType(bytes: Array[Byte]): Option[String] = {
+    if (!isMatroska(bytes)) return None
+    val sz = readSize(bytes, 4, bytes.length) // size vint after the 4-byte EBML id
+    if (sz == null) return None
+    val start = 4L + sz._2
+    val end = if (sz._1 < 0) bytes.length.toLong
+      else math.min(bytes.length.toLong, start + sz._1)
+    children(bytes, start, end).collectFirst {
+      case (0x4282L, s, e) =>
+        new String(bytes, s.toInt, (e - s).toInt, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
   /** A Block/SimpleBlock payload's frame data: skip the track vint, the
     * 2-byte relative timestamp and the flags byte; laced blocks (video
     * tracks are never laced in practice) are skipped rather than mis-split.

@@ -436,6 +436,12 @@ object Multimodal {
       val out = body
       MediaOutcome(out.media_id, out.uri, out.media_type, out.content, out.meta, null)
     } catch {
+      case e: MediaTooLargeException =>
+        // its own triage category: the image is (probably) fine, the
+        // PIXEL BUDGET rejected it — a resize-at-lower-budget candidate,
+        // not a corrupt file
+        MediaOutcome(r.media_id, r.uri, r.media_type, r.content,
+          r.meta + ("error_class" -> e.getClass.getSimpleName), "media_too_large")
       case scala.util.control.NonFatal(e) =>
         MediaOutcome(r.media_id, r.uri, r.media_type, r.content,
           r.meta + ("error_class" -> e.getClass.getSimpleName), reason)
@@ -482,7 +488,206 @@ object Multimodal {
     }
   }
 
-  private def resizeOne(r: MediaRecord, maxDim: Int): MediaRecord = {
+  /** Thrown when an image's DECLARED dimensions exceed the pixel budget —
+    * before any pixel decode. Distinct from undecodable so safe stages can
+    * tag it separately (`media_too_large`): a decompression bomb is a
+    * triage-relevant category, not a corrupt file.
+    */
+  final class MediaTooLargeException(msg: String) extends IllegalArgumentException(msg)
+
+  /** Header-only dimension probe: asks the format reader for (width,
+    * height) WITHOUT decoding pixels. The decompression-bomb guard — a
+    * crafted 60000x60000 PNG is a few KB of input but a multi-GB pixel
+    * buffer, and at 32 concurrent tasks one bad crawl record per partition
+    * is an executor OOM, not a task failure. None if no reader claims the
+    * bytes (the subsequent full decode produces the decodable-or-not
+    * verdict).
+    */
+  def probeImageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Pixel budget for the normalization stages: 64 Mpx ~= a 256 MB int
+    * buffer per task — the bound that keeps 32 concurrent decodes inside
+    * executor memory. Audio needs no analogue: PCM expands lossless audio
+    * by at most ~4x, while image formats expand by 1000x+.
+    */
+  val DefaultMaxPixels: Long = 64L * 1000 * 1000
+
+  /** Header-only format probe: the claiming ImageIO reader's format name
+    * (lowercased: "png", "jpeg", "bmp", "gif", ...) plus declared
+    * dimensions, no pixel decode. The general form of [[probeImageDims]].
+    */
+  def probeImageFormat(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** SOI frame-boundary offsets of a raw concatenated-JPEG (MJPEG) buffer
+    * — the same boundary rule the frame sampler uses (SOI then any
+    * APPn/DQT/DHT/SOF/COM marker; byte-stuffing guarantees no false SOI
+    * inside entropy-coded data). One element = a plain JPEG still.
+    */
+  def mjpegSoiOffsets(bytes: Array[Byte]): IndexedSeq[Int] = {
+    def isSoi(i: Int): Boolean = {
+      if (i + 3 >= bytes.length || bytes(i) != 0xff.toByte ||
+        bytes(i + 1) != 0xd8.toByte || bytes(i + 2) != 0xff.toByte) return false
+      val m = bytes(i + 3) & 0xff
+      (m >= 0xe0 && m <= 0xef) || m == 0xdb || m == 0xc4 || m == 0xc0 || m == 0xc2 || m == 0xfe
+    }
+    if (bytes.length < 4 || !isSoi(0)) return IndexedSeq.empty
+    val offsets = scala.collection.mutable.ArrayBuffer(0)
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (isSoi(i)) { offsets += i; i += 4 } else i += 1
+    }
+    offsets.toIndexedSeq
+  }
+
+  /** One structural triage row per media record: container, codec,
+    * geometry, frame count, and whether THIS ENGINE can fully decode it
+    * (`decodable` — `decodePcm16`/ImageIO/the demuxers would accept it;
+    * mp3 and ogg-vorbis/opus probe fine but decode is a loud reject,
+    * MEDIA.md). Audio `n_frames` is PCM frames, video `n_frames` is
+    * container frames, images have none.
+    */
+  case class MediaProbe(
+      media_id: Long,
+      container: String,
+      codec: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      decodable: Boolean)
+
+  /** The crawl-triage pass: identify every record from HEADERS ONLY — no
+    * pixel/sample decode anywhere (the costly full decode then runs only
+    * on records triage routed to it). Map-only, never throws: a record
+    * whose container sniffs but whose headers are damaged keeps its
+    * container label with null detail and `decodable = false`; a record
+    * nothing claims is `unknown`.
+    */
+  def probeMedia(media: Dataset[MediaRecord]): Dataset[MediaProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => probeBytes(r.media_id, r.content)))
+  }
+
+  /** Single-record probe behind [[probeMedia]] — public so tests and
+    * driver-side triage can call it directly.
+    */
+  def probeBytes(id: Long, bytes: Array[Byte]): MediaProbe = {
+    def bare(container: String) =
+      MediaProbe(id, container, None, None, None, None, None, None, decodable = false)
+    // sniff first (magic only), then detail-parse; damaged headers keep
+    // the sniffed container rather than degrading to "unknown"
+    def guarded(container: String)(body: => MediaProbe): MediaProbe =
+      try body catch { case scala.util.control.NonFatal(_) => bare(container) }
+    def video(container: String, frames: Iterator[Array[Byte]]): MediaProbe = {
+      var n = 0L
+      var dims: Option[(Int, Int)] = None
+      frames.foreach { f =>
+        if (n == 0) dims = probeImageDims(f)
+        n += 1
+      }
+      MediaProbe(id, container, if (dims.isDefined) Some("mjpeg") else None,
+        dims.map(_._1), dims.map(_._2), None, None, Some(n), decodable = dims.isDefined)
+    }
+    if (FlacCodec.isFlac(bytes)) guarded("flac") {
+      val si = FlacCodec.readStreamInfo(bytes)
+      MediaProbe(id, "flac", Some("flac"), None, None, Some(si.sampleRate),
+        Some(si.channels), Some(si.totalFrames), decodable = si.bitsPerSample == 16)
+    } else if (OggStream.isOgg(bytes)) guarded("ogg") {
+      OggStream.identifyCodec(bytes) match {
+        case "flac" =>
+          val si = FlacCodec.readStreamInfo(OggStream.extractFlac(bytes))
+          MediaProbe(id, "ogg", Some("flac"), None, None, Some(si.sampleRate),
+            Some(si.channels), Some(si.totalFrames), decodable = si.bitsPerSample == 16)
+        case "vorbis" =>
+          val v = OggStream.parseVorbisId(bytes)
+          MediaProbe(id, "ogg", Some("vorbis"), None, None, Some(v.sampleRate),
+            Some(v.channels), None, decodable = false)
+        case "opus" =>
+          val o = OggStream.parseOpusHead(bytes)
+          MediaProbe(id, "ogg", Some("opus"), None, None, Some(o.inputSampleRate),
+            Some(o.channels), None, decodable = false)
+        case "unknown" => bare("ogg")
+        case named => bare("ogg").copy(codec = Some(named))
+      }
+    } else if (WavePcm.isWav(bytes)) guarded("wav") {
+      if (WavePcm.isCanonicalPcm16(bytes)) {
+        val a = WavePcm.parseWav16(bytes)
+        MediaProbe(id, "wav", Some("pcm_s16le"), None, None, Some(a.sampleRate),
+          Some(a.channels), Some(a.nFrames), decodable = true)
+      } else bare("wav") // extensible/float dialects: javax.sound MAY take
+                         // them, but a static probe will not promise it
+    } else if (Matroska.isMatroska(bytes)) {
+      val container = Matroska.readDocType(bytes) match {
+        case Some("webm") => "webm"
+        case _ => "mkv"
+      }
+      guarded(container)(video(container, Matroska.demuxFrames(bytes)))
+    } else if (AviMjpeg.isAvi(bytes)) {
+      guarded("avi")(video("avi", AviMjpeg.demuxFrames(bytes)))
+    } else if (IsoBmff.isMp4(bytes)) {
+      guarded("mp4")(video("mp4", IsoBmff.demuxFrames(bytes)))
+    } else if (Mp3Frames.isMp3(bytes)) guarded("mp3") {
+      val m = Mp3Frames.probe(bytes)
+      MediaProbe(id, "mp3", Some(s"mpeg${m.version}-layer${m.layer}"), None, None,
+        Some(m.sampleRate), Some(m.channels), Some(m.pcmFrames), decodable = false)
+    } else {
+      guarded("unknown") {
+        probeImageFormat(bytes) match {
+          case Some(("jpeg", w, h)) =>
+            val soi = mjpegSoiOffsets(bytes)
+            if (soi.length > 1) // concatenated stills = a raw MJPEG clip
+              MediaProbe(id, "mjpeg", Some("mjpeg"), Some(w), Some(h), None, None,
+                Some(soi.length.toLong), decodable = true)
+            else
+              MediaProbe(id, "jpeg", Some("jpeg"), Some(w), Some(h), None, None,
+                None, decodable = true)
+          case Some((fmt, w, h)) =>
+            MediaProbe(id, fmt, Some(fmt), Some(w), Some(h), None, None, None,
+              decodable = true)
+          case None => bare("unknown")
+        }
+      }
+    }
+  }
+
+  private def resizeOne(r: MediaRecord, maxDim: Int,
+      maxPixels: Long = DefaultMaxPixels): MediaRecord = {
+    probeImageDims(r.content).foreach { case (pw, ph) =>
+      if (pw.toLong * ph > maxPixels)
+        throw new MediaTooLargeException(
+          s"resizeImages: media ${r.media_id} declares ${pw}x$ph = ${pw.toLong * ph} px " +
+            s"(> $maxPixels) — refusing to decode (decompression-bomb guard)")
+    }
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
     require(img != null, s"resizeImages: media ${r.media_id} is not a decodable image")
     val w = img.getWidth

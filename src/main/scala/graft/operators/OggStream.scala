@@ -224,6 +224,61 @@ object OggStream {
     else "unknown"
   }
 
+  /** Vorbis identification header fields (Vorbis I spec §4.2.2) — the
+    * geometry a triage probe reports for a stream this engine cannot
+    * decode. Blocksizes are the DECODED exponents (64..8192 window sizes).
+    */
+  case class VorbisId(channels: Int, sampleRate: Int, bitrateNominal: Int,
+      blocksize0: Int, blocksize1: Int)
+
+  /** Parse the Vorbis identification header out of an OGG buffer's first
+    * packet. Structural and strict: wrong magic, version != 0, zero
+    * geometry, inverted blocksizes, or a clear framing bit die in a
+    * require — the probe wants "valid vorbis, rate X" vs "damaged",
+    * decode stays a loud reject either way.
+    */
+  def parseVorbisId(bytes: Array[Byte]): VorbisId = {
+    val p0 = readPackets(bytes).headOption.getOrElse(
+      throw new IllegalArgumentException("ogg-vorbis: no packets"))
+    require(p0.length >= 30 && (p0(0) & 0xff) == 0x01 &&
+        "vorbis".indices.forall(i => p0(1 + i) == "vorbis".charAt(i).toByte),
+      "ogg-vorbis: first packet is not a vorbis identification header")
+    require(leInt(p0, 7) == 0, s"ogg-vorbis: unsupported vorbis_version ${leInt(p0, 7)}")
+    val channels = p0(11) & 0xff
+    val rate = leInt(p0, 12)
+    require(channels >= 1 && rate >= 1,
+      s"ogg-vorbis: invalid geometry ${rate}Hz/${channels}ch")
+    val bs0 = 1 << (p0(28) & 0x0f)
+    val bs1 = 1 << ((p0(28) & 0xf0) >> 4)
+    require(bs0 >= 64 && bs1 <= 8192 && bs0 <= bs1,
+      s"ogg-vorbis: invalid blocksizes $bs0/$bs1")
+    require((p0(29) & 1) == 1, "ogg-vorbis: framing bit clear")
+    VorbisId(channels, rate, leInt(p0, 20), bs0, bs1)
+  }
+
+  /** Opus identification header fields (RFC 7845 §5.1). `inputSampleRate`
+    * is informational per the RFC (opus always decodes at 48 kHz) — the
+    * probe reports it as-is.
+    */
+  case class OpusHead(channels: Int, preSkip: Int, inputSampleRate: Int,
+      mappingFamily: Int)
+
+  /** Parse the OpusHead identification header out of an OGG buffer's
+    * first packet — same strictness contract as [[parseVorbisId]].
+    */
+  def parseOpusHead(bytes: Array[Byte]): OpusHead = {
+    val p0 = readPackets(bytes).headOption.getOrElse(
+      throw new IllegalArgumentException("ogg-opus: no packets"))
+    require(p0.length >= 19 &&
+        "OpusHead".indices.forall(i => p0(i) == "OpusHead".charAt(i).toByte),
+      "ogg-opus: first packet is not an OpusHead header")
+    require((p0(8) & 0xff) >> 4 == 0, s"ogg-opus: unsupported version ${p0(8)}")
+    val channels = p0(9) & 0xff
+    require(channels >= 1, "ogg-opus: zero channels")
+    OpusHead(channels, (p0(10) & 0xff) | ((p0(11) & 0xff) << 8),
+      leInt(p0, 12), p0(18) & 0xff)
+  }
+
   /** Encode PCM as FLAC-in-OGG per the xiph mapping. */
   def writeOggFlac(pcmLE: Array[Byte], sampleRate: Int, channels: Int,
       blockSize: Int = 1024, serial: Int = 0x464c4143): Array[Byte] = {

@@ -15,7 +15,8 @@ object PlanDrive {
         "tx_html_extract", "sim_int8_quantize", "hll_gk_wire_roundtrip",
         "mm_flac_features", "mm_ogg_features", "mm_image_resize",
         "mm_audio_resample", "dd_rendezvous_fast",
-        "mm_flac_fixed", "mm_media_quarantine")) {
+        "mm_flac_fixed", "mm_media_quarantine",
+        "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -68,6 +68,45 @@ class MultimodalResizeSpec extends AnyFunSuite {
     assert(resized.getColorModel.hasAlpha, "resize dropped the alpha channel")
   }
 
+  test("decompression-bomb guard: declared-huge images divert BEFORE pixel decode") {
+    import spark.implicits._
+    // a real small PNG with its IHDR patched to declare 60000x60000 (CRC
+    // fixed up): a few KB of input, a ~14 GB pixel buffer if decoded
+    val bomb = Multimodal.gridPng(1L).clone()
+    def putBe(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putBe(16, 60000); putBe(20, 60000) // IHDR width/height
+    val crc = new java.util.zip.CRC32
+    crc.update(bomb, 12, 4 + 13) // chunk type + data
+    putBe(29, crc.getValue.toInt)
+    assert(Multimodal.probeImageDims(bomb).contains((60000, 60000)))
+    val recs = Seq(
+      Multimodal.MediaRecord(0L, "t://bomb.png", "image/png", bomb, Map.empty),
+      Multimodal.MediaRecord(1L, "t://ok.png", "image/png", Multimodal.gridPng(2L), Map.empty))
+    val t0 = System.nanoTime()
+    val out = Multimodal.resizeImagesSafe(spark.createDataset(recs), 16)
+      .collect().map(o => o.media_id -> o).toMap
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(out(0L).error == "media_too_large", s"got ${out(0L).error}")
+    assert(out(0L).meta("error_class") == "MediaTooLargeException")
+    assert(java.util.Arrays.equals(out(0L).content, bomb), "bomb bytes must pass through")
+    assert(out(1L).error == null)
+    // the guard must fire from the HEADER — seconds, not an OOM or a
+    // minutes-long decode attempt
+    assert(elapsed < 30.0, s"guard too slow: $elapsed s — did it decode pixels?")
+    // strict stage fails the job with the dedicated type in the cause chain
+    // (Spark wraps executor-side throws in SparkException)
+    val e = intercept[Exception] {
+      Multimodal.resizeImages(spark.createDataset(Seq(recs.head)), 16).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain.exists(_.isInstanceOf[Multimodal.MediaTooLargeException]) ||
+      chain.exists(t => t.getMessage != null && t.getMessage.contains("decompression-bomb")),
+      s"wrong failure: $e")
+  }
+
   test("nearest-neighbor samples exactly src(x*w/nw, y*h/nh)") {
     val id = 7L
     val w = ((id % 16) + 1).toInt * 4
