@@ -3416,6 +3416,67 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // WARC ingest — the FIRST step of a crawl pipeline: documents packed
+    // 16-to-an-archive (warcinfo + request/response pairs; odd archives
+    // per-record-GZIPPED, exercising the multi-member gunzip), exploded
+    // back to per-capture rows. The oracle rebuilds every output column
+    // from the documents table: url string, 404-every-17th status, UTF-8
+    // body length. Archive bytes never cross a shuffle — only the
+    // exploded fixed-shape captures do.
+    "tx_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.warcArchivesFromDocuments(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("archive_id"), col("url"), col("http_status"), col("content_length"))
+        .orderBy(col("url"))
+    }),
+
+    // the Common-Crawl-shaped capstone: WARC archives -> explode ->
+    // HTTP-200 responses only -> UTF-8 text -> per-doc curation metrics,
+    // i.e. the classic crawl-to-training-text front half composed from
+    // this round's ingest seam and the existing text analysis. The 404
+    // captures (every 17th doc) drop out at the status filter, which the
+    // oracle mirrors with WHERE doc_id % 17 <> 0.
+    "tx_warc_curation" -> ((s, dir) => {
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.warcArchivesFromDocuments(s, dir))
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("archive_id"), col("url"),
+          decode(col("body"), "UTF-8").as("text"))
+        .select(col("archive_id"), col("url"),
+          length(col("text")).as("n_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens_ws"))
+        .orderBy(col("url"))
+    }),
+
+    // tar ingest, the archive sibling: one member per document, listing
+    // (name, size) oracle-predicted from the doc columns. Checksums
+    // verified per 512-byte ustar header on the way in.
+    "tx_tar_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestTar(ing.tarArchivesFromDocuments(s, dir))
+        .select(col("archive_id"), col("name"), col("size"))
+        .orderBy(col("name"))
+    }),
+
+    // the crawl TRIAGE pass: a mixed ten-family corpus (png/jpeg/wav/
+    // flac/ogg-flac/mp3/ogg-vorbis/avi/mp4/mkv+webm) probed from HEADERS
+    // ONLY — container, codec, geometry, duration, and whether this
+    // engine can fully decode it. mp3 and ogg-vorbis probe with full
+    // geometry but decodable=false (decode is a loud reject, MEDIA.md);
+    // every field derives from doc_id arithmetic so DuckDB predicts the
+    // whole table. Map-only: the expensive full decode runs ONLY on
+    // records triage routes to it.
+    "mm_media_probe" -> ((s, dir) => {
+      import s.implicits._
+      val mm = graft.operators.Multimodal
+      mm.probeMedia(mm.mixedMediaFromDocuments(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // cross-container VIDEO dedup, completing the modality triple: the
     // same frames shipped as raw MJPEG, AVI (every 3rd doc), and MP4
     // (every 5th) fold to the same ordered-frame-hash fingerprint, so
@@ -5637,6 +5698,54 @@ object SparkEntry {
         |  (doc_id % 2) + 1 AS channels,
         |  ((doc_id % 25) + 1) * 200 AS n_frames,
         |  TRUE AS codec_parity
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "tx_warc_ingest" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  'http://corpus.invalid/' || source || '/' || doc_id AS url,
+        |  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS http_status,
+        |  strlen(text) AS content_length
+        |FROM documents ORDER BY url""".stripMargin,
+    "tx_warc_curation" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  'http://corpus.invalid/' || source || '/' || doc_id AS url,
+        |  LENGTH(text) AS n_chars,
+        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens_ws
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY url""".stripMargin,
+    "tx_tar_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size
+        |FROM documents ORDER BY name""".stripMargin,
+    "mm_media_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
+        |    WHEN 4 THEN 'ogg' WHEN 5 THEN 'mp3' WHEN 6 THEN 'ogg' WHEN 7 THEN 'avi'
+        |    WHEN 8 THEN 'mp4'
+        |    ELSE CASE WHEN (doc_id // 10) % 2 = 1 THEN 'webm' ELSE 'mkv' END END AS container,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'pcm_s16le' WHEN 3 THEN 'flac'
+        |    WHEN 4 THEN 'flac'
+        |    WHEN 5 THEN CASE WHEN (doc_id // 10) % 2 = 0 THEN 'mpeg1-layer3' ELSE 'mpeg2-layer3' END
+        |    WHEN 6 THEN 'vorbis' ELSE 'mjpeg' END AS codec,
+        |  CASE WHEN doc_id % 10 IN (0, 1) THEN (((doc_id // 10) % 16) + 1) * 4
+        |       WHEN doc_id % 10 >= 7 THEN 16 END AS width,
+        |  CASE WHEN doc_id % 10 IN (0, 1) THEN (((doc_id // 10) % 12) + 1) * 4
+        |       WHEN doc_id % 10 >= 7 THEN 16 END AS height,
+        |  CASE WHEN doc_id % 10 IN (2, 3, 4, 6) THEN 8000 * (((doc_id // 10) % 3) + 1)
+        |       WHEN doc_id % 10 = 5 THEN CASE WHEN (doc_id // 10) % 2 = 0
+        |         THEN CASE (doc_id // 10) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |         ELSE CASE (doc_id // 10) % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END END
+        |  END AS sample_rate,
+        |  CASE WHEN doc_id % 10 IN (2, 3, 4, 6) THEN ((doc_id // 10) % 2) + 1
+        |       WHEN doc_id % 10 = 5 THEN CASE WHEN (doc_id // 10) % 3 = 0 THEN 1 ELSE 2 END
+        |  END AS channels,
+        |  CASE WHEN doc_id % 10 IN (2, 3, 4) THEN (((doc_id // 10) % 25) + 1) * 200
+        |       WHEN doc_id % 10 = 5 THEN (((doc_id // 10) % 10) + 1) *
+        |         (CASE WHEN (doc_id // 10) % 2 = 0 THEN 1152 ELSE 576 END)
+        |       WHEN doc_id % 10 >= 7 THEN ((doc_id // 10) % 8) + 2
+        |  END AS n_frames,
+        |  doc_id % 10 NOT IN (5, 6) AS decodable
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_media_pipeline" ->
       """SELECT media_id, status, TRUE AS resized_ok FROM (

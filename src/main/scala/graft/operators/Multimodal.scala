@@ -1388,6 +1388,89 @@ object Multimodal {
       }
   }
 
+  /** A minimal OGG stream carrying ONLY a Vorbis identification header
+    * packet (Vorbis I spec §4.2.2) — the triage fixture for the
+    * identify-without-decode path. Deliberately not a playable stream
+    * (no comment/setup headers, no audio packets): the probe reads
+    * packet 0 and stops, and decode remains a loud reject either way.
+    */
+  def deterministicVorbisIdOgg(seed: Long, sampleRate: Int, channels: Int): Array[Byte] = {
+    val p = new Array[Byte](30)
+    p(0) = 0x01
+    "vorbis".indices.foreach(i => p(1 + i) = "vorbis".charAt(i).toByte)
+    def u32le(off: Int, v: Int): Unit = {
+      p(off) = v.toByte; p(off + 1) = (v >>> 8).toByte
+      p(off + 2) = (v >>> 16).toByte; p(off + 3) = (v >>> 24).toByte
+    }
+    u32le(7, 0) // vorbis_version
+    p(11) = channels.toByte
+    u32le(12, sampleRate)
+    u32le(20, 64000 + (seed % 8).toInt * 16000) // bitrate_nominal
+    p(28) = 0xb8.toByte // blocksizes 2^8 / 2^11
+    p(29) = 0x01 // framing bit
+    OggStream.writePages(Seq(p), serial = (seed ^ 0x564f5242L).toInt, granules = Seq(0L))
+  }
+
+  /** An MP3 clip with deterministic Layer III framing ([[Mp3Frames
+    * .writeMp3]]): MPEG version, rate, channels, frame count, VBR-ness,
+    * and an optional ID3v2 tag all derived from the seed — so an oracle
+    * predicts every probe output. `seed` here is the PER-BUCKET index
+    * (doc_id/10 in the mixed corpus) to keep variation independent of the
+    * container-choosing residue.
+    */
+  def deterministicMp3(seed: Long): Array[Byte] = {
+    val mpeg1 = seed % 2 == 0
+    val rate = (if (mpeg1) Array(44100, 48000, 32000) else Array(22050, 24000, 16000))(
+      (seed % 3).toInt)
+    val channels = if (seed % 3 == 0) 1 else 2
+    val table = if (mpeg1) Array(112, 128, 160, 192) else Array(64, 80, 96, 112)
+    val k = (seed % 10).toInt + 1
+    val bitrates =
+      if (seed % 5 == 0) (0 until k).map(f => table(((seed + f) % 4).toInt))
+      else Seq.fill(k)(table((seed % 4).toInt))
+    Mp3Frames.writeMp3(rate, channels, bitrates, seed,
+      id3v2Pad = if (seed % 4 == 0) 64 + (seed % 32).toInt else 0)
+  }
+
+  /** The triage-probe demo corpus: ten container families chosen by
+    * doc_id % 10, every per-file parameter derived from doc_id / 10 (the
+    * PER-BUCKET index — a residue-derived parameter would be constant
+    * within its bucket). What a crawl actually hands a pipeline: a column
+    * of mixed, partly-undecodable media.
+    */
+  def mixedMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docSeeds(spark, dir)
+      .map { case (id, source) =>
+        val q = id / 10
+        def rec(ext: String, mediaType: String, bytes: Array[Byte]) =
+          MediaRecord(id, s"fake://$source/$id.$ext", mediaType, bytes,
+            Map("source" -> source))
+        val rate = 8000 * ((q % 3) + 1).toInt
+        val aFrames = ((q % 25) + 1).toInt * 200
+        val aCh = ((q % 2) + 1).toInt
+        val vFrames = ((q % 8) + 2).toInt
+        (id % 10) match {
+          case 0 => rec("png", "image/png",
+            deterministicPng(q, ((q % 16) + 1).toInt * 4, ((q % 12) + 1).toInt * 4))
+          case 1 => rec("jpg", "image/jpeg",
+            deterministicMjpeg(q, ((q % 16) + 1).toInt * 4, ((q % 12) + 1).toInt * 4, 1))
+          case 2 => rec("wav", "audio/wav", deterministicWav(q, rate, aFrames, aCh))
+          case 3 => rec("flac", "audio/flac", deterministicFlacCompressed(q, rate, aFrames, aCh))
+          case 4 => rec("ogg", "audio/ogg", deterministicOgg(q, rate, aFrames, aCh))
+          case 5 => rec("mp3", "audio/mpeg", deterministicMp3(q))
+          case 6 => rec("ogg", "audio/ogg", deterministicVorbisIdOgg(q, rate, aCh))
+          case 7 => rec("avi", "video/avi", deterministicAvi(q, 16, 16, vFrames))
+          case 8 => rec("mp4", "video/mp4", deterministicMp4(q, 16, 16, vFrames))
+          case _ =>
+            val webm = q % 2 == 1
+            rec(if (webm) "webm" else "mkv",
+              if (webm) "video/webm" else "video/x-matroska",
+              deterministicMkv(q, 16, 16, vFrames, if (webm) "webm" else "matroska"))
+        }
+      }
+  }
+
   /** Demo corpus: deterministic fake media fabricated from the documents
     * table (payload = text bytes; dims derived from doc_id).
     */

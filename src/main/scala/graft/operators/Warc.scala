@@ -1,0 +1,164 @@
+package graft.operators
+
+/** Structural WARC 1.0 support (ISO 28500 — the format web crawls ship
+  * in; the public Common Crawl corpus is WARC files). A training-data
+  * pipeline's first batch step is exploding archives into per-capture
+  * records, so this is the ingest seam: strict record framing, header
+  * parse, HTTP response splitting, and whole-buffer gzip transparency
+  * (JDK `GZIPInputStream` reads the concatenated per-record members the
+  * WARC spec recommends).
+  *
+  * Record framing: `WARC/1.0` CRLF, `Name: value` header lines, CRLF
+  * blank line, exactly `Content-Length` payload bytes, CRLF CRLF
+  * trailer. `warc-type: response` records carry an HTTP response
+  * (status line + headers + body) as their payload; [[parseHttpResponse]]
+  * splits it the same structural way.
+  */
+object Warc {
+
+  /** One WARC record: the headers that matter for curation plus the raw
+    * payload. `headers` keys are lower-cased (header names are
+    * case-insensitive per spec).
+    */
+  case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      recordId: String,
+      date: String,
+      contentType: String,
+      headers: Map[String, String],
+      content: Array[Byte])
+
+  private val Gzip = Array[Byte](0x1f, 0x8b.toByte)
+
+  def isWarc(bytes: Array[Byte]): Boolean = {
+    if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1)) return true
+    bytes.length >= 8 && new String(bytes, 0, 8,
+      java.nio.charset.StandardCharsets.US_ASCII) == "WARC/1.0"
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Parse every record in the buffer (gunzipping first if the buffer is
+    * gzip — including concatenated per-record members). Strict: a bad
+    * version line, a missing Content-Length, a truncated payload, or a
+    * missing CRLF CRLF trailer dies in a require — crawl triage must not
+    * silently drop the tail of an archive.
+    */
+  def readRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val b = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1))
+      gunzip(bytes) else bytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    while (p < b.length) {
+      val (headers, bodyStart) = parseHeaderBlock(b, p, "WARC/1.0")
+      val len = headers.getOrElse("content-length",
+        throw new IllegalArgumentException(s"warc: record at byte $p lacks Content-Length")).toLong
+      require(bodyStart + len + 4 <= b.length, s"warc: truncated record payload at byte $p")
+      val content = java.util.Arrays.copyOfRange(b, bodyStart, (bodyStart + len).toInt)
+      val trailer = (bodyStart + len).toInt
+      require(b(trailer) == '\r' && b(trailer + 1) == '\n' &&
+        b(trailer + 2) == '\r' && b(trailer + 3) == '\n',
+        s"warc: record at byte $p missing CRLF CRLF trailer")
+      out += WarcRecord(
+        warcType = headers.getOrElse("warc-type", ""),
+        targetUri = headers.getOrElse("warc-target-uri", ""),
+        recordId = headers.getOrElse("warc-record-id", ""),
+        date = headers.getOrElse("warc-date", ""),
+        contentType = headers.getOrElse("content-type", ""),
+        headers = headers,
+        content = content)
+      p = trailer + 4
+    }
+    out.toSeq
+  }
+
+  /** Split an HTTP response payload: (status code, lower-cased headers,
+    * body). The structural mirror of the WARC record parse — response
+    * records nest one protocol inside the other.
+    */
+  def parseHttpResponse(payload: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    val (headers, bodyStart) = parseHeaderBlock(payload, 0, "HTTP/")
+    val firstLineEnd = indexOfCrlf(payload, 0)
+    val statusLine = new String(payload, 0, firstLineEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val parts = statusLine.split(" ", 3)
+    require(parts.length >= 2, s"http: malformed status line '$statusLine'")
+    (parts(1).toInt, headers,
+      java.util.Arrays.copyOfRange(payload, bodyStart, payload.length))
+  }
+
+  /** Parse a `Version` line + `Name: value` lines up to the CRLF blank
+    * line; returns (lower-cased headers, offset past the blank line).
+    */
+  private def parseHeaderBlock(b: Array[Byte], start: Int,
+      versionPrefix: String): (Map[String, String], Int) = {
+    var p = start
+    var lineEnd = indexOfCrlf(b, p)
+    val version = new String(b, p, lineEnd - p, java.nio.charset.StandardCharsets.ISO_8859_1)
+    require(version.startsWith(versionPrefix),
+      s"warc: expected a $versionPrefix* line at byte $p, got '${version.take(32)}'")
+    p = lineEnd + 2
+    val headers = Map.newBuilder[String, String]
+    while ({
+      lineEnd = indexOfCrlf(b, p)
+      lineEnd > p
+    }) {
+      val line = new String(b, p, lineEnd - p, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val colon = line.indexOf(':')
+      require(colon > 0, s"warc: malformed header line '${line.take(64)}' at byte $p")
+      headers += line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) ->
+        line.substring(colon + 1).trim
+      p = lineEnd + 2
+    }
+    (headers.result(), lineEnd + 2)
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    throw new IllegalArgumentException(s"warc: no CRLF after byte $from — truncated header block")
+  }
+
+  /** Write records in spec framing. `gzipped = true` emits one gzip
+    * member PER RECORD and concatenates them — the layout the WARC spec
+    * recommends so readers can split archives without decompressing
+    * (and which [[readRecords]]' multi-member gunzip consumes).
+    */
+  def writeWarc(records: Seq[(Map[String, String], Array[Byte])],
+      gzipped: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (headers, content) =>
+      val rec = new java.io.ByteArrayOutputStream()
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+      sb.append("Content-Length: ").append(content.length).append("\r\n\r\n")
+      rec.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      rec.write(content)
+      rec.write('\r'); rec.write('\n'); rec.write('\r'); rec.write('\n')
+      if (gzipped) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec.toByteArray); gz.finish()
+      } else out.write(rec.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** Build the HTTP response payload for a `response` record. */
+  def httpResponse(status: Int, contentType: String, body: Array[Byte]): Array[Byte] = {
+    val reason = status match {
+      case 200 => "OK"; case 404 => "Not Found"; case 301 => "Moved Permanently"
+      case _ => "Status"
+    }
+    val head = s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+  }
+}

@@ -16,7 +16,9 @@ object PlanDrive {
         "mm_flac_features", "mm_ogg_features", "mm_image_resize",
         "mm_audio_resample", "dd_rendezvous_fast",
         "mm_flac_fixed", "mm_media_quarantine",
-        "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup")) {
+        "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup",
+        "mm_media_pipeline", "mm_media_probe",
+        "tx_warc_ingest", "tx_tar_members", "tx_warc_curation")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

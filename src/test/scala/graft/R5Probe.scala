@@ -14,6 +14,25 @@ object R5Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if (args.headOption.contains("anndebug")) { annDebug(spark, dir); spark.stop(); return }
+    // dump mode: Test/runMain graftdrive.R5Probe dump <outDir> <names...>
+    // writes each query's parquet + the matching oracle_sql.json subset so
+    // tools/check_oracle.py can gate a SINGLE query without a full Verify lap
+    if (args.headOption.contains("dump")) {
+      val outDir = args(1)
+      val names = args.drop(2).toSeq
+      names.foreach { n =>
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.mode("overwrite").parquet(s"$outDir/$n")
+      }
+      val sqls = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _)).toMap
+      val json = sqls.map { case (k, v) =>
+        "\"" + k + "\": " + com.fasterxml.jackson.databind.json.JsonMapper.builder()
+          .build().writeValueAsString(v)
+      }.mkString("{", ",\n", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("sim_ivf_refit", "sim_ann_maintain", "hll_kmv_wire_roundtrip", "q_profile_exact")
     names.foreach { n =>

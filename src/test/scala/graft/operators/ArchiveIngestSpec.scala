@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC + tar structural properties: spec-framing round-trips (plain and
+  * per-record-gzipped), nested HTTP splitting, ustar checksum/padding
+  * math, and the strict failure modes biting on truncation and
+  * corruption — the archive siblings of FlacOggPropertiesSpec.
+  */
+class ArchiveIngestSpec extends AnyFunSuite {
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def warcPair(id: Long, text: String): Seq[(Map[String, String], Array[Byte])] = Seq(
+    Map("WARC-Type" -> "request", "WARC-Target-URI" -> s"http://x.invalid/$id",
+      "WARC-Record-ID" -> s"<urn:t:req:$id>") ->
+      utf8(s"GET /$id HTTP/1.1\r\nHost: x.invalid\r\n\r\n"),
+    Map("WARC-Type" -> "response", "WARC-Target-URI" -> s"http://x.invalid/$id",
+      "WARC-Record-ID" -> s"<urn:t:resp:$id>") ->
+      Warc.httpResponse(200, "text/plain", utf8(text)))
+
+  test("warc: plain and per-record-gzip round-trip, multi-member gunzip included") {
+    val recs = (0L until 5L).flatMap(i => warcPair(i, s"body $i " * (i.toInt + 1)))
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.writeWarc(recs, gzipped = gz)
+      assert(Warc.isWarc(bytes))
+      val back = Warc.readRecords(bytes)
+      assert(back.length == 10)
+      assert(back.map(_.warcType) == recs.map(_._1("WARC-Type")))
+      assert(back.map(_.targetUri) == recs.map(_._1("WARC-Target-URI")))
+      back.zip(recs).foreach { case (b, (_, content)) =>
+        assert(java.util.Arrays.equals(b.content, content))
+      }
+    }
+  }
+
+  test("warc: nested HTTP response splits status/headers/body exactly") {
+    val body = utf8("hello \u00e9\u00e9 world") // multi-byte: length is BYTES
+    val (status, headers, got) = Warc.parseHttpResponse(
+      Warc.httpResponse(404, "text/html", body))
+    assert(status == 404)
+    assert(headers("content-type") == "text/html")
+    assert(headers("content-length").toInt == body.length)
+    assert(java.util.Arrays.equals(got, body))
+  }
+
+  test("warc: truncation and framing damage die loudly") {
+    val bytes = Warc.writeWarc(warcPair(1L, "payload"))
+    intercept[IllegalArgumentException](
+      Warc.readRecords(java.util.Arrays.copyOf(bytes, bytes.length - 3)))
+    val noLen = Warc.writeWarc(Seq(Map("WARC-Type" -> "metadata") -> utf8("x")))
+    // strip the auto-written Content-Length line to prove the require fires
+    val s = new String(noLen, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: \\d+\r\n", "")
+    intercept[IllegalArgumentException](
+      Warc.readRecords(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    val bad = bytes.clone()
+    bad(5) = 'X' // damage the version line
+    intercept[IllegalArgumentException](Warc.readRecords(bad))
+  }
+
+  test("tar: round-trip across sizes incl. 0, block-boundary, and odd tails") {
+    val entries = Seq(0, 1, 511, 512, 513, 2000).zipWithIndex.map { case (n, i) =>
+      val payload = Array.tabulate(n)(j => ((i * 31 + j) % 251).toByte)
+      Tar.TarEntry(s"dir$i/file$i.bin", n.toLong, '0', payload)
+    }
+    val bytes = Tar.writeTar(entries)
+    assert(bytes.length % 512 == 0)
+    assert(Tar.isTar(bytes))
+    val back = Tar.readEntries(bytes)
+    assert(back.map(e => (e.name, e.size, e.typeflag)) ==
+      entries.map(e => (e.name, e.size, e.typeflag)))
+    back.zip(entries).foreach { case (b, e) =>
+      assert(java.util.Arrays.equals(b.payload, e.payload))
+    }
+  }
+
+  test("tar: checksum damage, truncation, and GNU extensions die loudly") {
+    val bytes = Tar.writeTar(Seq(Tar.TarEntry("a.txt", 4, '0', utf8("abcd"))))
+    val bad = bytes.clone()
+    bad(0) = 'z' // name change invalidates the stored checksum
+    assert(intercept[IllegalArgumentException](
+      Tar.readEntries(bad)).getMessage.contains("checksum"))
+    assert(!Tar.isTar(bad))
+    intercept[IllegalArgumentException](
+      Tar.readEntries(java.util.Arrays.copyOf(bytes, 514))) // payload cut
+    // a cut INSIDE the trailing padding leaves every entry complete — the
+    // EOF-terminated walk accepts it with the full listing
+    assert(Tar.readEntries(java.util.Arrays.copyOf(bytes, 700)).length == 1)
+    val gnu = bytes.clone()
+    gnu(156) = 'L'
+    // fix up the checksum so ONLY the typeflag require can fire
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) 32 else gnu(i) & 0xff)
+    val oct = ("000000" + java.lang.Long.toOctalString(sum)).takeRight(6)
+    for (i <- 0 until 6) gnu(148 + i) = oct.charAt(i).toByte
+    gnu(154) = 0; gnu(155) = ' '
+    assert(intercept[IllegalArgumentException](
+      Tar.readEntries(gnu)).getMessage.contains("extension"))
+  }
+
+  test("tar: prefix field reassembles long paths on read") {
+    // hand-build a header using the prefix field (writer keeps names <= 100)
+    val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))
+    val bytes = Tar.writeTar(Seq(e)).clone()
+    val prefix = utf8("some/deep/prefix")
+    System.arraycopy(prefix, 0, bytes, 345, prefix.length)
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) 32 else bytes(i) & 0xff)
+    val oct = ("000000" + java.lang.Long.toOctalString(sum)).takeRight(6)
+    for (i <- 0 until 6) bytes(148 + i) = oct.charAt(i).toByte
+    bytes(154) = 0; bytes(155) = ' '
+    assert(Tar.readEntries(bytes).head.name == "some/deep/prefix/x.txt")
+  }
+}
