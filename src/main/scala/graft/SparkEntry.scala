@@ -3461,6 +3461,128 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // zip ingest, completing the archive triple: central-directory walk,
+    // store + deflate members (odd archives deflated), CRC-32 verified
+    // per member on the way out. Method and uncompressed size are
+    // oracle-predicted from the doc columns; md5(payload) rides along so
+    // the oracle pins the INFLATED bytes against the source text, not
+    // just the listing.
+    "tx_zip_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestZip(ing.zipArchivesFromDocuments(s, dir))
+        .select(col("archive_id"), col("name"), col("method"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
+    // canonical-URL curation: six deterministic messy-URL shapes (case
+    // games, default ports, fragments, tracking params, unsorted queries,
+    // lowercase percent-escapes, userinfo) built from the doc columns and
+    // pushed through url_normalize — each rule's output is
+    // oracle-predicted by construction. The canonical URL is the dedup
+    // key of every crawl pipeline; this pins its semantics end-to-end.
+    "tx_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val raw = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://Corpus.INVALID:80/"), col("source"), lit("/"),
+            col("doc_id"), lit("?b=2&a=1#frag")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://CORPUS.invalid:443/"), col("source"), lit("/"), col("doc_id")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("http://corpus.invalid/"), col("source"), lit("/"),
+            col("doc_id"), lit("?utm_source=feed&utm_medium=rss")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("http://corpus.invalid:8080/"), col("source"), lit("/"),
+            col("doc_id"), lit("%2fx")))
+        .when(col("doc_id") % 6 === 4, lit("http://corpus.invalid#top"))
+        .otherwise(
+          concat(lit("http://User:Pw@Corpus.Invalid/"), col("doc_id"),
+            lit("?fbclid=abc&z=9&a&a=0#x")))
+      docs.select(col("doc_id"), raw.as("url_raw"),
+          graft.operators.TextAnalysis.urlNormalize(raw).as("url_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the CDX seam: build the record-level (offset, length) index for
+    // the WARC corpus (compressed space on the odd, per-member-gzipped
+    // archives), then AUDIT it — every span re-parsed as a standalone
+    // buffer (what a ranged GET returns) must yield one record with the
+    // indexed digest. Per-archive record counts are oracle-predicted
+    // from the doc grouping (1 warcinfo + request/response per doc);
+    // slices_ok = TRUE pins the round-trip.
+    "tx_warc_cdx" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.verifyCdxSlices(ing.warcArchivesFromDocuments(s, dir))
+        .select(col("archive_id"), col("n_records"), col("n_responses"),
+          col("slices_ok"))
+        .orderBy(col("archive_id"))
+    }),
+
+    // the robots.txt fetch gate (RFC 9309): host-grain robots bodies —
+    // a TINY dim table — broadcast-joined onto the URL stream, then the
+    // codegen'd robots_allowed scalar per row. The corpus exercises every
+    // precedence rule: exact-agent group beats *, longest match wins,
+    // Allow wins ties, * wildcards and $ anchors, and the fallback-to-*
+    // hosts prove group selection (their graftbot answers differ from
+    // their otherbot-only rules). Every verdict is doc_id arithmetic, so
+    // DuckDB predicts the whole gate by CASE.
+    "tx_robots_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/public/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 2, concat(lit("/private/open/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/files/"), col("doc_id"), lit(".tmp")))
+        .otherwise(concat(lit("/files/"), col("doc_id"), lit(".txt")))
+      // even-numbered hosts publish a graftbot group (plus a deny-all *
+      // group that must NOT apply to graftbot); odd hosts publish no
+      // graftbot group, so graftbot falls back to their * group
+      val robotsEven = "# corpus robots\nUser-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/open/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+      val robotsOdd = "User-agent: otherbot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /files/\nAllow: /files/*.txt$\n"
+      val robots = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("robots_txt",
+          when(substring(col("source"), 4, 8).cast("int") % 2 === 0,
+            lit(robotsEven)).otherwise(lit(robotsOdd)))
+      d.join(broadcast(robots), Seq("source"))
+        .select(col("doc_id"), col("source"), path.as("path"),
+          graft.operators.TextAnalysis.robotsAllowed(
+            col("robots_txt"), lit("graftbot"), path).as("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the crawl FRONTIER shard: canonicalize messy capture URLs
+    // (url_normalize rides the scan as a projection), derive the host
+    // with the built-in parse_url, then rendezvous-shard HOSTS to
+    // fetchers — politeness requires all of a host's URLs on one
+    // fetcher, and HRW means adding a fetcher moves only ~1/n of hosts.
+    // md5 HRW, so DuckDB replays the exact assignment; per-shard URL
+    // counts, host counts, and min host all hash-compare.
+    "tx_frontier_shard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val raw = concat(lit("HTTP://"), upper(col("source")), lit(".INVALID:80/"),
+        col("doc_id"), lit("?utm_source=feed&b=2&a=1#frag"))
+      val canon = graft.operators.TextAnalysis.urlNormalize(raw)
+      // reduce to HOST grain first: the per-host URL tally partial-aggs
+      // map-side, and the nShards md5 rounds of HRW run once per HOST,
+      // not once per URL — the per-URL form would hash the 100 TB stream
+      // 4x for an assignment that is a host property. No countDistinct
+      // at the fetcher grain either, so no Expand anywhere.
+      d.select(col("doc_id"), canon.as("url"))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+        .withColumn("fetcher", graft.operators.Sampling.rendezvousShard(col("host"), 4))
+        .groupBy(col("fetcher"))
+        .agg(sum(col("n_urls")).as("n_urls"),
+          count(lit(1)).as("n_hosts"),
+          min(col("host")).as("host_min"))
+        .orderBy(col("fetcher"))
+    }),
+
     // the crawl TRIAGE pass: a mixed ten-family corpus (png/jpeg/wav/
     // flac/ogg-flac/mp3/ogg-vorbis/avi/mp4/mkv+webm) probed from HEADERS
     // ONLY — container, codec, geometry, duration, and whether this
@@ -5716,6 +5838,67 @@ object SparkEntry {
         |  source || '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size
         |FROM documents ORDER BY name""".stripMargin,
+    "tx_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'HTTP://Corpus.INVALID:80/' || source || '/' || doc_id || '?b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://CORPUS.invalid:443/' || source || '/' || doc_id
+        |    WHEN 2 THEN 'http://corpus.invalid/' || source || '/' || doc_id || '?utm_source=feed&utm_medium=rss'
+        |    WHEN 3 THEN 'http://corpus.invalid:8080/' || source || '/' || doc_id || '%2fx'
+        |    WHEN 4 THEN 'http://corpus.invalid#top'
+        |    ELSE 'http://User:Pw@Corpus.Invalid/' || doc_id || '?fbclid=abc&z=9&a&a=0#x'
+        |  END AS url_raw,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'http://corpus.invalid/' || source || '/' || doc_id || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://corpus.invalid/' || source || '/' || doc_id
+        |    WHEN 2 THEN 'http://corpus.invalid/' || source || '/' || doc_id
+        |    WHEN 3 THEN 'http://corpus.invalid:8080/' || source || '/' || doc_id || '%2Fx'
+        |    WHEN 4 THEN 'http://corpus.invalid/'
+        |    ELSE 'http://User:Pw@corpus.invalid/' || doc_id || '?a&a=0&z=9'
+        |  END AS url_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_warc_cdx" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  1 + 2 * count(*) AS n_records,
+        |  count(*) AS n_responses,
+        |  TRUE AS slices_ok
+        |FROM documents GROUP BY 1 ORDER BY archive_id""".stripMargin,
+    "tx_zip_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  CASE WHEN (doc_id // 16) % 2 = 1 THEN 'deflate' ELSE 'store' END AS method,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // robots verdicts by construction: even hosts use the graftbot group
+    // (allow unless /private/ non-open or *.tmp), odd hosts have no
+    // graftbot group so the * group applies (deny /files/ except *.txt$);
+    // source parity == doc_id parity since source = 'src' || doc_id % 20
+    "tx_robots_gate" ->
+      """SELECT doc_id, source,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/public/' || doc_id
+        |    WHEN 1 THEN '/private/' || doc_id
+        |    WHEN 2 THEN '/private/open/' || doc_id
+        |    WHEN 3 THEN '/files/' || doc_id || '.tmp'
+        |    ELSE '/files/' || doc_id || '.txt'
+        |  END AS path,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 IN (0, 2, 4)
+        |       ELSE doc_id % 5 != 3 END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_frontier_shard" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'src' || (doc_id % 20) || '.invalid' AS host FROM documents),
+        |hs AS (
+        |  SELECT host, COUNT(*) AS n_urls FROM u GROUP BY host),
+        |a AS (
+        |  SELECT host, s, MD5(host || ':' || CAST(s AS VARCHAR)) AS h
+        |  FROM hs, UNNEST(GENERATE_SERIES(0, 3)) AS t(s)),
+        |w AS (SELECT host, ARG_MAX(s, h) AS fetcher FROM a GROUP BY host)
+        |SELECT fetcher, CAST(SUM(n_urls) AS BIGINT) AS n_urls, COUNT(*) AS n_hosts,
+        |  MIN(host) AS host_min
+        |FROM hs JOIN w USING (host)
+        |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
     "mm_media_probe" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 10

@@ -435,6 +435,12 @@ object GraftFunctions {
     "bigram_repetition" ->
       ((args: Seq[Expression]) => BigramRepetition(args.head)),
     "html_to_text" -> ((args: Seq[Expression]) => HtmlToText(args.head)),
+    // url_normalize(url): RFC 3986 syntax normalization + tracking-param
+    // strip + query sort — the canonical dedup key for crawl captures
+    "url_normalize" -> ((args: Seq[Expression]) => UrlNormalize(args.head)),
+    // robots_allowed(robots_txt, agent, path): RFC 9309 fetch gate
+    "robots_allowed" ->
+      ((args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))),
     "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
     "repeated_span_stats" ->
       ((args: Seq[Expression]) => RepeatedSpanStats(args.head)),

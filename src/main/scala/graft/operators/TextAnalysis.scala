@@ -151,6 +151,27 @@ object TextAnalysis {
       graft.functions.HtmlToText(
         org.apache.spark.sql.graftshim.GraftShims.expression(html)))
 
+  /** Canonical URL (RFC 3986 syntax normalization + crawl extras:
+    * tracking-param strip, query sort) — the dedup/join key for crawl
+    * captures. See [[graft.functions.UrlNormalize]] for the exact rules.
+    */
+  def urlNormalize(url: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.UrlNormalize(
+        org.apache.spark.sql.graftshim.GraftShims.expression(url)))
+
+  /** RFC 9309 robots.txt gate — may `agent` fetch `path` under this
+    * host's `robots` text? See [[graft.functions.RobotsAllowed]]; the
+    * intended plan broadcast-joins host-grain robots onto the URL
+    * stream and runs this map-only.
+    */
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.RobotsAllowed(
+        org.apache.spark.sql.graftshim.GraftShims.expression(robots),
+        org.apache.spark.sql.graftshim.GraftShims.expression(agent),
+        org.apache.spark.sql.graftshim.GraftShims.expression(path)))
+
   /** Unicode NFC normalization (canonical composition) — same name and
     * semantics as DuckDB's `nfc_normalize`, so oracles replay it verbatim.
     */

@@ -52,7 +52,14 @@ object Warc {
   def readRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
     val b = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1))
       gunzip(bytes) else bytes
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    walkPlain(b).map(_._1)
+  }
+
+  /** The plain-framing walk: every record plus its [start, end) byte
+    * span in `b`.
+    */
+  private def walkPlain(b: Array[Byte]): Seq[(WarcRecord, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(WarcRecord, Int, Int)]
     var p = 0
     while (p < b.length) {
       val (headers, bodyStart) = parseHeaderBlock(b, p, "WARC/1.0")
@@ -64,17 +71,92 @@ object Warc {
       require(b(trailer) == '\r' && b(trailer + 1) == '\n' &&
         b(trailer + 2) == '\r' && b(trailer + 3) == '\n',
         s"warc: record at byte $p missing CRLF CRLF trailer")
-      out += WarcRecord(
+      out += ((WarcRecord(
         warcType = headers.getOrElse("warc-type", ""),
         targetUri = headers.getOrElse("warc-target-uri", ""),
         recordId = headers.getOrElse("warc-record-id", ""),
         date = headers.getOrElse("warc-date", ""),
         contentType = headers.getOrElse("content-type", ""),
         headers = headers,
-        content = content)
+        content = content), p, trailer + 4))
       p = trailer + 4
     }
     out.toSeq
+  }
+
+  /** One record plus its [offset, offset+length) span in the ARCHIVE
+    * byte space — compressed space for per-member-gzipped archives. The
+    * span is self-contained: `readRecords(bytes.slice(offset,
+    * offset+length))` re-parses exactly this record, which is what makes
+    * a CDX index work (record-level ranged GETs against a 100 TB object
+    * store, no archive scan).
+    */
+  case class LocatedRecord(record: WarcRecord, offset: Long, length: Long)
+
+  /** [[readRecords]] with archive-space offsets. Plain archives locate
+    * records by the framing walk; gzipped archives walk RFC 1952 member
+    * boundaries (header fields + raw-inflate + CRC32/ISIZE trailer, each
+    * member verified) and require the spec-recommended one-record-per-
+    * member layout — a multi-record member has no per-record compressed
+    * span, so it rejects loudly rather than emit an index that lies.
+    */
+  def readRecordsLocated(bytes: Array[Byte]): Seq[LocatedRecord] = {
+    if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1)) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[LocatedRecord]
+      var p = 0
+      while (p < bytes.length) {
+        val end = gzipMemberEnd(bytes, p)
+        val recs = walkPlain(gunzip(java.util.Arrays.copyOfRange(bytes, p, end)))
+        require(recs.length == 1,
+          s"warc: gzip member at byte $p holds ${recs.length} records — CDX needs one per member")
+        out += LocatedRecord(recs.head._1, p.toLong, (end - p).toLong)
+        p = end
+      }
+      out.toSeq
+    } else
+      walkPlain(bytes).map { case (r, s, e) => LocatedRecord(r, s.toLong, (e - s).toLong) }
+  }
+
+  /** End offset (exclusive) of the RFC 1952 gzip member starting at
+    * `off`: parse the fixed header + optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    * fields, raw-inflate to the deflate stream's end, then verify the
+    * CRC-32 + ISIZE trailer against the inflated bytes.
+    */
+  private def gzipMemberEnd(b: Array[Byte], off: Int): Int = {
+    require(off + 10 <= b.length && b(off) == Gzip(0) && b(off + 1) == Gzip(1),
+      s"gzip: no member magic at byte $off")
+    require(b(off + 2) == 8, s"gzip: unsupported compression method ${b(off + 2)} at byte $off")
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 0x10) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val crc = new java.util.zip.CRC32
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) require(!inf.needsInput() && !inf.needsDictionary(),
+          s"gzip: truncated deflate stream in member at byte $off")
+        crc.update(buf, 0, n)
+        total += n
+      }
+      val trailerAt = p + (b.length - p - inf.getRemaining)
+      require(trailerAt + 8 <= b.length, s"gzip: member at byte $off truncated before trailer")
+      def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      require(u32(trailerAt) == crc.getValue,
+        s"gzip: CRC mismatch in member at byte $off")
+      require(u32(trailerAt + 4) == (total & 0xffffffffL),
+        s"gzip: ISIZE mismatch in member at byte $off")
+      trailerAt + 8
+    } finally inf.end()
   }
 
   /** Split an HTTP response payload: (status code, lower-cased headers,

@@ -1,93 +1,108 @@
 package graftdrive
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Round-8 scale stress (run manually via
-  * `sbt 'Test/runMain graftdrive.StressDriveR8'`; results in BASELINE.md /
-  * SCALING.md):
-  *  - hrw_shard throughput now that the expression codegens (r7 measured
-  *    25.8 M keys/s through the CodegenFallback interpreter);
-  *  - megapixel image resize through the bulk row-buffer path (r7's
-  *    per-pixel getRGB/setRGB was the flagged hotspot) — the REAL
-  *    Multimodal.resizeImages operator, not a toy loop;
-  *  - FIXED+Rice FLAC encode and decode rates + compression factor (the
-  *    r8 wild-FLAC surface), against the verbatim path.
+/** Round-8 stress numbers (recorded in BASELINE.md): triage-probe and
+  * archive-ingest throughput at corpus scale. Run:
+  * `sbt 'Test/runMain graftdrive.StressDriveR8'` on a quiet host.
   */
 object StressDriveR8 {
+  // object-level so the map closure captures no driver locals (the
+  // Multimodal module is reached as a static MODULE$ field, not serialized)
+  private def mixed(id: Long): graft.operators.Multimodal.MediaRecord = {
+    val mm = graft.operators.Multimodal
+    val q = id / 10
+    val bytes = (id % 10) match {
+      case 0 => mm.deterministicPng(q, 16, 16)
+      case 1 => mm.deterministicMjpeg(q, 16, 16, 1)
+      case 2 => mm.deterministicWav(q, 16000, 400, 1)
+      case 3 => mm.deterministicFlacCompressed(q, 16000, 400, 1)
+      case 4 => mm.deterministicOgg(q, 16000, 400, 1)
+      case 5 => mm.deterministicMp3(q)
+      case 6 => mm.deterministicVorbisIdOgg(q, 16000, 1)
+      case 7 => mm.deterministicAvi(q, 16, 16, 2)
+      case 8 => mm.deterministicMp4(q, 16, 16, 2)
+      case _ => mm.deterministicMkv(q, 16, 16, 2, "webm")
+    }
+    graft.operators.Multimodal.MediaRecord(id, s"s://$id", "x", bytes, Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
     import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val mm = graft.operators.Multimodal
 
-    val n = 20000000L // 20M: at 2M the lap is fixed job overhead, not hashing
-    val keys = spark.range(n).select(
-        concat(lit("doc-"), col("id"), lit("-"), md5(col("id").cast("string"))).as("k"))
-      .localCheckpoint()
+    // 1) mixed-media triage probe, generate+probe end-to-end: 300k records
+    //    across all ten families (the generation cost is real media
+    //    encoding, so the pure probe rate is strictly higher)
+    val nProbe = 300000L
+    val probeIn = spark.range(nProbe).repartition(64)
+      .map((r: java.lang.Long) => StressDriveR8.mixed(r.longValue)).cache()
+    val genBytes = probeIn.map(_.content.length.toLong).reduce(_ + _) // materialize
+    mm.probeMedia(probeIn).filter(_.container.nonEmpty).count() // warm: codegen+JIT
+    val t0 = System.nanoTime()
+    val probed = mm.probeMedia(probeIn).groupByKey(_.container).count().collect()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    println(f"DRIVE probe-300k-mixed: $t1%.1f s = ${nProbe / t1 / 1e3}%.0f K rec/s, " +
+      f"${genBytes / t1 / 1e6}%.0f MB/s over cached corpus " +
+      s"(${genBytes / 1024 / 1024} MiB; containers=${probed.sortBy(_._1).mkString(",")})")
+    probeIn.unpersist()
 
-    def time(label: String, unit: Long)(body: => Unit): Double = {
-      body // warm lap: codegen + JIT
-      val t0 = System.nanoTime()
-      body
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"DRIVE $label: $t%.2f s = ${unit / t / 1e6}%.2f M/s")
-      t
-    }
+    // 2) pure MP3 frame-walk rate, single core: pre-generated clips,
+    //    header walk only (what the probe adds on top of I/O)
+    val clips = (0L until 20000L).map(mm.deterministicMp3).toArray
+    val t2a = System.nanoTime()
+    var frames = 0L
+    clips.foreach(c => frames += graft.operators.Mp3Frames.probe(c).frameCount)
+    val t2 = (System.nanoTime() - t2a) / 1e9
+    println(f"DRIVE mp3-walk-20k-1core: $t2%.2f s = ${clips.length / t2 / 1e3}%.0f K clips/s " +
+      f"(${frames / t2 / 1e6}%.1f M frames/s, ${clips.map(_.length.toLong).sum / t2 / 1e6}%.0f MB/s)")
 
-    time("hrw-xxh64-codegen-20M-16shards", n) {
-      keys.select(graft.operators.Sampling.rendezvousShardFast(col("k"), 16).as("s"))
-        .write.format("noop").mode("overwrite").save()
-    }
+    // 3) WARC explode: 2000 archives x 50 captures x ~1 KiB bodies
+    //    (~130 MiB of archive bytes), counting exploded captures
+    val nArch = 2000L
+    val warcs = spark.range(nArch).repartition(64).map { aid =>
+      val recs = (0 until 50).map { i =>
+        val id = aid * 50 + i
+        Map("WARC-Type" -> "response", "WARC-Target-URI" -> s"http://x.invalid/$id",
+          "WARC-Record-ID" -> s"<urn:s:$id>") ->
+          graft.operators.Warc.httpResponse(200, "text/plain",
+            (s"doc $id " * 128).getBytes("UTF-8"))
+      }
+      graft.operators.Multimodal.MediaRecord(aid, s"s://$aid.warc", "application/warc",
+        graft.operators.Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+    }.cache()
+    val warcBytes = warcs.map(_.content.length.toLong).reduce(_ + _)
+    val t3a = System.nanoTime()
+    val captures = graft.operators.Ingest.ingestWarc(warcs).count()
+    val t3 = (System.nanoTime() - t3a) / 1e9
+    println(f"DRIVE warc-explode-2000x50: $t3%.1f s = ${captures / t3 / 1e3}%.0f K captures/s, " +
+      f"${warcBytes / t3 / 1e6}%.0f MB/s archive bytes (half gzipped; captures=$captures)")
+    warcs.unpersist()
 
-    // megapixel resize: 512 x 1280x960 PNGs (1.23 MP) through the real
-    // operator — ImageIO decode, bulk row-buffer NN downscale to <=256,
-    // PNG re-encode. The corpus is built once and checkpointed so only
-    // the resize lap is timed.
-    val mp = 512
-    val mpx = 1280L * 960L
-    val media = spark.range(mp).map { id =>
-      graft.operators.Multimodal.MediaRecord(
-        id, s"stress://$id.png", "image/png",
-        graft.operators.Multimodal.deterministicPng(id, 1280, 960), Map.empty)
-    }.repartition(64).localCheckpoint()
-    val t1 = System.nanoTime()
-    graft.operators.Multimodal.resizeImages(media, maxDim = 256)
-      .map(_.content.length).write.format("noop").mode("overwrite").save()
-    val tRes = (System.nanoTime() - t1) / 1e9
-    println(f"DRIVE megapixel-resize-512: $tRes%.2f s = ${mp / tRes}%.1f images/s, " +
-      f"${mp * mpx / tRes / 1e6}%.0f Mpx/s (decode + bulk-NN + re-encode)")
+    // 4) tar explode: same shape, 2000 archives x 50 members
+    val tars = spark.range(nArch).repartition(64).map { aid =>
+      val entries = (0 until 50).map { i =>
+        val body = (s"member ${aid * 50 + i} " * 64).getBytes("UTF-8")
+        graft.operators.Tar.TarEntry(s"d$aid/m$i.txt", body.length.toLong, '0', body)
+      }
+      graft.operators.Multimodal.MediaRecord(aid, s"s://$aid.tar", "application/x-tar",
+        graft.operators.Tar.writeTar(entries), Map.empty)
+    }.cache()
+    val tarBytes = tars.map(_.content.length.toLong).reduce(_ + _)
+    val t4a = System.nanoTime()
+    val members = graft.operators.Ingest.ingestTar(tars).count()
+    val t4 = (System.nanoTime() - t4a) / 1e9
+    println(f"DRIVE tar-explode-2000x50: $t4%.1f s = ${members / t4 / 1e3}%.0f K members/s, " +
+      f"${tarBytes / t4 / 1e6}%.0f MB/s (members=$members)")
+    tars.unpersist()
 
-    // FIXED-FLAC encode + decode: 10k clips x 8000 stereo frames (~320 MB
-    // PCM). Encode rate, decode rate (full CRC/MD5 walk incl. prediction
-    // reconstruction + decorrelation), and the compression factor.
-    val clips = 10000
-    val pcmBytes = clips.toLong * 8000 * 2 * 2
-    val pcmDf = spark.range(clips).map { id =>
-      (id, graft.operators.Multimodal.deterministicPcm(id, 8000, 2))
-    }.toDF("id", "pcm").localCheckpoint()
-    val enc = udf { (b: Array[Byte]) =>
-      graft.operators.FlacCodec.writeFlacFixed(b, 16000, 2).length
-    }
-    val tEnc = time("flac-fixed-encode-10k", pcmBytes) {
-      pcmDf.select(enc(col("pcm")).as("n")).write.format("noop").mode("overwrite").save()
-    }
-    val flacDf = spark.range(clips).map { id =>
-      (id, graft.operators.FlacCodec.writeFlacFixed(
-        graft.operators.Multimodal.deterministicPcm(id, 8000, 2), 16000, 2))
-    }.toDF("id", "flac").localCheckpoint()
-    val flacBytes = flacDf.select(sum(length(col("flac")))).collect()(0).getLong(0)
-    val dec = udf { (b: Array[Byte]) =>
-      graft.operators.FlacCodec.decodeFlac(b).pcmLE.length
-    }
-    val tDec = time("flac-fixed-decode-10k", pcmBytes) {
-      flacDf.select(dec(col("flac")).as("n")).write.format("noop").mode("overwrite").save()
-    }
-    println(f"DRIVE flac-fixed: compression ${pcmBytes.toDouble / flacBytes}%.1fx " +
-      f"(${flacBytes / 1e6}%.0f MB for ${pcmBytes / 1e6}%.0f MB PCM), " +
-      f"encode ${pcmBytes / tEnc / 1e6}%.0f MB/s, decode ${pcmBytes / tDec / 1e6}%.0f MB/s")
     spark.stop()
   }
 }

@@ -99,6 +99,49 @@ class ArchiveIngestSpec extends AnyFunSuite {
       Tar.readEntries(gnu)).getMessage.contains("extension"))
   }
 
+  test("warc: located records tile the archive and every slice re-parses alone") {
+    val recs = (0L until 6L).flatMap(i => warcPair(i, s"payload $i " * (i.toInt * 7 + 1)))
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.writeWarc(recs, gzipped = gz)
+      val located = Warc.readRecordsLocated(bytes)
+      assert(located.length == 12)
+      // spans tile the archive exactly: start at 0, no gaps, end at EOF
+      assert(located.head.offset == 0L)
+      located.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.offset + a.length == b.offset)
+      }
+      assert(located.last.offset + located.last.length == bytes.length)
+      // each span, cut out as a standalone buffer, re-parses to the record
+      located.foreach { lr =>
+        val slice = java.util.Arrays.copyOfRange(bytes,
+          lr.offset.toInt, (lr.offset + lr.length).toInt)
+        val back = Warc.readRecords(slice)
+        assert(back.length == 1)
+        assert(back.head.recordId == lr.record.recordId)
+        assert(java.util.Arrays.equals(back.head.content, lr.record.content))
+      }
+    }
+  }
+
+  test("warc: gzip member damage and multi-record members reject loudly") {
+    val recs = warcPair(9L, "abc " * 50)
+    val gz = Warc.writeWarc(recs, gzipped = true)
+    // flip a byte inside the first member's deflate data -> CRC or inflate dies
+    val bad = gz.clone()
+    bad(20) = (bad(20) ^ 0x5a).toByte
+    intercept[Exception](Warc.readRecordsLocated(bad))
+    // two records inside ONE gzip member: fine for readRecords (transparent
+    // gunzip) but no per-record compressed span exists -> located walk rejects
+    val plain = Warc.writeWarc(recs, gzipped = false)
+    val buf = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(buf)
+    g.write(plain); g.finish()
+    val oneMember = buf.toByteArray
+    assert(Warc.readRecords(oneMember).length == 2)
+    assert(intercept[IllegalArgumentException](
+      Warc.readRecordsLocated(oneMember)).getMessage.contains("one per member"))
+  }
+
   test("tar: prefix field reassembles long paths on read") {
     // hand-build a header using the prefix field (writer keeps names <= 100)
     val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))

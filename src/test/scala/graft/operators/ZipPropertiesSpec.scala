@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ZIP structural properties: store + deflate round-trips, JDK interop
+  * in BOTH directions (our archives read by `ZipInputStream`, JDK
+  * `ZipOutputStream` archives read by our central-directory walk —
+  * including the data-descriptor entries the JDK emits for deflate),
+  * and the strict failure modes: truncation, CRC damage, encryption,
+  * multi-disk, unsupported methods. The zip sibling of
+  * ArchiveIngestSpec's WARC/tar coverage.
+  */
+class ZipPropertiesSpec extends AnyFunSuite {
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def corpus: Seq[(String, Array[Byte])] = Seq(
+    "a/one.txt" -> utf8("first member"),
+    "a/two.txt" -> utf8("second member " * 40), // compressible
+    "b/empty.bin" -> Array.emptyByteArray,
+    "b/bytes.bin" -> Array.tabulate(1000)(i => (i * 31).toByte))
+
+  test("store and deflate round-trip, sizes/CRC/method verified") {
+    for (deflate <- Seq(false, true)) {
+      val bytes = Zip.writeZip(corpus, deflate)
+      assert(Zip.isZip(bytes))
+      val back = Zip.readMembers(bytes)
+      assert(back.map(_.name) == corpus.map(_._1))
+      back.zip(corpus).foreach { case (m, (_, payload)) =>
+        assert(java.util.Arrays.equals(m.payload, payload))
+        assert(m.size == payload.length)
+        assert(m.method == (if (deflate) 8 else 0))
+        if (!deflate) assert(m.compressedSize == m.size)
+      }
+      // the compressible member must actually compress under deflate
+      if (deflate) assert(back(1).compressedSize < back(1).size)
+    }
+  }
+
+  test("JDK ZipInputStream reads our archives (both methods)") {
+    for (deflate <- Seq(false, true)) {
+      val in = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(Zip.writeZip(corpus, deflate)))
+      val got = Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+        .map(e => e.getName -> in.readAllBytes()).toSeq
+      in.close()
+      assert(got.map(_._1) == corpus.map(_._1))
+      got.zip(corpus).foreach { case ((_, g), (_, p)) =>
+        assert(java.util.Arrays.equals(g, p))
+      }
+    }
+  }
+
+  test("our walk reads JDK ZipOutputStream archives, incl. data-descriptor deflate") {
+    for (stored <- Seq(true, false)) {
+      val buf = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.ZipOutputStream(buf)
+      corpus.foreach { case (name, payload) =>
+        val e = new java.util.zip.ZipEntry(name)
+        if (stored) {
+          out.setMethod(java.util.zip.ZipOutputStream.STORED)
+          e.setSize(payload.length.toLong)
+          e.setCompressedSize(payload.length.toLong)
+          val c = new java.util.zip.CRC32; c.update(payload); e.setCrc(c.getValue)
+        } else out.setMethod(java.util.zip.ZipOutputStream.DEFLATED)
+        out.putNextEntry(e)
+        out.write(payload)
+        out.closeEntry()
+      }
+      out.close()
+      val back = Zip.readMembers(buf.toByteArray)
+      assert(back.map(_.name) == corpus.map(_._1))
+      back.zip(corpus).foreach { case (m, (_, p)) =>
+        assert(java.util.Arrays.equals(m.payload, p))
+      }
+    }
+  }
+
+  test("truncation, payload damage, and hostile headers die loudly") {
+    val bytes = Zip.writeZip(corpus, deflate = true)
+    // truncated anywhere: EOCD gone or central directory overruns
+    intercept[IllegalArgumentException](
+      Zip.readMembers(java.util.Arrays.copyOf(bytes, bytes.length - 5)))
+    intercept[IllegalArgumentException](
+      Zip.readMembers(java.util.Arrays.copyOf(bytes, 10)))
+    // a damaged payload byte must fail the CRC verify, not yield bad bytes
+    val stored = Zip.writeZip(corpus, deflate = false)
+    val members = Zip.readMembers(stored) // locate a payload via the clean walk
+    val damaged = stored.clone()
+    val victim = new String(stored, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .indexOf("first member")
+    damaged(victim) = 'X'
+    val e = intercept[IllegalArgumentException](Zip.readMembers(damaged))
+    assert(e.getMessage.contains("CRC"))
+    assert(members.length == corpus.length) // clean walk was fine
+    // flip the encrypted bit in the first central-directory entry
+    val eocdAt = stored.length - 22
+    def u32(b: Array[Byte], off: Int) =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val cdOff = u32(stored, eocdAt + 16).toInt
+    val enc = stored.clone(); enc(cdOff + 8) = (enc(cdOff + 8) | 0x1).toByte
+    assert(intercept[IllegalArgumentException](Zip.readMembers(enc))
+      .getMessage.contains("encrypted"))
+    // unsupported compression method (bzip2 = 12)
+    val meth = stored.clone(); meth(cdOff + 10) = 12
+    assert(intercept[IllegalArgumentException](Zip.readMembers(meth))
+      .getMessage.contains("method"))
+    // multi-disk
+    val disk = stored.clone(); disk(eocdAt + 4) = 1
+    assert(intercept[IllegalArgumentException](Zip.readMembers(disk))
+      .getMessage.contains("multi-disk"))
+  }
+
+  test("empty archive (bare EOCD) lists zero members") {
+    val empty = Zip.writeZip(Seq.empty)
+    assert(Zip.isZip(empty) && empty.length == 22)
+    assert(Zip.readMembers(empty).isEmpty)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.operators.{Ingest, Multimodal, Tar, Warc, Zip}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The triage probe and the archive ingest are stateless typed
+  * transforms, so they must behave IDENTICALLY under Structured
+  * Streaming — a crawl pipeline tails an archive-arrival stream with the
+  * same operators the batch backfill uses. These specs pin
+  * batch-equivalence through MemoryStream + append-mode sinks (no state,
+  * no watermark needed — the operators are map/flatMap-only).
+  */
+class StreamingArchiveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mixedRecords: Seq[Multimodal.MediaRecord] = Seq(
+    Multimodal.MediaRecord(0L, "t://a.png", "image/png",
+      Multimodal.deterministicPng(1L, 16, 8), Map.empty),
+    Multimodal.MediaRecord(1L, "t://b.flac", "audio/flac",
+      Multimodal.deterministicFlacCompressed(2L, 16000, 400, 2), Map.empty),
+    Multimodal.MediaRecord(2L, "t://c.mp3", "audio/mpeg",
+      Multimodal.deterministicMp3(3L), Map.empty),
+    Multimodal.MediaRecord(3L, "t://d.avi", "video/avi",
+      Multimodal.deterministicAvi(4L, 16, 16, 3), Map.empty),
+    Multimodal.MediaRecord(4L, "t://e.bin", "application/octet-stream",
+      "not media at all".getBytes("UTF-8"), Map.empty))
+
+  test("streaming probeMedia matches batch row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.probeMedia(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("probe_stream_out").start()
+    try {
+      mixedRecords.grouped(2).foreach { chunk => // micro-batches
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("probe_stream_out")
+        .as[Multimodal.MediaProbe].collect().sortBy(_.media_id)
+      val batch = Multimodal.probeMedia(spark.createDataset(mixedRecords))
+        .collect().sortBy(_.media_id)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.map(_.container).toSeq == Seq("png", "flac", "mp3", "avi", "unknown"))
+    } finally q.stop()
+  }
+
+  test("streaming ingestWarc and ingestTar match batch explode-for-explode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def warcArchive(aid: Long, gz: Boolean): Multimodal.MediaRecord = {
+      val recs = (0 until 3).map { i =>
+        Map("WARC-Type" -> "response", "WARC-Target-URI" -> s"http://x.invalid/$aid/$i",
+          "WARC-Record-ID" -> s"<urn:t:$aid:$i>") ->
+          Warc.httpResponse(if (i == 1) 404 else 200, "text/plain",
+            s"body $aid $i".getBytes("UTF-8"))
+      }
+      Multimodal.MediaRecord(aid, s"t://$aid.warc", "application/warc",
+        Warc.writeWarc(recs, gzipped = gz), Map.empty)
+    }
+    val archives = Seq(warcArchive(0L, gz = false), warcArchive(1L, gz = true))
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Ingest.ingestWarc(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("warc_stream_out").start()
+    try {
+      stream.addData(archives)
+      q.processAllAvailable()
+      val streamed = spark.table("warc_stream_out")
+        .as[Ingest.WarcCapture].collect()
+        .map(c => (c.archive_id, c.url, c.http_status, c.content_length))
+        .sortBy(t => (t._1, t._2))
+      val batch = Ingest.ingestWarc(spark.createDataset(archives))
+        .collect()
+        .map(c => (c.archive_id, c.url, c.http_status, c.content_length))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.toSeq == batch.toSeq && batch.length == 6)
+    } finally q.stop()
+
+    val tarArchives = Seq(
+      Multimodal.MediaRecord(0L, "t://0.tar", "application/x-tar",
+        Tar.writeTar(Seq(
+          Tar.TarEntry("a/x.txt", 3, '0', "abc".getBytes),
+          Tar.TarEntry("a/y.txt", 600, '0', Array.fill(600)(7.toByte)))), Map.empty))
+    val stream2 = MemoryStream[Multimodal.MediaRecord]
+    val q2 = Ingest.ingestTar(stream2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tar_stream_out").start()
+    try {
+      stream2.addData(tarArchives)
+      q2.processAllAvailable()
+      val streamed = spark.table("tar_stream_out")
+        .as[Ingest.TarMember].collect().map(m => (m.name, m.size)).sorted
+      assert(streamed.toSeq == Seq("a/x.txt" -> 3L, "a/y.txt" -> 600L))
+    } finally q2.stop()
+  }
+
+  test("streaming ingestZip matches batch, deflate members inflated identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def zipArchive(aid: Long, deflate: Boolean): Multimodal.MediaRecord = {
+      val members = (0 until 3).map(i => s"d$aid/m$i.txt" ->
+        (s"member $aid $i " * (i * 13 + 1)).getBytes("UTF-8"))
+      Multimodal.MediaRecord(aid, s"t://$aid.zip", "application/zip",
+        Zip.writeZip(members, deflate = deflate), Map.empty)
+    }
+    val archives = Seq(zipArchive(0L, deflate = false), zipArchive(1L, deflate = true))
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Ingest.ingestZip(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zip_stream_out").start()
+    try {
+      stream.addData(archives)
+      q.processAllAvailable()
+      val key = (r: Ingest.ZipMemberRow) =>
+        (r.archive_id, r.name, r.method, r.size, r.payload.toSeq)
+      val streamed = spark.table("zip_stream_out")
+        .as[Ingest.ZipMemberRow].collect().map(key).sortBy(t => (t._1, t._2))
+      val batch = Ingest.ingestZip(spark.createDataset(archives))
+        .collect().map(key).sortBy(t => (t._1, t._2))
+      assert(streamed.toSeq == batch.toSeq && batch.length == 6)
+      assert(batch.map(_._3).distinct.sorted.toSeq == Seq("deflate", "store"))
+    } finally q.stop()
+  }
+}
