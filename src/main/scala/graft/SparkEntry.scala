@@ -3583,6 +3583,49 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // WET derivation (Common Crawl's text-extraction companion format):
+    // WARC crawl archives -> one `conversion` record per HTTP response,
+    // WARC-Refers-To linking back to the capture, non-response records
+    // dropped — then the WET archives are RE-INGESTED and every
+    // conversion's text md5-pinned against the source documents. Map-only
+    // archive-in/archive-out on the same grain: WET layout mirrors WARC
+    // layout, zero shuffles beyond the demo corpus construction.
+    "tx_warc_wet" -> ((s, dir) => {
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.toWet(ing.warcArchivesFromDocuments(s, dir)))
+        .select(col("archive_id"), col("url"), col("warc_type"),
+          col("content_length").as("text_len"), md5(col("body")).as("text_md5"))
+        .orderBy(col("url"))
+    }),
+
+    // deterministic epoch shuffle: every epoch visits the corpus in a
+    // different pseudorandom order that is a BIJECTION (two
+    // multiplicative rounds mod the Mersenne prime 2^31-1) and pure
+    // integer arithmetic, so DuckDB replays both epochs' exact ranks.
+    // Shards are value ranges of the rank — the range-partition the real
+    // epochShuffle writer uses — and n_ranks == n_docs per shard pins
+    // injectivity; id_sum pins exact membership (epoch 0 and 1 place
+    // different docs in each shard).
+    "tx_epoch_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val width = (2147483647L + 7L) / 8L // 8 rank-range shards
+      def epochStats(epoch: Int) =
+        d.select(col("doc_id"),
+            graft.operators.Sampling.epochRank(col("doc_id"), epoch).as("rank"))
+          .groupBy(col("rank"))
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("ids"))
+          .withColumn("shard", floor(col("rank") / lit(width)).cast("long"))
+          .groupBy(col("shard"))
+          .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_ranks"),
+            sum(col("ids")).as("id_sum"),
+            min(col("rank")).as("rank_min"), max(col("rank")).as("rank_max"))
+          .withColumn("epoch", lit(epoch.toLong))
+      epochStats(0).unionByName(epochStats(1))
+        .select(col("epoch"), col("shard"), col("n_docs"), col("n_ranks"),
+          col("id_sum"), col("rank_min"), col("rank_max"))
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
     // the crawl TRIAGE pass: a mixed ten-family corpus (png/jpeg/wav/
     // flac/ogg-flac/mp3/ogg-vorbis/avi/mp4/mkv+webm) probed from HEADERS
     // ONLY — container, codec, geometry, duration, and whether this
@@ -5899,6 +5942,26 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    "tx_warc_wet" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  'http://corpus.invalid/' || source || '/' || doc_id AS url,
+        |  'conversion' AS warc_type,
+        |  strlen(text) AS text_len,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY url""".stripMargin,
+    // both epochs' ranks replayed verbatim: two multiplicative rounds mod
+    // 2^31-1 over the epoch-salted doc_id; shard = rank // width
+    "tx_epoch_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id, e,
+        |    ((((doc_id + e * 1013904223) % 2147483647) * 48271 % 2147483647)
+        |      * 69621) % 2147483647 AS rank
+        |  FROM documents, UNNEST(GENERATE_SERIES(0, 1)) AS t(e))
+        |SELECT e AS epoch, rank // 268435456 AS shard,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT rank) AS n_ranks,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  MIN(rank) AS rank_min, MAX(rank) AS rank_max
+        |FROM r GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
     "mm_media_probe" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 10

@@ -156,6 +156,46 @@ object Ingest {
     }
   }
 
+  /** Derive WET-style text-extraction archives from WARC crawl archives —
+    * the Common-Crawl companion format: one `conversion` record per HTTP
+    * response, carrying the extracted text and a `WARC-Refers-To` link to
+    * the capture it came from; non-response records (warcinfo, request)
+    * are dropped. Map-only, archive-in/archive-out on the same grain, so
+    * WET derivation at 100 TB is one pass with zero shuffles and the WET
+    * file layout mirrors the WARC layout (the property CDX consumers and
+    * re-crawl joins rely on).
+    *
+    * The demo corpus carries plain text bodies; an HTML crawl runs the
+    * bodies through `html_to_text` (its own oracled operator) in the same
+    * map before writing.
+    */
+  def toWet(archives: Dataset[Multimodal.MediaRecord],
+      gzipped: Boolean = false): Dataset[Multimodal.MediaRecord] = {
+    import archives.sparkSession.implicits._
+    archives.map(r => wetArchive(r, gzipped))
+  }
+
+  /** The per-archive WET build behind [[toWet]] (plain function so the
+    * structural spec drives it without a session).
+    */
+  private[operators] def wetArchive(r: Multimodal.MediaRecord,
+      gzipped: Boolean): Multimodal.MediaRecord = {
+    val conversions = Warc.readRecords(r.content)
+      .filter(_.warcType == "response")
+      .map { rec =>
+        val (_, _, body) = Warc.parseHttpResponse(rec.content)
+        Map(
+          "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> rec.targetUri,
+          "WARC-Record-ID" -> (rec.recordId.stripSuffix(">") + ":wet>"),
+          "WARC-Refers-To" -> rec.recordId,
+          "WARC-Date" -> rec.date,
+          "Content-Type" -> "text/plain") -> body
+      }
+    Multimodal.MediaRecord(r.media_id, r.uri + ".wet", "application/warc",
+      Warc.writeWarc(conversions, gzipped = gzipped), Map.empty)
+  }
+
   /** Demo WARC corpus: documents grouped 16-to-an-archive (archive count
     * scales WITH the corpus, like a real crawl's file count), each doc as
     * a request+response capture pair behind a warcinfo header record.

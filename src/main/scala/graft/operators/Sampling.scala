@@ -255,4 +255,45 @@ object Sampling {
       graft.functions.HrwShard(
         org.apache.spark.sql.graftshim.GraftShims.expression(key.cast("string")),
         nShards, seed))
+
+  /** Deterministic, engine-portable EPOCH-SHUFFLE rank: a bijection on
+    * [0, 2^31-1) per epoch, built from two multiplicative rounds mod the
+    * Mersenne prime 2^31-1 (multipliers 48271 = MINSTD and 69621, both
+    * coprime to the modulus, so each round is a permutation) over an
+    * epoch-salted key. Training runs need every epoch to visit the corpus
+    * in a DIFFERENT pseudorandom order that any engine (and any re-run)
+    * reproduces exactly — Spark's `rand`/`shuffle` are partition-seeded
+    * and irreproducible across layouts, this is pure int64 arithmetic a
+    * DuckDB oracle replays verbatim. Intermediates stay under 2^48: no
+    * overflow even under ANSI mode.
+    *
+    * Deliberately a different scramble family than [[portableSampleCond]]
+    * (additive LCG mod 2^31) and [[capPerGroup]]'s ranking — composing
+    * same-family scrambles correlated once before (see capPerGroup's
+    * MINSTD note); the epoch salt keeps epochs decorrelated from each
+    * other for the same reason.
+    */
+  def epochRank(key: Column, epoch: Int): Column = {
+    require(epoch >= 0, s"epochRank: epoch must be >= 0, got $epoch")
+    val m = 2147483647L // 2^31 - 1, prime
+    val x0 = pmod(key.cast("long") + lit(epoch.toLong * 1013904223L), lit(m))
+    val x1 = pmod(x0 * lit(48271L), lit(m))
+    pmod(x1 * lit(69621L), lit(m))
+  }
+
+  /** Materialize one epoch's training order: rank every row with
+    * [[epochRank]], range-partition on the rank, sort within partitions —
+    * the [[Layout.sortedExport]] shape, so the epoch's global order is the
+    * concatenation of output files. ONE exchange per epoch regardless of
+    * corpus size; the rank is computed, never stored, so no epoch state
+    * exists anywhere. Readers that only need per-shard locality can skip
+    * the sort and range-partition alone.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"epochShuffle: nShards must be >= 1, got $nShards")
+    df.withColumn("_epoch_rank", epochRank(col(keyCol), epoch))
+      .repartitionByRange(nShards, col("_epoch_rank"))
+      .sortWithinPartitions(col("_epoch_rank"))
+  }
 }

@@ -227,7 +227,13 @@ object Warc {
       rec.write('\r'); rec.write('\n'); rec.write('\r'); rec.write('\n')
       if (gzipped) {
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(rec.toByteArray); gz.finish()
+        gz.write(rec.toByteArray)
+        // close(), not just finish(): close frees the native zlib Deflater
+        // NOW. finish() alone leaked one native stream per member until
+        // the Cleaner ran — ~100k un-ended Deflaters per bench query, which
+        // throttled every later zlib user in the JVM 4-7x (closing the
+        // underlying ByteArrayOutputStream is a no-op, so reuse is safe).
+        gz.close()
       } else out.write(rec.toByteArray)
     }
     out.toByteArray

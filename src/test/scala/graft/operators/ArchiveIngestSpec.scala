@@ -142,6 +142,29 @@ class ArchiveIngestSpec extends AnyFunSuite {
       Warc.readRecordsLocated(oneMember)).getMessage.contains("one per member"))
   }
 
+  test("wet: conversion records carry response text only, refers-to links back") {
+    val info = Map("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:t:info>") ->
+      utf8("software: t\r\n")
+    val recs = info +: (0L until 4L).flatMap(i => warcPair(i, s"text $i " * 9))
+    for (gz <- Seq(false, true)) {
+      val warc = graft.operators.Multimodal.MediaRecord(7L, "t://a.warc",
+        "application/warc", Warc.writeWarc(recs, gzipped = gz), Map.empty)
+      val wet = Ingest.wetArchive(warc, gzipped = gz)
+      assert(wet.media_id == 7L && wet.uri == "t://a.warc.wet")
+      val back = Warc.readRecords(wet.content)
+      // warcinfo + 4 requests dropped; 4 responses became conversions
+      assert(back.length == 4)
+      back.zipWithIndex.foreach { case (c, i) =>
+        assert(c.warcType == "conversion")
+        assert(c.targetUri == s"http://x.invalid/$i")
+        assert(c.headers("warc-refers-to") == s"<urn:t:resp:$i>")
+        assert(c.recordId == s"<urn:t:resp:$i:wet>")
+        // payload is the EXTRACTED TEXT: http envelope gone
+        assert(new String(c.content, "UTF-8") == s"text $i " * 9)
+      }
+    }
+  }
+
   test("tar: prefix field reassembles long paths on read") {
     // hand-build a header using the prefix field (writer keeps names <= 100)
     val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))

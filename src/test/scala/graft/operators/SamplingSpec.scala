@@ -189,4 +189,44 @@ class SamplingSpec extends AnyFunSuite {
     // every document still assigned exactly once
     assert(split.count() == docs.count())
   }
+
+  test("epoch rank: bijective per epoch, epochs decorrelated, JVM-replayable") {
+    import spark.implicits._
+    val n = 200000L
+    val df = spark.range(n).toDF("id")
+    def ranks(epoch: Int): Array[Long] =
+      df.select(Sampling.epochRank(col("id"), epoch).as("r"))
+        .collect().map(_.getLong(0))
+    val r0 = ranks(0)
+    val r1 = ranks(1)
+    assert(r0.distinct.length == n && r1.distinct.length == n) // injective
+    assert(r0.forall(r => r >= 0 && r < 2147483647L))
+    // epochs produce genuinely different orders: almost no key keeps its rank
+    val same = r0.zip(r1).count { case (a, b) => a == b }
+    assert(same <= 1, s"$same keys kept their rank across epochs")
+    // pure-arithmetic replay in plain Scala (what the DuckDB oracle does)
+    val m = 2147483647L
+    def replay(id: Long, e: Long): Long =
+      ((id + e * 1013904223L) % m) * 48271L % m * 69621L % m
+    (0L until 1000L).foreach { id =>
+      assert(r0(id.toInt) == replay(id, 0) && r1(id.toInt) == replay(id, 1))
+    }
+  }
+
+  test("epoch shuffle: range-partitioned, sorted within partitions, total") {
+    import spark.implicits._
+    val df = spark.range(20000).toDF("doc_id")
+    val out = Sampling.epochShuffle(df, "doc_id", epoch = 3, nShards = 8)
+    // per-partition: sorted by rank, and partition rank ranges are disjoint
+    val parts = out.select(spark_partition_id().as("p"), col("_epoch_rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(parts.length == 20000)
+    val byPart = parts.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    byPart.values.foreach(rs => assert(rs == rs.sorted))
+    val spans = byPart.toSeq.sortBy(_._1).map { case (p, rs) => (p, rs.min, rs.max) }
+    spans.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi <= lo, "partition ranges overlap")
+      case _ =>
+    }
+  }
 }
