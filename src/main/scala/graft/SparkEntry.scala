@@ -3583,6 +3583,36 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // the charset seam between "HTTP gave us bytes" and every text
+    // operator: BOMs (stripped, and they beat a lying declaration),
+    // declared charsets through the JVM alias table, strict UTF-8
+    // sniffing, and a TOTAL WHATWG windows-1252 fallback that can never
+    // fail — undecodable rows come back clean=false instead of killing
+    // tasks. Five byte-level constructions (utf-8 BOM, utf-16le BOM,
+    // declared latin-1, bare utf-8, invalid utf-8), every decoded text
+    // md5-pinned by the oracle.
+    "tx_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      d.map { case (id, text) =>
+        val (body, ct) = (id % 5) match {
+          case 0 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ text.getBytes("UTF-8"),
+            "text/html")
+          case 1 => (Array(0xff, 0xfe).map(_.toByte) ++ text.getBytes("UTF-16LE"),
+            "text/html")
+          case 2 => (text.getBytes("ISO-8859-1"), "text/html; charset=ISO-8859-1")
+          case 3 => (text.getBytes("UTF-8"), "text/html")
+          case _ => (text.getBytes("UTF-8") ++ Array(0x80, 0x81).map(_.toByte),
+            "text/html") // invalid utf-8 tail -> windows-1252 fallback
+        }
+        val dec = graft.operators.Charsets.decode(body, ct)
+        (id, dec.charset, dec.clean, dec.text)
+      }.toDF("doc_id", "charset", "clean", "text")
+        .select(col("doc_id"), col("charset"), col("clean"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WET derivation (Common Crawl's text-extraction companion format):
     // WARC crawl archives -> one `conversion` record per HTTP response,
     // WARC-Refers-To linking back to the capture, non-response records
@@ -5942,6 +5972,16 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    // the windows-1252 fallback decodes the appended 0x80 0x81 to the
+    // euro sign and U+0081 (WHATWG table); everything else round-trips
+    "tx_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'iso-8859-1'
+        |    WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |  doc_id % 5 != 4 AS clean,
+        |  CASE WHEN doc_id % 5 = 4 THEN md5(text || '€' || chr(129))
+        |    ELSE md5(text) END AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_warc_wet" ->
       """SELECT doc_id // 16 AS archive_id,
         |  'http://corpus.invalid/' || source || '/' || doc_id AS url,
