@@ -3583,6 +3583,30 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // redirect-chain resolution: every 3xx capture resolved to the URL
+    // its chain lands on — final / resolved (k hops) / dangling (chain
+    // leaves the crawl) / loop (cycle or > maxHops), all four outcomes
+    // first-class. The constructed graph has 2-hop chains, self-loops,
+    // and out-of-crawl targets; boundary docs (targets past max doc_id)
+    // become danglings, and the oracle predicts those too.
+    "tx_redirect_resolve" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      def u(c: org.apache.spark.sql.Column) = concat(lit("http://c.invalid/"), c)
+      val m6 = col("doc_id") % 6
+      val pages = d.select(col("doc_id"), u(col("doc_id")).as("url"),
+        m6.isin(0, 1, 2, 5).as("is_redirect"),
+        when(m6 === 0, u(col("doc_id") + 1))
+          .when(m6 === 1, u(col("doc_id") + 2))
+          .when(m6 === 2, u(col("doc_id"))) // self-loop
+          .when(m6 === 5, concat(lit("http://gone.invalid/"), col("doc_id")))
+          .otherwise(lit(null)).as("location"))
+      graft.operators.Redirects.resolve(pages, "url", "is_redirect", "location")
+        .join(pages.select(col("doc_id"), col("url")), Seq("url"))
+        .select(col("doc_id"), col("url"), col("status"),
+          col("resolved_url"), col("hops"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the charset seam between "HTTP gave us bytes" and every text
     // operator: BOMs (stripped, and they beat a lying declaration),
     // declared charsets through the JVM alias table, strict UTF-8
@@ -5972,6 +5996,31 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    // chain replay by construction: %6==0 docs hop through %6==1 to the
+    // %6==3 final two ids on; targets past max(doc_id) dangle
+    "tx_redirect_resolve" ->
+      """WITH m AS (SELECT MAX(doc_id) AS mx FROM documents)
+        |SELECT doc_id, 'http://c.invalid/' || doc_id AS url,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN CASE WHEN doc_id + 3 > mx THEN 'dangling' ELSE 'resolved' END
+        |    WHEN 1 THEN CASE WHEN doc_id + 2 > mx THEN 'dangling' ELSE 'resolved' END
+        |    WHEN 2 THEN 'loop'
+        |    WHEN 5 THEN 'dangling'
+        |    ELSE 'final' END AS status,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'http://c.invalid/' ||
+        |      (CASE WHEN doc_id + 1 > mx THEN doc_id + 1 ELSE doc_id + 3 END)
+        |    WHEN 1 THEN 'http://c.invalid/' || (doc_id + 2)
+        |    WHEN 2 THEN NULL
+        |    WHEN 5 THEN 'http://gone.invalid/' || doc_id
+        |    ELSE 'http://c.invalid/' || doc_id END AS resolved_url,
+        |  CAST(CASE doc_id % 6
+        |    WHEN 0 THEN CASE WHEN doc_id + 1 > mx THEN 1 ELSE 2 END
+        |    WHEN 1 THEN 1
+        |    WHEN 2 THEN NULL
+        |    WHEN 5 THEN 1
+        |    ELSE 0 END AS BIGINT) AS hops
+        |FROM documents, m ORDER BY doc_id""".stripMargin,
     // the windows-1252 fallback decodes the appended 0x80 0x81 to the
     // euro sign and U+0081 (WHATWG table); everything else round-trips
     "tx_charset_decode" ->

@@ -72,6 +72,26 @@ object Robots {
     groups.map { case (a, r) => Group(a.toSeq, r.toSeq) }.toSeq
   }
 
+  /** `Sitemap:` lines (RFC 9309 records them as non-group metadata —
+    * they apply regardless of agent and may appear anywhere). URL values
+    * are returned verbatim in file order; the frontier seeds from them.
+    */
+  def sitemaps(txt: String): Seq[String] = {
+    val body = if (txt.length > MaxChars) txt.substring(0, MaxChars) else txt
+    body.linesIterator.flatMap { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val colon = noComment.indexOf(':')
+      if (colon > 0 &&
+          noComment.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = noComment.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+  }
+
   /** Merge the rules that apply to `agent` (product token, matched
     * case-insensitively and exactly per RFC 9309 §2.2.1): all groups
     * naming the token; else all `*` groups; else no rules (allow all).

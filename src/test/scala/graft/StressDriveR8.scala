@@ -103,6 +103,59 @@ object StressDriveR8 {
       f"${tarBytes / t4 / 1e6}%.0f MB/s (members=$members)")
     tars.unpersist()
 
+    // 5) the crawl-scan scalars: url_normalize and robots_allowed over
+    //    10M messy URLs (codegen'd map-only projections — the rate they
+    //    ride a 100 TB scan at), robots via the host-grain broadcast join
+    import org.apache.spark.sql.functions._
+    val nUrl = 10000000L
+    val urls = spark.range(nUrl).select(
+        concat(lit("HTTP://Host"), col("id") % 1000, lit(".INVALID:80/p/"),
+          col("id"), lit("?utm_source=x&b=2&a=1#f")).as("url_raw"),
+        concat(lit("host"), col("id") % 1000, lit(".invalid")).as("host"),
+        concat(lit("/p/"), col("id")).as("path"))
+      .localCheckpoint()
+    val t5a = System.nanoTime()
+    urls.select(graft.operators.TextAnalysis.urlNormalize(col("url_raw")).as("u"))
+      .write.format("noop").mode("overwrite").save()
+    val t5 = (System.nanoTime() - t5a) / 1e9
+    println(f"DRIVE url-normalize-10M: $t5%.1f s = ${nUrl / t5 / 1e6}%.1f M urls/s")
+    val robotsTxt = "User-agent: graftbot\nDisallow: /private/\nAllow: /private/open/\n" +
+      "Disallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+    val robotsDim = spark.range(1000).select(
+      concat(lit("host"), col("id"), lit(".invalid")).as("host"),
+      lit(robotsTxt).as("robots_txt"))
+    val t6a = System.nanoTime()
+    urls.join(broadcast(robotsDim), Seq("host"))
+      .select(graft.operators.TextAnalysis.robotsAllowed(
+        col("robots_txt"), lit("graftbot"), col("path")).as("ok"))
+      .write.format("noop").mode("overwrite").save()
+    val t6 = (System.nanoTime() - t6a) / 1e9
+    println(f"DRIVE robots-gate-10M: $t6%.1f s = ${nUrl / t6 / 1e6}%.1f M urls/s " +
+      "(broadcast join + per-thread parse memo)")
+    urls.unpersist()
+
+    // 6) charset decode: 1M ~1 KiB bodies across the five construction
+    //    shapes (both BOMs, declared latin-1, bare utf-8, invalid utf-8)
+    val nBody = 1000000L
+    val bodies = spark.range(nBody).map { id =>
+      val text = s"body $id " * 128
+      (id % 5) match {
+        case 0 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ text.getBytes("UTF-8"), "text/html")
+        case 1 => (Array(0xff, 0xfe).map(_.toByte) ++ text.getBytes("UTF-16LE"), "text/html")
+        case 2 => (text.getBytes("ISO-8859-1"), "text/html; charset=ISO-8859-1")
+        case 3 => (text.getBytes("UTF-8"), "text/html")
+        case _ => (text.getBytes("UTF-8") ++ Array(0x80, 0x81).map(_.toByte), "text/html")
+      }
+    }.toDF("body", "ct").localCheckpoint()
+    val bodyBytes = bodies.select(sum(length(col("body")))).collect()(0).getLong(0)
+    val t7a = System.nanoTime()
+    bodies.as[(Array[Byte], String)]
+      .map(r => graft.operators.Charsets.decode(r._1, r._2).text.length)
+      .write.format("noop").mode("overwrite").save()
+    val t7 = (System.nanoTime() - t7a) / 1e9
+    println(f"DRIVE charset-decode-1M: $t7%.1f s = ${nBody / t7 / 1e6}%.2f M bodies/s, " +
+      f"${bodyBytes / t7 / 1e6}%.0f MB/s")
+
     spark.stop()
   }
 }

@@ -91,6 +91,14 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(rules, "/b/x")) // the post-cap rule never parsed
   }
 
+  test("sitemaps: collected from anywhere in the file, agent-independent") {
+    val t = "Sitemap: http://h.invalid/a.xml\n" + txt +
+      "\nSITEMAP: http://h.invalid/b.xml # trailing comment\nSitemap:\n"
+    assert(Robots.sitemaps(t) ==
+      Seq("http://h.invalid/a.xml", "http://h.invalid/b.xml"))
+    assert(Robots.sitemaps("User-agent: *\nDisallow: /\n").isEmpty)
+  }
+
   test("memo: alternating robots texts on one thread stay correct") {
     val t1 = "User-agent: *\nDisallow: /a/\n"
     val t2 = "User-agent: *\nDisallow: /b/\n"
