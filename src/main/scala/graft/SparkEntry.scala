@@ -3583,6 +3583,39 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // image metadata WITHOUT pixel decode: PNG chunk walk (IHDR fields +
+    // tEXt provenance, every chunk CRC verified) and JPEG segment walk
+    // (SOF dims + APP1 EXIF TIFF: orientation + description) — the
+    // header-only metadata pass that decides resize transposition and
+    // carries provenance before any megapixel is decoded. The corpus
+    // splices real tEXt / EXIF into the deterministic images, so every
+    // field is doc_id arithmetic.
+    "mm_image_metadata" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, source) =>
+          val w = ((id % 16) + 1).toInt * 4
+          val h = ((id % 12) + 1).toInt * 4
+          // fully-qualified module calls: static MODULE$ access, nothing
+          // captured into the task closure
+          val bytes =
+            if (id % 2 == 0)
+              graft.operators.ImageMetadata.addPngText(
+                graft.operators.Multimodal.deterministicPng(id, w, h),
+                "source", s"$source/$id")
+            else
+              graft.operators.ImageMetadata.addJpegExif(
+                graft.operators.Multimodal.deterministicMjpeg(id, w, h, 1),
+                (1 + id % 8).toInt, s"doc $id")
+          val m = graft.operators.ImageMetadata.parse(bytes)
+          (id, m.format, m.width, m.height,
+            m.bitDepth, m.orientation, m.texts.get("source"), m.description)
+        }
+        .toDF("media_id", "format", "width", "height",
+          "bit_depth", "orientation", "text_source", "description")
+        .orderBy(col("media_id"))
+    }),
+
     // redirect-chain resolution: every 3xx capture resolved to the URL
     // its chain lands on — final / resolved (k hops) / dangling (chain
     // leaves the crawl) / loop (cycle or > maxHops), all four outcomes
@@ -5996,6 +6029,16 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    "mm_image_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  ((doc_id % 16) + 1) * 4 AS width,
+        |  ((doc_id % 12) + 1) * 4 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8 END AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 8 END AS orientation,
+        |  CASE WHEN doc_id % 2 = 0 THEN source || '/' || doc_id END AS text_source,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'doc ' || doc_id END AS description
+        |FROM documents ORDER BY media_id""".stripMargin,
     // chain replay by construction: %6==0 docs hop through %6==1 to the
     // %6==3 final two ids on; targets past max(doc_id) dangle
     "tx_redirect_resolve" ->
