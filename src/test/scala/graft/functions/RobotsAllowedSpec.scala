@@ -59,4 +59,15 @@ class RobotsAllowedSpec extends AnyFunSuite {
     assert(gen.contains("Robots$.MODULE$.allowed"),
       s"robots_allowed missing from generated code:\n${gen.take(2000)}")
   }
+
+  test("url_normalize codegens too (same static-call pattern)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.execution.debug._
+    val gen = codegenString(spark.sql(
+      "SELECT url_normalize(CONCAT('HTTP://H', CAST(id AS STRING), " +
+        "'.INVALID:80/p?b=2&a=1#f')) AS u FROM range(100)")
+      .queryExecution.executedPlan)
+    assert(gen.contains("UrlNormalize$.MODULE$.normalize"),
+      s"url_normalize missing from generated code:\n${gen.take(2000)}")
+  }
 }
