@@ -3583,6 +3583,51 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // THE REFINE CAPSTONE — the full Common-Crawl front half in one
+    // oracled query, composing five round-8 operators over a corpus
+    // that is deliberately messy on every axis: WARC explode (half the
+    // archives gzipped) -> charset decode from the HTTP Content-Type
+    // (five byte shapes incl. invalid utf-8) -> url_normalize (case
+    // games, default ports, tracking params, fragments) -> host-grain
+    // robots gate (every RFC 9309 precedence rule) -> per-doc verdict
+    // row. Every column — canonical URL, charset, clean flag, robots
+    // verdict, decoded-text md5 — is DuckDB-predicted arithmetic.
+    "tx_warc_refine" -> ((s, dir) => {
+      import s.implicits._
+      val caps = graft.operators.Ingest.ingestWarc(
+        graft.operators.Ingest.refineArchivesFromDocuments(s, dir))
+      val decoded = caps
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("url"), col("http_content_type"), col("body"))
+        .as[(String, String, Array[Byte])]
+        .map { case (url, ct, body) =>
+          val d = graft.operators.Charsets.decode(body, ct)
+          (url, d.charset, d.clean, d.text)
+        }
+        .toDF("url", "charset", "clean", "text")
+      val canon = decoded
+        .withColumn("url_canonical",
+          graft.operators.TextAnalysis.urlNormalize(col("url")))
+        .withColumn("host", parse_url(col("url_canonical"), lit("HOST")))
+        .withColumn("path", parse_url(col("url_canonical"), lit("PATH")))
+      val robotsEven = "# corpus robots\nUser-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/open/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+      val robotsOdd = "User-agent: otherbot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /files/\nAllow: /files/*.txt$\n"
+      val robots = canon.select(col("host")).distinct()
+        .withColumn("robots_txt",
+          when(regexp_extract(col("host"), "^src(\\d+)\\.", 1).cast("int") % 2 === 0,
+            lit(robotsEven)).otherwise(lit(robotsOdd)))
+      canon.join(broadcast(robots), Seq("host"))
+        .select(
+          regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+          col("url_canonical"), col("charset"), col("clean"),
+          graft.operators.TextAnalysis.robotsAllowed(
+            col("robots_txt"), lit("graftbot"), col("path")).as("allowed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // image metadata WITHOUT pixel decode: PNG chunk walk (IHDR fields +
     // tEXt provenance, every chunk CRC verified) and JPEG segment walk
     // (SOF dims + APP1 EXIF TIFF: orientation + description) — the
@@ -6029,6 +6074,26 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    // the refine capstone replayed end to end: canonical URL, charset,
+    // clean flag, robots verdict (host parity == doc parity), text md5
+    "tx_warc_refine" ->
+      """SELECT doc_id,
+        |  'http://src' || (doc_id % 20) || '.invalid' ||
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/public/' || doc_id
+        |    WHEN 1 THEN '/private/' || doc_id
+        |    WHEN 2 THEN '/private/open/' || doc_id
+        |    WHEN 3 THEN '/files/' || doc_id || '.tmp'
+        |    ELSE '/files/' || doc_id || '.txt'
+        |  END || '?a=1&b=2' AS url_canonical,
+        |  CASE doc_id % 5 WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'iso-8859-1'
+        |    WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |  doc_id % 5 != 4 AS clean,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 IN (0, 2, 4)
+        |       ELSE doc_id % 5 != 3 END AS allowed,
+        |  CASE WHEN doc_id % 5 = 4 THEN md5(text || '€' || chr(129))
+        |    ELSE md5(text) END AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_metadata" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

@@ -27,6 +27,7 @@ object Ingest {
       warc_type: String,
       http_status: Option[Int],
       mime: String,
+      http_content_type: String, // the nested HTTP Content-Type ("" off responses) — carries the charset= the decode seam needs
       content_length: Long,
       body: Array[Byte])
 
@@ -40,12 +41,13 @@ object Ingest {
     archives.flatMap { r =>
       Warc.readRecords(r.content).map { rec =>
         if (rec.warcType == "response") {
-          val (status, _, body) = Warc.parseHttpResponse(rec.content)
+          val (status, headers, body) = Warc.parseHttpResponse(rec.content)
           WarcCapture(r.media_id, rec.targetUri, rec.warcType, Some(status),
-            rec.contentType, body.length.toLong, body)
+            rec.contentType, headers.getOrElse("content-type", ""),
+            body.length.toLong, body)
         } else
           WarcCapture(r.media_id, rec.targetUri, rec.warcType, None,
-            rec.contentType, rec.content.length.toLong, rec.content)
+            rec.contentType, "", rec.content.length.toLong, rec.content)
       }
     }
   }
@@ -287,6 +289,55 @@ object Ingest {
         }
         Multimodal.MediaRecord(aid, s"fake://zip/$aid.zip", "application/zip",
           Zip.writeZip(members, deflate = aid % 2 == 1), Map.empty)
+      }
+  }
+
+  /** Demo corpus for the REFINE capstone: the messy front half of a real
+    * crawl, deliberately un-normalized on every axis the pipeline must
+    * fix. URLs arrive with case games, default ports, tracking params and
+    * fragments; bodies arrive in five charset shapes (utf-8 BOM, utf-16le
+    * BOM, declared latin-1, bare utf-8, INVALID utf-8) with the matching
+    * (or absent) Content-Type charset declaration; paths hit every robots
+    * precedence rule. Response-only archives, 16 docs each, odd archives
+    * per-record-gzipped like the main WARC corpus.
+    */
+  def refineArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          val path = (id % 5) match {
+            case 0 => s"/public/$id"
+            case 1 => s"/private/$id"
+            case 2 => s"/private/open/$id"
+            case 3 => s"/files/$id.tmp"
+            case _ => s"/files/$id.txt"
+          }
+          val url = s"HTTP://Src${id % 20}.INVALID:80$path?utm_source=crawl&b=2&a=1#frag"
+          val (body, ct) = (id % 5) match {
+            case 0 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ text.getBytes("UTF-8"),
+              "text/html")
+            case 1 => (Array(0xff, 0xfe).map(_.toByte) ++ text.getBytes("UTF-16LE"),
+              "text/html")
+            case 2 => (text.getBytes("ISO-8859-1"), "text/html; charset=ISO-8859-1")
+            case 3 => (text.getBytes("UTF-8"), "text/html")
+            case _ => (text.getBytes("UTF-8") ++ Array(0x80, 0x81).map(_.toByte),
+              "text/html")
+          }
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> url,
+            "WARC-Record-ID" -> s"<urn:graft:refine:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, ct, body)
+        }
+        Multimodal.MediaRecord(aid, s"fake://refine/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
       }
   }
 }
