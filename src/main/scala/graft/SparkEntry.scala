@@ -3614,10 +3614,14 @@ object SparkEntry {
         "Allow: /private/open/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
       val robotsOdd = "User-agent: otherbot\nDisallow: /\n\n" +
         "User-agent: *\nDisallow: /files/\nAllow: /files/*.txt$\n"
-      val robots = canon.select(col("host")).distinct()
-        .withColumn("robots_txt",
-          when(regexp_extract(col("host"), "^src(\\d+)\\.", 1).cast("int") % 2 === 0,
-            lit(robotsEven)).otherwise(lit(robotsOdd)))
+      // the robots dim is its OWN host-grain table (a real pipeline gets
+      // it from the robots fetcher) — one pruned scan + tiny distinct,
+      // NOT a re-run of the decode pipeline just to list hosts
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k")).distinct()
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("host"),
+          when(col("k") % 2 === 0, lit(robotsEven))
+            .otherwise(lit(robotsOdd)).as("robots_txt"))
       canon.join(broadcast(robots), Seq("host"))
         .select(
           regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
