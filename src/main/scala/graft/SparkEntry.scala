@@ -3583,6 +3583,43 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // the frontier-seeding half of the robots surface: sitemap XML —
+    // one urlset per host (odd hosts gzip-compressed, the common
+    // .xml.gz form) plus one sitemapindex pointing at all of them, every
+    // <loc> canonicalized through url_normalize on the way out. The
+    // parser is the XXE-hardened DOM walk (DOCTYPE rejected outright —
+    // sitemaps are attacker-controlled bytes). kind/loc/lastmod all
+    // arithmetic-predicted.
+    "tx_sitemap_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val maps = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .groupByKey(_ % 20)
+        .mapGroups { (k, it) =>
+          val entries = it.toSeq.sorted.map { d =>
+            (s"HTTP://Src$k.INVALID:80/page/$d?utm_source=map",
+              Some(f"2026-01-${(d % 28) + 1}%02d"))
+          }
+          graft.operators.Multimodal.MediaRecord(k, s"fake://sitemap/$k.xml",
+            "application/xml",
+            graft.operators.Sitemaps.write(entries, gzipped = k % 2 == 1), Map.empty)
+        }
+      val index = s.createDataset(Seq(
+        graft.operators.Multimodal.MediaRecord(100L, "fake://sitemap/index.xml",
+          "application/xml",
+          graft.operators.Sitemaps.write(
+            (0L until 20L).map(k => (s"http://src$k.invalid/sitemap.xml.gz",
+              None: Option[String])),
+            index = true), Map.empty)))
+      maps.union(index)
+        .flatMap(r => graft.operators.Sitemaps.parse(r.content)
+          .map(e => (e.kind, e.loc, e.lastmod)))
+        .toDF("kind", "loc", "lastmod")
+        .select(col("kind"),
+          graft.operators.TextAnalysis.urlNormalize(col("loc")).as("loc_canonical"),
+          col("lastmod"))
+        .orderBy(col("loc_canonical"))
+    }),
+
     // THE REFINE CAPSTONE — the full Common-Crawl front half in one
     // oracled query, composing five round-8 operators over a corpus
     // that is deliberately messy on every axis: WARC explode (half the
@@ -6078,6 +6115,18 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    "tx_sitemap_frontier" ->
+      """SELECT * FROM (
+        |  SELECT 'url' AS kind,
+        |    'http://src' || (doc_id % 20) || '.invalid/page/' || doc_id AS loc_canonical,
+        |    '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS lastmod
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT DISTINCT 'sitemap',
+        |    'http://src' || (doc_id % 20) || '.invalid/sitemap.xml.gz',
+        |    CAST(NULL AS VARCHAR)
+        |  FROM documents
+        |) ORDER BY loc_canonical""".stripMargin,
     // the refine capstone replayed end to end: canonical URL, charset,
     // clean flag, robots verdict (host parity == doc parity), text md5
     "tx_warc_refine" ->
