@@ -33,10 +33,13 @@ object Robots {
     */
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** One `User-agent` group: the agent tokens it names (lower-cased)
-    * and its rules in file order.
+  /** One `User-agent` group: the agent tokens it names (lower-cased),
+    * its rules in file order, and its `Crawl-Delay` (seconds) if one
+    * parsed — non-standard but near-universal in the wild, the pacing
+    * input of a polite fetcher.
     */
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   /** RFC 9309 §2.5: parsers must accept at least 500 KiB; bytes past
     * the cap may be ignored. We cap on characters (the corpus is UTF-8
@@ -46,7 +49,7 @@ object Robots {
 
   def parse(txt: String): Seq[Group] = {
     val body = if (txt.length > MaxChars) txt.substring(0, MaxChars) else txt
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], scala.collection.mutable.ArrayBuffer[Rule])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], scala.collection.mutable.ArrayBuffer[Rule], scala.collection.mutable.ArrayBuffer[Double])]
     var inAgents = false // consecutive user-agent lines extend the group
     body.linesIterator.foreach { raw =>
       val noComment = {
@@ -59,17 +62,39 @@ object Robots {
         val value = noComment.substring(colon + 1).trim
         field match {
           case "user-agent" =>
-            if (!inAgents) groups += ((scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+            if (!inAgents) groups += ((scala.collection.mutable.ArrayBuffer.empty,
+              scala.collection.mutable.ArrayBuffer.empty,
+              scala.collection.mutable.ArrayBuffer.empty))
             groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
             inAgents = true
           case "allow" | "disallow" =>
             inAgents = false
             if (groups.nonEmpty) groups.last._2 += Rule(field == "allow", value)
-          case _ => inAgents = false // sitemap, crawl-delay, unknown: ignored
+          case "crawl-delay" =>
+            inAgents = false
+            if (groups.nonEmpty && groups.last._3.isEmpty)
+              groups.last._3 ++= parseDelay(value) // first wins within a group
+          case _ => inAgents = false // sitemap, unknown: ignored
         }
       }
     }
-    groups.map { case (a, r) => Group(a.toSeq, r.toSeq) }.toSeq
+    groups.map { case (a, r, d) => Group(a.toSeq, r.toSeq, d.headOption) }.toSeq
+  }
+
+  private def parseDelay(v: String): Option[Double] =
+    try Some(v.toDouble).filter(d => d >= 0 && d.isFinite)
+    catch { case _: NumberFormatException => None }
+
+  /** Crawl-Delay for `agent`, using the same group selection as
+    * [[rulesFor]]; when several applicable groups declare one, the
+    * LARGEST wins — politeness errs slow. None = no declared delay.
+    */
+  def crawlDelay(groups: Seq[Group], agent: String): Option[Double] = {
+    val tok = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = groups.filter(_.agents.contains(tok))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    val ds = chosen.flatMap(_.crawlDelay)
+    if (ds.isEmpty) None else Some(ds.max)
   }
 
   /** `Sitemap:` lines (RFC 9309 records them as non-group metadata —

@@ -91,6 +91,18 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(rules, "/b/x")) // the post-cap rule never parsed
   }
 
+  test("crawl-delay: per-group, same selection as rules, largest wins, junk ignored") {
+    val gs = Robots.parse(txt) // graftbot group declares Crawl-delay: 10
+    assert(Robots.crawlDelay(gs, "graftbot").contains(10.0))
+    assert(Robots.crawlDelay(gs, "nobody").isEmpty) // the * group declares none
+    val multi = txt + "\nUser-agent: graftbot\nCrawl-delay: 2.5\n"
+    assert(Robots.crawlDelay(Robots.parse(multi), "graftbot").contains(10.0)) // max
+    val junk = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -3\n"
+    assert(Robots.crawlDelay(Robots.parse(junk), "x").isEmpty)
+    val first = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 9\n"
+    assert(Robots.crawlDelay(Robots.parse(first), "x").contains(4.0)) // first in group
+  }
+
   test("sitemaps: collected from anywhere in the file, agent-independent") {
     val t = "Sitemap: http://h.invalid/a.xml\n" + txt +
       "\nSITEMAP: http://h.invalid/b.xml # trailing comment\nSitemap:\n"
