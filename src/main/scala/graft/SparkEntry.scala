@@ -3583,6 +3583,45 @@ object SparkEntry {
         .orderBy(col("fetcher"))
     }),
 
+    // the FETCH SCHEDULER — what the frontier actually emits: per host,
+    // URLs ordered stalest-first (the sitemap lastmod signal), spaced by
+    // the host's declared Crawl-Delay (graftbot group on even hosts,
+    // * fallback on odd — resolved through Robots.crawlDelay on the
+    // 20-row dim, a typed map), the whole host assigned to a fetcher by
+    // md5 HRW. One window per host for the position, one broadcast
+    // join, HRW at host grain; every column exact arithmetic (the
+    // delays are 2.0 / 0.5, binary-exact multipliers).
+    "tx_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val robotsEven = "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /private/\n\n" +
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+      val robotsOdd = "User-agent: otherbot\nCrawl-delay: 30\n\n" +
+        "User-agent: *\nCrawl-delay: 0.5\n"
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k")).distinct()
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("host"),
+          when(col("k") % 2 === 0, lit(robotsEven))
+            .otherwise(lit(robotsOdd)).as("robots_txt"))
+        .as[(String, String)]
+        .map { case (host, txt) =>
+          (host, graft.operators.Robots.crawlDelay(
+            graft.operators.Robots.parse(txt), "graftbot").getOrElse(1.0))
+        }.toDF("host", "delay_s")
+        .withColumn("fetcher", graft.operators.Sampling.rendezvousShard(col("host"), 4))
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 20, lit(".invalid")).as("host"),
+          ((col("doc_id") % 28) + 1).as("lastmod_day"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("lastmod_day"), col("doc_id"))
+      urls.join(broadcast(robots), Seq("host"))
+        .withColumn("position", row_number().over(w))
+        .select(col("doc_id"), col("host"), col("fetcher"), col("position"),
+          ((col("position") - 1) * col("delay_s")).as("offset_s"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the frontier-seeding half of the robots surface: sitemap XML —
     // one urlset per host (odd hosts gzip-compressed, the common
     // .xml.gz form) plus one sitemapindex pointing at all of them, every
@@ -6115,6 +6154,26 @@ object SparkEntry {
         |  MIN(host) AS host_min
         |FROM hs JOIN w USING (host)
         |GROUP BY fetcher ORDER BY fetcher""".stripMargin,
+    // scheduler replay: per-host stalest-first ordering, delay spacing
+    // (graftbot 2s on even hosts, * fallback 0.5s on odd), md5 HRW
+    "tx_fetch_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'src' || (doc_id % 20) || '.invalid' AS host,
+        |    (doc_id % 28) + 1 AS lastmod_day,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 0.5 END AS delay_s
+        |  FROM documents),
+        |a AS (
+        |  SELECT host, s, MD5(host || ':' || CAST(s AS VARCHAR)) AS h
+        |  FROM (SELECT DISTINCT host FROM u), UNNEST(GENERATE_SERIES(0, 3)) AS t(s)),
+        |w AS (SELECT host, ARG_MAX(s, h) AS fetcher FROM a GROUP BY host),
+        |r AS (
+        |  SELECT doc_id, host, lastmod_day, delay_s,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY lastmod_day, doc_id)
+        |      AS position
+        |  FROM u)
+        |SELECT r.doc_id, r.host, w.fetcher, CAST(r.position AS INT) AS position,
+        |  (r.position - 1) * r.delay_s AS offset_s
+        |FROM r JOIN w USING (host) ORDER BY r.doc_id""".stripMargin,
     "tx_sitemap_frontier" ->
       """SELECT * FROM (
         |  SELECT 'url' AS kind,
