@@ -27,12 +27,16 @@ object Sitemaps {
 
   private val Gzip = Array[Byte](0x1f, 0x8b.toByte)
 
+  /** sitemaps.org caps an uncompressed sitemap at 50 MB — enforce it on
+    * the DECOMPRESSED bytes so a hostile tiny .xml.gz cannot inflate to
+    * gigabytes per record (see [[Gunzip.bounded]]).
+    */
+  final val MaxUncompressedBytes: Long = 50L * 1024 * 1024
+
   def parse(bytes: Array[Byte]): Seq[SitemapEntry] = {
-    val xml = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1)) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-      try in.readAllBytes() finally in.close()
-    } else bytes
+    val xml = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1))
+      Gunzip.bounded(bytes, MaxUncompressedBytes, "sitemap")
+    else bytes
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setXIncludeAware(false)

@@ -45,7 +45,13 @@ object Tar {
     sum == octal(b, off + 148, 8)
   }
 
-  /** Parse a NUL/space-terminated octal field; -1 if empty/garbled. */
+  /** Parse a NUL/space-terminated octal field; -1 if empty/garbled.
+    * STRICT: a byte that is neither an octal digit nor a terminator
+    * (space/NUL) anywhere before the terminator is -1, not a partially
+    * parsed prefix — a garbled size field under a still-valid checksum
+    * must fire `readEntries`' loud reject, never slice a silently wrong
+    * payload (e.g. '12X45678' must not parse as 10).
+    */
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = -1L
     var i = off
@@ -54,7 +60,8 @@ object Tar {
       val c = b(i) & 0xff
       if (c >= '0' && c <= '7') { v = (if (v < 0) 0L else v) * 8 + (c - '0'); i += 1 }
       else if (c == ' ' && v < 0) i += 1 // leading spaces
-      else i = end
+      else if (c == ' ' || c == 0) i = end // terminator after digits (or empty field)
+      else return -1L // garbled byte mid-field
     }
     v
   }

@@ -37,11 +37,15 @@ object Warc {
       java.nio.charset.StandardCharsets.US_ASCII) == "WARC/1.0"
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    try in.readAllBytes() finally in.close()
-  }
+  /** Decompressed-size cap for one gunzip unit (a per-record gzip member,
+    * or a whole non-member-framed archive). Generous — real WARC members
+    * are single captures — but bounded: a hostile member cannot inflate
+    * past it (see [[Gunzip.bounded]]).
+    */
+  final val MaxGunzipBytes: Long = 1L << 30
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] =
+    Gunzip.bounded(bytes, MaxGunzipBytes, "warc")
 
   /** Parse every record in the buffer (gunzipping first if the buffer is
     * gzip — including concatenated per-record members). Strict: a bad

@@ -99,7 +99,19 @@ object Zip {
     * unsupported method, a CRC mismatch — is an error, never a silently
     * short or wrong listing.
     */
-  def readMembers(bytes: Array[Byte]): Seq[ZipMember] = {
+  /** Per-member decompressed-size cap: the central directory's claimed
+    * `usize` drives the output allocation, so a few-KB hostile archive
+    * claiming usize near 2^31 would otherwise force a 2 GB allocation per
+    * member (executor OOM) before a single byte inflates. Validated with a
+    * `require` BEFORE allocating — same policy as [[Gunzip.bounded]] and
+    * the image pixel-budget guard.
+    */
+  final val DefaultMaxMemberBytes: Long = 1L << 30
+
+  def readMembers(bytes: Array[Byte]): Seq[ZipMember] =
+    readMembers(bytes, DefaultMaxMemberBytes)
+
+  def readMembers(bytes: Array[Byte], maxMemberBytes: Long): Seq[ZipMember] = {
     val eocd = findEocd(bytes)
     require(u16(bytes, eocd + 4) == 0 && u16(bytes, eocd + 6) == 0,
       "zip: multi-disk archives not supported")
@@ -110,11 +122,12 @@ object Zip {
     require(total != 0xffff && cdSize != 0xffffffffL && cdOff != 0xffffffffL,
       "zip: zip64 archives not supported")
     require(cdOff + cdSize <= eocd, "zip: central directory overruns the EOCD record")
+    val cdEnd = (cdOff + cdSize).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
     var p = cdOff.toInt
     var i = 0
     while (i < total) {
-      require(p + 46 <= eocd && u32(bytes, p) == CentralSig,
+      require(p + 46 <= cdEnd && u32(bytes, p) == CentralSig,
         s"zip: bad central-directory entry $i at byte $p")
       val flags = u16(bytes, p + 8)
       require((flags & 0x1) == 0, s"zip: entry $i is encrypted — not supported")
@@ -127,9 +140,16 @@ object Zip {
       val csize = u32(bytes, p + 20)
       val usize = u32(bytes, p + 24)
       require(csize != 0xffffffffL && usize != 0xffffffffL, s"zip: entry $i is zip64 — not supported")
+      require(usize <= maxMemberBytes && usize <= Int.MaxValue - 8,
+        s"zip: entry $i claims $usize uncompressed bytes — past the $maxMemberBytes-byte member cap")
       val nameLen = u16(bytes, p + 28)
       val extraLen = u16(bytes, p + 30)
       val commentLen = u16(bytes, p + 32)
+      // variable-length fields must stay inside the directory region — a
+      // lying nameLen must not read EOCD/comment bytes into a member name
+      // (silently wrong listing) or index past the buffer
+      require(p + 46 + nameLen + extraLen + commentLen <= cdEnd,
+        s"zip: entry $i variable-length fields overrun the central directory")
       val lho = u32(bytes, p + 42)
       val name = new String(bytes, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
       require(name.nonEmpty, s"zip: entry $i has an empty name")
@@ -155,6 +175,8 @@ object Zip {
       p += 46 + nameLen + extraLen + commentLen
       i += 1
     }
+    require(p == cdEnd,
+      s"zip: central-directory walk ended at byte $p, expected $cdEnd — directory size lies")
     out.toSeq
   }
 

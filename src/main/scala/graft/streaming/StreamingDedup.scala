@@ -51,14 +51,22 @@ object StreamingDedup {
     if (keepFingerprint) deduped else deduped.drop("_fp")
   }
 
-  /** Media-content streaming dedup: key = the 64-bit AUDIO fingerprint of
-    * the decoded PCM, so a clip re-delivered in a different lossless
-    * container (WAV then OGG-FLAC) still drops — the cross-container
-    * property the batch `mm_audio_dedup` contract pins. Same state rule as
-    * [[dedupByContent]]: 8-byte fingerprints in state, never media bytes.
-    * Strict decode (this keys on content; an undecodable clip cannot be
-    * deduped) — run `resampleAudioSafe`-style quarantine upstream for
-    * crawl streams.
+  /** Media-content streaming dedup: key = the audio fingerprint of the
+    * decoded PCM COMPOSED with the PCM's frame count and channel layout
+    * ([[graft.functions.AudioDedupKey]]), so a clip re-delivered in a
+    * different lossless container (WAV then OGG-FLAC) still drops — the
+    * cross-container property the batch `mm_audio_dedup` contract pins.
+    *
+    * Why composed, not the bare fingerprint: the 64-bit energy-delta
+    * fingerprint DEGENERATES on near-silent or very short clips (fewer
+    * than 65 PCM frames, or stationary audio, all yield fingerprint 0),
+    * so keying on it alone silently discards distinct clips as
+    * duplicates. Duration and channels are decoded-PCM properties, so
+    * the composition keeps the container invariance while separating
+    * degenerate clips. Same state rule as [[dedupByContent]]: 8-byte
+    * keys in state, never media bytes. Strict decode (this keys on
+    * content; an undecodable clip cannot be deduped) — run
+    * `resampleAudioSafe`-style quarantine upstream for crawl streams.
     */
   def dedupByAudioFingerprint(
       df: DataFrame,
@@ -66,8 +74,10 @@ object StreamingDedup {
       watermarkDelay: String,
       contentCol: String,
       keepFingerprint: Boolean = false): DataFrame = {
-    val deduped = df.withColumn("_afp",
-        graft.operators.Multimodal.audioFingerprintCol(col(contentCol)))
+    val keyCol = org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.AudioDedupKey(
+        org.apache.spark.sql.graftshim.GraftShims.expression(col(contentCol))))
+    val deduped = df.withColumn("_afp", keyCol)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("_afp"))
     if (keepFingerprint) deduped else deduped.drop("_afp")

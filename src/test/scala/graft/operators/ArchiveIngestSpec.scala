@@ -165,6 +165,20 @@ class ArchiveIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("tar: garbled size field under a valid checksum rejects, never a wrong slice") {
+    // '12X45678' must NOT parse as octal prefix 10 — a non-octal byte
+    // mid-field is -1, so readEntries' size require fires loudly
+    val bytes = Tar.writeTar(Seq(Tar.TarEntry("a.txt", 4, '0', utf8("abcd")))).clone()
+    bytes(126) = 'X' // third byte of the size field at offset 124
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) 32 else bytes(i) & 0xff)
+    val oct = ("000000" + java.lang.Long.toOctalString(sum)).takeRight(6)
+    for (i <- 0 until 6) bytes(148 + i) = oct.charAt(i).toByte
+    bytes(154) = 0; bytes(155) = ' '
+    val e = intercept[IllegalArgumentException](Tar.readEntries(bytes))
+    assert(e.getMessage.contains("unparseable size"))
+  }
+
   test("tar: prefix field reassembles long paths on read") {
     // hand-build a header using the prefix field (writer keeps names <= 100)
     val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))

@@ -32,6 +32,23 @@ class SitemapsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("neither urlset nor sitemapindex"))
   }
 
+  test("hostile input: gzip decompression bomb rejects at the 50 MB cap") {
+    // ~60 MB of zeros gzips to ~60 KB — without the cap this inflates per
+    // record; with it, parse must reject BEFORE buffering past 50 MB
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    val chunk = new Array[Byte](1 << 20)
+    for (_ <- 0 until 60) gz.write(chunk)
+    gz.close()
+    val bomb = buf.toByteArray
+    assert(bomb.length < 200 * 1024, s"bomb should be tiny, was ${bomb.length}")
+    val e = intercept[IllegalArgumentException](Sitemaps.parse(bomb))
+    assert(e.getMessage.contains("decompression bomb"))
+    // a legitimately-sized gzip sitemap still parses (cap is on OUTPUT)
+    val ok = Sitemaps.parse(Sitemaps.write(Seq("http://h.invalid/p" -> None), gzipped = true))
+    assert(ok.map(_.loc) == Seq("http://h.invalid/p"))
+  }
+
   test("entries without a loc are dropped, empty locs too") {
     val xml = ("<urlset><url><lastmod>2026-01-01</lastmod></url>" +
       "<url><loc>  </loc></url>" +

@@ -112,6 +112,43 @@ class ZipPropertiesSpec extends AnyFunSuite {
       .getMessage.contains("multi-disk"))
   }
 
+  test("hostile central directory: claimed usize past the member cap rejects BEFORE allocating") {
+    val stored = Zip.writeZip(Seq("a.txt" -> "hi".getBytes("UTF-8")), deflate = false)
+    def u32at(b: Array[Byte], off: Int) =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val cdOff = u32at(stored, stored.length - 22 + 16).toInt
+    def patchUsize(v: Long): Array[Byte] = {
+      val b = stored.clone()
+      b(cdOff + 24) = (v & 0xff).toByte; b(cdOff + 25) = ((v >> 8) & 0xff).toByte
+      b(cdOff + 26) = ((v >> 16) & 0xff).toByte; b(cdOff + 27) = ((v >> 24) & 0xff).toByte
+      b
+    }
+    // just under 2^31: must hit the cap require, not a 2 GB allocation
+    val e1 = intercept[IllegalArgumentException](Zip.readMembers(patchUsize(0x7ffffff0L)))
+    assert(e1.getMessage.contains("member cap"))
+    // in (2^31, 2^32-2): previously wrapped toInt negative (NegativeArraySizeException)
+    val e2 = intercept[IllegalArgumentException](Zip.readMembers(patchUsize(0xfffffff0L)))
+    assert(e2.getMessage.contains("member cap"))
+    // a tighter caller-chosen cap fires on honest sizes too
+    val e3 = intercept[IllegalArgumentException](Zip.readMembers(stored, maxMemberBytes = 1))
+    assert(e3.getMessage.contains("member cap"))
+  }
+
+  test("hostile central directory: lying nameLen cannot read past the directory region") {
+    val stored = Zip.writeZip(Seq("a.txt" -> "hi".getBytes("UTF-8")), deflate = false)
+    def u32at(b: Array[Byte], off: Int) =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val cdOff = u32at(stored, stored.length - 22 + 16).toInt
+    // nameLen inflated so name/extra/comment overrun the directory: must be
+    // a named reject, never EOCD bytes silently read into the member name
+    val lying = stored.clone()
+    lying(cdOff + 28) = 0xff.toByte; lying(cdOff + 29) = 0x0f.toByte
+    val e = intercept[IllegalArgumentException](Zip.readMembers(lying))
+    assert(e.getMessage.contains("overrun the central directory"))
+  }
+
   test("empty archive (bare EOCD) lists zero members") {
     val empty = Zip.writeZip(Seq.empty)
     assert(Zip.isZip(empty) && empty.length == 22)

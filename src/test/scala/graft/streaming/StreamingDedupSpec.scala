@@ -93,4 +93,36 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(!out.columns.contains("_afp"))
     } finally q.stop()
   }
+
+  test("audio dedup does NOT collide distinct near-silent clips (degenerate fingerprint)") {
+    import graft.operators.{Multimodal, WavePcm}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    // all-zero PCM of different durations: the bare energy-delta
+    // fingerprint is 0 for BOTH (every window energy ties), so keying on
+    // it alone would silently drop clip 2 — the composed key must not
+    val silentShort = new Array[Byte](3000 * 2 * 2)
+    val silentLong = new Array[Byte](4000 * 2 * 2)
+    assert(Multimodal.audioFingerprint64(silentShort, 2) == 0L &&
+      Multimodal.audioFingerprint64(silentLong, 2) == 0L)
+    val stream = MemoryStream[(Long, Long, Array[Byte])]
+    val clips = stream.toDS().toDF("clip_id", "tsMillis", "content")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+    val deduped = StreamingDedup.dedupByAudioFingerprint(
+      clips, "eventTime", "10 minutes", "content")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_audio_degenerate").start()
+    try {
+      stream.addData(Seq(
+        (1L, base, WavePcm.writeWav16(silentShort, 16000, 2)),
+        (2L, base + 1000, WavePcm.writeWav16(silentLong, 16000, 2)),
+        // a true re-delivery of clip 1 in another container still drops
+        (3L, base + 2000, graft.operators.OggStream.writeOggFlac(silentShort, 16000, 2))))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_audio_degenerate")
+        .select("clip_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
 }
