@@ -3810,6 +3810,57 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // WAT derivation — the third Common-Crawl companion (CDX index, WET
+    // text, WAT metadata/OUTLINKS) and the crawl's frontier-GROWTH input:
+    // HTML captures -> one metadata record per response whose JSON body
+    // carries the page's <a href> targets, extracted by the single-pass
+    // scanner, <base href>-rebased, RFC 3986-resolved, entity-decoded,
+    // and url_normalize'd. The demo pages exercise every rule (relative /
+    // absolute-path / cross-host / unquoted-attr / dot-segment links kept;
+    // comment, fragment-only, mailto:, javascript:, and in-script links
+    // dropped) — the oracle predicts every (doc, position, url) edge from
+    // doc_id arithmetic. The WAT archives are RE-INGESTED through the
+    // normal WARC path before exploding, so the round trip is pinned too.
+    "tx_warc_wat" -> ((s, dir) => {
+      val ing = graft.operators.Ingest
+      val wat = ing.ingestWarc(ing.toWat(ing.watArchivesFromDocuments(s, dir)))
+      wat.toDF()
+        .filter(col("warc_type") === "metadata")
+        .select(col("url").as("src_url"),
+          from_json(col("body").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "url string, outlinks array<string>")).as("j"))
+        .select(col("src_url"), posexplode(col("j.outlinks")).as(Seq("pos", "dst_url")))
+        .select(
+          regexp_extract(col("src_url"), "/page/(\\d+)", 1).cast("long").as("doc_id"),
+          (col("pos") + 1).cast("long").as("position"),
+          col("dst_url"))
+        .orderBy(col("doc_id"), col("position"))
+    }),
+
+    // host-level link graph over the WAT outlinks — the standard
+    // Common-Crawl-style seed ranker. Page-level edges come out of the
+    // REAL extractor (map-only over the demo pages), reduce to HOST grain
+    // first (the tx_frontier_shard argument: iterate on the ~10^8-row
+    // host graph, not the 100 TB edge stream), then 3 rounds of integer
+    // damped contribution passing (rank*17 div 20 div out_deg — exact
+    // arithmetic, so DuckDB replays every iteration bit-for-bit, which
+    // float PageRank cannot). Degrees + final rank per host.
+    "tx_link_rank" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      graft.operators.LinkGraph.rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .orderBy(col("host"))
+    }),
+
     // deterministic epoch shuffle: every epoch visits the corpus in a
     // different pseudorandom order that is a BIJECTION (two
     // multiplicative rounds mod the Mersenne prime 2^31-1) and pure
@@ -6258,6 +6309,65 @@ object SparkEntry {
         |  strlen(text) AS text_len,
         |  md5(text) AS text_md5
         |FROM documents ORDER BY url""".stripMargin,
+    // every kept link of every page, predicted from the watPage arithmetic:
+    // positions 1-7 are (d+1 same host, d+2 sibling via <base>, 3d+5
+    // cross-host normalized, d+3 unquoted+entity with sorted query, 7d+3
+    // cross-host, d+11 https cross-host, d+4 dot-segment dir)
+    "tx_warc_wat" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents)
+        |SELECT doc_id, position, dst_url FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS position,
+        |    'http://src' || k || '.invalid/page/' || (doc_id + 1) AS dst_url FROM d
+        |  UNION ALL SELECT doc_id, 2,
+        |    'http://src' || k || '.invalid/page/' || (doc_id + 2) || '.html' FROM d
+        |  UNION ALL SELECT doc_id, 3,
+        |    'http://src' || ((3 * doc_id + 5) % 20) || '.invalid/page/' ||
+        |    (3 * doc_id + 5) || '?a=1&b=2' FROM d
+        |  UNION ALL SELECT doc_id, 4,
+        |    'http://src' || k || '.invalid/page/' || (doc_id + 3) || '?y=2&z=1' FROM d
+        |  UNION ALL SELECT doc_id, 5,
+        |    'http://src' || ((7 * doc_id + 3) % 20) || '.invalid/page/' ||
+        |    (7 * doc_id + 3) FROM d
+        |  UNION ALL SELECT doc_id, 6,
+        |    'https://src' || ((doc_id + 11) % 20) || '.invalid/page/' ||
+        |    (doc_id + 11) FROM d
+        |  UNION ALL SELECT doc_id, 7,
+        |    'http://src' || k || '.invalid/page/' || (doc_id + 4) || '/' FROM d
+        |) ORDER BY doc_id, position""".stripMargin,
+    // the host graph from the watPage cross-host rules (k -> (3k+5)%20,
+    // (7k+3)%20, (k+11)%20; same-host links collapse to filtered
+    // self-loops), then the 3 integer rank iterations unrolled — DuckDB's
+    // `//` and Spark's `div` agree exactly on the positive ranks
+    "tx_link_rank" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
+        |e AS (SELECT 'src' || s || '.invalid' AS src,
+        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |idg AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.host = n.host)
+        |SELECT n.host, COALESCE(deg.out_deg, 0) AS out_deg,
+        |  COALESCE(idg.in_deg, 0) AS in_deg, r3.rank
+        |FROM n LEFT JOIN deg ON deg.src = n.host
+        |  LEFT JOIN idg ON idg.dst = n.host
+        |  JOIN r3 ON r3.host = n.host
+        |ORDER BY n.host""".stripMargin,
     // both epochs' ranks replayed verbatim: two multiplicative rounds mod
     // 2^31-1 over the epoch-salted doc_id; shard = rank // width
     "tx_epoch_shuffle" ->

@@ -438,6 +438,12 @@ object GraftFunctions {
     // url_normalize(url): RFC 3986 syntax normalization + tracking-param
     // strip + query sort — the canonical dedup key for crawl captures
     "url_normalize" -> ((args: Seq[Expression]) => UrlNormalize(args.head)),
+    // url_resolve(base, ref): RFC 3986 §5 reference resolution — relative
+    // hrefs to absolute URIs
+    "url_resolve" -> ((args: Seq[Expression]) => UrlResolveExpr(args(0), args(1))),
+    // html_outlinks(html, base_url): <a href> targets resolved to absolute
+    // http/https URIs in document order — the frontier-growth extractor
+    "html_outlinks" -> ((args: Seq[Expression]) => HtmlOutlinks(args(0), args(1))),
     // robots_allowed(robots_txt, agent, path): RFC 9309 fetch gate
     "robots_allowed" ->
       ((args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))),

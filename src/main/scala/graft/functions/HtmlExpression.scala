@@ -57,13 +57,13 @@ case class HtmlToText(child: Expression)
 
 object HtmlToText {
 
-  private def isAsciiSpace(c: Char): Boolean =
+  private[functions] def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
   /** True when `s` at position `i` starts an open tag for `name` (ci):
     * `<name` followed by whitespace, `>`, or `/`.
     */
-  private def isOpenTag(s: String, i: Int, name: String): Boolean = {
+  private[functions] def isOpenTag(s: String, i: Int, name: String): Boolean = {
     if (i + 1 + name.length > s.length) return false
     var k = 0
     while (k < name.length) {
@@ -79,7 +79,7 @@ object HtmlToText {
   }
 
   /** Index just past the `>` of `</name ...>` (ci) at/after `from`, or -1. */
-  private def closeTagEnd(s: String, from: Int, name: String): Int = {
+  private[functions] def closeTagEnd(s: String, from: Int, name: String): Int = {
     var i = from
     val n = s.length
     while (i < n) {
@@ -110,7 +110,7 @@ object HtmlToText {
   /** Decode the entity starting at `&` (position i). Returns (codePoint,
     * lengthConsumed) or null when not a recognized entity.
     */
-  private def entityAt(s: String, i: Int): (Int, Int) = {
+  private[functions] def entityAt(s: String, i: Int): (Int, Int) = {
     val n = s.length
     if (i + 1 >= n) return null
     if (s.charAt(i + 1) == '#') {

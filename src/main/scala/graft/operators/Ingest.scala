@@ -198,6 +198,139 @@ object Ingest {
       Warc.writeWarc(conversions, gzipped = gzipped), Map.empty)
   }
 
+  /** Derive WAT-style metadata archives from WARC crawl archives — the
+    * third Common-Crawl companion format (CDX ✓ index, WET ✓ text, WAT =
+    * per-page metadata, here the OUTLINKS). One `metadata` record per HTTP
+    * response: a JSON body `{"url": ..., "outlinks": [...]}` where the
+    * outlinks are the page's `<a href>` targets extracted by
+    * [[graft.functions.HtmlOutlinks]], resolved against the capture URL
+    * (RFC 3986 §5, `<base href>` honored) and canonicalized through
+    * `url_normalize`; `WARC-Refers-To` links back to the capture like WET.
+    *
+    * This is the crawl's frontier GROWTH input: everything else (robots,
+    * sitemaps, the fetch scheduler) can only reorder URLs something
+    * already discovered — outlinks are where new URLs come from. Map-only,
+    * archive-in/archive-out on the same grain (the WET scaling argument
+    * verbatim): at 100 TB this is one pass, zero shuffles, and the output
+    * carries URLs only — page bodies never outlive the map.
+    *
+    * The demo corpus bodies are UTF-8; a wild crawl runs `Charsets.decode`
+    * on the body (its own oracled operator) in the same map first.
+    */
+  def toWat(archives: Dataset[Multimodal.MediaRecord],
+      gzipped: Boolean = false): Dataset[Multimodal.MediaRecord] = {
+    import archives.sparkSession.implicits._
+    archives.map(r => watArchive(r, gzipped))
+  }
+
+  /** The per-archive WAT build behind [[toWat]] (plain function so the
+    * structural spec drives it without a session).
+    */
+  private[operators] def watArchive(r: Multimodal.MediaRecord,
+      gzipped: Boolean): Multimodal.MediaRecord = {
+    val metas = Warc.readRecords(r.content)
+      .filter(_.warcType == "response")
+      .map { rec =>
+        val (_, _, body) = Warc.parseHttpResponse(rec.content)
+        val html = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+        val links = graft.functions.HtmlOutlinks.extract(html, rec.targetUri)
+          .map(graft.functions.UrlNormalize.normalize)
+        Map(
+          "WARC-Type" -> "metadata",
+          "WARC-Target-URI" -> rec.targetUri,
+          "WARC-Record-ID" -> (rec.recordId.stripSuffix(">") + ":wat>"),
+          "WARC-Refers-To" -> rec.recordId,
+          "WARC-Date" -> rec.date,
+          "Content-Type" -> "application/json") ->
+          watJson(rec.targetUri, links).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    Multimodal.MediaRecord(r.media_id, r.uri + ".wat", "application/warc",
+      Warc.writeWarc(metas, gzipped = gzipped), Map.empty)
+  }
+
+  private def watJson(url: String, outlinks: Seq[String]): String = {
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    outlinks.map(l => "\"" + esc(l) + "\"")
+      .mkString(s"""{"url":"${esc(url)}","outlinks":[""", ",", "]}")
+  }
+
+  /** One demo HTML page for the WAT / link-graph corpus: (url, html) for a
+    * document. The page exercises every extraction rule with
+    * oracle-predictable outcomes — in document order the KEPT links are:
+    *
+    *   1. `/page/{d+1}`                     absolute path, same host
+    *   2. `{d+2}.html`                      relative, via `<base href>`
+    *   3. `HTTP://Src{(3d+5)%20}.INVALID:80/page/{3d+5}?utm_source=wat&b=2&a=1#f`
+    *                                        absolute cross-host, un-normalized
+    *   4. `/page/{d+3}?z=1&amp;y=2`         unquoted attr + entity decode
+    *   5. `http://src{(7d+3)%20}.invalid/page/{7d+3}`   cross-host
+    *   6. `https://src{(d+11)%20}.invalid/page/{d+11}`  cross-host, https
+    *   7. `../page/{d+4}/`                  dot segments via base merge
+    *
+    * and the DROPPED ones: a commented-out link, a fragment-only ref, a
+    * `mailto:`, a `javascript:`, and a link inside a `<script>` body.
+    */
+  def watPage(id: Long): (String, String) = {
+    val k = id % 20
+    val url = s"http://src$k.invalid/page/$id"
+    val c1 = 3 * id + 5
+    val c2 = 7 * id + 3
+    val c3 = id + 11
+    val html =
+      s"""<html><head><base href="http://src$k.invalid/page/"></head><body>
+         |<!-- <a href="/page/999999">commented out</a> -->
+         |<a href="/page/${id + 1}">next</a>
+         |<a href='${id + 2}.html'>sibling</a>
+         |<A HREF="HTTP://Src${c1 % 20}.INVALID:80/page/$c1?utm_source=wat&b=2&a=1#f">cross one</A>
+         |<a class="m" href=/page/${id + 3}?z=1&amp;y=2>unquoted</a>
+         |<a href="http://src${c2 % 20}.invalid/page/$c2">cross two</a>
+         |<a href="https://src${c3 % 20}.invalid/page/$c3">cross three</a>
+         |<a href="../page/${id + 4}/">dots</a>
+         |<a href="#frag">fragment only</a>
+         |<a href="mailto:x@y.invalid">mail</a>
+         |<a href="javascript:void(0)">js</a>
+         |<script>var x = '<a href="/page/888888">never</a>';</script>
+         |</body></html>""".stripMargin
+    (url, html)
+  }
+
+  /** Demo WARC corpus for WAT derivation: response-only archives (16 docs
+    * each, odd archives per-record-gzipped like the main corpus) whose
+    * bodies are the [[watPage]] HTML.
+    */
+  def watArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val (url, html) = watPage(id)
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> url,
+            "WARC-Record-ID" -> s"<urn:graft:wat:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "text/html",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        Multimodal.MediaRecord(aid, s"fake://wat/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
   /** Demo WARC corpus: documents grouped 16-to-an-archive (archive count
     * scales WITH the corpus, like a real crawl's file count), each doc as
     * a request+response capture pair behind a warcinfo header record.

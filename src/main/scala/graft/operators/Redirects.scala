@@ -32,26 +32,47 @@ object Redirects {
     * `isRedirectCol` (boolean), and `locationCol` (the redirect target,
     * ignored for non-redirects). Returns one row per input page:
     * (url, status, resolved_url, hops).
+    *
+    * Scale shape: the page map is materialized ONCE (`localCheckpoint` —
+    * executor storage, memory-and-disk) and every structure derives from
+    * it: finals, the initial pending set, and each hop's lookup side —
+    * the source is scanned exactly once no matter how many hops run. The
+    * pending set is checkpointed on a cadence, and an emptiness check at
+    * each checkpoint BREAKS OUT early: a crawl whose chains all resolve
+    * in 2 hops pays 2 join rounds, never maxHops (most real chains are
+    * 1-2 hops; the cap only bounds adversarial cycles).
     */
   def resolve(pages: DataFrame, urlCol: String, isRedirectCol: String,
-      locationCol: String, maxHops: Int = 8): DataFrame = {
+      locationCol: String, maxHops: Int = 8): DataFrame =
+    resolveWithStats(pages, urlCol, isRedirectCol, locationCol, maxHops)._1
+
+  /** [[resolve]] plus the number of join rounds actually executed — the
+    * early-exit observability hook (specs assert a 2-hop corpus costs 2
+    * rounds; operators report it in pipeline logs).
+    */
+  def resolveWithStats(pages: DataFrame, urlCol: String, isRedirectCol: String,
+      locationCol: String, maxHops: Int = 8): (DataFrame, Int) = {
     require(maxHops >= 1 && maxHops <= 64, s"resolve: maxHops in [1,64], got $maxHops")
+    // ONE materialization of the page map; finals/pending/lookups all
+    // derive from it so the (100 TB) source is never rescanned per hop
     val map = pages.select(
       col(urlCol).as("_m_url"),
       col(isRedirectCol).as("_m_redir"),
       col(locationCol).as("_m_loc"))
-    val finals = pages.filter(!col(isRedirectCol))
-      .select(col(urlCol).as("url"), lit("final").as("status"),
-        col(urlCol).as("resolved_url"), lit(0L).as("hops"))
+      .localCheckpoint()
+    val finals = map.filter(!col("_m_redir"))
+      .select(col("_m_url").as("url"), lit("final").as("status"),
+        col("_m_url").as("resolved_url"), lit(0L).as("hops"))
     // pending chain state: url -> cur (the URL to look up next); hops =
     // Location follows performed so far. Chains LEAVE the iteration the
     // round they terminate, so each round's join input shrinks to the
     // still-unresolved tail (most real chains are 1-2 hops).
-    var pending = pages.filter(col(isRedirectCol)).select(
-      col(urlCol).as("url"), col(locationCol).as("cur"), lit(1L).as("hops"))
+    var pending = map.filter(col("_m_redir")).select(
+      col("_m_url").as("url"), col("_m_loc").as("cur"), lit(1L).as("hops"))
     val done = scala.collection.mutable.ArrayBuffer[DataFrame](finals)
     var hop = 0
-    while (hop < maxHops) {
+    var drained = false
+    while (hop < maxHops && !drained) {
       val looked = pending.join(map, pending("cur") === map("_m_url"), "left")
       done += looked
         .filter(col("_m_url").isNull || !col("_m_redir"))
@@ -62,12 +83,17 @@ object Redirects {
       pending = looked.filter(coalesce(col("_m_redir"), lit(false)))
         .select(col("url"), col("_m_loc").as("cur"), (col("hops") + 1L).as("hops"))
       hop += 1
-      // truncate the iterative lineage before the plan tree compounds
-      if (hop % 4 == 0 && hop < maxHops) pending = pending.localCheckpoint()
+      // truncate the iterative lineage before the plan tree compounds,
+      // and break out the moment no chain is still walking — the
+      // checkpointed set makes the emptiness probe a storage read
+      if (hop % 2 == 0 && hop < maxHops) {
+        pending = pending.localCheckpoint()
+        drained = pending.isEmpty
+      }
     }
     done += pending.select(col("url"), lit("loop").as("status"),
       lit(null: String).as("resolved_url"), lit(null: java.lang.Long).as("hops"))
-    done.reduce(_ unionByName _)
+    (done.reduce(_ unionByName _), hop)
   }
 
   /** Convenience column: is this HTTP status a redirect that carries a

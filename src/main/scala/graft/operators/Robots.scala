@@ -185,20 +185,43 @@ object Robots {
   def allowed(robotsTxt: String, agent: String, path: String): Boolean =
     isAllowed(cachedRulesFor(robotsTxt, agent), path)
 
-  // (txt, agent) -> rules. The post-join row materializes a fresh
-  // String per row, so the key compares by VALUE — robots bodies are
-  // tiny (≤ MaxChars, typically a few hundred bytes), so the equals is
-  // a short memcmp, far cheaper than a reparse. Thread-confined, so no
-  // synchronization.
-  private val memo = new ThreadLocal[(String, String, Seq[Rule])]
+  // (txt, agent) -> rules, a small bounded per-thread LRU. The post-join
+  // row materializes a fresh String per row, so keys compare by VALUE —
+  // robots bodies are tiny (≤ MaxChars, typically a few hundred bytes),
+  // so the equals is a short memcmp, far cheaper than a reparse.
+  // Thread-confined, so no synchronization. Bounded at 64 entries: a URL
+  // stream CLUSTERED by host hits the same entry every row (the fast
+  // path — sort or partition by host first when you can), and an
+  // UN-clustered stream with up to ~64 hosts interleaved per task still
+  // parses each robots.txt once instead of once per row; past that the
+  // LRU evicts, which is a reparse, never a wrong answer.
+  private final val MemoEntries = 64
+
+  /** Total parses performed (misses across all threads) — observability
+    * for the memo's effectiveness; `RobotsSpec` asserts interleaved hosts
+    * parse once each.
+    */
+  private[operators] val parseCount = new java.util.concurrent.atomic.AtomicLong
+
+  private val memo =
+    new ThreadLocal[java.util.LinkedHashMap[(String, String), Seq[Rule]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[(String, String), Seq[Rule]](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, String), Seq[Rule]]): Boolean =
+            size() > MemoEntries
+        }
+    }
 
   private def cachedRulesFor(txt: String, agent: String): Seq[Rule] = {
     val m = memo.get()
-    if (m != null && m._1 == txt && m._2 == agent) m._3
-    else {
-      val rules = rulesFor(parse(txt), agent)
-      memo.set((txt, agent, rules))
-      rules
+    val k = (txt, agent)
+    var rules = m.get(k)
+    if (rules == null) {
+      parseCount.incrementAndGet()
+      rules = rulesFor(parse(txt), agent)
+      m.put(k, rules)
     }
+    rules
   }
 }

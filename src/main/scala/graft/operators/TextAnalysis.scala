@@ -160,6 +160,26 @@ object TextAnalysis {
       graft.functions.UrlNormalize(
         org.apache.spark.sql.graftshim.GraftShims.expression(url)))
 
+  /** RFC 3986 §5 reference resolution: relative `ref` against `base` —
+    * the step between "extracted an href" and "have a fetchable URL".
+    * See [[graft.functions.UrlResolve]].
+    */
+  def urlResolve(base: Column, ref: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.UrlResolveExpr(
+        org.apache.spark.sql.graftshim.GraftShims.expression(base),
+        org.apache.spark.sql.graftshim.GraftShims.expression(ref)))
+
+  /** `<a href>` targets of an HTML capture resolved to absolute http/https
+    * URIs, document order — the frontier-growth extractor (WAT derivation,
+    * link graphs). See [[graft.functions.HtmlOutlinks]] for the rules.
+    */
+  def htmlOutlinks(html: Column, baseUrl: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HtmlOutlinks(
+        org.apache.spark.sql.graftshim.GraftShims.expression(html),
+        org.apache.spark.sql.graftshim.GraftShims.expression(baseUrl)))
+
   /** RFC 9309 robots.txt gate — may `agent` fetch `path` under this
     * host's `robots` text? See [[graft.functions.RobotsAllowed]]; the
     * intended plan broadcast-joins host-grain robots onto the URL

@@ -165,6 +165,33 @@ class ArchiveIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("wat: metadata records carry resolved+normalized outlinks, refers-to links back") {
+    val (url, html) = Ingest.watPage(42L)
+    val resp = Map(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> url,
+      "WARC-Record-ID" -> "<urn:graft:wat:42>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/http;msgtype=response") ->
+      Warc.httpResponse(200, "text/html", utf8(html))
+    val warc = graft.operators.Multimodal.MediaRecord(0L, "fake://w.warc",
+      "application/warc", Warc.writeWarc(Seq(resp)), Map.empty)
+    val wat = Ingest.watArchive(warc, gzipped = false)
+    assert(wat.uri == "fake://w.warc.wat")
+    val recs = Warc.readRecords(wat.content)
+    assert(recs.length == 1 && recs.head.warcType == "metadata")
+    assert(recs.head.targetUri == url)
+    assert(recs.head.headers("warc-refers-to") == "<urn:graft:wat:42>")
+    val json = new String(recs.head.content, "UTF-8")
+    // doc 42 on host src2: links 43, 44.html, (131 on src11), 45?y=2&z=1,
+    // (297 on src17), (53 on src13 https), 46/
+    assert(json == """{"url":"http://src2.invalid/page/42","outlinks":[""" +
+      """"http://src2.invalid/page/43","http://src2.invalid/page/44.html",""" +
+      """"http://src11.invalid/page/131?a=1&b=2","http://src2.invalid/page/45?y=2&z=1",""" +
+      """"http://src17.invalid/page/297","https://src13.invalid/page/53",""" +
+      """"http://src2.invalid/page/46/"]}""")
+  }
+
   test("tar: garbled size field under a valid checksum rejects, never a wrong slice") {
     // '12X45678' must NOT parse as octal prefix 10 — a non-octal byte
     // mid-field is -1, so readEntries' size require fires loudly

@@ -143,6 +143,78 @@ class FlacOggPropertiesSpec extends AnyFunSuite {
       "hand-built Rice2/escape/wasted frame decoded wrong")
   }
 
+  test("flac: wild LPC decode — orders 1/2/4/8/12/32, random coefficients, precisions 1-15, shifts 0-15") {
+    // the engine's own encoder emits only order-2 (32,-16)@shift-4 LPC, so
+    // the general predictor loop (arbitrary quantized coefficients, any
+    // precision code, any shift, orders > 2) is pinned here with hand-built
+    // decode-only frames: residuals are computed BACKWARD from the desired
+    // samples through an independent reimplementation of the predictor, so
+    // decode must reproduce the samples exactly (and pass STREAMINFO-MD5)
+    final class BW {
+      val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var n = 0
+      def bits(v: Long, w: Int): Unit = { var i = w - 1; while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt; n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }; i -= 1 } }
+      def align(): Unit = if (n != 0) bits(0, 8 - n)
+    }
+    val rnd = new scala.util.Random(421)
+    val bs = 64
+    for (order <- Seq(1, 2, 4, 8, 12, 32); trial <- 0 until 3) {
+      val precision = 1 + rnd.nextInt(15) // 1..15 -> precision code 0..14
+      val shift = rnd.nextInt(16) // 0..15 (5-bit non-negative)
+      val coefs = Array.fill(order)(rnd.nextInt(1 << precision) - (1 << (precision - 1)))
+      val samples = Array.fill(bs)(rnd.nextInt(201) - 100)
+      // independent predictor model: res(i) = s(i) - ((sum coef*past) >> shift)
+      val res = new Array[Int](bs)
+      for (i <- order until bs) {
+        var sum = 0L
+        for (j <- 0 until order) sum += coefs(j).toLong * samples(i - 1 - j)
+        res(i) = samples(i) - (sum >> shift).toInt
+      }
+      var rawW = 1
+      for (i <- order until bs) {
+        val v = res(i)
+        while (v < -(1 << (rawW - 1)) || v > (1 << (rawW - 1)) - 1) rawW += 1
+      }
+      require(rawW <= 31)
+      val pcmBytes = new Array[Byte](bs * 2)
+      for (i <- 0 until bs) {
+        pcmBytes(2 * i) = (samples(i) & 0xff).toByte
+        pcmBytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val w = new BW
+      // frame header: mono, 16-bit, bs code 7 (u16), rate from STREAMINFO
+      w.bits(0x3ffe, 14); w.bits(0, 2); w.bits(7, 4); w.bits(0, 4)
+      w.bits(0, 4); w.bits(4, 3); w.bits(0, 1)
+      w.bits(0, 8) // frame number 0
+      w.bits(bs - 1, 16)
+      val headBytes = w.out.toByteArray
+      w.bits(FlacCodec.crc8(headBytes, 0, headBytes.length).toLong, 8)
+      // subframe header: pad 0, 6-bit LPC type 1ooooo (o = order-1), wasted 0
+      w.bits(0, 1); w.bits(32L | (order - 1), 6); w.bits(0, 1)
+      for (i <- 0 until order) w.bits(samples(i).toLong & 0xffff, 16) // warmup
+      w.bits((precision - 1).toLong, 4)
+      w.bits(shift.toLong, 5)
+      for (c <- coefs) w.bits(c.toLong & ((1L << precision) - 1), precision)
+      // residual: method 0 (Rice 4-bit), partition order 0, escape to raw
+      w.bits(0, 2); w.bits(0, 4)
+      w.bits(15, 4); w.bits(rawW.toLong, 5)
+      for (i <- order until bs) w.bits(res(i).toLong & ((1L << rawW) - 1), rawW)
+      w.align()
+      val soFar = w.out.toByteArray
+      w.bits(FlacCodec.crc16(soFar, 0, soFar.length).toLong, 16)
+      val frame = w.out.toByteArray
+      val (si, _) = FlacCodec.encodeParts(pcmBytes, 8000, 1, blockSize = bs)
+      val stream = new java.io.ByteArrayOutputStream()
+      stream.write('f'); stream.write('L'); stream.write('a'); stream.write('C')
+      stream.write(si); stream.write(frame)
+      val dec = FlacCodec.decodeFlac(stream.toByteArray) // STREAMINFO-MD5 verifies
+      assert(java.util.Arrays.equals(dec.pcmLE, pcmBytes),
+        s"wild LPC decode wrong at order=$order precision=$precision shift=$shift trial=$trial")
+    }
+  }
+
   test("flac: FIXED-mode corruption anywhere dies in a require, never wrong PCM") {
     val raw = pcm(17L, 2000, 2)
     val good = FlacCodec.writeFlacFixed(raw, 24000, 2)

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def edges(pairs: (String, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("src_host", "dst_host")
+  }
+
+  test("degrees count the deduped self-loop-free graph") {
+    val e = edges("a" -> "b", "a" -> "b", "a" -> "a", "b" -> "c", "c" -> "a")
+    val got = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = 1)
+      .orderBy("host").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("one iteration matches the integer formula by hand") {
+    // a -> b, a -> c, b -> c : out_deg a=2, b=1
+    // share(a) = (1000000*17 div 20) div 2 = 850000 div 2 = 425000
+    // share(b) = 850000 div 1 = 850000
+    // r1: a = 150000 (no in-links), b = 150000+425000, c = 150000+425000+850000
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    val got = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = 1)
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 150000L), ("b", 575000L), ("c", 1425000L)))
+  }
+
+  test("three iterations: a sink keeps accumulating, a source decays to base") {
+    val e = edges("a" -> "b", "b" -> "a", "c" -> "a") // c is a pure source
+    // hand-compute: r0 = 1e6 each, share = (rank*17 div 20) div out_deg
+    // i1: a = 150000 + 850000(b) + 850000(c) = 1850000; b = 1000000; c = 150000
+    // i2: a = 150000 + 850000(b) + 127500(c) = 1127500
+    //     b = 150000 + 1572500(a) = 1722500; c = 150000
+    // i3: a = 150000 + 1464125(b) + 127500(c) = 1741625
+    //     b = 150000 + 958375(a) = 1108375; c = 150000
+    val byHost = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byHost == Map("a" -> 1741625L, "b" -> 1108375L, "c" -> 150000L))
+  }
+
+  test("hostEdges reduces page links to host grain and drops self-loops") {
+    val sp = spark
+    import sp.implicits._
+    val links = Seq(
+      ("http://a.invalid/p1", "http://b.invalid/x"),
+      ("http://a.invalid/p2", "http://b.invalid/y"), // same host pair -> one edge
+      ("http://a.invalid/p3", "http://a.invalid/z"), // self at host grain
+      ("https://b.invalid/p", "http://a.invalid/w")) // scheme ignored at host grain
+      .toDF("url", "dst")
+    val got = LinkGraph.hostEdges(links, "url", "dst")
+      .orderBy("src_host", "dst_host").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a.invalid", "b.invalid"), ("b.invalid", "a.invalid")))
+  }
+
+  test("iters bounds validate") {
+    intercept[IllegalArgumentException](
+      LinkGraph.rankHosts(edges("a" -> "b"), "src_host", "dst_host", iters = 0))
+  }
+}

@@ -56,6 +56,30 @@ class RedirectsSpec extends AnyFunSuite {
     assert(loose("u0") == (("resolved", Some("u6"), Some(6L))))
   }
 
+  test("early exit: a corpus whose chains all resolve in <= 2 hops pays 2 join rounds") {
+    // every chain terminates within 2 hops; maxHops 8 must NOT cost 8 rounds
+    val df = pages(
+      ("a", true, "b"), ("b", true, "z"), // 2-hop chain
+      ("h", true, "z"), // 1-hop chain
+      ("z", false, null), ("w", false, null))
+    val (result, rounds) = Redirects.resolveWithStats(df, "url", "redir", "loc", maxHops = 8)
+    assert(rounds <= 3, s"expected early exit, ran $rounds join rounds")
+    val got = result.collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("a") == (("resolved", Some("z"), Some(2L))))
+    assert(got("b") == (("resolved", Some("z"), Some(1L))))
+    assert(got("h") == (("resolved", Some("z"), Some(1L))))
+    assert(got("z") == (("final", Some("z"), Some(0L))))
+    assert(got("w") == (("final", Some("w"), Some(0L))))
+    assert(got.size == 5)
+    // and a cycle still costs the full cap (no premature drain)
+    val (_, fullRounds) = Redirects.resolveWithStats(
+      pages(("e", true, "f"), ("f", true, "e"), ("z", false, null)),
+      "url", "redir", "loc", maxHops = 8)
+    assert(fullRounds == 8)
+  }
+
   test("redirect statuses: 3xx-with-Location set, 304 and 2xx excluded") {
     import spark.implicits._
     val got = Seq(200, 301, 302, 303, 304, 307, 308, 404)

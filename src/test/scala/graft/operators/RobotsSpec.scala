@@ -119,4 +119,18 @@ class RobotsSpec extends AnyFunSuite {
       assert(Robots.allowed(t2, "bot", "/a/x") && !Robots.allowed(t2, "bot", "/b/x"))
     }
   }
+
+  test("memo LRU: an un-clustered URL stream parses each robots once, not per row") {
+    // 10 hosts interleaved over 200 rows — the single-entry memo of old
+    // reparsed per row; the LRU must parse each (txt, agent) once
+    val texts = (0 until 10).map(h => s"User-agent: *\nDisallow: /h$h/\n")
+    val before = Robots.parseCount.get()
+    (0 until 200).foreach { i =>
+      val h = i % 10
+      assert(!Robots.allowed(texts(h), "bot", s"/h$h/x"))
+      assert(Robots.allowed(texts(h), "bot", "/open/x"))
+    }
+    val parses = Robots.parseCount.get() - before
+    assert(parses <= 10, s"expected <= 10 parses for 10 interleaved hosts, got $parses")
+  }
 }
