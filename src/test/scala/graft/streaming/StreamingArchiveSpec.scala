@@ -131,4 +131,39 @@ class StreamingArchiveSpec extends AnyFunSuite {
       assert(batch.map(_._3).distinct.sorted.toSeq == Seq("deflate", "store"))
     } finally q.stop()
   }
+
+  test("streaming toWat matches batch byte-for-byte (map-only derivation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val archives = Seq(false, true).zipWithIndex.map { case (gz, aid) =>
+      val recs = (0 until 2).map { i =>
+        val id = aid * 2L + i
+        val (url, html) = Ingest.watPage(id)
+        Map("WARC-Type" -> "response", "WARC-Target-URI" -> url,
+          "WARC-Record-ID" -> s"<urn:t:wat:$id>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z") ->
+          Warc.httpResponse(200, "text/html", html.getBytes("UTF-8"))
+      }
+      Multimodal.MediaRecord(aid.toLong, s"t://$aid.warc", "application/warc",
+        Warc.writeWarc(recs, gzipped = gz), Map.empty)
+    }
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Ingest.toWat(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wat_stream_out").start()
+    try {
+      stream.addData(archives)
+      q.processAllAvailable()
+      val streamed = spark.table("wat_stream_out")
+        .as[Multimodal.MediaRecord].collect().sortBy(_.media_id)
+      val batch = Ingest.toWat(spark.createDataset(archives))
+        .collect().sortBy(_.media_id)
+      assert(streamed.length == 2)
+      streamed.zip(batch).foreach { case (s1, b1) =>
+        assert(s1.uri == b1.uri && s1.uri.endsWith(".wat"))
+        assert(java.util.Arrays.equals(s1.content, b1.content),
+          s"WAT bytes diverge for ${s1.uri}")
+      }
+    } finally q.stop()
+  }
 }
