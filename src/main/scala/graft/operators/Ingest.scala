@@ -198,6 +198,60 @@ object Ingest {
       Warc.writeWarc(conversions, gzipped = gzipped), Map.empty)
   }
 
+  /** Digest index of a crawl's response captures: (url, payload md5,
+    * record id) — what the NEXT crawl joins against to emit `revisit`
+    * records (see [[revisitVerdicts]]). Map-only over the archive scan,
+    * URL-grain rows only; at 100 TB write it bucketed by url so the
+    * cross-crawl join is Exchange-free.
+    */
+  def revisitIndex(archives: Dataset[Multimodal.MediaRecord]): org.apache.spark.sql.DataFrame = {
+    import archives.sparkSession.implicits._
+    archives.flatMap { r =>
+      Warc.readRecords(r.content)
+        .filter(_.warcType == "response")
+        .map { rec =>
+          val (_, _, body) = Warc.parseHttpResponse(rec.content)
+          (rec.targetUri, md5hex(body), rec.recordId)
+        }
+    }.toDF("url", "digest", "record_id")
+  }
+
+  /** Cross-crawl deduplication — WARC `revisit` records (ISO 28500 §6.7.2,
+    * the mechanism Common Crawl dedups re-crawls with): a capture whose
+    * payload digest matches the PREVIOUS crawl's capture of the same URL
+    * is stored as a body-less `revisit` record pointing at the prior
+    * capture (`WARC-Refers-To`), instead of storing the bytes again. On a
+    * monthly 100 TB crawl where most pages don't change, this is the
+    * single biggest storage lever the format has.
+    *
+    * Verdict per current response capture:
+    *   - `revisit`:  url in the prev index, digest UNCHANGED -> store 0
+    *     payload bytes, refers_to = the prior record id
+    *   - `response`: url in the prev index, digest CHANGED -> store fully
+    *   - `new`:      url the previous crawl never captured -> store fully
+    *
+    * Scale shape: ONE url-keyed join of the current captures against the
+    * prev digest index — exactly the sorted-merge Common Crawl's dedup
+    * does; bucket both sides by url (the index writer and the capture
+    * exploder share the grain) and the join is Exchange-free.
+    */
+  def revisitVerdicts(cur: Dataset[WarcCapture],
+      prevIndex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val prev = prevIndex.select(col("url"),
+      col("digest").as("prev_digest"), col("record_id").as("prev_id"))
+    cur.toDF()
+      .filter(col("warc_type") === "response")
+      .select(col("url"), md5(col("body")).as("digest"), col("content_length"))
+      .join(prev, Seq("url"), "left")
+      .select(col("url"),
+        when(col("prev_digest").isNull, lit("new"))
+          .when(col("digest") === col("prev_digest"), lit("revisit"))
+          .otherwise(lit("response")).as("verdict"),
+        when(col("digest") === col("prev_digest"), col("prev_id")).as("refers_to"),
+        when(col("digest") === col("prev_digest"), lit(0L))
+          .otherwise(col("content_length")).as("stored_bytes"))
+  }
+
   /** Derive WAT-style metadata archives from WARC crawl archives — the
     * third Common-Crawl companion format (CDX ✓ index, WET ✓ text, WAT =
     * per-page metadata, here the OUTLINKS). One `metadata` record per HTTP
@@ -341,11 +395,17 @@ object Ingest {
     * gunzip path too.
     */
   def warcArchivesFromDocuments(spark: SparkSession, dir: String,
-      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+      docsPerArchive: Int = 16, bodyV2Every: Long = 0): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        // bodyV2Every > 0 builds the NEXT crawl epoch: every such doc's
+        // body is amended, so its digest changes vs the prior epoch
+        if (bodyV2Every > 0 && id % bodyV2Every == 0) (id, source, text + " v2")
+        else (id, source, text)
+      }
       .groupByKey(_._1 / docsPerArchive)
       .mapGroups { (aid, it) =>
         val docs = it.toSeq.sortBy(_._1)

@@ -165,6 +165,40 @@ class ArchiveIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("revisit: unchanged payloads dedup against the prior crawl's digest index") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      def crawl(suffixFor: Long => String): graft.operators.Multimodal.MediaRecord = {
+        val recs = (0L until 4L).map { id =>
+          Map("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://h.invalid/p/$id",
+            "WARC-Record-ID" -> s"<urn:t:rv:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "text/plain", s"body $id${suffixFor(id)}".getBytes("UTF-8"))
+        }
+        graft.operators.Multimodal.MediaRecord(0L, "t://rv.warc", "application/warc",
+          Warc.writeWarc(recs), Map.empty)
+      }
+      val prev = spark.createDataset(Seq(crawl(_ => "")))
+      // epoch B: doc 1 changed; doc 3 dropped from the index (never crawled)
+      val idx = Ingest.revisitIndex(prev)
+        .filter(org.apache.spark.sql.functions.col("url") =!= "http://h.invalid/p/3")
+      val cur = Ingest.ingestWarc(spark.createDataset(Seq(
+        crawl(id => if (id == 1) " CHANGED" else ""))))
+      val got = Ingest.revisitVerdicts(cur, idx).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)), r.getLong(3))))
+        .toMap
+      assert(got("http://h.invalid/p/0") == (("revisit", Some("<urn:t:rv:0>"), 0L)))
+      assert(got("http://h.invalid/p/2") == (("revisit", Some("<urn:t:rv:2>"), 0L)))
+      assert(got("http://h.invalid/p/1") == (("response", None, "body 1 CHANGED".length.toLong)))
+      assert(got("http://h.invalid/p/3") == (("new", None, "body 3".length.toLong)))
+    } finally spark.stop()
+  }
+
   test("wat: metadata records carry resolved+normalized outlinks, refers-to links back") {
     val (url, html) = Ingest.watPage(42L)
     val resp = Map(

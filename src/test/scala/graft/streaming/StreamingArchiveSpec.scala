@@ -132,6 +132,41 @@ class StreamingArchiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming revisit verdicts match batch (stream-static digest join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def crawl(changed: Boolean): Multimodal.MediaRecord = {
+      val recs = (0L until 3L).map { id =>
+        Map("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://h.invalid/s/$id",
+          "WARC-Record-ID" -> s"<urn:t:srv:$id>") ->
+          Warc.httpResponse(200, "text/plain",
+            (s"body $id" + (if (changed && id == 1) " v2" else "")).getBytes("UTF-8"))
+      }
+      Multimodal.MediaRecord(0L, "t://srv.warc", "application/warc",
+        Warc.writeWarc(recs), Map.empty)
+    }
+    val idx = Ingest.revisitIndex(spark.createDataset(Seq(crawl(changed = false))))
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Ingest.revisitVerdicts(Ingest.ingestWarc(stream.toDS()), idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("revisit_stream_out").start()
+    try {
+      stream.addData(Seq(crawl(changed = true)))
+      q.processAllAvailable()
+      val streamed = spark.table("revisit_stream_out").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val batch = Ingest.revisitVerdicts(
+        Ingest.ingestWarc(spark.createDataset(Seq(crawl(changed = true)))), idx)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(
+        "http://h.invalid/s/0" -> "revisit",
+        "http://h.invalid/s/1" -> "response",
+        "http://h.invalid/s/2" -> "revisit"))
+    } finally q.stop()
+  }
+
   test("streaming toWat matches batch byte-for-byte (map-only derivation)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
