@@ -3859,6 +3859,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // recrawl-rate estimation (Cho & Garcia-Molina): four consecutive
+    // re-crawl epochs run through the REAL revisit machinery (epoch e's
+    // captures vs epoch e-1's digest index), verdicts unioned, change
+    // frequency + integer recrawl interval per url. The corpus rule —
+    // a doc mutates at epoch e iff (doc_id + e) % 3 == 0 — makes every
+    // count/permille/interval DuckDB arithmetic: docs with doc_id%3==2
+    // change twice (e=1,4), the rest once.
+    "tx_recrawl_rate" -> ((s, dir) => {
+      val ing = graft.operators.Ingest
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      val verdicts = (1 to 4).map { e =>
+        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
+            ing.revisitIndex(epochs(e - 1)))
+          .select(col("url"), col("verdict"))
+      }.reduce(_ unionByName _)
+      ing.changeRate(verdicts, epochs = 4)
+        .withColumn("doc_id", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+        .select(col("doc_id"), col("changed_count"),
+          col("change_permille"), col("interval_days"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the FRONTIER-GROWTH capstone — the seam the r8 verdict said was
     // missing now closed end-to-end: outlinks DISCOVER urls (the real
     // extractor over the crawl pages), an anti-join against the crawl's
@@ -6405,6 +6427,14 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 7,
         |    'http://src' || k || '.invalid/page/' || (doc_id + 4) || '/' FROM d
         |) ORDER BY doc_id, position""".stripMargin,
+    // change counts from the mutation rule: e in 1..4 with (d+e)%3==0 —
+    // two epochs for d%3==2 (e=1,4), one otherwise
+    "tx_recrawl_rate" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS changed_count,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 500 ELSE 250 END AS BIGINT) AS change_permille,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 14 END AS BIGINT) AS interval_days
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // revisit verdicts replayed from the epoch rules: %5==4 never in the
     // prev index -> new; %3==0 amended body (+3 bytes) -> response; else
     // unchanged -> revisit with 0 stored bytes and the prior record id

@@ -216,6 +216,58 @@ object Ingest {
     }.toDF("url", "digest", "record_id")
   }
 
+  /** Change-rate estimation from revisit history — the recrawl-priority
+    * input (Cho & Garcia-Molina '03: pages change at wildly different
+    * rates, and a fixed recrawl interval wastes most of a crawl's fetch
+    * budget on static pages while letting news go stale). Input: the
+    * UNION of per-epoch [[revisitVerdicts]] outputs (url, verdict) over
+    * `epochs` consecutive re-crawls. Per url:
+    *
+    *   - `changed_count`: epochs whose digest differed (`response`)
+    *   - `change_permille`: changed_count * 1000 div epochs — integer,
+    *     engine-portable
+    *   - `interval_days`: 28 div (changed_count + 1) — the demo policy
+    *     (monthly budget split by observed volatility); callers map
+    *     permille to their own schedule
+    *
+    * Host-grain politeness stays the scheduler's job (`tx_fetch_schedule`);
+    * this produces the per-URL priority signal it orders by. One
+    * url-grain aggregate — the verdict tables are tiny relative to the
+    * crawls they summarize (no bodies, no digests).
+    */
+  def changeRate(verdicts: org.apache.spark.sql.DataFrame,
+      epochs: Int): org.apache.spark.sql.DataFrame = {
+    require(epochs >= 1, s"changeRate: epochs >= 1, got $epochs")
+    verdicts
+      .groupBy(col("url"))
+      .agg(sum(when(col("verdict") === "response", 1L).otherwise(0L)).as("changed_count"))
+      .select(col("url"), col("changed_count"),
+        expr(s"changed_count * 1000 div $epochs").as("change_permille"),
+        expr("28 div (changed_count + 1)").as("interval_days"))
+  }
+
+  /** Demo corpus for the recrawl loop: epoch `e` of the same site, where a
+    * page's body mutates AT epoch e iff (doc_id + e) % 3 == 0 — so across
+    * epochs 1..4 a doc with doc_id%3==2 changes twice (e=1,4) and the
+    * rest change once. The body carries the cumulative change count, so
+    * consecutive epochs differ exactly when the rule says.
+    */
+  def recrawlArchives(spark: SparkSession, dir: String, epoch: Int,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        val changes = (1 to epoch).count(e => (id + e) % 3 == 0)
+        (id, source, s"$text|$changes")
+      }
+      .groupByKey(_._1 / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        warcFromDocs(aid, it.toSeq.sortBy(_._1), gzipped = false)
+      }
+  }
+
   /** Cross-crawl deduplication — WARC `revisit` records (ISO 28500 §6.7.2,
     * the mechanism Common Crawl dedups re-crawls with): a capture whose
     * payload digest matches the PREVIOUS crawl's capture of the same URL
@@ -408,39 +460,46 @@ object Ingest {
       }
       .groupByKey(_._1 / docsPerArchive)
       .mapGroups { (aid, it) =>
-        val docs = it.toSeq.sortBy(_._1)
-        val info = Map(
-          "WARC-Type" -> "warcinfo",
-          "WARC-Record-ID" -> s"<urn:graft:warcinfo:$aid>",
-          "WARC-Date" -> "2026-01-01T00:00:00Z",
-          "Content-Type" -> "application/warc-fields") ->
-          "software: graft-ingest/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val recs = info +: docs.flatMap { case (id, source, text) =>
-          val url = s"http://corpus.invalid/$source/$id"
-          val status = if (id % 17 == 0) 404 else 200
-          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          Seq(
-            Map(
-              "WARC-Type" -> "request",
-              "WARC-Target-URI" -> url,
-              "WARC-Record-ID" -> s"<urn:graft:req:$id>",
-              "WARC-Date" -> "2026-01-01T00:00:00Z",
-              "Content-Type" -> "application/http;msgtype=request") ->
-              s"GET /$source/$id HTTP/1.1\r\nHost: corpus.invalid\r\n\r\n"
-                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
-            Map(
-              "WARC-Type" -> "response",
-              "WARC-Target-URI" -> url,
-              "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
-              "WARC-Date" -> "2026-01-01T00:00:00Z",
-              "Content-Type" -> "application/http;msgtype=response") ->
-              Warc.httpResponse(status, "text/html", body))
-        }
-        val gz = aid % 2 == 1
-        Multimodal.MediaRecord(aid,
-          s"fake://warc/$aid.warc" + (if (gz) ".gz" else ""),
-          "application/warc", Warc.writeWarc(recs, gzipped = gz), Map.empty)
+        warcFromDocs(aid, it.toSeq.sortBy(_._1), gzipped = aid % 2 == 1)
       }
+  }
+
+  /** The shared per-archive construction behind the WARC demo corpora:
+    * warcinfo header record + one request/response capture pair per doc
+    * (status 404 iff doc_id % 17 == 0, else 200).
+    */
+  private def warcFromDocs(aid: Long, docs: Seq[(Long, String, String)],
+      gzipped: Boolean): Multimodal.MediaRecord = {
+    val info = Map(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:warcinfo:$aid>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields") ->
+      "software: graft-ingest/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val recs = info +: docs.flatMap { case (id, source, text) =>
+      val url = s"http://corpus.invalid/$source/$id"
+      val status = if (id % 17 == 0) 404 else 200
+      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Seq(
+        Map(
+          "WARC-Type" -> "request",
+          "WARC-Target-URI" -> url,
+          "WARC-Record-ID" -> s"<urn:graft:req:$id>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/http;msgtype=request") ->
+          s"GET /$source/$id HTTP/1.1\r\nHost: corpus.invalid\r\n\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        Map(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> url,
+          "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/http;msgtype=response") ->
+          Warc.httpResponse(status, "text/html", body))
+    }
+    Multimodal.MediaRecord(aid,
+      s"fake://warc/$aid.warc" + (if (gzipped) ".gz" else ""),
+      "application/warc", Warc.writeWarc(recs, gzipped = gzipped), Map.empty)
   }
 
   /** Demo tar corpus: same 16-docs-per-archive grouping, one regular-file

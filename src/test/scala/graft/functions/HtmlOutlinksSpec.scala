@@ -127,6 +127,25 @@ class HtmlOutlinksSpec extends AnyFunSuite {
     assert(HtmlOutlinks.extract("<" * 100000, pageBase) == Seq.empty)
   }
 
+  test("fuzz: resolve and extract are total on hostile junk (never throw, always terminate)") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "<>\"'=&#;/?:.%abAB09 \t\n-_@[]{}()!$+,~`|\\^*é中"
+    def junk(n: Int): String =
+      (0 until n).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 0 until 2000) {
+      val s = junk(rnd.nextInt(200))
+      val b = junk(rnd.nextInt(40))
+      // total functions: any byte soup parses by the syntax rules
+      UrlResolve.resolve(b, s)
+      UrlResolve.resolve("http://h.invalid/a/b?q", s)
+      val links = HtmlOutlinks.extract(s, "http://h.invalid/a/")
+      links.foreach(l => assert(l.startsWith("http://") || l.startsWith("https://")))
+    }
+    // resolution against junk bases is total too
+    assert(UrlResolve.resolve("", "x") == "x")
+    assert(UrlResolve.resolve("not a url at all", "y.html") == "y.html")
+  }
+
   test("SQL surface: html_outlinks and url_resolve registered") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
