@@ -23,6 +23,7 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+
   /** `events.ts` has shipped in two encodings across testdata generations:
     * parquet `timestamp[us]` (current — reads directly as a Spark timestamp)
     * and nanosecond-precision int64 (older — only readable via the
@@ -3954,6 +3955,145 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // anchor-text index over the WAT corpus: the REAL extractor pulls
+    // (target, anchor text) pairs out of every page, targets normalize to
+    // canonical URLs, and the host-grain aggregate is what other pages
+    // CALL each host — the classic web-corpus relevance signal a plain
+    // outlink edge list cannot provide. Every count and the sorted
+    // distinct-label join are doc_id arithmetic (per-position labels are
+    // constant). Scale shape: map-only extract, rows carry URLs + short
+    // labels only (text capped at 256 cp), ONE host-grain aggregate.
+    "tx_anchor_text" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      pages
+        .select(explode(graft.operators.TextAnalysis.htmlAnchors(
+          col("html"), col("url"))).as("a"))
+        .select(graft.operators.TextAnalysis.urlNormalize(col("a.url")).as("dst"),
+          col("a.text").as("text"))
+        .withColumn("host", parse_url(col("dst"), lit("HOST")))
+        .groupBy(col("host"))
+        // n_texts from the collected set, NOT countDistinct: one
+        // aggregation pass / one exchange instead of the two-phase
+        // distinct expansion
+        .agg(count(lit(1)).as("n_links"),
+          array_sort(collect_set(col("text"))).as("_texts"))
+        .select(col("host"), col("n_links"),
+          size(col("_texts")).cast("long").as("n_texts"),
+          array_join(col("_texts"), "|").as("texts"))
+        .orderBy(col("host"))
+    }),
+
+    // jusText-style boilerplate removal: html_blocks segments + measures,
+    // the POLICY (link-density bad / length short / neighbor smoothing /
+    // newline-joined main text) is declarative SQL in extractMainText —
+    // so the DuckDB oracle replays classification AND the exact extracted
+    // text. Pages: 6 blocks per doc — two all-link nav DIVs (bad), two
+    // headings (short, promoted good by their good neighbor), two long
+    // paragraphs of k = 20 + id%7 words (good; the first has one linked
+    // word to exercise sub-threshold link density). Scale shape: map-only
+    // segmentation, ONE hash exchange on doc_id shared by the smoothing
+    // window and the reassembly aggregate.
+    "tx_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Ingest.boilerplatePage(id)))
+        .toDF("doc_id", "html")
+      graft.operators.TextAnalysis.extractMainText(pages, "html", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the frontier-growth anti-join at its 100 TB shape: the same
+    // discovery stream as tx_frontier_growth, but the known-set check
+    // routes through a Bloom prune — bloom-negative URLs (the bulk:
+    // genuinely new) pass MAP-ONLY without shuffling, and only the
+    // bloom-positive sliver pays the exact left_anti join. The result is
+    // row-for-row the exact anti-join (the oracle proves it: same
+    // arithmetic as tx_frontier_growth's n_new), the Bloom only routes.
+    "tx_frontier_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val discovered = pages
+        .select(explode(graft.operators.TextAnalysis.htmlOutlinks(
+          col("html"), col("url"))).as("raw"))
+        .select(graft.operators.TextAnalysis.urlNormalize(col("raw")).as("url"))
+        .distinct()
+      val known = t(s, dir, "documents")
+        .select(concat(lit("http://src"), col("doc_id") % 20,
+          lit(".invalid/page/"), col("doc_id")).as("url"))
+      graft.operators.BloomTools
+        .prunedAntiJoin(discovered, "url", known, "url",
+          expectedItems = 1 << 17, fpp = 0.01)
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_new"))
+        .orderBy(col("host"))
+    }),
+
+    // the crawl→training-text capstone: WARC archives (bodies in three
+    // wire encodings: BOM'd UTF-8 / declared ISO-8859-1 / bare UTF-8,
+    // each carrying a non-ASCII 'café' the decoder must get right) →
+    // charset decode → jusText boilerplate removal → whitespace token
+    // count. Every stage's output is doc_id arithmetic: charset from
+    // id%3, block verdicts and the reassembled main text from the
+    // boilerplate rules, tokens = 2k+7. The decode verdict rides the
+    // aggregation key (url|charset|clean), so the composition stays on
+    // extractMainText's single doc-grain exchange — no metadata re-join.
+    "tx_warc_maintext" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val pages = ing.ingestWarc(ing.boilerplateArchives(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("http_content_type").as("ct"), col("body"))
+        .as[(String, String, Array[Byte])]
+        .map { case (url, ct, body) =>
+          val d = graft.operators.Charsets.decode(body, ct)
+          (url + "|" + d.charset + "|" + d.clean, d.text)
+        }.toDF("_key", "html")
+      graft.operators.TextAnalysis.extractMainText(pages, "html", "_key")
+        .select(
+          regexp_extract(col("_key"), "/doc/(\\d+)\\|", 1).cast("long").as("doc_id"),
+          regexp_extract(col("_key"), "\\|([^|]+)\\|", 1).as("charset"),
+          (regexp_extract(col("_key"), "([^|]+)$", 1) === "true").as("clean"),
+          col("n_blocks"), col("n_good_final"), col("main_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("main_text"))
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // from seed RANKING to crawl PLAN: the host ranks (3 integer
+    // iterations, as tx_link_rank) apportion a 10,000-page fetch budget —
+    // exact largest-remainder across arithmetic shards (k % 4), exact
+    // cumulative-rounding within each shard, sum(alloc) == 10000 to the
+    // page. Every division is integer, so DuckDB replays the whole plan:
+    // rank iterations AND both apportionment levels. Scale shape: the
+    // only unpartitioned window runs over nShards rows (bounded by
+    // construction); the host-grain pass is one shard-partitioned window.
+    "tx_crawl_budget" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      val ranked = graft.operators.LinkGraph
+        .rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .withColumn("shard",
+          regexp_extract(col("host"), "src(\\d+)", 1).cast("long") % 4)
+        .select(col("host"), col("shard"), col("rank"))
+      graft.operators.LinkGraph
+        .allocateBudget(ranked, "host", "rank", "shard", total = 10000L)
+        .orderBy(col("host"))
+    }),
+
     // deterministic epoch shuffle: every epoch visits the corpus in a
     // different pseudorandom order that is a BIJECTION (two
     // multiplicative rounds mod the Mersenne prime 2^31-1) and pure
@@ -6513,6 +6653,120 @@ object SparkEntry {
         |  LEFT JOIN idg ON idg.dst = n.host
         |  JOIN r3 ON r3.host = n.host
         |ORDER BY n.host""".stripMargin,
+    // the anchor labels are constant per link position; hosts follow the
+    // watPage cross-host arithmetic — the per-host label set and counts
+    // replay from doc_id alone
+    "tx_anchor_text" ->
+      """WITH d AS (SELECT doc_id AS d, doc_id % 20 AS k FROM documents),
+        |links AS (
+        |  SELECT k AS h, 'next' AS txt FROM d
+        |  UNION ALL SELECT k, 'sibling' FROM d
+        |  UNION ALL SELECT (3 * d + 5) % 20, 'cross one' FROM d
+        |  UNION ALL SELECT k, 'unquoted' FROM d
+        |  UNION ALL SELECT (7 * d + 3) % 20, 'cross two' FROM d
+        |  UNION ALL SELECT (d + 11) % 20, 'cross three' FROM d
+        |  UNION ALL SELECT k, 'dots' FROM d),
+        |agg1 AS (SELECT h, COUNT(*) AS n_links FROM links GROUP BY h),
+        |agg2 AS (SELECT h, COUNT(*) AS n_texts,
+        |           string_agg(txt, '|' ORDER BY txt) AS texts
+        |         FROM (SELECT DISTINCT h, txt FROM links) GROUP BY h)
+        |SELECT 'src' || h || '.invalid' AS host, n_links, n_texts, texts
+        |FROM agg1 JOIN agg2 USING (h) ORDER BY host""".stripMargin,
+    // six blocks per page, all measurements doc_id arithmetic: nav divs
+    // bad (link density 866/1000), headings short then promoted by their
+    // good paragraph neighbor, k-word paragraphs good — the oracle
+    // rebuilds the EXACT extracted text, not just the counts
+    "tx_boilerplate" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 7 AS k FROM documents)
+        |SELECT doc_id,
+        |  CAST(6 AS BIGINT) AS n_blocks,
+        |  CAST(2 AS BIGINT) AS n_good_ctx,
+        |  CAST(2 AS BIGINT) AS n_short_ctx,
+        |  CAST(2 AS BIGINT) AS n_bad_ctx,
+        |  CAST(4 AS BIGINT) AS n_good_final,
+        |  CAST(2 * strlen('hdr ' || doc_id) + 4 + 2 * (6 * k - 1) AS BIGINT)
+        |    AS main_chars,
+        |  'hdr ' || doc_id || ' 1' || chr(10) || trim(repeat('lorem ', k)) ||
+        |    chr(10) || 'hdr ' || doc_id || ' 4' || chr(10) ||
+        |    trim(repeat('ipsum ', k)) AS main_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the Bloom prune must not change the exact anti-join: n_new per host
+    // is the same arithmetic as tx_frontier_growth's (only the bare pos-5
+    // cross link can hit the known set)
+    "tx_frontier_bloom" ->
+      """WITH d AS (SELECT doc_id AS d, doc_id % 20 AS k FROM documents),
+        |links AS (
+        |  SELECT k AS h, FALSE AS known FROM d
+        |  UNION ALL SELECT k, FALSE FROM d
+        |  UNION ALL SELECT (3 * d + 5) % 20, FALSE FROM d
+        |  UNION ALL SELECT k, FALSE FROM d
+        |  UNION ALL SELECT (7 * d + 3) % 20,
+        |    7 * d + 3 IN (SELECT doc_id FROM documents) FROM d
+        |  UNION ALL SELECT (d + 11) % 20, FALSE FROM d
+        |  UNION ALL SELECT k, FALSE FROM d)
+        |SELECT 'src' || h || '.invalid' AS host, COUNT(*) AS n_new
+        |FROM links WHERE NOT known GROUP BY h ORDER BY host""".stripMargin,
+    // the capstone replayed end-to-end from doc_id: charset from the
+    // id%3 wire encoding (every variant decodes clean), boilerplate
+    // verdicts from the block rules (h1 carries ' café': +5 chars, +1
+    // token), tokens = words of the four kept blocks
+    "tx_warc_maintext" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 7 AS k FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |  TRUE AS clean,
+        |  CAST(6 AS BIGINT) AS n_blocks,
+        |  CAST(4 AS BIGINT) AS n_good_final,
+        |  CAST(2 * strlen('hdr ' || doc_id) + 9 + 2 * (6 * k - 1) AS BIGINT)
+        |    AS main_chars,
+        |  CAST(2 * k + 7 AS BIGINT) AS n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the tx_link_rank iteration replay feeding the two-level integer
+    // apportionment: largest remainder across shards (k % 4), cumulative
+    // rounding within — DuckDB's // and Spark's div agree on positives
+    "tx_crawl_budget" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
+        |e AS (SELECT 'src' || s || '.invalid' AS src,
+        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.host = n.host),
+        |ranked AS (SELECT host, rank,
+        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
+        |  FROM r3),
+        |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
+        |       FROM ranked GROUP BY shard),
+        |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
+        |sb AS (SELECT shard, ws, 10000 * ws // w AS base,
+        |         (10000 * ws) % w AS rem FROM sw, g),
+        |lo AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS leftover FROM sb),
+        |rkd AS (SELECT shard, ws, base +
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+        |      <= leftover THEN 1 ELSE 0 END AS bs
+        |  FROM sb, lo),
+        |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
+        |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
+        |      ORDER BY ranked.host) AS BIGINT) AS cw
+        |  FROM ranked JOIN rkd USING (shard))
+        |SELECT host, shard, rank,
+        |  CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
+        |FROM cum ORDER BY host""".stripMargin,
     // both epochs' ranks replayed verbatim: two multiplicative rounds mod
     // 2^31-1 over the epoch-salted doc_id; shard = rank // width
     "tx_epoch_shuffle" ->

@@ -444,6 +444,12 @@ object GraftFunctions {
     // html_outlinks(html, base_url): <a href> targets resolved to absolute
     // http/https URIs in document order — the frontier-growth extractor
     "html_outlinks" -> ((args: Seq[Expression]) => HtmlOutlinks(args(0), args(1))),
+    // html_anchors(html, base_url): the same targets WITH anchor text —
+    // the anchor-text-index extractor
+    "html_anchors" -> ((args: Seq[Expression]) => HtmlAnchors(args(0), args(1))),
+    // html_blocks(html): jusText-style block segmentation + link-density
+    // measurement; classification stays declarative SQL
+    "html_blocks" -> ((args: Seq[Expression]) => HtmlBlocks(args.head)),
     // robots_allowed(robots_txt, agent, path): RFC 9309 fetch gate
     "robots_allowed" ->
       ((args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))),

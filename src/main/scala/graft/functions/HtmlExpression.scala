@@ -93,7 +93,7 @@ object HtmlToText {
     -1
   }
 
-  private def isCloseName(s: String, i: Int, name: String): Boolean = {
+  private[functions] def isCloseName(s: String, i: Int, name: String): Boolean = {
     if (i + name.length > s.length) return false
     var k = 0
     while (k < name.length) {

@@ -115,7 +115,7 @@ object HtmlOutlinks {
     out.toSeq
   }
 
-  private def skipElement(s: String, from: Int, name: String): Int = {
+  private[functions] def skipElement(s: String, from: Int, name: String): Int = {
     val n = s.length
     val gt = s.indexOf('>', from)
     if (gt < 0) n
@@ -130,7 +130,7 @@ object HtmlOutlinks {
     * unquoted to whitespace; '/' between attributes is skipped (self-close
     * slashes, XHTML).
     */
-  private def findHref(s: String, from: Int, end: Int): String = {
+  private[functions] def findHref(s: String, from: Int, end: Int): String = {
     var i = from
     while (i < end) {
       val c = s.charAt(i)
@@ -166,7 +166,7 @@ object HtmlOutlinks {
   /** Entity-decode, drop TAB/CR/LF anywhere, trim C0/space both ends —
     * the WHATWG URL pre-parse cleanup on attribute values.
     */
-  private def clean(raw: String): String = {
+  private[functions] def clean(raw: String): String = {
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     val n = raw.length
@@ -189,7 +189,7 @@ object HtmlOutlinks {
   }
 
   /** null when the link is not a fetchable http/https target. */
-  private def cleanResolve(raw: String, base: String): String = {
+  private[functions] def cleanResolve(raw: String, base: String): String = {
     val v = clean(raw)
     if (v.isEmpty || v.charAt(0) == '#') return null
     val abs = UrlResolve.resolve(base, v)

@@ -39,4 +39,36 @@ object BloomTools {
       refCol, expectedItems, fpp)
     big.filter(!mightContain(col(bigCol), filter))
   }
+
+  /** EXACT anti-join with a Bloom prune — the 100 TB shape of "keep only
+    * URLs the crawl has never seen" when the answer must be exact, not
+    * [[filterUnseen]]'s approximation:
+    *
+    *  1. Bloom-NEGATIVE rows are definitely new — they pass map-only,
+    *     never shuffling (at a frontier-growth ratio of mostly-new URLs
+    *     this is the bulk of the stream).
+    *  2. Bloom-POSITIVE rows (true duplicates + the fpp sliver of false
+    *     positives) go through the exact `left_anti` join — only this
+    *     fraction pays the shuffle.
+    *
+    * Result == `big.join(reference, key, "left_anti")` row-for-row; the
+    * Bloom only routes. The `big` lineage is read twice (once per branch),
+    * but both reads are key-column-pruned map scans — at 100 TB two pruned
+    * scans beat shuffling the full stream, and a persisted/checkpointed
+    * `big` collapses them to one. (Spark's own `InjectRuntimeFilter` does
+    * this for selective inner equi-joins; anti-joins against a giant
+    * seen-set need it spelled out.)
+    */
+  def prunedAntiJoin(
+      big: DataFrame, bigCol: String,
+      reference: DataFrame, refCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val filter = buildFilter(reference.select(col(refCol).cast("string").as(refCol)),
+      refCol, expectedItems, fpp)
+    val definitelyNew = big.filter(!mightContain(col(bigCol), filter))
+    val maybeSeen = big.filter(mightContain(col(bigCol), filter))
+    val confirmedNew = maybeSeen.join(
+      reference.select(col(refCol).as(bigCol)), Seq(bigCol), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
 }

@@ -385,6 +385,70 @@ object Ingest {
     * and the DROPPED ones: a commented-out link, a fragment-only ref, a
     * `mailto:`, a `javascript:`, and a link inside a `<script>` body.
     */
+  /** Demo page for the boilerplate family (`tx_boilerplate`,
+    * `tx_warc_maintext`): six blocks whose jusText measurements are all
+    * doc_id arithmetic — two all-link nav divs (bad), two headings
+    * (short; promoted by a good neighbor), two k-word paragraphs (good;
+    * k = 20 + id%7, the first with one linked word to exercise
+    * sub-threshold link density). The comment and script bodies must
+    * vanish without producing blocks.
+    */
+  def boilerplatePage(id: Long): String = {
+    val k = (20 + id % 7).toInt
+    val lorem = ("lorem " * k).trim
+    val ipsum = ("ipsum " * k).trim
+    s"""<html><body>
+       |<!-- <p>comment ignored</p> -->
+       |<div><a href="/m0">menu</a> <a href="/m1">links</a> <a href="/m2">here</a></div>
+       |<h1>hdr $id 1</h1>
+       |<p><a href="/x">lorem</a> ${lorem.substring(6)}</p>
+       |<div><a href="/m3">more</a> <a href="/m4">menu</a> <a href="/m5">links</a></div>
+       |<h2>hdr $id 4</h2>
+       |<p>$ipsum</p>
+       |<script>var a = "<p>never</p>";</script>
+       |</body></html>""".stripMargin
+  }
+
+  /** Demo WARC corpus for the crawl→training-text capstone: one response
+    * per document whose body is [[boilerplatePage]] with ` café` appended
+    * to the h1 (a non-ASCII code point the charset stage must decode
+    * correctly), encoded per doc_id % 3 — 0: UTF-8 with BOM, 1:
+    * ISO-8859-1 with a declared `charset=` (é is the single byte 0xE9 —
+    * a UTF-8 misread would mangle it), 2: bare UTF-8. Odd archives
+    * per-record-gzipped like the main corpus.
+    */
+  def boilerplateArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val url = s"http://src${id % 20}.invalid/doc/$id"
+          val html = boilerplatePage(id).replace("</h1>", " café</h1>")
+          val (body, ct) = (id % 3) match {
+            case 0 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "text/html")
+            case 1 => (html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              "text/html; charset=ISO-8859-1")
+            case _ => (html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              "text/html")
+          }
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> url,
+            "WARC-Record-ID" -> s"<urn:graft:bp:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, ct, body)
+        }
+        Multimodal.MediaRecord(aid, s"fake://bp/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
   def watPage(id: Long): (String, String) = {
     val k = id % 20
     val url = s"http://src$k.invalid/page/$id"

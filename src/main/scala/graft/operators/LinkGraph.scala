@@ -96,4 +96,63 @@ object LinkGraph {
       .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
         col("src_host") =!= col("dst_host"))
       .distinct()
+
+  /** Allocate an integer fetch budget of exactly `total` pages across hosts
+    * proportionally to a weight column (typically [[rankHosts]]'s rank) —
+    * the step that turns a seed RANKING into a crawl PLAN. Deterministic,
+    * pure integer arithmetic, and `sum(alloc) == total` exactly, so the
+    * plan is replayable by any SQL engine and auditable to the page.
+    *
+    * Two-level apportionment, shaped for a ~10^8-host table:
+    *
+    *  1. ACROSS SHARDS (caller-provided `shardCol`, any deterministic
+    *     host->shard map; hash at scale, arithmetic in oracles): per-shard
+    *     weight sums reduce the problem to `nShards` rows, which get exact
+    *     largest-remainder (Hamilton) apportionment — base `total*W_s div
+    *     W`, the `total - sum(base)` leftover going to the largest
+    *     `(total*W_s) mod W` remainders (ties by shard asc). The only
+    *     unpartitioned window runs over these nShards rows — bounded by
+    *     construction, never by data.
+    *  2. WITHIN EACH SHARD (window partitioned by shard, hosts ordered
+    *     asc): cumulative-rounding — `alloc_i = B_s*cum_i div W_s -
+    *     B_s*cum_(i-1) div W_s`. The telescoping sum is exactly B_s, and
+    *     every host gets the floor or ceiling of its proportional share.
+    *
+    * Zero-weight hosts (and whole zero-weight shards) allocate 0.
+    * Overflow bound: `total * weight` must fit a long — with ranks scaled
+    * to ~10^6 that allows budgets to ~10^12 pages, document-scale safe.
+    *
+    * Returns (hostCol, shardCol, weightCol, alloc).
+    */
+  def allocateBudget(hosts: DataFrame, hostCol: String, weightCol: String,
+      shardCol: String, total: Long): DataFrame = {
+    require(total >= 0, s"allocateBudget: total must be >= 0, got $total")
+    val w = org.apache.spark.sql.expressions.Window
+    val shardW = hosts
+      .groupBy(col(shardCol))
+      .agg(sum(col(weightCol)).as("_ws"))
+    val grand = shardW.agg(sum(col("_ws")).as("_w")) // single row
+    val shardBudget = shardW
+      .crossJoin(broadcast(grand)) // single-row stat join
+      .withColumn("_base", expr(s"$total * _ws div _w"))
+      .withColumn("_rem", expr(s"($total * _ws) % _w"))
+      .withColumn("_leftover", lit(total) - sum(col("_base")).over(w.partitionBy()))
+      // bounded window: nShards rows by construction, never data-sized
+      .withColumn("_pos", row_number().over(
+        w.orderBy(col("_rem").desc, col(shardCol).asc)))
+      .select(col(shardCol),
+        when(col("_ws") === 0, lit(0L))
+          .otherwise(col("_base") +
+            when(col("_pos") <= col("_leftover"), 1L).otherwise(0L)).as("_bs"),
+        col("_ws"))
+    val perShard = w.partitionBy(col(shardCol)).orderBy(col(hostCol))
+    hosts
+      .join(broadcast(shardBudget), Seq(shardCol))
+      .withColumn("_cum", sum(col(weightCol)).over(perShard))
+      .withColumn("alloc",
+        when(col("_ws") === 0, lit(0L)).otherwise(
+          expr("_bs * _cum div _ws") -
+            expr(s"_bs * (_cum - `$weightCol`) div _ws")))
+      .select(col(hostCol), col(shardCol), col(weightCol), col("alloc"))
+  }
 }

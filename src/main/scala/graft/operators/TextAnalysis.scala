@@ -180,6 +180,87 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.GraftShims.expression(html),
         org.apache.spark.sql.graftshim.GraftShims.expression(baseUrl)))
 
+  /** `<a href>` targets WITH their anchor text, resolved like
+    * [[htmlOutlinks]] — the input of an anchor-text index (what other
+    * pages call a URL). See [[graft.functions.HtmlAnchors]] for the rules.
+    */
+  def htmlAnchors(html: Column, baseUrl: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HtmlAnchors(
+        org.apache.spark.sql.graftshim.GraftShims.expression(html),
+        org.apache.spark.sql.graftshim.GraftShims.expression(baseUrl)))
+
+  /** Block segmentation of an HTML capture — the measurement half of
+    * jusText-style boilerplate removal. See [[graft.functions.HtmlBlocks]]
+    * for the segmentation rules and [[extractMainText]] for the policy.
+    */
+  def htmlBlocks(html: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HtmlBlocks(
+        org.apache.spark.sql.graftshim.GraftShims.expression(html)))
+
+  /** jusText-style boilerplate removal (Pomikálek 2011, the algorithm
+    * family behind the standard crawl content extractors), re-expressed as
+    * declarative Spark SQL over [[htmlBlocks]] segmentation so Catalyst
+    * sees every step and a SQL oracle can replay the whole policy:
+    *
+    *  1. context-free class per block: `bad` when the link-density
+    *     permille (`1000 * n_link_chars / n_chars`, exact integer test
+    *     via cross-multiplication) exceeds `maxLinkPermille`; else
+    *     `short` when `n_chars < minChars`; else `good`.
+    *  2. neighbor smoothing: a `short` block is promoted to `good` when
+    *     the immediately previous or next block in document order is
+    *     context-free `good` (headings inherit the article they title),
+    *     demoted to `bad` otherwise.
+    *  3. `main_text` = the final-`good` blocks, document order,
+    *     newline-joined.
+    *
+    * Output per document: (idCol, n_blocks, n_good_ctx, n_short_ctx,
+    * n_bad_ctx, n_good_final, main_chars, main_text).
+    *
+    * Scale shape: the block explode is map-only; ONE hash exchange on
+    * `idCol` feeds both the lag/lead window and the per-document
+    * aggregate (Catalyst reuses the partitioning — no second shuffle).
+    * Boilerplate never leaves the executor that segmented it.
+    */
+  def extractMainText(df: DataFrame, htmlCol: String, idCol: String,
+      minChars: Int = 80, maxLinkPermille: Int = 350): DataFrame = {
+    require(minChars > 0, s"minChars must be positive, got $minChars")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("idx"))
+    val blocks = df
+      .select(col(idCol), explode(htmlBlocks(col(htmlCol))).as("b"))
+      .select(col(idCol), col("b.idx").as("idx"), col("b.text").as("text"),
+        col("b.n_chars").as("n_chars"), col("b.n_link_chars").as("n_link_chars"))
+      .withColumn("ctx_class",
+        when(col("n_link_chars") * 1000 > col("n_chars") * maxLinkPermille, lit("bad"))
+          .when(col("n_chars") < minChars, lit("short"))
+          .otherwise(lit("good")))
+    val smoothed = blocks.withColumn("final_class",
+      when(col("ctx_class") =!= "short", col("ctx_class"))
+        .otherwise(when(
+          lag(col("ctx_class"), 1).over(w) === "good" ||
+            lead(col("ctx_class"), 1).over(w) === "good",
+          lit("good")).otherwise(lit("bad"))))
+    smoothed.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("ctx_class") === "good", 1L).otherwise(0L)).as("n_good_ctx"),
+        sum(when(col("ctx_class") === "short", 1L).otherwise(0L)).as("n_short_ctx"),
+        sum(when(col("ctx_class") === "bad", 1L).otherwise(0L)).as("n_bad_ctx"),
+        sum(when(col("final_class") === "good", 1L).otherwise(0L)).as("n_good_final"),
+        sum(when(col("final_class") === "good", col("n_chars").cast("long"))
+          .otherwise(0L)).as("main_chars"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("final_class") === "good",
+              struct(col("idx"), col("text"))))),
+            b => b.getField("text")),
+          "\n").as("main_text"))
+  }
+
   /** RFC 9309 robots.txt gate — may `agent` fetch `path` under this
     * host's `robots` text? See [[graft.functions.RobotsAllowed]]; the
     * intended plan broadcast-joins host-grain robots onto the URL

@@ -233,6 +233,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // int8 quantization: the 1-row calibration aggregate crosses into
       // the corpus for the bound check and into the 1-row bound verdict
       "sim_int8_quantize",
+      // budget apportionment: the 1-row grand-total weight crosses into
+      // the nShards-row shard table (allocateBudget's documented
+      // single-row stat join)
+      "tx_crawl_budget",
       // CMS rollup: merged and direct 1-row sketches cross into the
       // per-type exact counts
       "hll_cms_reagg",

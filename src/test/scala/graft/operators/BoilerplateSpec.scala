@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BoilerplateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(rows: Seq[(Long, String)],
+      minChars: Int = 80, maxLinkPermille: Int = 350) = {
+    import spark.implicits._
+    TextAnalysis.extractMainText(
+      rows.toDF("doc_id", "html"), "html", "doc_id", minChars, maxLinkPermille)
+      .orderBy("doc_id")
+      .collect()
+  }
+
+  test("the demo page classifies and reassembles exactly as predicted") {
+    val id = 7L
+    val k = 20 + (id % 7).toInt // 27 words per good paragraph
+    val Seq(r) = run(Seq(id -> graft.operators.Ingest.boilerplatePage(id))).toSeq
+    assert(r.getAs[Long]("n_blocks") == 6)
+    assert(r.getAs[Long]("n_good_ctx") == 2)
+    assert(r.getAs[Long]("n_short_ctx") == 2)
+    assert(r.getAs[Long]("n_bad_ctx") == 2)
+    assert(r.getAs[Long]("n_good_final") == 4)
+    val lorem = ("lorem " * k).trim
+    val ipsum = ("ipsum " * k).trim
+    assert(r.getAs[String]("main_text") ==
+      s"hdr $id 1\n$lorem\nhdr $id 4\n$ipsum")
+    assert(r.getAs[Long]("main_chars") == 2 * (6 + id.toString.length) + 2 * (6 * k - 1))
+  }
+
+  test("short blocks promote only next to a context-free good neighbor") {
+    val good = "w" * 100
+    // short between two bads -> bad; short before a good -> good
+    val html =
+      s"""<p><a href="/x">${"l" * 50}</a></p><h1>lost</h1>
+         |<p><a href="/y">${"l" * 50}</a></p><h2>kept</h2><p>$good</p>""".stripMargin
+    val Seq(r) = run(Seq(1L -> html)).toSeq
+    assert(r.getAs[Long]("n_good_final") == 2) // "kept" + the good paragraph
+    assert(r.getAs[String]("main_text") == s"kept\n$good")
+  }
+
+  test("a neighboring SHORT block does not transitively promote") {
+    // short, short, good: only the short adjacent to the good promotes
+    val good = "w" * 100
+    val Seq(r) = run(Seq(1L -> s"<h1>far</h1><h2>near</h2><p>$good</p>")).toSeq
+    assert(r.getAs[Long]("n_good_final") == 2)
+    assert(r.getAs[String]("main_text") == s"near\n$good")
+  }
+
+  test("an all-boilerplate page keeps nothing but still reports") {
+    val Seq(r) = run(Seq(1L -> """<p><a href="/m">only links here</a></p>""")).toSeq
+    assert(r.getAs[Long]("n_blocks") == 1)
+    assert(r.getAs[Long]("n_good_final") == 0)
+    assert(r.getAs[String]("main_text") == "")
+  }
+
+  test("thresholds are parameters: permissive settings keep everything") {
+    val html = """<p><a href="/m">short link</a></p>"""
+    val Seq(r) = run(Seq(1L -> html), minChars = 5, maxLinkPermille = 1000).toSeq
+    assert(r.getAs[Long]("n_good_final") == 1)
+    assert(r.getAs[String]("main_text") == "short link")
+  }
+
+  test("threshold validation rejects nonsense") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.extractMainText(df, "html", "doc_id", minChars = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.extractMainText(df, "html", "doc_id", maxLinkPermille = 1001)
+    }
+  }
+}

@@ -77,4 +77,64 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       LinkGraph.rankHosts(edges("a" -> "b"), "src_host", "dst_host", iters = 0))
   }
+
+  private def hosts(rows: (String, Long, Long)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("host", "shard", "weight")
+  }
+
+  test("allocateBudget: sums to total exactly, floor-or-ceil per host") {
+    // weights 1,2,3,4 over total 7: exact shares 0.7, 1.4, 2.1, 2.8
+    val got = LinkGraph.allocateBudget(
+      hosts(("a", 0L, 1L), ("b", 0L, 2L), ("c", 1L, 3L), ("d", 1L, 4L)),
+      "host", "weight", "shard", total = 7L)
+      .orderBy("host").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc"))
+    assert(got.map(_._2).sum == 7L)
+    val byHost = got.toMap
+    // every host within floor/ceil of its proportional share (x10 scale)
+    for ((h, w) <- Seq("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L)) {
+      val exact10 = 7L * w // share * 10
+      assert(byHost(h) * 10 >= exact10 - 10 && byHost(h) * 10 <= exact10 + 10,
+        s"host $h alloc ${byHost(h)} vs share ${exact10 / 10.0}")
+    }
+  }
+
+  test("allocateBudget: hand-checked largest remainder across shards") {
+    // shard weights 5 and 1; total 8 -> exact 6.67/1.33, base 6/1,
+    // leftover 1 goes to the larger remainder (shard 0: rem 40 vs 8 of 48)
+    val got = LinkGraph.allocateBudget(
+      hosts(("a", 0L, 5L), ("b", 1L, 1L)),
+      "host", "weight", "shard", total = 8L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got == Map("a" -> 7L, "b" -> 1L))
+  }
+
+  test("allocateBudget: zero-weight hosts and shards allocate zero") {
+    val got = LinkGraph.allocateBudget(
+      hosts(("a", 0L, 0L), ("b", 0L, 10L), ("c", 1L, 0L)),
+      "host", "weight", "shard", total = 5L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got == Map("a" -> 0L, "b" -> 5L, "c" -> 0L))
+  }
+
+  test("allocateBudget: deterministic across partitionings") {
+    val rows = (0 until 97).map(i => (f"h$i%02d", (i % 5).toLong, (i % 13 + 1).toLong))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("host", "shard", "weight")
+      LinkGraph.allocateBudget(df, "host", "weight", "shard", total = 1000L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    }
+    val a = run(1)
+    val b = run(7)
+    assert(a == b)
+    assert(a.values.sum == 1000L)
+  }
+
+  test("allocateBudget: total bounds validate") {
+    intercept[IllegalArgumentException](
+      LinkGraph.allocateBudget(hosts(("a", 0L, 1L)), "host", "weight", "shard", -1L))
+  }
 }

@@ -95,4 +95,39 @@ class StreamingTextCleanSpec extends AnyFunSuite {
       rm(tmp)
     }
   }
+
+  test("streamed html_anchors and html_blocks match batch row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = (0L until 6L).map { id =>
+      val (url, html) = graft.operators.Ingest.watPage(id)
+      (id, url, html + s"<div><a href='/m$id'>menu</a></div><p>body text for $id</p>")
+    }
+    // map-only extraction: anchors + blocks explode under Structured
+    // Streaming exactly as in batch (the segmentation/extraction stage of
+    // a streaming crawl pipeline; classification joins in foreachBatch)
+    def extract(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.htmlAnchors(
+          col("html"), col("url"))).as("a"),
+        graft.operators.TextAnalysis.htmlBlocks(col("html")).as("blocks"))
+      .select(col("doc_id"), col("a.url").as("dst"), col("a.text").as("label"),
+        size(col("blocks")).as("n_blocks"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = extract(stream.toDS().toDF("doc_id", "url", "html"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anchor_stream_out").start()
+    try {
+      stream.addData(pages)
+      q.processAllAvailable()
+      val streamed = spark.table("anchor_stream_out")
+        .as[(Long, String, String, Int)].collect().sorted
+      val batch = extract(pages.toDF("doc_id", "url", "html"))
+        .as[(Long, String, String, Int)].collect().sorted
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+      // the extra nav anchor rode along with the seven watPage links
+      assert(streamed.count(_._3 == "menu") == 6)
+    } finally q.stop()
+  }
 }
