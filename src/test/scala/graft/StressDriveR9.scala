@@ -59,8 +59,10 @@ object StressDriveR9 {
       f"${htmlBytes / t3 / 1e6}%.0f MB/s HTML in (${kept._1 / 1e6}%.0f M main chars kept)")
     pages.unpersist()
 
-    // 3) Bloom-pruned exact anti-join vs plain exact anti-join:
-    //    8M discovered URLs vs a 2M-URL seen set (75% genuinely new)
+    // 3) Bloom-pruned exact anti-join vs plain exact anti-join, in the
+    //    operator's REGIME: the seen set too big to broadcast (threshold
+    //    off forces the shuffle join a 10^9-URL seen set would force
+    //    anyway). 8M discovered URLs vs a 2M-URL seen set, 75% new.
     val seen = spark.range(2000000L)
       .select(concat(lit("http://h"), col("id") % 65536, lit(".invalid/p/"), col("id")).as("url"))
     val discovered = spark.range(8000000L)
@@ -68,16 +70,24 @@ object StressDriveR9 {
       .cache()
     discovered.count() // materialize
     val tE0 = System.nanoTime()
+    val exactBcastN = discovered.join(seen, Seq("url"), "left_anti").count()
+    val tEb = (System.nanoTime() - tE0) / 1e9
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tE1 = System.nanoTime()
     val exactN = discovered.join(seen, Seq("url"), "left_anti").count()
-    val tE = (System.nanoTime() - tE0) / 1e9
+    val tE = (System.nanoTime() - tE1) / 1e9
     val tB0 = System.nanoTime()
     val prunedN = graft.operators.BloomTools
       .prunedAntiJoin(discovered, "url", seen, "url", expectedItems = 2000000L, fpp = 0.01)
       .count()
     val tB = (System.nanoTime() - tB0) / 1e9
-    require(prunedN == exactN, s"pruned $prunedN != exact $exactN")
-    println(f"DRIVE pruned-anti-join-8M: bloom $tB%.1f s vs exact $tE%.1f s " +
-      f"(${8000000L / tB / 1e6}%.1f M urls/s, identical $exactN%d survivors)")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    require(prunedN == exactN && exactBcastN == exactN,
+      s"pruned $prunedN != exact $exactN / $exactBcastN")
+    println(f"DRIVE pruned-anti-join-8M: bloom $tB%.1f s vs exact-shuffle $tE%.1f s " +
+      f"vs exact-broadcast $tEb%.1f s (${8000000L / tB / 1e6}%.1f M urls/s pruned, " +
+      f"identical $exactN%d survivors; the prune pays when the seen set " +
+      "outgrows broadcast)")
     discovered.unpersist()
 
     // 4) budget apportionment, 1M hosts x 1024 shards: exact sum audit
