@@ -4034,6 +4034,58 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // plan an entire crawl EPOCH end-to-end: link-graph host ranks (3
+    // integer iterations) → exact budget apportionment (300 pages across
+    // hosts by rank — small enough that the cap BINDS at ~15/host vs 25
+    // urls/host) → stalest-first per-host selection under the
+    // variable cap (row_number per host against the broadcast budget
+    // dim) → md5-HRW fetcher assignment. Every stage is the REAL
+    // operator and every output value replays in DuckDB: the rank
+    // iterations, both apportionment levels, the per-host selection
+    // membership (id_sum pins it), and the HRW argmax. Scale shape: ONE
+    // url-grain exchange (the per-host window); ranks/budgets are
+    // host-grain rows on broadcast dims.
+    "tx_crawl_plan" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      val ranked = graft.operators.LinkGraph
+        .rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .withColumn("shard",
+          regexp_extract(col("host"), "src(\\d+)", 1).cast("long") % 4)
+        .select(col("host"), col("shard"), col("rank"))
+      val budgets = graft.operators.LinkGraph
+        .allocateBudget(ranked, "host", "rank", "shard", total = 300L)
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 20, lit(".invalid")).as("host"),
+          (col("doc_id") % 5).as("staleness")) // epochs since last fetch
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(col("staleness").desc, col("doc_id").asc)
+      urls
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(budgets.select(col("host"), col("rank"), col("alloc"))),
+          Seq("host"))
+        .filter(col("rn") <= col("alloc"))
+        .groupBy(col("host"))
+        .agg(max(col("rank")).as("rank"), max(col("alloc")).as("alloc"),
+          count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("staleness")).as("stalest"))
+        .withColumn("fetcher", graft.operators.Sampling.rendezvousShard(col("host"), 4))
+        .select(col("host"), col("rank"), col("alloc"), col("n_selected"),
+          col("id_sum"), col("stalest"), col("fetcher"))
+        .orderBy(col("host"))
+    }),
+
     // the crawl→training-text capstone: WARC archives (bodies in three
     // wire encodings: BOM'd UTF-8 / declared ISO-8859-1 / bare UTF-8,
     // each carrying a non-ASCII 'café' the decoder must get right) →
@@ -6706,6 +6758,74 @@ object SparkEntry {
         |  UNION ALL SELECT k, FALSE FROM d)
         |SELECT 'src' || h || '.invalid' AS host, COUNT(*) AS n_new
         |FROM links WHERE NOT known GROUP BY h ORDER BY host""".stripMargin,
+    // the whole epoch plan replayed: rank iterations (as tx_link_rank),
+    // 300-page apportionment (as tx_crawl_budget), stalest-first
+    // selection under the per-host cap (row_number with the same
+    // DESC/ASC tiebreak), membership pinned by id_sum, fetcher by the
+    // md5-argmax HRW
+    "tx_crawl_plan" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
+        |e AS (SELECT 'src' || s || '.invalid' AS src,
+        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.host = n.host),
+        |ranked AS (SELECT host, rank,
+        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
+        |  FROM r3),
+        |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
+        |       FROM ranked GROUP BY shard),
+        |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
+        |sb AS (SELECT shard, ws, 300 * ws // w AS base,
+        |         (300 * ws) % w AS rem FROM sw, g),
+        |lo AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM sb),
+        |rkd AS (SELECT shard, ws, base +
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+        |      <= leftover THEN 1 ELSE 0 END AS bs
+        |  FROM sb, lo),
+        |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
+        |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
+        |      ORDER BY ranked.host) AS BIGINT) AS cw
+        |  FROM ranked JOIN rkd USING (shard)),
+        |budget AS (SELECT host, rank,
+        |    CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
+        |  FROM cum),
+        |urls AS (SELECT doc_id, doc_id % 20 AS k, doc_id % 5 AS staleness
+        |         FROM documents),
+        |rn AS (SELECT doc_id, k, staleness, ROW_NUMBER() OVER
+        |    (PARTITION BY k ORDER BY staleness DESC, doc_id ASC) AS rn
+        |  FROM urls),
+        |sel AS (SELECT rn.k, rn.doc_id, rn.staleness, b.rank, b.alloc
+        |  FROM rn JOIN budget b ON b.host = 'src' || rn.k || '.invalid'
+        |  WHERE rn.rn <= b.alloc),
+        |agg AS (SELECT k, MAX(rank) AS rank, MAX(alloc) AS alloc,
+        |    COUNT(*) AS n_selected, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |    MAX(staleness) AS stalest
+        |  FROM sel GROUP BY k),
+        |hrw AS (SELECT host, s, MD5(host || ':' || CAST(s AS VARCHAR)) AS hh
+        |  FROM (SELECT DISTINCT 'src' || k || '.invalid' AS host FROM agg),
+        |    UNNEST(GENERATE_SERIES(0, 3)) AS t(s)),
+        |f AS (SELECT host, ARG_MAX(s, hh) AS fetcher FROM hrw GROUP BY host)
+        |SELECT 'src' || agg.k || '.invalid' AS host, agg.rank, agg.alloc,
+        |  agg.n_selected, agg.id_sum, agg.stalest, f.fetcher
+        |FROM agg JOIN f ON f.host = 'src' || agg.k || '.invalid'
+        |ORDER BY host""".stripMargin,
     // the capstone replayed end-to-end from doc_id: charset from the
     // id%3 wire encoding (every variant decodes clean), boilerplate
     // verdicts from the block rules (h1 carries ' café': +5 chars, +1
