@@ -4034,6 +4034,30 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // cross-host MIRROR detection, the digest-equality dedup Common Crawl
+    // runs across hosts: the revisit digest index (the REAL machinery
+    // tx_warc_revisit uses across epochs) grouped by payload digest —
+    // groups spanning >= 2 hosts are mirror clusters, singleton content
+    // must NOT be flagged. Content repeats by doc_id % 97 residue across
+    // the 20 hosts (gcd 1 spreads each group), so group membership,
+    // copy/host counts, and id_sum all replay from arithmetic. Scale
+    // shape: digests are 16-byte keys off a map-only archive scan; ONE
+    // digest-grain exchange, no body ever shuffles.
+    "tx_mirror_hosts" -> ((s, dir) => {
+      val ing = graft.operators.Ingest
+      ing.revisitIndex(ing.mirrorArchives(s, dir))
+        .withColumn("doc_id", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("group_id"),
+          count(lit(1)).as("n_copies"),
+          size(collect_set(col("host"))).cast("long").as("n_hosts"),
+          sum(col("doc_id")).as("id_sum"))
+        .filter(col("n_hosts") >= 2)
+        .select(col("group_id"), col("n_copies"), col("n_hosts"), col("id_sum"))
+        .orderBy(col("group_id"))
+    }),
+
     // plan an entire crawl EPOCH end-to-end: link-graph host ranks (3
     // integer iterations) → exact budget apportionment (300 pages across
     // hosts by rank — small enough that the cap BINDS at ~15/host vs 25
@@ -6758,6 +6782,18 @@ object SparkEntry {
         |  UNION ALL SELECT k, FALSE FROM d)
         |SELECT 'src' || h || '.invalid' AS host, COUNT(*) AS n_new
         |FROM links WHERE NOT known GROUP BY h ORDER BY host""".stripMargin,
+    // mirror groups from the residue rule: docs with doc_id%97 < 50 share
+    // content within their residue class; hosts are doc_id%20 so every
+    // multi-member class spans hosts; singletons (residue >= 50) never
+    // survive the n_hosts filter
+    "tx_mirror_hosts" ->
+      """SELECT MIN(doc_id) AS group_id, COUNT(*) AS n_copies,
+        |  CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) AS n_hosts,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END
+        |HAVING CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) >= 2
+        |ORDER BY group_id""".stripMargin,
     // the whole epoch plan replayed: rank iterations (as tx_link_rank),
     // 300-page apportionment (as tx_crawl_budget), stalest-first
     // selection under the per-host cap (row_number with the same

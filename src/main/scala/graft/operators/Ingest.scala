@@ -449,6 +449,40 @@ object Ingest {
       }
   }
 
+  /** Demo WARC corpus for cross-host MIRROR detection: pages whose content
+    * repeats across hosts by rule — docs with `doc_id % 97 < 50` serve
+    * [[boilerplatePage]] of their residue (so every group {r, r+97, ...}
+    * is byte-identical content on DIFFERENT hosts, since gcd(97, 20) = 1
+    * spreads residues across the 20 hosts), the rest serve their own page
+    * (singletons the detector must NOT flag). Uniform UTF-8, no BOM games:
+    * mirror detection is byte-digest equality, and the encodings are the
+    * [[boilerplateArchives]] capstone's concern.
+    */
+  def mirrorArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val contentId = if (id % 97 < 50) id % 97 else id
+          val html = boilerplatePage(contentId)
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/doc/$id",
+            "WARC-Record-ID" -> s"<urn:graft:mir:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "text/html",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        Multimodal.MediaRecord(aid, s"fake://mir/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
   def watPage(id: Long): (String, String) = {
     val k = id % 20
     val url = s"http://src$k.invalid/page/$id"

@@ -48,6 +48,26 @@ class HtmlBlocksSpec extends AnyFunSuite {
       Seq(("all link", 7), ("free text", 0)))
   }
 
+  test("blocks are a PARTITION of html_to_text: space-join reconstructs it") {
+    // block tags are word boundaries to html_to_text and flush points to
+    // html_blocks — so the block texts joined on single spaces must be
+    // exactly the html_to_text extraction, on any input. This coherence
+    // holds by construction (same scanner semantics) and pins the two
+    // expressions against each other the way the oracles pin both.
+    val rnd = new scala.util.Random(86420)
+    val alphabet = "<>\"'=&#;/?:.%abAB09 \t\n-_pdivh12a中!"
+    def junk(n: Int): String =
+      (0 until n).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    val crafted = Seq(
+      "", "plain", "<p>a</p><div>b</div>", "a<p>b", "<table><tr><td>x</td></tr></table>",
+      "<h1>t</h1>body<script>s</script><p>p</p>", "<!-- c --><p>x</p>",
+      "&amp;<p>&lt;</p>", "<" * 500, "<p" + " " * 100 + ">deep</p>")
+    for (s <- crafted ++ (0 until 2000).map(_ => junk(rnd.nextInt(300)))) {
+      val joined = HtmlBlocks.extract(s).map(_.text).mkString(" ")
+      assert(joined == HtmlToText.extract(s), s"diverged on: ${s.take(120)}")
+    }
+  }
+
   test("total on hostile junk: measurements consistent, never throws") {
     val rnd = new scala.util.Random(3049)
     val alphabet = "<>\"'=&#;/?:.%abAB09 \t\n-_pdivh1a中😀!"
