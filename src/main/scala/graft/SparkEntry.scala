@@ -4058,6 +4058,34 @@ object SparkEntry {
         .orderBy(col("group_id"))
     }),
 
+    // the within-crawl dedup WRITE path (what Common Crawl ships): mirror
+    // archives -> selfDedupVerdicts (one stored body per digest, the
+    // string-least capture canonical) -> dedupWarcRewrite (dups become
+    // body-less revisit records with WARC-Refers-To + the
+    // identical-payload-digest profile) -> the REWRITTEN BYTES re-ingested
+    // and every verdict/refers-to/stored flag pinned from them. The
+    // oracle replays canonical election with ARG_MIN over the url
+    // strings. Scale shape: digests shuffle once for the verdict window;
+    // the rewrite joins verdict rows (never bodies) onto a second
+    // map-only archive pass.
+    "tx_warc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val archives = ing.mirrorArchives(s, dir)
+      val deduped = ing.dedupWarcRewrite(archives, ing.selfDedupVerdicts(archives))
+      deduped.flatMap(r => graft.operators.Warc.readRecords(r.content).map(rec =>
+          (rec.targetUri, rec.warcType,
+            rec.headers.getOrElse("warc-refers-to", null), rec.content.length)))
+        .toDF("url", "verdict", "refers_to", "clen")
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("verdict"),
+          regexp_extract(col("refers_to"), "mir:(\\d+)", 1).cast("long")
+            .as("refers_to_doc"),
+          (col("clen") > 0).as("stores_body"))
+        .orderBy(col("doc_id"))
+    }),
+
     // plan an entire crawl EPOCH end-to-end: link-graph host ranks (3
     // integer iterations) → exact budget apportionment (300 pages across
     // hosts by rank — small enough that the cap BINDS at ~15/host vs 25
@@ -6794,6 +6822,20 @@ object SparkEntry {
         |GROUP BY CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END
         |HAVING CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) >= 2
         |ORDER BY group_id""".stripMargin,
+    // canonical election replayed with ARG_MIN over url strings (both
+    // engines compare UTF-8 bytes); the mirror groups are the doc_id%97
+    // residue rule
+    "tx_warc_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END AS g,
+        |    'http://src' || (doc_id % 20) || '.invalid/doc/' || doc_id AS url
+        |  FROM documents),
+        |c AS (SELECT g, ARG_MIN(doc_id, url) AS cid FROM d GROUP BY g)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id = c.cid THEN 'response' ELSE 'revisit' END AS verdict,
+        |  CASE WHEN d.doc_id <> c.cid THEN c.cid END AS refers_to_doc,
+        |  d.doc_id = c.cid AS stores_body
+        |FROM d JOIN c USING (g) ORDER BY d.doc_id""".stripMargin,
     // the whole epoch plan replayed: rank iterations (as tx_link_rank),
     // 300-page apportionment (as tx_crawl_budget), stalest-first
     // selection under the per-host cap (row_number with the same

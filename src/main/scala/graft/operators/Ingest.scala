@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Archive ingest — the FIRST batch step of a crawl-derived training
@@ -480,6 +480,90 @@ object Ingest {
         }
         Multimodal.MediaRecord(aid, s"fake://mir/$aid.warc", "application/warc",
           Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
+  /** WITHIN-crawl digest-dedup verdicts — the companion of the
+    * cross-crawl [[revisitVerdicts]]: inside ONE crawl, every payload
+    * digest stores exactly one body (the capture with the string-least
+    * (url, record_id) — deterministic in any engine) and every other
+    * capture of that digest becomes a body-less `revisit` verdict with
+    * `refers_to` naming the canonical record (ISO 28500 §6.7.2,
+    * identical-payload-digest profile — what Common Crawl does to
+    * mirrors within a monthly crawl).
+    *
+    * Scale shape: the window runs over (url, record_id, digest) rows off
+    * a map-only archive scan — 16-byte digests shuffle ONCE, page bodies
+    * never do. The write side ([[dedupWarcRewrite]]) joins these verdicts
+    * back onto a second pruned pass of the archives.
+    */
+  def selfDedupVerdicts(archives: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    import archives.sparkSession.implicits._
+    val recs = archives.flatMap { r =>
+      Warc.readRecords(r.content)
+        .filter(_.warcType == "response")
+        .map { rec =>
+          val (_, _, body) = Warc.parseHttpResponse(rec.content)
+          (r.media_id, rec.targetUri, rec.recordId, md5hex(body))
+        }
+    }.toDF("archive_id", "url", "record_id", "digest")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("url"), col("record_id"))
+    recs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("refers_to",
+        when(col("_rn") === 1, lit(null).cast("string"))
+          .otherwise(first(col("record_id")).over(w)))
+      .withColumn("verdict",
+        when(col("_rn") === 1, lit("response")).otherwise(lit("revisit")))
+      .drop("_rn")
+  }
+
+  /** Rewrite crawl archives with [[selfDedupVerdicts]] applied: canonical
+    * captures keep their bytes, duplicate captures become body-less
+    * `revisit` records (`WARC-Refers-To` + identical-payload-digest
+    * `WARC-Profile`), non-response records pass through untouched.
+    * Archive-in/archive-out on the archive grain — the dedup join carries
+    * verdict rows (url + ids), never bodies; record order is preserved.
+    */
+  def dedupWarcRewrite(archives: Dataset[Multimodal.MediaRecord],
+      verdicts: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    import archives.sparkSession.implicits._
+    val rows = archives.flatMap { r =>
+      Warc.readRecords(r.content).zipWithIndex.map { case (rec, pos) =>
+        (r.media_id, r.uri, pos, rec.recordId, rec.headers, rec.content)
+      }
+    }.toDF("archive_id", "uri", "pos", "record_id", "headers", "content")
+    rows
+      .join(verdicts.select(col("record_id"), col("verdict"), col("refers_to")),
+        Seq("record_id"), "left")
+      .select(col("archive_id"), col("uri"), col("pos"), col("record_id"),
+        col("headers"), col("content"), col("verdict"), col("refers_to"))
+      .as[(Long, String, Int, String, Map[String, String], Array[Byte], String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rs = it.toSeq.sortBy(_._3)
+        val uri = rs.head._2
+        val recs = rs.map { case (_, _, _, recordId, headers, content, verdict, refersTo) =>
+          if (verdict == "revisit") {
+            Map(
+              "WARC-Type" -> "revisit",
+              "WARC-Target-URI" -> headers.getOrElse("warc-target-uri", ""),
+              // a rewrite is a NEW record; derive its id from the original
+              "WARC-Record-ID" -> (recordId.stripSuffix(">") + ":dedup>"),
+              "WARC-Date" -> headers.getOrElse("warc-date", ""),
+              "WARC-Refers-To" -> refersTo,
+              "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+              "Content-Type" -> headers.getOrElse("content-type", "")) ->
+              Array.empty[Byte]
+          } else {
+            // pass through verbatim (headers came back lower-cased — WARC
+            // names are case-insensitive; the writer adds Content-Length)
+            (headers - "content-length") -> content
+          }
+        }
+        Multimodal.MediaRecord(aid, uri + ".dedup", "application/warc",
+          Warc.writeWarc(recs, gzipped = false), Map.empty)
       }
   }
 

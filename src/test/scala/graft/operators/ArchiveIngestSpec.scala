@@ -199,6 +199,54 @@ class ArchiveIngestSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("self-dedup rewrite: one stored body per digest, dups become revisit, order kept") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      // two archives; docs 0/2/4 share one payload, 1/3 share another,
+      // 5 is unique; a warcinfo record must pass through untouched
+      def resp(id: Long, body: String) =
+        Map("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://h.invalid/p/$id",
+          "WARC-Record-ID" -> s"<urn:t:sd:$id>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/http;msgtype=response") ->
+          Warc.httpResponse(200, "text/plain", utf8(body))
+      val info = Map("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:t:sd:info>",
+        "Content-Type" -> "application/warc-fields") -> utf8("software: t\r\n")
+      def arch(aid: Long, recs: Seq[(Map[String, String], Array[Byte])]) =
+        graft.operators.Multimodal.MediaRecord(aid, s"t://$aid.warc",
+          "application/warc", Warc.writeWarc(recs), Map.empty)
+      val archives = spark.createDataset(Seq(
+        arch(0L, Seq(info, resp(0, "AAA"), resp(1, "BB"), resp(2, "AAA"))),
+        arch(1L, Seq(resp(3, "BB"), resp(4, "AAA"), resp(5, "unique")))))
+      val deduped = Ingest.dedupWarcRewrite(archives,
+        Ingest.selfDedupVerdicts(archives)).collect().sortBy(_.media_id)
+      assert(deduped.map(_.uri).toSeq == Seq("t://0.warc.dedup", "t://1.warc.dedup"))
+      val recs0 = Warc.readRecords(deduped(0).content)
+      val recs1 = Warc.readRecords(deduped(1).content)
+      // order preserved, warcinfo untouched
+      assert(recs0.map(_.warcType) == Seq("warcinfo", "response", "response", "revisit"))
+      assert(recs1.map(_.warcType) == Seq("revisit", "revisit", "response"))
+      assert(java.util.Arrays.equals(recs0.head.content, utf8("software: t\r\n")))
+      // canonical = string-least url of the digest group; dups point at it
+      val byUrl = (recs0 ++ recs1).map(r => r.targetUri -> r).toMap
+      assert(byUrl("http://h.invalid/p/2").headers("warc-refers-to") == "<urn:t:sd:0>")
+      assert(byUrl("http://h.invalid/p/4").headers("warc-refers-to") == "<urn:t:sd:0>")
+      assert(byUrl("http://h.invalid/p/3").headers("warc-refers-to") == "<urn:t:sd:1>")
+      assert(byUrl("http://h.invalid/p/2").content.isEmpty)
+      assert(byUrl("http://h.invalid/p/2").headers("warc-profile").contains("identical-payload-digest"))
+      // stored bodies survive byte-identically
+      val (_, _, b5) = Warc.parseHttpResponse(byUrl("http://h.invalid/p/5").content)
+      assert(java.util.Arrays.equals(b5, utf8("unique")))
+      // rewritten revisit records carry NEW ids derived from the original
+      assert(byUrl("http://h.invalid/p/2").recordId == "<urn:t:sd:2:dedup>")
+    } finally spark.stop()
+  }
+
   test("wat: metadata records carry resolved+normalized outlinks, refers-to links back") {
     val (url, html) = Ingest.watPage(42L)
     val resp = Map(
