@@ -133,6 +133,50 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.values.sum == 1000L)
   }
 
+  test("allocateBudget: 30 random cases match an independent BigInt reference") {
+    // independent reimplementation of the two-level apportionment (BigInt
+    // arithmetic, plain collections) — the operator must agree exactly,
+    // including zero weights, zero-weight shards, and total = 0
+    def reference(rows: Seq[(String, Long, Long)], total: Long): Map[String, Long] = {
+      val w = rows.map(_._3).sum
+      if (w == 0) return rows.map(r => r._1 -> 0L).toMap
+      val sw = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+      val base = sw.map { case (s, ws) => s -> (BigInt(total) * ws / w).toLong }
+      val rem = sw.map { case (s, ws) => s -> ((BigInt(total) * ws) % w).toLong }
+      val leftover = (total - base.values.sum).toInt
+      val plusOne = sw.keys.toSeq.sortBy(s => (-rem(s), s)).take(leftover).toSet
+      val bs = sw.map { case (s, _) =>
+        s -> (base(s) + (if (plusOne.contains(s)) 1L else 0L))
+      }
+      rows.groupBy(_._2).flatMap { case (s, rs) =>
+        val ws = sw(s)
+        var cum = BigInt(0)
+        rs.sortBy(_._1).map { case (h, _, w0) =>
+          if (ws == 0) h -> 0L
+          else {
+            val prev = cum; cum += w0
+            h -> ((BigInt(bs(s)) * cum / ws) - (BigInt(bs(s)) * prev / ws)).toLong
+          }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(271828)
+    for (case_ <- 0 until 30) {
+      val nShards = 1 + rnd.nextInt(8)
+      val rows = (0 until 1 + rnd.nextInt(60)).map(i =>
+        (f"h$i%02d", rnd.nextInt(nShards).toLong, rnd.nextInt(51).toLong))
+      val total = rnd.nextInt(5001).toLong
+      val sp = spark
+      import sp.implicits._
+      val got = LinkGraph.allocateBudget(
+        rows.toDF("host", "shard", "weight"), "host", "weight", "shard", total)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+      val want = reference(rows, total)
+      assert(got == want, s"case $case_: total=$total rows=$rows")
+      if (rows.map(_._3).sum > 0) assert(got.values.sum == total, s"case $case_ sum")
+    }
+  }
+
   test("allocateBudget: total bounds validate") {
     intercept[IllegalArgumentException](
       LinkGraph.allocateBudget(hosts(("a", 0L, 1L)), "host", "weight", "shard", -1L))
