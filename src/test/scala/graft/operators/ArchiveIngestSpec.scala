@@ -247,6 +247,50 @@ class ArchiveIngestSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("self-dedup fuzz: every digest stores exactly once, dups all point at the canonical") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val rnd = new scala.util.Random(5150)
+      for (_ <- 0 until 5) {
+        // random corpus: 40 docs over 1-12 distinct payloads, 4 archives
+        val nPayloads = 1 + rnd.nextInt(12)
+        val docs = (0L until 40L).map(id => (id, rnd.nextInt(nPayloads)))
+        val archives = spark.createDataset(
+          docs.grouped(10).zipWithIndex.map { case (grp, aid) =>
+            val recs = grp.map { case (id, p) =>
+              Map("WARC-Type" -> "response",
+                "WARC-Target-URI" -> f"http://h.invalid/p/$id%03d",
+                "WARC-Record-ID" -> s"<urn:t:fz:$id>",
+                "WARC-Date" -> "2026-01-01T00:00:00Z",
+                "Content-Type" -> "application/http;msgtype=response") ->
+                Warc.httpResponse(200, "text/plain", utf8(s"payload $p"))
+            }
+            graft.operators.Multimodal.MediaRecord(aid.toLong, s"t://$aid.warc",
+              "application/warc", Warc.writeWarc(recs), Map.empty)
+          }.toSeq)
+        val verdicts = Ingest.selfDedupVerdicts(archives)
+          .collect().map(r => (r.getAs[String]("url"), r.getAs[String]("verdict"),
+            Option(r.getAs[String]("refers_to")))).toSeq
+        val byPayload = docs.groupBy(_._2)
+        // zero-padded ids make url order == id order: canonical = min id
+        for ((p, members) <- byPayload) {
+          val canonical = members.map(_._1).min
+          val urls = members.map { case (id, _) => f"http://h.invalid/p/$id%03d" }.toSet
+          val vs = verdicts.filter(v => urls.contains(v._1))
+          assert(vs.count(_._2 == "response") == 1, s"payload $p stores once")
+          val canonicalUrl = f"http://h.invalid/p/$canonical%03d"
+          assert(vs.find(_._2 == "response").get._1 == canonicalUrl)
+          vs.filter(_._2 == "revisit").foreach { v =>
+            assert(v._3.contains(s"<urn:t:fz:$canonical>"), s"payload $p refers_to")
+          }
+        }
+      }
+    } finally spark.stop()
+  }
+
   test("wat: metadata records carry resolved+normalized outlinks, refers-to links back") {
     val (url, html) = Ingest.watPage(42L)
     val resp = Map(

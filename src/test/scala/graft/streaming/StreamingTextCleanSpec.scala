@@ -130,4 +130,35 @@ class StreamingTextCleanSpec extends AnyFunSuite {
       assert(streamed.count(_._3 == "menu") == 6)
     } finally q.stop()
   }
+
+  test("streamed anchor-text index (complete mode) == batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = (0L until 8L).map(id => graft.operators.Ingest.watPage(id))
+    def index(df: DataFrame): DataFrame = df
+      .select(explode(graft.operators.TextAnalysis.htmlAnchors(
+        col("html"), col("url"))).as("a"))
+      .select(graft.operators.TextAnalysis.urlNormalize(col("a.url")).as("dst"),
+        col("a.text").as("text"))
+      .withColumn("host", parse_url(col("dst"), lit("HOST")))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        array_join(array_sort(collect_set(col("text"))), "|").as("texts"))
+    val stream = MemoryStream[(String, String)]
+    val q = index(stream.toDS().toDF("url", "html"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("anchor_index_out").start()
+    try {
+      stream.addData(pages.take(3))
+      q.processAllAvailable()
+      stream.addData(pages.drop(3)) // the index must ACCUMULATE across batches
+      q.processAllAvailable()
+      val streamed = spark.table("anchor_index_out")
+        .as[(String, Long, String)].collect().sortBy(_._1)
+      val batch = index(pages.toDF("url", "html"))
+        .as[(String, Long, String)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.map(_._2).sum == 8L * 7) // 7 kept links per page
+    } finally q.stop()
+  }
 }
