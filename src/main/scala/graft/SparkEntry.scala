@@ -4058,6 +4058,32 @@ object SparkEntry {
         .orderBy(col("group_id"))
     }),
 
+    // the ON-PAGE politeness + dedup signals robots.txt cannot carry:
+    // html_meta pulls title (entity-decoded), meta-description,
+    // rel=canonical (rel token list, rebased by the leading <base href>,
+    // resolved like an outlink), and meta-robots noindex/nofollow
+    // ("none" implies both, names case-insensitive); a commented-out
+    // canonical and a script-embedded robots meta must be ignored.
+    // dedup_url = coalesce(canonical, own url) — the key a curation
+    // pipeline groups on BEFORE content hashing. Map-only scalar.
+    "tx_meta_gate" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.metaPage(id))
+        .toDF("url", "html")
+      pages
+        .withColumn("m", graft.operators.TextAnalysis.htmlMeta(col("html"), col("url")))
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.canonical").as("canonical"),
+          col("m.noindex").as("noindex"),
+          col("m.nofollow").as("nofollow"),
+          coalesce(col("m.canonical"), col("url")).as("dedup_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the within-crawl dedup WRITE path (what Common Crawl ships): mirror
     // archives -> selfDedupVerdicts (one stored body per digest, the
     // string-least capture canonical) -> dedupWarcRewrite (dups become
@@ -6822,6 +6848,23 @@ object SparkEntry {
         |GROUP BY CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END
         |HAVING CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) >= 2
         |ORDER BY group_id""".stripMargin,
+    // every on-page signal from the metaPage rules: decoded em dash in
+    // the title, robots rotation on id%4 (none implies both), canonical
+    // rebased onto the base host for id%3==0
+    "tx_meta_gate" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' — title' AS title,
+        |  'summary ' || doc_id || ' & more' AS description,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'http://base' || (doc_id % 10) ||
+        |    '.invalid/canon/' || (doc_id % 50) END AS canonical,
+        |  doc_id % 4 = 0 OR doc_id % 4 = 2 AS noindex,
+        |  doc_id % 4 = 1 OR doc_id % 4 = 2 AS nofollow,
+        |  COALESCE(
+        |    CASE WHEN doc_id % 3 = 0 THEN 'http://base' || (doc_id % 10) ||
+        |      '.invalid/canon/' || (doc_id % 50) END,
+        |    'http://src' || (doc_id % 20) || '.invalid/page/' || doc_id)
+        |    AS dedup_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // canonical election replayed with ARG_MIN over url strings (both
     // engines compare UTF-8 bytes); the mirror groups are the doc_id%97
     // residue rule

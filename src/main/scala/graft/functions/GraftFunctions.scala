@@ -450,6 +450,9 @@ object GraftFunctions {
     // html_blocks(html): jusText-style block segmentation + link-density
     // measurement; classification stays declarative SQL
     "html_blocks" -> ((args: Seq[Expression]) => HtmlBlocks(args.head)),
+    // html_meta(html, base_url): title / meta-description / rel=canonical
+    // / meta-robots — the on-page politeness + dedup signals
+    "html_meta" -> ((args: Seq[Expression]) => HtmlMeta(args(0), args(1))),
     // robots_allowed(robots_txt, agent, path): RFC 9309 fetch gate
     "robots_allowed" ->
       ((args: Seq[Expression]) => RobotsAllowed(args(0), args(1), args(2))),

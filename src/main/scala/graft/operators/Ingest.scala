@@ -483,6 +483,37 @@ object Ingest {
       }
   }
 
+  /** Demo page for `tx_meta_gate`: deterministic on-page metadata — the
+    * title carries an entity (&mdash;), robots directives rotate on
+    * doc_id % 4 (noindex,follow / NOFOLLOW / none / absent), every third
+    * doc declares a rel=canonical that the leading `<base href>` rebases,
+    * and a commented-out canonical plus a script-embedded robots meta must
+    * be ignored.
+    */
+  def metaPage(id: Long): (String, String) = {
+    val url = s"http://src${id % 20}.invalid/page/$id"
+    val robots = (id % 4) match {
+      case 0 => """<meta name="robots" content="noindex, follow">"""
+      case 1 => """<meta name="ROBOTS" content="NOFOLLOW">"""
+      case 2 => """<meta name="robots" content="none">"""
+      case _ => ""
+    }
+    val canonical =
+      if (id % 3 == 0) s"""<link rel="alternate canonical" href="/canon/${id % 50}">"""
+      else ""
+    val html =
+      s"""<html><head>
+         |<base href="http://base${id % 10}.invalid/dir/">
+         |<title>Doc $id &mdash; title</title>
+         |<meta name="description" content="summary $id &amp; more">
+         |$robots
+         |$canonical
+         |<!-- <link rel="canonical" href="/never"> -->
+         |<script>var x = '<meta name="robots" content="noindex">';</script>
+         |</head><body><p>body</p></body></html>""".stripMargin
+    (url, html)
+  }
+
   /** WITHIN-crawl digest-dedup verdicts — the companion of the
     * cross-crawl [[revisitVerdicts]]: inside ONE crawl, every payload
     * digest stores exactly one body (the capture with the string-least

@@ -199,6 +199,17 @@ object TextAnalysis {
       graft.functions.HtmlBlocks(
         org.apache.spark.sql.graftshim.GraftShims.expression(html)))
 
+  /** On-page metadata: title, meta-description, `rel=canonical` (resolved
+    * like an outlink), and meta-robots noindex/nofollow — the page-side
+    * politeness + dedup signals `robots.txt` cannot carry. See
+    * [[graft.functions.HtmlMeta]] for the rules.
+    */
+  def htmlMeta(html: Column, baseUrl: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(
+      graft.functions.HtmlMeta(
+        org.apache.spark.sql.graftshim.GraftShims.expression(html),
+        org.apache.spark.sql.graftshim.GraftShims.expression(baseUrl)))
+
   /** jusText-style boilerplate removal (Pomikálek 2011, the algorithm
     * family behind the standard crawl content extractors), re-expressed as
     * declarative Spark SQL over [[htmlBlocks]] segmentation so Catalyst
