@@ -4084,6 +4084,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // canonical-declared dedup IN ACTION: pages group on
+    // coalesce(rel-canonical, own url) BEFORE any content hashing — the
+    // cheap first dedup pass every curation pipeline runs (the id%3==0
+    // pages of each (id%10, id%50) class share a canonical target, i.e.
+    // one cluster per id%150 residue; everything else is a singleton the
+    // HAVING must drop). ONE key-grain exchange, map-only extraction.
+    "tx_canonical_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.metaPage(id))
+        .toDF("url", "html")
+      pages
+        .withColumn("m", graft.operators.TextAnalysis.htmlMeta(col("html"), col("url")))
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          coalesce(col("m.canonical"), col("url")).as("dedup_url"))
+        .groupBy(col("dedup_url"))
+        .agg(count(lit(1)).as("n_pages"),
+          min(col("doc_id")).as("id_min"),
+          sum(col("doc_id")).as("id_sum"))
+        .filter(col("n_pages") >= 2)
+        .orderBy(col("dedup_url"))
+    }),
+
     // the within-crawl dedup WRITE path (what Common Crawl ships): mirror
     // archives -> selfDedupVerdicts (one stored body per digest, the
     // string-least capture canonical) -> dedupWarcRewrite (dups become
@@ -6848,6 +6872,20 @@ object SparkEntry {
         |GROUP BY CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END
         |HAVING CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) >= 2
         |ORDER BY group_id""".stripMargin,
+    // canonical clusters from the metaPage rules: id%3==0 pages of the
+    // same id%50 class share a canonical (id%10 is determined by id%50),
+    // singletons dropped by the HAVING
+    "tx_canonical_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'http://base' || (doc_id % 10) ||
+        |      '.invalid/canon/' || (doc_id % 50)
+        |    ELSE 'http://src' || (doc_id % 20) || '.invalid/page/' || doc_id
+        |    END AS dedup_url
+        |  FROM documents)
+        |SELECT dedup_url, COUNT(*) AS n_pages, MIN(doc_id) AS id_min,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM d GROUP BY dedup_url HAVING COUNT(*) >= 2
+        |ORDER BY dedup_url""".stripMargin,
     // every on-page signal from the metaPage rules: decoded em dash in
     // the title, robots rotation on id%4 (none implies both), canonical
     // rebased onto the base host for id%3==0

@@ -137,6 +137,28 @@ object Layout {
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Parquet write with COLUMN BLOOM FILTERS on `bloomCols` — the
+    * point-lookup pruning lever for high-cardinality keys that partition
+    * dirs (coarse) and min/max stats (useless on hash-like keys: every
+    * row group spans the full value range) cannot prune. With a bloom
+    * per row group, an equality predicate skips row groups whose filter
+    * excludes the value — at 100 TB that turns "scan the url column of
+    * everything" into "open footers, read the handful of row groups that
+    * might hold it". Size `expectedNdv` to the PER-ROW-GROUP distinct
+    * count (the writer builds one filter per row group), not the global
+    * one, or the filters come out larger than needed.
+    */
+  def bloomFilteredWrite(
+      df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "bloomFilteredWrite needs at least one bloom column")
+    require(expectedNdv > 0, "expectedNdv must be positive")
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   /** Write `df` as parquet clustered on the Z-order of `cols`: range
     * repartition on the z-key into `numFiles` even output files, sort within
     * each, drop the key. Every listed column then prunes at file level.

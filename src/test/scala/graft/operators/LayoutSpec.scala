@@ -196,4 +196,41 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bw_dims")
     }
   }
+
+  test("bloom-filtered write: footers carry blooms on the chosen column only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bloomw").toFile
+    val path = new java.io.File(tmp, "t").getAbsolutePath
+    try {
+      val df = spark.range(20000)
+        .select(concat(lit("u"), col("id")).as("url"), (col("id") % 7).as("v"))
+      Layout.bloomFilteredWrite(df, path, Seq("url"), expectedNdv = 20000)
+      // open a parquet footer directly: the url chunks must carry a bloom
+      // offset, the v chunks must not
+      val f = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val chunks = reader.getFooter.getBlocks.get(0).getColumns
+        val byCol = (0 until chunks.size()).map { i =>
+          val c = chunks.get(i)
+          c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)
+        }.toMap
+        assert(byCol("url"), s"url chunk lacks a bloom filter: $byCol")
+        assert(!byCol("v"), s"v chunk unexpectedly has a bloom filter: $byCol")
+      } finally reader.close()
+      // read path stays correct with filter pushdown on the bloom column
+      val got = spark.read.parquet(path).filter(col("url") === "u12345")
+        .select("v").as[Long].collect()
+      assert(got.toSeq == Seq(12345L % 7))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
