@@ -4108,6 +4108,38 @@ object SparkEntry {
         .orderBy(col("dedup_url"))
     }),
 
+    // the meta-robots gate wired into DISCOVERY: pages declaring
+    // nofollow (id%4==1) or none (id%4==2, which implies nofollow) must
+    // contribute ZERO outlinks to the frontier — the on-page politeness
+    // rule the robots.txt gate cannot enforce. The html_meta filter runs
+    // BEFORE extraction, so gated pages never even pay the outlink scan.
+    // Per-host discovered counts replay from the watPage link arithmetic
+    // restricted to follow-allowed docs.
+    "tx_frontier_nofollow" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (url, html) = graft.operators.Ingest.watPage(id)
+          val tag = (id % 4) match {
+            case 1 => """<meta name="robots" content="nofollow">"""
+            case 2 => """<meta name="ROBOTS" content="none">"""
+            case _ => ""
+          }
+          (url, html.replace("</head>", tag + "</head>"))
+        }
+        .toDF("url", "html")
+      pages
+        .withColumn("m", graft.operators.TextAnalysis.htmlMeta(col("html"), col("url")))
+        .filter(!col("m.nofollow"))
+        .select(explode(graft.operators.TextAnalysis.htmlOutlinks(
+          col("html"), col("url"))).as("raw"))
+        .select(graft.operators.TextAnalysis.urlNormalize(col("raw")).as("dst"))
+        .withColumn("host", parse_url(col("dst"), lit("HOST")))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("host"))
+    }),
+
     // the within-crawl dedup WRITE path (what Common Crawl ships): mirror
     // archives -> selfDedupVerdicts (one stored body per digest, the
     // string-least capture canonical) -> dedupWarcRewrite (dups become
@@ -6872,6 +6904,21 @@ object SparkEntry {
         |GROUP BY CASE WHEN doc_id % 97 < 50 THEN doc_id % 97 ELSE doc_id END
         |HAVING CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) >= 2
         |ORDER BY group_id""".stripMargin,
+    // the watPage link arithmetic restricted to follow-allowed docs
+    // (id%4 not in (1,2) — nofollow and none pages contribute nothing)
+    "tx_frontier_nofollow" ->
+      """WITH d AS (SELECT doc_id AS d, doc_id % 20 AS k FROM documents
+        |           WHERE doc_id % 4 NOT IN (1, 2)),
+        |links AS (
+        |  SELECT k AS h FROM d
+        |  UNION ALL SELECT k FROM d
+        |  UNION ALL SELECT (3 * d + 5) % 20 FROM d
+        |  UNION ALL SELECT k FROM d
+        |  UNION ALL SELECT (7 * d + 3) % 20 FROM d
+        |  UNION ALL SELECT (d + 11) % 20 FROM d
+        |  UNION ALL SELECT k FROM d)
+        |SELECT 'src' || h || '.invalid' AS host, COUNT(*) AS n_links
+        |FROM links GROUP BY h ORDER BY host""".stripMargin,
     // canonical clusters from the metaPage rules: id%3==0 pages of the
     // same id%50 class share a canonical (id%10 is determined by id%50),
     // singletons dropped by the HAVING
