@@ -16,6 +16,8 @@ object StressDriveR9 {
   private def page(id: Long): (Long, String, String) = {
     val (url, linkFarm) = graft.operators.Ingest.watPage(id)
     val body = graft.operators.Ingest.boilerplatePage(id)
+      .replace("<html><body>",
+        s"<html><head><title>Doc $id stress</title></head><body>")
     (id, url, body.replace("</body></html>", "") + linkFarm + "</body></html>")
   }
 
@@ -39,15 +41,16 @@ object StressDriveR9 {
     val htmlBytes = pages.select(sum(length(col("html")))).as[Long].head()
     pages.select(size(ta.htmlAnchors(col("html"), col("url")))).agg(sum("*")).head() // warm
     val t0 = System.nanoTime()
-    val Array(nAnchors, nBlocks) = pages.select(
+    val (nAnchors, nBlocks, nTitles) = pages.select(
         size(ta.htmlAnchors(col("html"), col("url"))).as("a"),
-        size(ta.htmlBlocks(col("html"))).as("b"))
-      .agg(sum(col("a")), sum(col("b"))).as[(Long, Long)].head() match {
-        case (a, b) => Array(a, b)
-      }
+        size(ta.htmlBlocks(col("html"))).as("b"),
+        when(ta.htmlMeta(col("html"), col("url")).getField("title").isNotNull, 1L)
+          .otherwise(0L).as("t"))
+      .agg(sum(col("a")), sum(col("b")), sum(col("t")))
+      .as[(Long, Long, Long)].head()
     val t1 = (System.nanoTime() - t0) / 1e9
-    println(f"DRIVE anchors+blocks-500k: $t1%.1f s = ${nPages / t1 / 1e3}%.0f K pages/s, " +
-      f"${htmlBytes / t1 / 1e6}%.0f MB/s HTML ($nAnchors anchors, $nBlocks blocks)")
+    println(f"DRIVE anchors+blocks+meta-500k: $t1%.1f s = ${nPages / t1 / 1e3}%.0f K pages/s, " +
+      f"${htmlBytes / t1 / 1e6}%.0f MB/s HTML ($nAnchors anchors, $nBlocks blocks, $nTitles titles)")
 
     // 2) full boilerplate removal (segmentation + window smoothing +
     //    reassembly, ONE doc_id exchange), 500k pages
