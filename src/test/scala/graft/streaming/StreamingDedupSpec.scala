@@ -36,6 +36,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("canonical-url dedup streams: rel=canonical groups collapse, singletons pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    // metaPage docs 0,3,150,153 — 0 and 150 share a canonical (id%10 and
+    // id%50 equal, both %3==0), 3 and 153 share another; 1 and 2 carry no
+    // canonical (dedup key = own url) so both must survive
+    val stream = MemoryStream[(Long, Long)]
+    val pages = stream.toDS().toDF("doc_id", "tsMillis")
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .map { case (id, ts, t) =>
+        val (url, html) = graft.operators.Ingest.metaPage(id)
+        (id, url, html, t)
+      }.toDF("doc_id", "url", "html", "eventTime")
+      .withColumn("m", graft.operators.TextAnalysis.htmlMeta(col("html"), col("url")))
+      .withColumn("dedup_url", coalesce(col("m.canonical"), col("url")))
+      .select("doc_id", "dedup_url", "eventTime")
+    val deduped = StreamingDedup.dedupByKey(pages, "eventTime", "10 minutes", Seq("dedup_url"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("canon_dedup").start()
+    try {
+      stream.addData(Seq((0L, base), (3L, base + 100), (1L, base + 200)))
+      q.processAllAvailable()
+      stream.addData(Seq((150L, base + 300), (153L, base + 400), (2L, base + 500)))
+      q.processAllAvailable()
+      val kept = spark.table("canon_dedup").select("doc_id")
+        .as[Long].collect().sorted
+      // 150 and 153 are canonical re-deliveries of 0 and 3; 1 and 2 pass
+      assert(kept.toSeq == Seq(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("content dedup keys on the normalized fingerprint, not the raw text") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
