@@ -18,7 +18,8 @@ object PlanDrive {
         "mm_flac_fixed", "mm_media_quarantine",
         "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup",
         "mm_media_pipeline", "mm_media_probe",
-        "tx_warc_ingest", "tx_tar_members", "tx_warc_curation")) {
+        "tx_warc_ingest", "tx_tar_members", "tx_warc_curation",
+        "tx_boilerplate", "tx_crawl_plan")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
