@@ -118,9 +118,11 @@ object LinkGraph {
     *     B_s*cum_(i-1) div W_s`. The telescoping sum is exactly B_s, and
     *     every host gets the floor or ceiling of its proportional share.
     *
-    * Zero-weight hosts (and whole zero-weight shards) allocate 0.
-    * Overflow bound: `total * weight` must fit a long — with ranks scaled
-    * to ~10^6 that allows budgets to ~10^12 pages, document-scale safe.
+    * Weights must be NONNEGATIVE (ranks are; a negative weight would break
+    * the cumulative-rounding monotonicity). Zero-weight hosts (and whole
+    * zero-weight shards) allocate 0. Overflow bound: `total * weight` must
+    * fit a long — with ranks scaled to ~10^6 that allows budgets to ~10^12
+    * pages, document-scale safe.
     *
     * Returns (hostCol, shardCol, weightCol, alloc).
     */
