@@ -4220,6 +4220,51 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // the budget meets POLITENESS PHYSICS: a host's Crawl-Delay bounds
+    // what an epoch can fetch regardless of what the rank-proportional
+    // apportionment wants — capacity = epoch_seconds div delay (REAL
+    // robots parsing, exact-agent group wins over the hostile * group's
+    // 60 s), effective = least(alloc, capacity), and the reported spill
+    // is what a planner re-allocates to uncapped hosts. Delay 1+k%5 over
+    // a ~15-page/host budget makes the cap BIND exactly on the slow
+    // hosts (capacity 12 < alloc at delay 5). Scale shape: host-grain
+    // rows end to end; the robots dim broadcasts.
+    "tx_budget_capacity" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      val ranked = graft.operators.LinkGraph
+        .rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .withColumn("shard",
+          regexp_extract(col("host"), "src(\\d+)", 1).cast("long") % 4)
+        .select(col("host"), col("shard"), col("rank"))
+      val budgets = graft.operators.LinkGraph
+        .allocateBudget(ranked, "host", "rank", "shard", total = 300L)
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k")).distinct()
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("host"),
+          concat(lit("User-agent: graftbot\nCrawl-delay: "), col("k") % 5 + 1,
+            lit("\n\nUser-agent: *\nCrawl-delay: 60\n")).as("robots_txt"))
+        .as[(String, String)]
+        .map { case (host, txt) =>
+          (host, graft.operators.Robots.crawlDelay(
+            graft.operators.Robots.parse(txt), "graftbot").getOrElse(60.0).toLong)
+        }.toDF("host", "delay_s")
+      budgets.join(broadcast(robots), Seq("host"))
+        .withColumn("capacity", expr("60 div delay_s"))
+        .withColumn("effective", least(col("alloc"), col("capacity")))
+        .select(col("host"), col("alloc"), col("delay_s"), col("capacity"),
+          col("effective"), (col("alloc") - col("effective")).as("spill"))
+        .orderBy(col("host"))
+    }),
+
     // the crawl→training-text capstone: WARC archives (bodies in three
     // wire encodings: BOM'd UTF-8 / declared ISO-8859-1 / bare UTF-8,
     // each carrying a non-ASCII 'café' the decoder must get right) →
@@ -6964,6 +7009,59 @@ object SparkEntry {
         |  CASE WHEN d.doc_id <> c.cid THEN c.cid END AS refers_to_doc,
         |  d.doc_id = c.cid AS stores_body
         |FROM d JOIN c USING (g) ORDER BY d.doc_id""".stripMargin,
+    // the 300-page apportionment (as tx_crawl_plan's) capped by the
+    // declared Crawl-Delay: delay 1+k%5, capacity 60 // delay
+    "tx_budget_capacity" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
+        |e AS (SELECT 'src' || s || '.invalid' AS src,
+        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.host = n.host),
+        |ranked AS (SELECT host, rank,
+        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
+        |  FROM r3),
+        |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
+        |       FROM ranked GROUP BY shard),
+        |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
+        |sb AS (SELECT shard, ws, 300 * ws // w AS base,
+        |         (300 * ws) % w AS rem FROM sw, g),
+        |lo AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM sb),
+        |rkd AS (SELECT shard, ws, base +
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+        |      <= leftover THEN 1 ELSE 0 END AS bs
+        |  FROM sb, lo),
+        |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
+        |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
+        |      ORDER BY ranked.host) AS BIGINT) AS cw
+        |  FROM ranked JOIN rkd USING (shard)),
+        |budget AS (SELECT host,
+        |    CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
+        |  FROM cum),
+        |capped AS (SELECT host, alloc,
+        |    CAST(1 + CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 5
+        |      AS BIGINT) AS delay_s
+        |  FROM budget)
+        |SELECT host, alloc, delay_s, 60 // delay_s AS capacity,
+        |  LEAST(alloc, 60 // delay_s) AS effective,
+        |  alloc - LEAST(alloc, 60 // delay_s) AS spill
+        |FROM capped ORDER BY host""".stripMargin,
     // the whole epoch plan replayed: rank iterations (as tx_link_rank),
     // 300-page apportionment (as tx_crawl_budget), stalest-first
     // selection under the per-host cap (row_number with the same

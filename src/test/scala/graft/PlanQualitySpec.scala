@@ -235,9 +235,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "sim_int8_quantize",
       // budget apportionment: the 1-row grand-total weight crosses into
       // the nShards-row shard table (allocateBudget's documented
-      // single-row stat join); the epoch-plan capstone embeds the same
-      // apportionment
-      "tx_crawl_budget", "tx_crawl_plan",
+      // single-row stat join); the epoch-plan and capacity-cap queries
+      // embed the same apportionment
+      "tx_crawl_budget", "tx_crawl_plan", "tx_budget_capacity",
       // CMS rollup: merged and direct 1-row sketches cross into the
       // per-type exact counts
       "hll_cms_reagg",
