@@ -4155,16 +4155,24 @@ object SparkEntry {
       val ing = graft.operators.Ingest
       val archives = ing.mirrorArchives(s, dir)
       val deduped = ing.dedupWarcRewrite(archives, ing.selfDedupVerdicts(archives))
-      deduped.flatMap(r => graft.operators.Warc.readRecords(r.content).map(rec =>
+      // stores_body = the HTTP PAYLOAD survived the rewrite. Revisit
+      // records keep the original header block (their declared
+      // Content-Type promises a parseable HTTP block) but drop the
+      // payload, so the distinction is made by parsing, not by length.
+      deduped.flatMap(r => graft.operators.Warc.readRecords(r.content).map { rec =>
+          val payloadLen =
+            if (rec.content.isEmpty) 0
+            else graft.operators.Warc.parseHttpResponse(rec.content)._3.length
           (rec.targetUri, rec.warcType,
-            rec.headers.getOrElse("warc-refers-to", null), rec.content.length)))
-        .toDF("url", "verdict", "refers_to", "clen")
+            rec.headers.getOrElse("warc-refers-to", null), payloadLen)
+        })
+        .toDF("url", "verdict", "refers_to", "plen")
         .select(
           regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
           col("verdict"),
           regexp_extract(col("refers_to"), "mir:(\\d+)", 1).cast("long")
             .as("refers_to_doc"),
-          (col("clen") > 0).as("stores_body"))
+          (col("plen") > 0).as("stores_body"))
         .orderBy(col("doc_id"))
     }),
 

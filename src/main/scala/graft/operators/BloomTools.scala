@@ -58,6 +58,13 @@ object BloomTools {
     * `big` collapses them to one. (Spark's own `InjectRuntimeFilter` does
     * this for selective inner equi-joins; anti-joins against a giant
     * seen-set need it spelled out.)
+    *
+    * CONTRACT: `big` must be DETERMINISTIC under re-evaluation — the two
+    * branches partition the stream only if both reads see the same rows.
+    * A nondeterministic lineage (`rand()`-derived keys, a non-idempotent
+    * source, a changing view) can land a row in both branches (duplicated)
+    * or neither (dropped). Persist/`localCheckpoint` such an input before
+    * calling, exactly as you would before any Spark self-join on it.
     */
   def prunedAntiJoin(
       big: DataFrame, bigCol: String,

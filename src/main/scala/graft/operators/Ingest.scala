@@ -577,6 +577,25 @@ object Ingest {
         val uri = rs.head._2
         val recs = rs.map { case (_, _, _, recordId, headers, content, verdict, refersTo) =>
           if (verdict == "revisit") {
+            // keep the ORIGINAL HTTP header block (status line + headers +
+            // blank line, payload dropped) as the revisit content — the
+            // identical-payload-digest convention, and what the declared
+            // Content-Type (application/http;msgtype=response) promises a
+            // reader: at least a parseable HTTP block. A record with no
+            // recognizable header block degrades to empty content.
+            val blank = {
+              var i = 0
+              var at = -1
+              while (at < 0 && i + 3 < content.length) {
+                if (content(i) == '\r' && content(i + 1) == '\n' &&
+                  content(i + 2) == '\r' && content(i + 3) == '\n') at = i + 4
+                i += 1
+              }
+              at
+            }
+            val httpHeaders =
+              if (blank > 0) java.util.Arrays.copyOf(content, blank)
+              else Array.empty[Byte]
             Map(
               "WARC-Type" -> "revisit",
               "WARC-Target-URI" -> headers.getOrElse("warc-target-uri", ""),
@@ -586,7 +605,7 @@ object Ingest {
               "WARC-Refers-To" -> refersTo,
               "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
               "Content-Type" -> headers.getOrElse("content-type", "")) ->
-              Array.empty[Byte]
+              httpHeaders
           } else {
             // pass through verbatim (headers came back lower-cased — WARC
             // names are case-insensitive; the writer adds Content-Length)

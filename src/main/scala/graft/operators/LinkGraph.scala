@@ -120,9 +120,15 @@ object LinkGraph {
     *
     * Weights must be NONNEGATIVE (ranks are; a negative weight would break
     * the cumulative-rounding monotonicity). Zero-weight hosts (and whole
-    * zero-weight shards) allocate 0. Overflow bound: `total * weight` must
-    * fit a long — with ranks scaled to ~10^6 that allows budgets to ~10^12
-    * pages, document-scale safe.
+    * zero-weight shards) allocate 0. Overflow bounds — there are TWO
+    * binding products, both guarded in the plan itself (a `raise_error`
+    * folded into the budget column, so Catalyst cannot prune the check):
+    * level 1 computes `total * W_s` (budget x per-shard weight SUM) and
+    * level 2 computes `B_s * cum_i <= B_s * W_s` (per-shard budget x the
+    * same sum). With ranks scaled to ~10^6 and ~10^5 hosts per shard,
+    * W_s ~ 10^11, so budgets to ~10^7 pages PER SHARD are safe — shard
+    * harder (or pre-scale weights down) before raising the budget; the
+    * guard turns a silent wrap into a loud per-shard error.
     *
     * Returns (hostCol, shardCol, weightCol, alloc).
     */
@@ -134,7 +140,16 @@ object LinkGraph {
       .groupBy(col(shardCol))
       .agg(sum(col(weightCol)).as("_ws"))
     val grand = shardW.agg(sum(col("_ws")).as("_w")) // single row
+    // level-1 guard: `total * _ws` must fit a long. total is a Scala
+    // literal, so the per-shard bound is a constant the scan can test.
+    val maxWs = if (total > 0) Long.MaxValue / total else Long.MaxValue
     val shardBudget = shardW
+      .withColumn("_ws",
+        when(col("_ws") > maxWs,
+          raise_error(concat(lit(s"allocateBudget: total=$total times shard weight "),
+            col("_ws"), lit(" overflows long — shard harder or pre-scale weights")))
+            .cast("long"))
+          .otherwise(col("_ws")))
       .crossJoin(broadcast(grand)) // single-row stat join
       .withColumn("_base", expr(s"$total * _ws div _w"))
       .withColumn("_rem", expr(s"($total * _ws) % _w"))
@@ -147,6 +162,16 @@ object LinkGraph {
           .otherwise(col("_base") +
             when(col("_pos") <= col("_leftover"), 1L).otherwise(0L)).as("_bs"),
         col("_ws"))
+      // level-2 guard: the within-shard pass computes `_bs * _cum` with
+      // `_cum <= _ws`, so `_bs * _ws` fitting a long covers every row.
+      // Folded into `_bs` itself (not a dead column) so it survives pruning.
+      .withColumn("_bs",
+        when(col("_bs") > 0 && col("_ws") > expr(s"${Long.MaxValue}L div _bs"),
+          raise_error(concat(lit("allocateBudget: shard budget "), col("_bs"),
+            lit(" times shard weight "), col("_ws"),
+            lit(" overflows long — shard harder or pre-scale weights")))
+            .cast("long"))
+          .otherwise(col("_bs")))
     val perShard = w.partitionBy(col(shardCol)).orderBy(col(hostCol))
     hosts
       .join(broadcast(shardBudget), Seq(shardCol))

@@ -237,7 +237,10 @@ class ArchiveIngestSpec extends AnyFunSuite {
       assert(byUrl("http://h.invalid/p/2").headers("warc-refers-to") == "<urn:t:sd:0>")
       assert(byUrl("http://h.invalid/p/4").headers("warc-refers-to") == "<urn:t:sd:0>")
       assert(byUrl("http://h.invalid/p/3").headers("warc-refers-to") == "<urn:t:sd:1>")
-      assert(byUrl("http://h.invalid/p/2").content.isEmpty)
+      // revisit keeps the ORIGINAL HTTP header block (the declared
+      // Content-Type promises a parseable HTTP block) but drops the payload
+      val (st2, hdrs2, pay2) = Warc.parseHttpResponse(byUrl("http://h.invalid/p/2").content)
+      assert(st2 == 200 && hdrs2("content-type") == "text/plain" && pay2.isEmpty)
       assert(byUrl("http://h.invalid/p/2").headers("warc-profile").contains("identical-payload-digest"))
       // stored bodies survive byte-identically
       val (_, _, b5) = Warc.parseHttpResponse(byUrl("http://h.invalid/p/5").content)
