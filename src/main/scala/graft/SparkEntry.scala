@@ -4273,6 +4273,49 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // ...and the budget loop CLOSED: the pages the Crawl-Delay cap takes
+    // from slow hosts (spill) are re-apportioned onto hosts with headroom
+    // (capacity - effective), weighted BY that headroom so no host is
+    // pushed past its own physics — one exact integer round, final by
+    // construction (bonus <= headroom per host; sum(final_alloc) ==
+    // min(total, sum(capacity)) to the page). Same host-grain shape as
+    // tx_budget_capacity; the second apportionment adds one broadcast of
+    // an nShards-row dim.
+    "tx_budget_replan" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      val ranked = graft.operators.LinkGraph
+        .rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .withColumn("shard",
+          regexp_extract(col("host"), "src(\\d+)", 1).cast("long") % 4)
+        .select(col("host"), col("shard"), col("rank"))
+      val budgets = graft.operators.LinkGraph
+        .allocateBudget(ranked, "host", "rank", "shard", total = 300L)
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k")).distinct()
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("host"),
+          concat(lit("User-agent: graftbot\nCrawl-delay: "), col("k") % 5 + 1,
+            lit("\n\nUser-agent: *\nCrawl-delay: 60\n")).as("robots_txt"))
+        .as[(String, String)]
+        .map { case (host, txt) =>
+          (host, graft.operators.Robots.crawlDelay(
+            graft.operators.Robots.parse(txt), "graftbot").getOrElse(60.0).toLong)
+        }.toDF("host", "delay_s")
+      val capped = budgets.join(broadcast(robots), Seq("host"))
+        .withColumn("capacity", expr("60 div delay_s"))
+      graft.operators.LinkGraph
+        .reallocateSpill(capped, "host", "shard", "alloc", "capacity")
+        .orderBy(col("host"))
+    }),
+
     // the crawl→training-text capstone: WARC archives (bodies in three
     // wire encodings: BOM'd UTF-8 / declared ISO-8859-1 / bare UTF-8,
     // each carrying a non-ASCII 'café' the decoder must get right) →
@@ -4639,6 +4682,58 @@ object SparkEntry {
   /** Shared DuckDB CTE: word-3-shingle sets per document (the exact-Jaccard
     * ground truth the minhash/dedup oracles verify against).
     */
+  // Shared oracle prefix for the budget-capacity family
+  // (tx_budget_capacity / tx_budget_replan): the 3-iteration integer rank
+  // replay, the two-level 300-page apportionment, and the Crawl-Delay
+  // join, ending in `capped(host, alloc, delay_s)`.
+  private val budgetCappedCtes: String =
+    """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+      |e0 AS (
+      |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+      |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+      |  UNION SELECT k, (k + 11) % 20 FROM ks),
+      |e AS (SELECT 'src' || s || '.invalid' AS src,
+      |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+      |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+      |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+      |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+      |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+      |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+      |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+      |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+      |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+      |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+      |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+      |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+      |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+      |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+      |       FROM n LEFT JOIN c3 ON c3.host = n.host),
+      |ranked AS (SELECT host, rank,
+      |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
+      |  FROM r3),
+      |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
+      |       FROM ranked GROUP BY shard),
+      |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
+      |sb AS (SELECT shard, ws, 300 * ws // w AS base,
+      |         (300 * ws) % w AS rem FROM sw, g),
+      |lo AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM sb),
+      |rkd AS (SELECT shard, ws, base +
+      |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+      |      <= leftover THEN 1 ELSE 0 END AS bs
+      |  FROM sb, lo),
+      |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
+      |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
+      |      ORDER BY ranked.host) AS BIGINT) AS cw
+      |  FROM ranked JOIN rkd USING (shard)),
+      |budget AS (SELECT host,
+      |    CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
+      |  FROM cum),
+      |capped AS (SELECT host, alloc,
+      |    CAST(1 + CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 5
+      |      AS BIGINT) AS delay_s
+      |  FROM budget)""".stripMargin
+
   private val shingleCte: String =
     """sh AS (
       |  SELECT doc_id, source,
@@ -7020,56 +7115,56 @@ object SparkEntry {
     // the 300-page apportionment (as tx_crawl_plan's) capped by the
     // declared Crawl-Delay: delay 1+k%5, capacity 60 // delay
     "tx_budget_capacity" ->
-      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
-        |e0 AS (
-        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
-        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
-        |  UNION SELECT k, (k + 11) % 20 FROM ks),
-        |e AS (SELECT 'src' || s || '.invalid' AS src,
-        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
-        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
-        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
-        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
-        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
-        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
-        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
-        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
-        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
-        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
-        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
-        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
-        |       FROM n LEFT JOIN c3 ON c3.host = n.host),
-        |ranked AS (SELECT host, rank,
-        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
-        |  FROM r3),
-        |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
-        |       FROM ranked GROUP BY shard),
-        |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
-        |sb AS (SELECT shard, ws, 300 * ws // w AS base,
-        |         (300 * ws) % w AS rem FROM sw, g),
-        |lo AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM sb),
-        |rkd AS (SELECT shard, ws, base +
-        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
-        |      <= leftover THEN 1 ELSE 0 END AS bs
-        |  FROM sb, lo),
-        |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
-        |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
-        |      ORDER BY ranked.host) AS BIGINT) AS cw
-        |  FROM ranked JOIN rkd USING (shard)),
-        |budget AS (SELECT host,
-        |    CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
-        |  FROM cum),
-        |capped AS (SELECT host, alloc,
-        |    CAST(1 + CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 5
-        |      AS BIGINT) AS delay_s
-        |  FROM budget)
+      (budgetCappedCtes +
+        """
         |SELECT host, alloc, delay_s, 60 // delay_s AS capacity,
         |  LEAST(alloc, 60 // delay_s) AS effective,
         |  alloc - LEAST(alloc, 60 // delay_s) AS spill
-        |FROM capped ORDER BY host""".stripMargin,
+        |FROM capped ORDER BY host""".stripMargin),
+    // the replan round on top of the capacity cap: redistribute
+    // redis = least(sum(spill), sum(headroom)) by largest remainder over
+    // per-shard headroom sums, then cumulative rounding weighted by
+    // headroom within each shard — every division integer, every window
+    // deterministic (host asc / rem desc, shard asc)
+    "tx_budget_replan" ->
+      (budgetCappedCtes +
+        """,
+        |eff AS (SELECT host,
+        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard,
+        |    alloc, 60 // delay_s AS capacity,
+        |    LEAST(alloc, 60 // delay_s) AS effective,
+        |    (60 // delay_s) - LEAST(alloc, 60 // delay_s) AS headroom,
+        |    alloc - LEAST(alloc, 60 // delay_s) AS spill
+        |  FROM capped),
+        |tot AS (SELECT CAST(SUM(spill) AS BIGINT) AS spill_total,
+        |    CAST(SUM(headroom) AS BIGINT) AS head_total,
+        |    LEAST(CAST(SUM(spill) AS BIGINT), CAST(SUM(headroom) AS BIGINT))
+        |      AS redis
+        |  FROM eff),
+        |shh AS (SELECT shard, CAST(SUM(headroom) AS BIGINT) AS hs
+        |  FROM eff GROUP BY shard),
+        |sb2 AS (SELECT shard, hs, redis,
+        |    CASE WHEN head_total = 0 THEN 0 ELSE redis * hs // head_total END AS base,
+        |    CASE WHEN head_total = 0 THEN 0 ELSE (redis * hs) % head_total END AS rem
+        |  FROM shh, tot),
+        |lo2 AS (SELECT CAST(MAX(redis) - SUM(base) AS BIGINT) AS leftover FROM sb2),
+        |bs2 AS (SELECT shard, hs,
+        |    CASE WHEN hs = 0 THEN 0 ELSE base +
+        |      CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+        |        <= leftover THEN 1 ELSE 0 END END AS bs
+        |  FROM sb2, lo2),
+        |cum2 AS (SELECT eff.host, eff.shard, eff.alloc, eff.capacity,
+        |    eff.effective, eff.spill, eff.headroom, bs2.bs, bs2.hs,
+        |    CAST(SUM(eff.headroom) OVER (PARTITION BY eff.shard
+        |      ORDER BY eff.host) AS BIGINT) AS ch
+        |  FROM eff JOIN bs2 USING (shard)),
+        |fin AS (SELECT host, shard, alloc, capacity, effective, spill,
+        |    CASE WHEN hs = 0 THEN 0
+        |      ELSE (bs * ch // hs) - (bs * (ch - headroom) // hs) END AS bonus
+        |  FROM cum2)
+        |SELECT host, shard, alloc, capacity, effective, spill, bonus,
+        |  effective + bonus AS final_alloc
+        |FROM fin ORDER BY host""".stripMargin),
     // the whole epoch plan replayed: rank iterations (as tx_link_rank),
     // 300-page apportionment (as tx_crawl_budget), stalest-first
     // selection under the per-host cap (row_number with the same

@@ -182,4 +182,93 @@ object LinkGraph {
             expr(s"_bs * (_cum - `$weightCol`) div _ws")))
       .select(col(hostCol), col(shardCol), col(weightCol), col("alloc"))
   }
+
+  /** Close the politeness-capacity loop: re-apportion the budget a
+    * Crawl-Delay cap takes away from slow hosts onto hosts with headroom.
+    *
+    * [[allocateBudget]] splits a budget by rank; a host's Crawl-Delay then
+    * bounds what an epoch can PHYSICALLY fetch (`capacity`), and
+    * `effective = least(alloc, capacity)` strands `spill = alloc -
+    * effective` pages — without this pass they are simply lost from the
+    * epoch. One more exact apportionment round moves
+    * `redis = least(sum(spill), sum(headroom))` onto the hosts with
+    * `headroom = capacity - effective`, WEIGHTED BY HEADROOM (a host can
+    * only absorb what its own delay allows), capped by construction:
+    *
+    *  - level 1 (largest remainder over per-shard headroom sums): the
+    *    per-shard bonus `B_s <= H_s` exactly — `redis <= H` makes the
+    *    floor share `< H_s` whenever a `+1` can land, and `redis == H`
+    *    zeroes every remainder;
+    *  - level 2 (cumulative rounding, weight = headroom): `B_s <= H_s`
+    *    bounds every host's bonus by its own headroom.
+    *
+    * So `bonus <= headroom` per host with NO iteration — one round is
+    * final, and `sum(final_alloc) == min(sum(alloc), sum(capacity))`
+    * exactly (pages are only unallocated when the whole fleet is at
+    * physical capacity). Pure integer arithmetic; every division replays
+    * in any SQL engine. Same overflow guards and bounded-window shape as
+    * [[allocateBudget]]: the only unpartitioned window runs over nShards
+    * rows.
+    *
+    * Input needs (hostCol, shardCol, allocCol, capacityCol); returns
+    * (hostCol, shardCol, alloc, capacity, effective, spill, bonus,
+    * final_alloc) with `final_alloc = effective + bonus`.
+    */
+  def reallocateSpill(capped: DataFrame, hostCol: String, shardCol: String,
+      allocCol: String, capacityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = capped.select(col(hostCol), col(shardCol),
+        col(allocCol).cast("long").as("alloc"),
+        col(capacityCol).cast("long").as("capacity"))
+      .withColumn("effective", least(col("alloc"), col("capacity")))
+      .withColumn("headroom", col("capacity") - col("effective"))
+      .withColumn("spill", col("alloc") - col("effective"))
+    val totals = base
+      .agg(coalesce(sum(col("spill")), lit(0L)).as("_spill_total"),
+        coalesce(sum(col("headroom")), lit(0L)).as("_head_total"))
+      .withColumn("_redis", least(col("_spill_total"), col("_head_total")))
+    val shardBonus = base
+      .groupBy(col(shardCol)).agg(sum(col("headroom")).as("_hs"))
+      .crossJoin(broadcast(totals)) // single-row stat join
+      // level-1 guard: `_redis * _hs` must fit a long (same discipline as
+      // allocateBudget — folded into the live column, not prunable)
+      .withColumn("_hs",
+        when(col("_redis") > 0 && col("_hs") > expr(s"${Long.MaxValue}L div _redis"),
+          raise_error(concat(lit("reallocateSpill: spill "), col("_redis"),
+            lit(" times shard headroom "), col("_hs"),
+            lit(" overflows long — shard harder")))
+            .cast("long"))
+          .otherwise(col("_hs")))
+      .withColumn("_base", when(col("_head_total") === 0, lit(0L))
+        .otherwise(expr("_redis * _hs div _head_total")))
+      .withColumn("_rem", when(col("_head_total") === 0, lit(0L))
+        .otherwise(expr("(_redis * _hs) % _head_total")))
+      .withColumn("_leftover", col("_redis") - sum(col("_base")).over(w.partitionBy()))
+      // bounded window: nShards rows by construction, never data-sized
+      .withColumn("_pos", row_number().over(
+        w.orderBy(col("_rem").desc, col(shardCol).asc)))
+      .select(col(shardCol),
+        when(col("_hs") === 0, lit(0L))
+          .otherwise(col("_base") +
+            when(col("_pos") <= col("_leftover"), 1L).otherwise(0L)).as("_bs"),
+        col("_hs"))
+      // level-2 guard: within-shard pass computes `_bs * _cum <= _bs * _hs`
+      .withColumn("_bs",
+        when(col("_bs") > 0 && col("_hs") > expr(s"${Long.MaxValue}L div _bs"),
+          raise_error(concat(lit("reallocateSpill: shard bonus "), col("_bs"),
+            lit(" times shard headroom "), col("_hs"),
+            lit(" overflows long — shard harder")))
+            .cast("long"))
+          .otherwise(col("_bs")))
+    val perShard = w.partitionBy(col(shardCol)).orderBy(col(hostCol))
+    base
+      .join(broadcast(shardBonus), Seq(shardCol))
+      .withColumn("_cum", sum(col("headroom")).over(perShard))
+      .withColumn("bonus",
+        when(col("_hs") === 0, lit(0L)).otherwise(
+          expr("_bs * _cum div _hs") - expr("_bs * (_cum - headroom) div _hs")))
+      .select(col(hostCol), col(shardCol), col("alloc"), col("capacity"),
+        col("effective"), col("spill"), col("bonus"),
+        (col("effective") + col("bonus")).as("final_alloc"))
+  }
 }

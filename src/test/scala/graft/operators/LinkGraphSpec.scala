@@ -181,4 +181,91 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       LinkGraph.allocateBudget(hosts(("a", 0L, 1L)), "host", "weight", "shard", -1L))
   }
+
+  private def capped(rows: (String, Long, Long, Long)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("host", "shard", "alloc", "capacity")
+  }
+
+  private def collectRealloc(df: org.apache.spark.sql.DataFrame) =
+    LinkGraph.reallocateSpill(df, "host", "shard", "alloc", "capacity")
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("alloc"), r.getAs[Long]("capacity"),
+        r.getAs[Long]("effective"), r.getAs[Long]("spill"),
+        r.getAs[Long]("bonus"), r.getAs[Long]("final_alloc")))
+      .toMap
+
+  test("reallocateSpill: hand-checked one-shard case") {
+    // a is capped (alloc 10, capacity 4 -> spill 6); b and c absorb it
+    // weighted by headroom: headrooms b=6, c=12, redis=6
+    // one shard -> bs = 6; cum(b)=6, cum(c)=18
+    // bonus(b) = 6*6 div 18 - 0 = 2; bonus(c) = 6*18 div 18 - 2 = 4
+    val got = collectRealloc(capped(
+      ("a", 0L, 10L, 4L), ("b", 0L, 2L, 8L), ("c", 0L, 3L, 15L)))
+    assert(got("a") == (10L, 4L, 4L, 6L, 0L, 4L))
+    assert(got("b") == (2L, 8L, 2L, 0L, 2L, 4L))
+    assert(got("c") == (3L, 15L, 3L, 0L, 4L, 7L))
+    assert(got.values.map(_._6).sum == 15L) // == total alloc (15 <= sum cap 27)
+  }
+
+  test("reallocateSpill: no spill is a no-op, all-full fleet leaves residue") {
+    val none = collectRealloc(capped(("a", 0L, 3L, 9L), ("b", 1L, 2L, 5L)))
+    assert(none.values.forall(v => v._5 == 0L && v._6 == v._1))
+    // every host at capacity: redistribution impossible, final == capacity
+    val full = collectRealloc(capped(("a", 0L, 9L, 3L), ("b", 1L, 7L, 2L)))
+    assert(full.values.forall(v => v._5 == 0L))
+    assert(full("a")._6 == 3L && full("b")._6 == 2L)
+  }
+
+  test("reallocateSpill: 30 random cases — invariants and BigInt reference") {
+    // independent reimplementation: headroom-weighted two-level
+    // apportionment of redis = min(sum spill, sum headroom)
+    def reference(rows: Seq[(String, Long, Long, Long)]): Map[String, Long] = {
+      val eff = rows.map { case (h, s, a, c) => (h, s, math.min(a, c), c - math.min(a, c), a - math.min(a, c)) }
+      val redis = math.min(eff.map(_._5).sum, eff.map(_._4).sum)
+      val h = eff.map(_._4).sum
+      if (h == 0 || redis == 0) return rows.map(r => r._1 -> 0L).toMap
+      val sh = eff.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._4).sum }
+      val base = sh.map { case (s, hs) => s -> (BigInt(redis) * hs / h).toLong }
+      val rem = sh.map { case (s, hs) => s -> ((BigInt(redis) * hs) % h).toLong }
+      val leftover = (redis - base.values.sum).toInt
+      val plusOne = sh.keys.toSeq.sortBy(s => (-rem(s), s)).take(leftover).toSet
+      val bs = sh.map { case (s, _) =>
+        s -> (base(s) + (if (plusOne.contains(s)) 1L else 0L))
+      }
+      eff.groupBy(_._2).flatMap { case (s, rs) =>
+        val hs = sh(s)
+        var cum = BigInt(0)
+        rs.sortBy(_._1).map { case (host, _, _, head, _) =>
+          if (hs == 0) host -> 0L
+          else {
+            val prev = cum; cum += head
+            host -> ((BigInt(bs(s)) * cum / hs) - (BigInt(bs(s)) * prev / hs)).toLong
+          }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(314159)
+    for (case_ <- 0 until 30) {
+      val nShards = 1 + rnd.nextInt(6)
+      val rows = (0 until 1 + rnd.nextInt(40)).map(i =>
+        (f"h$i%02d", rnd.nextInt(nShards).toLong,
+          rnd.nextInt(31).toLong, rnd.nextInt(31).toLong))
+      val got = collectRealloc(capped(rows: _*))
+      val wantBonus = reference(rows)
+      for ((h, _, a, c) <- rows) {
+        val (ga, gc, ge, gs, gb, gf) = got(h)
+        assert((ga, gc) == (a, c))
+        assert(ge == math.min(a, c) && gs == a - ge)
+        assert(gb == wantBonus(h), s"case $case_ host $h")
+        assert(gb >= 0 && gb <= gc - ge, s"case $case_ host $h bonus within headroom")
+        assert(gf == ge + gb && gf <= gc)
+      }
+      val sumAlloc = rows.map(_._3).sum
+      val sumCap = rows.map(_._4).sum
+      assert(got.values.map(_._6).sum == math.min(sumAlloc, sumCap),
+        s"case $case_: final allocations must sum to min(total, capacity)")
+    }
+  }
 }
