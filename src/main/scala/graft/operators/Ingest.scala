@@ -409,6 +409,50 @@ object Ingest {
        |</body></html>""".stripMargin
   }
 
+  /** Demo page for NEAR-mirror detection (`tx_mirror_near`): host k's
+    * page in a five-group mirror corpus (group g = k%5, role r = k/5).
+    * Exact-digest grouping cannot catch these mirrors — every host's RAW
+    * bytes differ (the nav banner names the host) — but after jusText
+    * boilerplate removal the MAIN texts line up per role:
+    *
+    *  - roles 0/1: identical main text (banner-injected mirror pair —
+    *    simhash hamming 0);
+    *  - role 2: one word of paragraph 2 swapped for a per-group word
+    *    CHOSEN so the token-simhash lands at hamming 1-3 of the base
+    *    (the timestamp-in-content mirror; the pigeonhole guarantee finds
+    *    hamming <= 3, and `DedupSpec` pins the planted distances so a
+    *    tokenizer/hash change cannot silently invalidate the plant);
+    *  - role 3: unique content — must NOT be flagged (hamming >> 3,
+    *    also spec-pinned).
+    *
+    * All words are pure letters (the simhash tokenizer splits on
+    * non-letters), so the token stream is exactly the literal word lists
+    * and the flagged PAIR SET is pure k-arithmetic for the oracle.
+    */
+  def mirrorPage(k: Long): String = {
+    val g = (k % 5).toInt
+    val r = (k / 5).toInt
+    def enc(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val gl = ('a' + g).toChar
+    val words: Seq[String] =
+      if (r == 3) (0 until 60).map(i => s"u${('a' + k.toInt).toChar}${enc(i)}")
+      else {
+        val base = (0 until 60).map(i => s"w$gl${enc(i)}")
+        // hamming-selected per-group replacements (see scaladoc): the
+        // resulting distances 3/1/1/2/2 are pinned in DedupSpec
+        if (r == 2) base.updated(45, Seq("zaaa", "zbaa", "zcaa", "zdab", "zeaa")(g))
+        else base
+      }
+    val (p1, p2) = words.splitAt(30)
+    s"""<html><body>
+       |<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a> <a href="/m">mirror ${('a' + k.toInt).toChar}</a></div>
+       |<h1>Shared title group$gl</h1>
+       |<p>${p1.mkString(" ")}</p>
+       |<p>${p2.mkString(" ")}</p>
+       |<div><a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="/i">Imprint</a></div>
+       |</body></html>""".stripMargin
+  }
+
   /** Demo WARC corpus for the crawl→training-text capstone: one response
     * per document whose body is [[boilerplatePage]] with ` café` appended
     * to the h1 (a non-ASCII code point the charset stage must decode

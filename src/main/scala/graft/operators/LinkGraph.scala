@@ -44,7 +44,59 @@ object LinkGraph {
     * after the final iteration.
     */
   def rankHosts(edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    rankedFrom(edges0, srcCol, dstCol, iters, warm = None)
+
+  /** Incremental maintenance of [[rankHosts]] — the daily-crawl shape: a
+    * new epoch contributes DELTA edges, and recomputing from the cold
+    * `InitialRank` vector every day re-pays the whole convergence run. A
+    * WARM start from yesterday's rank vector runs the SAME integer
+    * iteration over the merged edge set, so:
+    *
+    *  - hosts carried over start at their previous rank, brand-new hosts
+    *    seed at `InitialRank`, hosts whose edges all vanished drop out;
+    *  - the fixed points agree: the damped integer map contracts toward
+    *    the same terminal state from any start, so once both runs pass
+    *    their convergence horizon, warm-started ranks EQUAL the full
+    *    rebuild's — `tx_link_rank_delta`'s oracle IS the cold rebuild,
+    *    and the continuation identity (delta with no edge changes ==
+    *    the cold run with k more iterations) is spec-pinned exactly;
+    *  - what is saved at 10^8 hosts: the page-grain -> host-grain edge
+    *    reduction runs over the DELTA only (see [[mergeEdges]] — the
+    *    100 TB part of the job), and the warm vector sits near the new
+    *    fixed point so far fewer O(E) iteration rounds are needed to
+    *    re-converge. Honest bound: each remaining round still touches
+    *    every edge — the win is in ROUNDS and in the skipped rebuild of
+    *    the edge set, not in per-round cost.
+    *
+    * CAVEAT (why no iterate-until-unchanged mode exists): integer floors
+    * can park the iteration in a tiny limit cycle (period 2, ±1 ulp on a
+    * few hosts) instead of a strict fixed point, so "run until unchanged"
+    * may never terminate. Iteration counts stay explicit and bounded,
+    * like [[rankHosts]] and `Redirects.resolve`.
+    */
+  def rankDelta(prevRank: DataFrame, hostCol: String, rankCol: String,
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame =
+    rankedFrom(edges0, srcCol, dstCol, iters,
+      warm = Some(prevRank.select(
+        col(hostCol).as("host"), col(rankCol).cast("long").as("prev_rank"))))
+
+  /** Fold an edge delta into a stored edge set: adds are unioned (dedup),
+    * removes are anti-joined, all on (src, dst). At 100 TB this is the
+    * step that makes [[rankDelta]] incremental — only the DELTA pays the
+    * page-grain -> host-grain extraction; the stored host edges (tiny by
+    * comparison) fold in one distinct + one anti-join.
+    */
+  def mergeEdges(prev: DataFrame, adds: DataFrame, removes: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(srcCol), col(dstCol))
+    norm(prev).unionByName(norm(adds)).distinct()
+      .join(norm(removes), Seq(srcCol, dstCol), "left_anti")
+  }
+
+  private def rankedFrom(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, warm: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 64, s"rankHosts: iters in [1,64], got $iters")
     // the graph every stage shares: dedup + self-loop drop, materialized
     // once (every iteration and both degree counts re-read it)
@@ -61,7 +113,18 @@ object LinkGraph {
       .localCheckpoint()
     // every src has out_deg >= 1 by construction (it appears in an edge)
     val edgesDeg = edges.join(outDeg, Seq("src"))
-    var rank = nodes.withColumn("rank", lit(InitialRank))
+    var rank = warm match {
+      case None => nodes.withColumn("rank", lit(InitialRank))
+      case Some(prev) =>
+        // carried hosts warm-start, new hosts seed cold, gone hosts drop
+        // (the join against current nodes). Checkpoint: prev is usually
+        // itself the product of an iterative plan — cut that lineage
+        // before stacking more iterations on top.
+        nodes.join(prev, Seq("host"), "left")
+          .select(col("host"),
+            coalesce(col("prev_rank"), lit(InitialRank)).as("rank"))
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iters) {
       val contrib = edgesDeg

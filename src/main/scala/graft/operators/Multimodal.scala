@@ -618,7 +618,14 @@ object Multimodal {
       MediaProbe(id, container, if (dims.isDefined) Some("mjpeg") else None,
         dims.map(_._1), dims.map(_._2), None, None, Some(n), decodable = dims.isDefined)
     }
-    if (FlacCodec.isFlac(bytes)) guarded("flac") {
+    if (PdfCodec.isPdf(bytes)) guarded("pdf") {
+      // structural walk only (xref + page tree) — no stream decompression;
+      // encrypted / xref-stream / damaged PDFs keep the container label
+      // with decodable = false (the extract pass would divert them)
+      val n = PdfCodec.pageCount(bytes)
+      MediaProbe(id, "pdf", Some("pdf"), None, None, None, None,
+        Some(n.toLong), decodable = true)
+    } else if (FlacCodec.isFlac(bytes)) guarded("flac") {
       val si = FlacCodec.readStreamInfo(bytes)
       MediaProbe(id, "flac", Some("flac"), None, None, Some(si.sampleRate),
         Some(si.channels), Some(si.totalFrames), decodable = si.bitsPerSample == 16)

@@ -1,0 +1,749 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** Structural PDF text extraction + a spec-correct writer — the document
+  * class a real web corpus is full of (`application/pdf`) and that an
+  * LLM-data pipeline must either mine or knowingly drop.
+  *
+  * Public formats only: PDF 32000-1:2008 (ISO, freely published by Adobe)
+  * — §7.5 file structure (header / body / cross-reference table /
+  * trailer), §7.3 object syntax, §7.4.4 FlateDecode, §9.4 text objects
+  * (BT/ET, Tj/TJ/'/"), §9.4.2 positioning (Td TD T* Tm). Same house style
+  * as the other structural byte-walks (`IsoBmff`, `Matroska`, `Warc`):
+  * parse what the spec says is there, never execute anything, throw a
+  * NAMED error for anything outside the supported profile so the
+  * quarantine seam can divert the record instead of killing the task.
+  *
+  * Supported profile (the dominant machine-generated class):
+  *  - classic cross-reference TABLES incl. incremental-update /Prev
+  *    chains; when the table is damaged/truncated, a linear `N G obj`
+  *    byte scan rebuilds the object index (truncation tolerance);
+  *  - content streams raw or FlateDecode (zlib), inflated through a
+  *    BOUNDED loop (`MaxStreamBytes`, the `Gunzip.bounded` discipline —
+  *    a hostile stream costs one buffer, not the heap);
+  *  - simple-font text: strings decode as Latin-1, correct for
+  *    WinAnsiEncoding text outside 0x80-0x9F (what the writer emits);
+  *  - OUT of profile, rejected loudly (divert, don't die): /Encrypt
+  *    ("pdf: encrypted"), PDF 1.5+ cross-reference/object streams
+  *    ("pdf: xref stream unsupported" — see MEDIA.md), non-Flate
+  *    content-stream filters.
+  *
+  * Scale shape: one PDF is one record; extraction is a map-only
+  * per-record walk with zero driver state — identical distribution story
+  * to the WARC/zip/tar walks.
+  */
+object PdfCodec {
+
+  /** Per-stream inflate cap: a content stream past this is a bomb, not a
+    * document (deflate expands ~1000x, so this bounds a hostile member's
+    * cost to one 64 MB buffer).
+    */
+  final val MaxStreamBytes: Long = 64L * 1024 * 1024
+
+  /** Caps on structure, not content: object count and page-tree depth a
+    * legitimate document never exceeds but a crafted loop would.
+    */
+  final val MaxObjects = 100000
+  final val MaxKidsDepth = 64
+
+  /** Extracted document: page texts in page-tree order. */
+  final case class PdfText(nPages: Int, pages: Seq[String])
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-'
+
+  // ---------------------------------------------------------------- model
+
+  private sealed trait PVal
+  private case class PNum(v: Double) extends PVal { def i: Int = v.toInt }
+  private case class PName(v: String) extends PVal
+  private case class PStr(bytes: Array[Byte]) extends PVal
+  private case class PArr(items: Vector[PVal]) extends PVal
+  private case class PDict(m: Map[String, PVal]) extends PVal
+  private case class PRef(num: Int, gen: Int) extends PVal
+  private case class PBool(v: Boolean) extends PVal
+  private case object PNull extends PVal
+  /** dict + RAW (still compressed) stream bytes */
+  private case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+
+  // ---------------------------------------------------------------- lexer
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Recursive-descent reader over the raw bytes; `pos` is mutable scan
+    * state. Object syntax per PDF 32000-1 §7.3.
+    */
+  private final class Lexer(val b: Array[Byte], var pos: Int) {
+    def eof: Boolean = pos >= b.length
+    def peek: Int = if (eof) -1 else b(pos) & 0xff
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = peek
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to end of line
+          while (!eof && peek != '\n' && peek != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def keywordAhead(s: String): Boolean =
+      pos + s.length <= b.length &&
+        (0 until s.length).forall(i => b(pos + i) == s.charAt(i).toByte) && {
+          val after = pos + s.length
+          after >= b.length || isWs(b(after) & 0xff) || isDelim(b(after) & 0xff)
+        }
+
+    def expect(s: String): Unit = {
+      skipWs()
+      require(keywordAhead(s), s"pdf: expected '$s' at byte $pos")
+      pos += s.length
+    }
+
+    def tryKeyword(s: String): Boolean = {
+      skipWs()
+      if (keywordAhead(s)) { pos += s.length; true } else false
+    }
+
+    def readToken(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && !isWs(peek) && !isDelim(peek)) pos += 1
+      new String(b, start, pos - start, StandardCharsets.ISO_8859_1)
+    }
+
+    def readName(): String = {
+      require(peek == '/', s"pdf: expected name at byte $pos")
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < b.length) { // #xx hex escape in names
+          val h = Integer.parseInt(
+            new String(b, pos + 1, 2, StandardCharsets.ISO_8859_1), 16)
+          sb.append(h.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      sb.toString
+    }
+
+    /** Literal string `(...)`: balanced parens, backslash escapes incl.
+      * octal and line continuation (§7.3.4.2).
+      */
+    def readLiteralString(): Array[Byte] = {
+      require(peek == '(', s"pdf: expected string at byte $pos")
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        require(!eof, "pdf: unterminated string")
+        val c = peek; pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case '\\' =>
+            require(!eof, "pdf: dangling escape")
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (!eof && peek == '\n') pos += 1 // continuation
+              case '\n' => // continuation: no byte
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var n = 1
+                while (n < 3 && !eof && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; n += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // spec: ignore the backslash
+            }
+          case other => out.write(other)
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Hex string `<...>` (§7.3.4.3) — odd final digit pads with 0. */
+    def readHexString(): Array[Byte] = {
+      require(peek == '<', s"pdf: expected hex string at byte $pos")
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        require(!eof, "pdf: unterminated hex string")
+        val c = peek; pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4)
+          done = true
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          require(d >= 0, s"pdf: bad hex digit '${c.toChar}'")
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** One object at the cursor — dispatch on first byte (§7.3). Numbers
+      * look ahead for `G R` to form an indirect reference.
+      */
+    def readValue(depth: Int = 0): PVal = {
+      require(depth < 128, "pdf: value nesting too deep")
+      skipWs()
+      require(!eof, "pdf: unexpected end of data")
+      peek match {
+        case '/' => PName(readName())
+        case '(' => PStr(readLiteralString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          skipWs()
+          while (peek != ']') {
+            items += readValue(depth + 1)
+            skipWs()
+            require(!eof, "pdf: unterminated array")
+          }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < b.length && b(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PVal]
+            skipWs()
+            while (!(peek == '>' && pos + 1 < b.length && b(pos + 1) == '>')) {
+              val k = readName()
+              m += k -> readValue(depth + 1)
+              skipWs()
+              require(!eof, "pdf: unterminated dictionary")
+            }
+            pos += 2
+            PDict(m.result())
+          } else PStr(readHexString())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val save = pos
+          val t = readToken()
+          val isInt = t.nonEmpty && t.forall(ch => ch >= '0' && ch <= '9')
+          if (isInt) {
+            // `N G R` lookahead
+            val afterNum = pos
+            skipWs()
+            val save2 = pos
+            val t2 = readToken()
+            if (t2.nonEmpty && t2.forall(ch => ch >= '0' && ch <= '9')) {
+              skipWs()
+              if (keywordAhead("R")) { pos += 1; return PRef(t.toInt, t2.toInt) }
+            }
+            pos = save2
+            pos = afterNum
+            PNum(t.toDouble)
+          } else {
+            pos = save
+            val t3 = readToken()
+            PNum(java.lang.Double.parseDouble(t3))
+          }
+        case _ =>
+          if (tryKeyword("true")) PBool(true)
+          else if (tryKeyword("false")) PBool(false)
+          else if (tryKeyword("null")) PNull
+          else throw new IllegalArgumentException(
+            s"pdf: unparseable object at byte $pos ('${peek.toChar}')")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- documents
+
+  /** Parsed document handle: object index + lazy object loading with
+    * memoization and reference-cycle guard.
+    */
+  private final class Doc(bytes: Array[Byte], index: Map[Int, Int],
+      val trailer: PDict) {
+    private val memo = scala.collection.mutable.Map.empty[Int, PVal]
+    private val loading = scala.collection.mutable.Set.empty[Int]
+
+    def obj(num: Int): PVal = memo.getOrElseUpdate(num, {
+      require(loading.add(num), s"pdf: reference cycle through object $num")
+      try index.get(num) match {
+        case None => PNull
+        case Some(off) =>
+          val lx = new Lexer(bytes, off)
+          val n = lx.readToken().toInt
+          require(n == num, s"pdf: object at offset $off is $n, xref said $num")
+          lx.readToken() // generation
+          lx.expect("obj")
+          val v = lx.readValue()
+          lx.skipWs()
+          v match {
+            case d: PDict if lx.tryKeyword("stream") =>
+              // EOL after `stream` is CRLF or LF (§7.3.8.1)
+              if (lx.peek == '\r') lx.pos += 1
+              if (lx.peek == '\n') lx.pos += 1
+              val start = lx.pos
+              val len = resolve(d.m.getOrElse("Length", PNull)) match {
+                case PNum(l) if l >= 0 && start + l <= bytes.length =>
+                  val end = start + l.toInt
+                  // trust /Length only if `endstream` actually follows
+                  val probe = new Lexer(bytes, end)
+                  probe.skipWs()
+                  if (probe.keywordAhead("endstream")) l.toInt else scanEnd(start)
+                case _ => scanEnd(start)
+              }
+              PStream(d, java.util.Arrays.copyOfRange(bytes, start, start + len))
+            case other => other
+          }
+      } finally loading.remove(num)
+    })
+
+    /** Damaged /Length: scan for the `endstream` keyword. */
+    private def scanEnd(start: Int): Int = {
+      val pat = "endstream".getBytes(StandardCharsets.ISO_8859_1)
+      var i = start
+      while (i + pat.length <= bytes.length) {
+        if (bytes(i) == pat(0) && pat.indices.forall(j => bytes(i + j) == pat(j))) {
+          // back off the EOL that precedes endstream
+          var e = i
+          if (e > start && bytes(e - 1) == '\n') e -= 1
+          if (e > start && bytes(e - 1) == '\r') e -= 1
+          return e - start
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException("pdf: unterminated stream (no endstream)")
+    }
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n, _) => resolve(obj(n))
+      case other => other
+    }
+  }
+
+  // --------------------------------------------------------------- xref
+
+  /** Object index from the trailer walk: `startxref` → classic xref
+    * table(s) following /Prev (§7.5.4, bounded chain). An xref STREAM at
+    * the offset (PDF 1.5+, §7.5.8) is out of profile — named reject. A
+    * damaged table falls back to [[scanObjects]].
+    */
+  private def buildIndex(b: Array[Byte]): (Map[Int, Int], PDict) = {
+    val sx = lastIndexOf(b, "startxref")
+    if (sx < 0) return (scanObjects(b), scanTrailer(b))
+    try {
+      val lx = new Lexer(b, sx + "startxref".length)
+      var off = lx.readToken().toLong.toInt
+      var index = Map.empty[Int, Int]
+      var trailer: PDict = PDict(Map.empty)
+      var hops = 0
+      while (off >= 0 && hops < 16) {
+        hops += 1
+        val x = new Lexer(b, off)
+        x.skipWs()
+        if (!x.tryKeyword("xref")) {
+          // an indirect object here is a PDF 1.5 cross-reference stream
+          val probe = new Lexer(b, off)
+          val t = probe.readToken()
+          if (t.nonEmpty && t.forall(_.isDigit))
+            throw new IllegalArgumentException(
+              "pdf: xref stream unsupported (PDF 1.5+ profile — see MEDIA.md)")
+          throw new IllegalArgumentException(s"pdf: no xref table at offset $off")
+        }
+        // subsections until `trailer`
+        while (!x.tryKeyword("trailer")) {
+          val first = x.readToken().toInt
+          val count = x.readToken().toInt
+          require(count >= 0 && count <= MaxObjects, s"pdf: xref count $count")
+          var i = 0
+          while (i < count) {
+            val o = x.readToken()
+            x.readToken() // generation
+            val kind = x.readToken()
+            val num = first + i
+            // first definition wins across the /Prev chain (newest first)
+            if (kind == "n" && !index.contains(num)) index += num -> o.toInt
+            i += 1
+          }
+          x.skipWs()
+        }
+        val t = x.readValue() match {
+          case d: PDict => d
+          case _ => throw new IllegalArgumentException("pdf: trailer is not a dictionary")
+        }
+        if (trailer.m.isEmpty) trailer = t
+        off = t.m.get("Prev") match {
+          case Some(PNum(p)) => p.toInt
+          case _ => -1
+        }
+      }
+      (index, trailer)
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("xref stream unsupported") => throw e
+      case scala.util.control.NonFatal(_) =>
+        // damaged xref/trailer: rebuild both by scanning
+        (scanObjects(b), scanTrailer(b))
+    }
+  }
+
+  /** Truncation-tolerant object index: linear scan for `N G obj`. Later
+    * definitions override earlier ones (the incremental-update rule).
+    */
+  private def scanObjects(b: Array[Byte]): Map[Int, Int] = {
+    var index = Map.empty[Int, Int]
+    var i = 0
+    var count = 0
+    while (i + 2 < b.length) {
+      if (b(i) == 'o' && b(i + 1) == 'b' && b(i + 2) == 'j' &&
+        (i + 3 >= b.length || isWs(b(i + 3) & 0xff) || isDelim(b(i + 3) & 0xff))) {
+        // backtrack: ws, gen digits, ws, num digits
+        var j = i - 1
+        while (j >= 0 && isWs(b(j) & 0xff)) j -= 1
+        val genEnd = j
+        while (j >= 0 && b(j) >= '0' && b(j) <= '9') j -= 1
+        val genStart = j + 1
+        if (genEnd >= genStart) {
+          while (j >= 0 && isWs(b(j) & 0xff)) j -= 1
+          val numEnd = j
+          while (j >= 0 && b(j) >= '0' && b(j) <= '9') j -= 1
+          val numStart = j + 1
+          val prevOk = j < 0 || isWs(b(j) & 0xff) || isDelim(b(j) & 0xff)
+          if (numEnd >= numStart && prevOk && numEnd - numStart < 9) {
+            val num = new String(b, numStart, numEnd - numStart + 1,
+              StandardCharsets.ISO_8859_1).toInt
+            index += num -> numStart // later hit overwrites: update wins
+            count += 1
+            require(count <= MaxObjects, s"pdf: more than $MaxObjects objects")
+          }
+        }
+      }
+      i += 1
+    }
+    index
+  }
+
+  /** Damaged-trailer fallback: take the LAST `trailer` dict, else the
+    * last dict containing /Root anywhere (some writers omit the trailer
+    * on truncation).
+    */
+  private def scanTrailer(b: Array[Byte]): PDict = {
+    val at = lastIndexOf(b, "trailer")
+    if (at >= 0) {
+      val lx = new Lexer(b, at + "trailer".length)
+      try lx.readValue() match {
+        case d: PDict => return d
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    PDict(Map.empty)
+  }
+
+  private def lastIndexOf(b: Array[Byte], s: String): Int = {
+    val pat = s.getBytes(StandardCharsets.ISO_8859_1)
+    var i = b.length - pat.length
+    while (i >= 0) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  // ------------------------------------------------------------- inflate
+
+  /** Bounded zlib inflate (PDF Flate streams are RFC 1950-wrapped) — the
+    * `Gunzip.bounded` discipline: count output, throw past the cap.
+    */
+  private[operators] def inflateBounded(raw: Array[Byte], maxOut: Long,
+      what: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(raw.length.toLong * 4, 1024), maxOut).toInt)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary())
+            throw new IllegalArgumentException(s"$what: truncated flate stream")
+        } else {
+          if (out.size().toLong + n > maxOut) throw new IllegalArgumentException(
+            s"$what: flate stream inflates past the $maxOut-byte cap — rejected as a bomb")
+          out.write(buf, 0, n)
+        }
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"$what: corrupt flate stream: ${e.getMessage}")
+    } finally inf.end() // free the native zlib state NOW (writeWarc's lesson)
+  }
+
+  // ----------------------------------------------------------- extraction
+
+  /** Extract per-page text. Throws `IllegalArgumentException` with a
+    * stable `pdf: ...` reason for anything out of profile — callers
+    * divert through the quarantine seam, the task never dies on content.
+    */
+  def extractText(bytes: Array[Byte]): PdfText = {
+    val (doc, pages) = openPages(bytes)
+    extractFrom(doc, pages)
+  }
+
+  /** Structural-only probe for the triage pass: page count WITHOUT
+    * decompressing any content stream (the xref walk + page tree are all
+    * plain bytes). Throws the same named rejects as [[extractText]].
+    */
+  def pageCount(bytes: Array[Byte]): Int = openPages(bytes)._2.length
+
+  private def openPages(bytes: Array[Byte]): (Doc, Vector[PDict]) = {
+    require(isPdf(bytes), "pdf: missing %PDF- header")
+    val (index, trailer) = buildIndex(bytes)
+    require(index.nonEmpty, "pdf: no objects found")
+    if (trailer.m.contains("Encrypt"))
+      throw new IllegalArgumentException("pdf: encrypted (no decryption support)")
+    val doc = new Doc(bytes, index, trailer)
+    val rootRef = trailer.m.getOrElse("Root",
+      // trailer lost to truncation: find the catalog by scanning objects
+      // (individual damaged objects are skipped, not fatal)
+      index.keys.toSeq.sorted.collectFirst(Function.unlift { n =>
+        try doc.obj(n) match {
+          case PDict(m) if m.get("Type").contains(PName("Catalog")) => Some(PRef(n, 0))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }).getOrElse(throw new IllegalArgumentException("pdf: no /Root catalog")))
+    val catalog = doc.resolve(rootRef) match {
+      case d: PDict => d
+      case _ => throw new IllegalArgumentException("pdf: /Root is not a dictionary")
+    }
+    val pagesRoot = doc.resolve(catalog.m.getOrElse(
+      "Pages", throw new IllegalArgumentException("pdf: catalog has no /Pages")))
+    val pageDicts = Vector.newBuilder[PDict]
+    def walk(node: PVal, depth: Int): Unit = {
+      require(depth < MaxKidsDepth, "pdf: page tree too deep")
+      doc.resolve(node) match {
+        case d @ PDict(m) => m.get("Type") match {
+          case Some(PName("Pages")) =>
+            doc.resolve(m.getOrElse("Kids", PArr(Vector.empty))) match {
+              case PArr(kids) => kids.foreach(walk(_, depth + 1))
+              case _ => ()
+            }
+          case Some(PName("Page")) => pageDicts += d
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    walk(pagesRoot, 0)
+    (doc, pageDicts.result())
+  }
+
+  private def extractFrom(doc: Doc, pages: Vector[PDict]): PdfText = {
+    val texts = pages.map { p =>
+      val content = doc.resolve(p.m.getOrElse("Contents", PNull))
+      val streams: Seq[PVal] = content match {
+        case PArr(items) => items.map(doc.resolve)
+        case PNull => Nil
+        case one => Seq(one)
+      }
+      val data = streams.map {
+        case PStream(d, raw) => decodeStream(doc, d, raw)
+        case PNull => Array.empty[Byte]
+        case other => throw new IllegalArgumentException(
+          s"pdf: page /Contents is ${other.getClass.getSimpleName}, not a stream")
+      }
+      // content streams concatenate with intervening whitespace (§7.8.2)
+      val joined =
+        if (data.isEmpty) Array.empty[Byte]
+        else data.reduce((a, b) => a ++ Array[Byte]('\n') ++ b)
+      pageText(joined)
+    }
+    PdfText(texts.length, texts)
+  }
+
+  private def decodeStream(doc: Doc, d: PDict, raw: Array[Byte]): Array[Byte] =
+    doc.resolve(d.m.getOrElse("Filter", PNull)) match {
+      case PNull => raw
+      case PName("FlateDecode") => inflateBounded(raw, MaxStreamBytes, "pdf")
+      case PArr(fs) =>
+        fs.map(doc.resolve).foldLeft(raw) {
+          case (acc, PName("FlateDecode")) => inflateBounded(acc, MaxStreamBytes, "pdf")
+          case (_, f) => throw new IllegalArgumentException(s"pdf: unsupported filter $f")
+        }
+      case f => throw new IllegalArgumentException(s"pdf: unsupported filter $f")
+    }
+
+  /** TJ position adjustments more negative than this (thousandths of an
+    * em, §9.4.3) read as an inter-word gap — the standard extractor
+    * heuristic, pinned to one deterministic threshold.
+    */
+  final val TjSpaceThreshold = -180.0
+
+  /** Interpret ONE page's (decoded, concatenated) content stream: text
+    * shows inside BT/ET; Td TD T* Tm apostrophe/quote line moves become '\n',
+    * TJ gaps below [[TjSpaceThreshold]] become ' '. Graphics operators
+    * are skipped by construction (operands are parsed, non-text
+    * operators discarded). Strings decode as Latin-1 (simple-font
+    * profile — see the object scaladoc).
+    */
+  private[operators] def pageText(content: Array[Byte]): String = {
+    val lx = new Lexer(content, 0)
+    val sb = new StringBuilder
+    var inText = false
+    var lineHasText = false
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    def str(v: PVal): String = v match {
+      case PStr(b) => new String(b, StandardCharsets.ISO_8859_1)
+      case _ => ""
+    }
+    def newline(): Unit = {
+      if (lineHasText) { sb.append('\n'); lineHasText = false }
+    }
+    def show(s: String): Unit = if (s.nonEmpty) { sb.append(s); lineHasText = true }
+    while ({ lx.skipWs(); !lx.eof }) {
+      lx.peek match {
+        case c if c == '/' || c == '(' || c == '[' || c == '<' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          operands += lx.readValue()
+        case _ =>
+          val op = lx.readToken()
+          if (op.isEmpty) lx.pos += 1 // defensive: skip an unparseable byte
+          else if (inText) op match {
+            case "Tj" => show(str(operands.lastOption.getOrElse(PNull)))
+            case "'" =>
+              newline(); show(str(operands.lastOption.getOrElse(PNull)))
+            case "\"" =>
+              newline(); show(str(operands.lastOption.getOrElse(PNull)))
+            case "TJ" => operands.lastOption match {
+              case Some(PArr(items)) =>
+                items.foreach {
+                  case s: PStr => show(str(s))
+                  case PNum(adj) if adj <= TjSpaceThreshold =>
+                    if (lineHasText && sb.nonEmpty && sb.last != ' ') sb.append(' ')
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            case "Td" | "TD" | "Tm" =>
+              // a vertical move is a line break; horizontal-only moves are
+              // kerning/indent, not structure
+              val ty = operands.lastOption match {
+                case Some(PNum(v)) => v
+                case _ => 0.0
+              }
+              if (ty != 0.0) newline()
+            case "T*" => newline()
+            case "ET" => inText = false; newline()
+            case _ => () // Tf, Tc, Tw, colors, ... — styling, no text
+          } else if (op == "BT") { inText = true; lineHasText = false }
+          operands.clear()
+      }
+    }
+    if (sb.nonEmpty && sb.last == '\n') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- writer
+
+  /** Spec-correct single-font writer — the oracle half: every byte
+    * deterministic, so `extractText(write(pages)) == pages` by
+    * construction and a SQL engine can predict the round-trip.
+    *
+    * Layout: classic PDF 1.4 — catalog, one /Pages node, one Helvetica
+    * /WinAnsiEncoding font shared by every page, one content stream per
+    * page (`(line) Tj` + `0 -14 Td` per line break), classic xref table,
+    * trailer. `compress = true` Flate-encodes the content streams.
+    * Page text must be Latin-1-representable (WinAnsi covers it outside
+    * 0x80-0x9F); anything else is a caller error, rejected loudly.
+    */
+  def write(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "pdf write: at least one page")
+    pages.foreach(p => require(p.forall(c => c <= 'ÿ'),
+      "pdf write: page text must be Latin-1-representable"))
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(ascii("%PDF-1.4\n%âãÏÓ\n"))
+    val n = pages.length
+    // object numbers: 1 catalog, 2 pages, 3 font, then (page, stream) pairs
+    val total = 3 + 2 * n
+    val offsets = new Array[Int](total + 1)
+    def obj(num: Int, body: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      out.write(ascii(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(ascii("\nendobj\n"))
+    }
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(1, ascii("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2, ascii(s"<< /Type /Pages /Kids [$kids] /Count $n >>"))
+    obj(3, ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>"))
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 4 + 2 * i
+      val streamNum = pageNum + 1
+      obj(pageNum, ascii(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 3 0 R >> >> /Contents $streamNum 0 R >>"))
+      val ops = new StringBuilder
+      ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
+      val lines = text.split("\n", -1)
+      lines.zipWithIndex.foreach { case (line, li) =>
+        if (li > 0) ops.append("0 -14 Td\n")
+        ops.append('(').append(escapeString(line)).append(") Tj\n")
+      }
+      ops.append("ET")
+      val plain = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
+      val (data, filter) =
+        if (compress) (deflate(plain), " /Filter /FlateDecode") else (plain, "")
+      offsets(streamNum) = out.size()
+      out.write(ascii(s"$streamNum 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    out.write(ascii(s"xref\n0 ${total + 1}\n"))
+    out.write(ascii("0000000000 65535 f \n"))
+    (1 to total).foreach(i => out.write(ascii(f"${offsets(i)}%010d 00000 n \n")))
+    out.write(ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  private[operators] def escapeString(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\\' => sb.append("\\\\")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(data)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end() // free the native zlib state NOW
+  }
+}

@@ -182,6 +182,77 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       LinkGraph.allocateBudget(hosts(("a", 0L, 1L)), "host", "weight", "shard", -1L))
   }
 
+  test("mergeEdges: adds union+dedup, removes anti-join") {
+    val sp = spark
+    import sp.implicits._
+    val prev = edges("a" -> "b", "b" -> "c")
+    val adds = Seq(("a", "b"), ("c", "d")).toDF("src_host", "dst_host") // a->b dup
+    val removes = Seq(("b", "c")).toDF("src_host", "dst_host")
+    val got = LinkGraph.mergeEdges(prev, adds, removes, "src_host", "dst_host")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("c", "d")))
+  }
+
+  test("rankDelta continuation identity: warm start with no edge change == longer cold run") {
+    // exact algebraic property of the integer iteration: ranks after
+    // (k cold) then (j warm on the same graph) == ranks after k+j cold
+    val e = edges("a" -> "b", "b" -> "a", "c" -> "a", "a" -> "c", "b" -> "c")
+    for ((k, j) <- Seq((1, 1), (2, 3), (4, 2))) {
+      val prev = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = k)
+        .select("host", "rank")
+      val warm = LinkGraph.rankDelta(prev, "host", "rank", e,
+        "src_host", "dst_host", iters = j)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val cold = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = k + j)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(warm == cold, s"k=$k j=$j")
+    }
+  }
+
+  test("rankDelta: new hosts seed at InitialRank, gone hosts drop") {
+    val sp = spark
+    import sp.implicits._
+    val old = edges("a" -> "b", "b" -> "a")
+    val prev = LinkGraph.rankHosts(old, "src_host", "dst_host", iters = 2)
+      .select("host", "rank")
+    // delta: host n (new) links to b; host a loses its edge entirely
+    val merged = Seq(("b", "a"), ("n", "b")).toDF("src_host", "dst_host")
+    val got = LinkGraph.rankDelta(prev, "host", "rank", merged,
+      "src_host", "dst_host", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // prev after 2 iters: a=872500, b=1000000 (hand-checked: i1 a=1e6,
+    // b=1e6*17/20=850000+150000=1000000; i2 a=150000+850000=1000000?)
+    // — don't hand-carry prev; recompute the one warm round instead:
+    val prevMap = prev.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectA = 150000L + (prevMap("b") * 17 / 20) / 1 // b -> a
+    val expectB = 150000L + (LinkGraph.InitialRank * 17 / 20) / 1 // n -> b, n is NEW
+    val expectN = 150000L // no in-links
+    assert(got == Map("a" -> expectA, "b" -> expectB, "n" -> expectN))
+  }
+
+  test("rankDelta fixed-point agreement: warm run equals the cold rebuild past convergence") {
+    // the contract graph: 3 arithmetic families over 20 hosts + the
+    // sparse k%5==0 -> k+13 delta; the merged graph's integer iteration
+    // reaches its exact fixed point at round 21 — warm (from the old
+    // graph's fixed point) at 24 must equal cold rebuild at 40
+    def fam(pairs: (Long => Long)*): Seq[(String, String)] =
+      for (k <- 0L until 20L; f <- pairs; t = f(k); if t != k)
+        yield (s"src$k", s"src$t")
+    val oldPairs = fam(k => (3 * k + 5) % 20, k => (7 * k + 3) % 20, k => (k + 11) % 20)
+    val deltaPairs = (0L until 20L).filter(_ % 5 == 0)
+      .map(k => (s"src$k", s"src${(k + 13) % 20}"))
+    val oldE = edges(oldPairs.distinct: _*)
+    val mergedE = edges((oldPairs ++ deltaPairs).distinct: _*)
+    val prev = LinkGraph.rankHosts(oldE, "src_host", "dst_host", iters = 8)
+      .select("host", "rank")
+    val warm = LinkGraph.rankDelta(prev, "host", "rank", mergedE,
+      "src_host", "dst_host", iters = 24)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val rebuild = LinkGraph.rankHosts(mergedE, "src_host", "dst_host", iters = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(warm == rebuild)
+  }
+
   private def capped(rows: (String, Long, Long, Long)*) = {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,215 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfCodecSpec extends AnyFunSuite {
+
+  private def ascii(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  // ------------------------------------------------------------ roundtrip
+
+  test("roundtrip: one page, one line, uncompressed") {
+    val got = PdfCodec.extractText(PdfCodec.write(Seq("Hello world")))
+    assert(got == PdfCodec.PdfText(1, Seq("Hello world")))
+  }
+
+  test("roundtrip: multi-line pages, Flate-compressed") {
+    val pages = Seq("line one\nline two\nline three", "second page\nhere")
+    val bytes = PdfCodec.write(pages, compress = true)
+    // compressed streams must not contain the plaintext
+    assert(!new String(bytes, StandardCharsets.ISO_8859_1).contains("line one"))
+    assert(PdfCodec.extractText(bytes) == PdfCodec.PdfText(2, pages))
+  }
+
+  test("roundtrip: WinAnsi text outside ASCII (café) survives") {
+    val pages = Seq("un café crème\nà 3€?".replace("€", "E")) // Latin-1 only
+    assert(PdfCodec.extractText(PdfCodec.write(pages, compress = true)).pages == pages)
+  }
+
+  test("roundtrip: parens and backslashes escape correctly") {
+    val pages = Seq("f(x) = (a \\ b) ((nested))\nend)")
+    assert(PdfCodec.extractText(PdfCodec.write(pages)).pages == pages)
+    assert(PdfCodec.extractText(PdfCodec.write(pages, compress = true)).pages == pages)
+  }
+
+  test("roundtrip: ten pages keep page-tree order") {
+    val pages = (0 until 10).map(i => s"page $i\nbody $i")
+    assert(PdfCodec.extractText(PdfCodec.write(pages)).pages == pages)
+  }
+
+  test("pageCount probes without decoding streams") {
+    val bytes = PdfCodec.write(Seq("a", "b", "c"), compress = true)
+    assert(PdfCodec.pageCount(bytes) == 3)
+  }
+
+  test("writer validates input") {
+    intercept[IllegalArgumentException](PdfCodec.write(Nil))
+    intercept[IllegalArgumentException](PdfCodec.write(Seq("中文")))
+  }
+
+  // --------------------------------------------------- content interpreter
+
+  private def text(content: String): String = PdfCodec.pageText(ascii(content))
+
+  test("Tj shows text; Td with vertical move breaks the line") {
+    assert(text("BT /F1 12 Tf 72 720 Td (a) Tj 0 -14 Td (b) Tj ET") == "a\nb")
+    // horizontal-only Td is kerning/indent, not a line break
+    assert(text("BT (a) Tj 10 0 Td (b) Tj ET") == "ab")
+  }
+
+  test("TJ inserts a space only below the kerning threshold") {
+    assert(text("BT (Hello) Tj [(wo) -50 (rld) -200 (x)] TJ ET") == "Helloworld x")
+  }
+
+  test("quote operators start a new line before showing") {
+    assert(text("BT (a) Tj (b) ' ET") == "a\nb")
+    assert(text("BT (a) Tj 2 3 (c) \" ET") == "a\nc")
+  }
+
+  test("T* and Tm break lines; text outside BT/ET is ignored") {
+    assert(text("BT (x) Tj T* (y) Tj ET") == "x\ny")
+    assert(text("BT (x) Tj 1 0 0 1 72 600 Tm (y) Tj ET") == "x\ny")
+    assert(text("(never) Tj BT (shown) Tj ET (also never) Tj") == "shown")
+  }
+
+  test("octal and special escapes, hex strings, line continuation") {
+    assert(text("BT (\\101\\102\\060) Tj ET") == "AB0")
+    assert(text("BT (a\\(b\\)c\\\\d) Tj ET") == "a(b)c\\d")
+    assert(text("BT <414243> Tj ET") == "ABC")
+    assert(text("BT <48 49 4> Tj ET") == "HI@") // odd digit pads with 0
+    assert(text("BT (a\\\nb) Tj ET") == "ab")   // backslash-newline joins
+  }
+
+  test("graphics operators and inline dictionaries are skipped") {
+    val c = "q 1 0 0 1 0 0 cm /P <</MCID 0>> BDC BT (kept) Tj ET EMC Q"
+    assert(text(c) == "kept")
+  }
+
+  // ------------------------------------------------------- damage / bombs
+
+  test("damaged startxref falls back to the object scan") {
+    val bytes = PdfCodec.write(Seq("rescued text"))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val broken = s.replaceAll("startxref\n\\d+", "startxref\n999999999")
+    val got = PdfCodec.extractText(broken.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got.pages == Seq("rescued text"))
+  }
+
+  test("corrupted xref table falls back to the object scan") {
+    val bytes = PdfCodec.write(Seq("still here", "me too"))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val broken = s.replace("xref\n0 ", "xrEF\n0 ") // keyword destroyed
+    val got = PdfCodec.extractText(broken.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got.pages == Seq("still here", "me too"))
+  }
+
+  test("truncation after the last page still extracts (no trailer at all)") {
+    val bytes = PdfCodec.write(Seq("survives truncation"))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val cut = s.substring(0, s.indexOf("xref\n0 ")) // drop xref + trailer
+    val got = PdfCodec.extractText(cut.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got.pages == Seq("survives truncation"))
+  }
+
+  test("encrypted PDFs are a named reject") {
+    val bytes = PdfCodec.write(Seq("secret"))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(enc.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(e.getMessage.contains("encrypted"))
+  }
+
+  test("PDF 1.5 cross-reference streams are a named reject") {
+    // minimal file whose startxref points at an indirect object (the 1.5
+    // shape) rather than an `xref` table
+    val body = "%PDF-1.5\n7 0 obj\n<< /Type /XRef /Length 0 >>\nstream\n\nendstream\nendobj\n"
+    val pdf = body + s"startxref\n${"%PDF-1.5\n".length}\n%%EOF\n"
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(ascii(pdf)))
+    assert(e.getMessage.contains("xref stream unsupported"))
+  }
+
+  test("incremental update: newest definition of an object wins") {
+    val bytes = PdfCodec.write(Seq("old text"))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val oldXref = s.lastIndexOf("xref\n0 ")
+    // replacement content stream for object 5 (the page's /Contents)
+    val stream = "BT (new text) Tj ET"
+    val updBody = s"5 0 obj\n<< /Length ${stream.length} >>\nstream\n$stream\nendstream\nendobj\n"
+    val objAt = bytes.length
+    val upd = updBody +
+      f"xref\n5 1\n$objAt%010d 00000 n \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n${bytes.length + updBody.length}\n%%EOF\n"
+    val full = bytes ++ ascii(upd)
+    assert(PdfCodec.extractText(full).pages == Seq("new text"))
+  }
+
+  test("flate bombs hit the cap, truncated flate is a named reject") {
+    val big = new Array[Byte](1 << 20) // 1 MiB of zeros compresses tiny
+    val d = new java.util.zip.Deflater()
+    d.setInput(big); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val packed = out.toByteArray
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.inflateBounded(packed, 4096, "test"))
+    assert(e.getMessage.contains("cap"))
+    // truncated stream: named reject, not a hang or a crash
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.inflateBounded(java.util.Arrays.copyOf(packed, 8), 1 << 22, "test"))
+    assert(e2.getMessage.contains("truncated") || e2.getMessage.contains("corrupt"))
+  }
+
+  test("contents may be an ARRAY of streams — concatenated in order") {
+    // hand-build: page with /Contents [5 0 R 6 0 R]
+    val objs = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n",
+      "4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [5 0 R 6 0 R] >>\nendobj\n",
+      "5 0 obj\n<< /Length 14 >>\nstream\nBT (one) Tj ET\nendstream\nendobj\n",
+      "6 0 obj\n<< /Length 14 >>\nstream\nBT (two) Tj ET\nendstream\nendobj\n")
+    val header = "%PDF-1.4\n"
+    val sb = new StringBuilder(header)
+    val offsets = objs.map { o => val at = sb.length; sb.append(o); at }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val got = PdfCodec.extractText(ascii(sb.toString))
+    // two text OBJECTS (BT..ET each) — a line break separates them
+    assert(got == PdfCodec.PdfText(1, Seq("one\ntwo")))
+  }
+
+  test("reference cycle in the page tree is a named reject, not a hang") {
+    val objs = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { o => val at = sb.length; sb.append(o); at }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(ascii(sb.toString)))
+    assert(e.getMessage.contains("too deep"))
+  }
+
+  // ----------------------------------------------------------- probe row
+
+  test("probeBytes: pdf container, page count, decodable flags") {
+    val ok = Multimodal.probeBytes(7L, PdfCodec.write(Seq("a", "b")))
+    assert(ok == Multimodal.MediaProbe(7L, "pdf", Some("pdf"),
+      None, None, None, None, Some(2L), decodable = true))
+    val s = new String(PdfCodec.write(Seq("x")), StandardCharsets.ISO_8859_1)
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    val bad = Multimodal.probeBytes(8L, enc.getBytes(StandardCharsets.ISO_8859_1))
+    assert(bad.container == "pdf" && !bad.decodable && bad.n_frames.isEmpty)
+  }
+}
