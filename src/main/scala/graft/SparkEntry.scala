@@ -3882,6 +3882,64 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the two recrawl signals JOINED into one fetch priority — the pair
+    // tx_recrawl_rate and tx_sitemap_frontier left unconnected: per-url
+    // Cho/Garcia-Molina intervals from the 4-epoch revisit history meet
+    // sitemap <lastmod> (REAL sitemap bytes, odd sites gzipped, parsed
+    // back through the XXE-hardened walk), age = days since lastmod at
+    // the day-28 epoch close, priority = age in permille of the change
+    // interval, due = age >= interval, and a per-site stalest-first
+    // window orders the fetch queue. All integer arithmetic; DuckDB
+    // replays signal derivation, the join, and the window. Scale shape:
+    // url-grain join (rates and sitemap entries share the url key), one
+    // site-partitioned window — never a global sort.
+    "tx_recrawl_priority" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      val verdicts = (1 to 4).map { e =>
+        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
+            ing.revisitIndex(epochs(e - 1)))
+          .select(col("url"), col("verdict"))
+      }.reduce(_ unionByName _)
+      val rates = ing.changeRate(verdicts, epochs = 4)
+      val maps = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (src, it) =>
+          val entries = it.map(_._2).toSeq.sorted.map { d =>
+            (s"http://corpus.invalid/$src/$d",
+              Some(f"2026-01-${(d % 28) + 1}%02d"): Option[String])
+          }
+          val k = src.stripPrefix("src").toLong
+          graft.operators.Multimodal.MediaRecord(k, s"fake://sm/$src.xml",
+            "application/xml",
+            graft.operators.Sitemaps.write(entries, gzipped = k % 2 == 1),
+            Map.empty)
+        }
+      val lastmod = maps
+        .flatMap(r => graft.operators.Sitemaps.parse(r.content)
+          .flatMap(e => e.lastmod.map(lm => (e.loc, lm))))
+        .toDF("url", "lastmod")
+        .select(col("url"),
+          regexp_extract(col("lastmod"), "-(\\d+)$", 1).cast("long")
+            .as("lastmod_day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("priority_permille").desc, col("doc_id").asc)
+      rates.join(lastmod, Seq("url"))
+        .withColumn("doc_id", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+        .withColumn("source", regexp_extract(col("url"), "invalid/([^/]+)/", 1))
+        .withColumn("age_days", lit(28L) - col("lastmod_day"))
+        .withColumn("priority_permille", expr("age_days * 1000 div interval_days"))
+        .withColumn("due", col("age_days") >= col("interval_days"))
+        .withColumn("position", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("source"), col("lastmod_day"), col("age_days"),
+          col("changed_count"), col("interval_days"), col("priority_permille"),
+          col("due"), col("position"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the FRONTIER-GROWTH capstone — the seam the r8 verdict said was
     // missing now closed end-to-end: outlinks DISCOVER urls (the real
     // extractor over the crawl pages), an anti-join against the crawl's
@@ -4042,6 +4100,24 @@ object SparkEntry {
         .map(id => (id, graft.operators.Ingest.boilerplatePage(id)))
         .toDF("doc_id", "html")
       graft.operators.TextAnalysis.extractMainText(pages, "html", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // FULL jusText: the stopword-density signal joins link density —
+    // keyword-stuffed long paragraphs (0 permille stopwords) reclassify
+    // from good to bad, mid-density prose (200 permille) becomes
+    // near_good and lives or dies by its neighbors, and a stopword-free
+    // heading stub no longer rides the article beside it. Same single
+    // doc_id exchange as tx_boilerplate; the stopword test is a
+    // per-block scalar over the literal "en" profile.
+    "tx_boilerplate_stop" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Ingest.stopwordPage(id)))
+        .toDF("doc_id", "html")
+      graft.operators.TextAnalysis.extractMainText(pages, "html", "doc_id",
+        stopwords = graft.functions.TextStatsProfiles.stopwords("en"),
+        stopLowPermille = 150, stopHighPermille = 400)
         .orderBy(col("doc_id"))
     }),
 
@@ -7040,6 +7116,27 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 500 ELSE 250 END AS BIGINT) AS change_permille,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 14 END AS BIGINT) AS interval_days
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // both signals replayed from arithmetic (change interval from the
+    // id%3 mutation rule, lastmod day from id%28), then the join, the
+    // priority division, and the per-site stalest-first window
+    "tx_recrawl_priority" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS changed_count,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 14 END AS BIGINT) AS interval_days,
+        |    CAST((doc_id % 28) + 1 AS BIGINT) AS lastmod_day
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, lastmod_day,
+        |    CAST(28 - lastmod_day AS BIGINT) AS age_days,
+        |    changed_count, interval_days,
+        |    CAST((28 - lastmod_day) * 1000 // interval_days AS BIGINT)
+        |      AS priority_permille,
+        |    (28 - lastmod_day) >= interval_days AS due
+        |  FROM d)
+        |SELECT doc_id, source, lastmod_day, age_days, changed_count,
+        |  interval_days, priority_permille, due,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY priority_permille DESC, doc_id ASC) AS BIGINT) AS position
+        |FROM q ORDER BY doc_id""".stripMargin,
     // revisit verdicts replayed from the epoch rules: %5==4 never in the
     // prev index -> new; %3==0 amended body (+3 bytes) -> response; else
     // unchanged -> revisit with 0 stored bytes and the prior record id
@@ -7179,6 +7276,27 @@ object SparkEntry {
         |    chr(10) || 'hdr ' || doc_id || ' 4' || chr(10) ||
         |    trim(repeat('ipsum ', k)) AS main_text
         |FROM d ORDER BY doc_id""".stripMargin,
+    // full jusText replayed: eight blocks whose stopword densities are
+    // word arithmetic (600 / 200 / 0 permille, h1 at 333, h2 at 0) —
+    // kept text = h1 + article + the promoted near_good paragraph
+    "tx_boilerplate_stop" ->
+      """WITH d AS (SELECT doc_id, 10 + doc_id % 5 AS k, 8 + doc_id % 3 AS k2
+        |           FROM documents),
+        |t2 AS (SELECT doc_id,
+        |    'On widget reviews' || chr(10) ||
+        |    rtrim(repeat('the cat and the dog ', k)) || chr(10) ||
+        |    rtrim(repeat('green tea is fine here ', k2)) AS main_text,
+        |    CAST(17 + (20 * k - 1) + (23 * k2 - 1) AS BIGINT) AS main_chars
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS n_blocks,
+        |  CAST(1 AS BIGINT) AS n_good_ctx,
+        |  CAST(2 AS BIGINT) AS n_near_ctx,
+        |  CAST(1 AS BIGINT) AS n_short_ctx,
+        |  CAST(4 AS BIGINT) AS n_bad_ctx,
+        |  CAST(3 AS BIGINT) AS n_good_final,
+        |  main_chars, main_text
+        |FROM t2 ORDER BY doc_id""".stripMargin,
     // the Bloom prune must not change the exact anti-join: n_new per host
     // is the same arithmetic as tx_frontier_growth's (only the bare pos-5
     // cross link can hit the known set)

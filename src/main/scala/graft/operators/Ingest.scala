@@ -409,6 +409,42 @@ object Ingest {
        |</body></html>""".stripMargin
   }
 
+  /** Demo page for the stopword-density boilerplate policy
+    * (`tx_boilerplate_stop`): eight blocks exercising every branch the
+    * stopword signal adds over link-density alone —
+    *
+    *  - a keyword-stuffed LONG paragraph ("buy cheap widget pills"...,
+    *    stopword density 0‰) that the link-only policy calls `good` and
+    *    full jusText correctly rejects;
+    *  - two mid-density paragraphs ("green tea is fine here", 200‰ —
+    *    `near_good`): one beside the high-density article (promoted),
+    *    one stranded between bad blocks (demoted);
+    *  - a stopword-free heading stub (`bad`, does not ride a neighbor)
+    *    next to the h1 that DOES carry a stopword (short → promoted).
+    *
+    * Densities are exact word arithmetic over the "en" profile ("the",
+    * "and", "is", "on" hit; everything else misses), so the oracle
+    * replays classification and the reassembled text to the character.
+    */
+  def stopwordPage(id: Long): String = {
+    val k = (10 + id % 5).toInt
+    val k2 = (8 + id % 3).toInt
+    val k3 = (9 + id % 4).toInt
+    val article = ("the cat and the dog " * k).trim   // 600 permille
+    val mid = ("green tea is fine here " * k2).trim   // 200 permille
+    val stuffed = ("buy cheap widget pills " * k3).trim // 0 permille
+    s"""<html><body>
+       |<div><a href="/m0">menu</a> <a href="/m1">links</a> <a href="/m2">here</a></div>
+       |<h1>On widget reviews</h1>
+       |<p>$article</p>
+       |<p>$mid</p>
+       |<p>$stuffed</p>
+       |<p>$mid</p>
+       |<h2>Widget specs</h2>
+       |<div><a href="/t">Terms</a> <a href="/p">Privacy</a></div>
+       |</body></html>""".stripMargin
+  }
+
   /** Demo page for NEAR-mirror detection (`tx_mirror_near`): host k's
     * page in a five-group mirror corpus (group g = k%5, role r = k/5).
     * Exact-digest grouping cannot catch these mirrors — every host's RAW

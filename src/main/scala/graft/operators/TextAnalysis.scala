@@ -219,57 +219,104 @@ object TextAnalysis {
     *     permille (`1000 * n_link_chars / n_chars`, exact integer test
     *     via cross-multiplication) exceeds `maxLinkPermille`; else
     *     `short` when `n_chars < minChars`; else `good`.
-    *  2. neighbor smoothing: a `short` block is promoted to `good` when
-    *     the immediately previous or next block in document order is
-    *     context-free `good` (headings inherit the article they title),
-    *     demoted to `bad` otherwise.
+    *     WITH a stopword profile (`stopwords` non-empty — full jusText):
+    *     the stopword-density permille (`1000 * n_stop / n_words`, same
+    *     exact cross-multiplication; words are lowercased letter runs)
+    *     refines the non-link classes — a short block stays `short` only
+    *     at density >= `stopLowPermille` (else `bad`: keyword-stuffed
+    *     stubs don't ride a neighbor), a long block is `good` at
+    *     >= `stopHighPermille`, `near_good` at >= `stopLowPermille`, and
+    *     `bad` below (the keyword-stuffing / navigation-prose class the
+    *     link signal alone cannot see).
+    *  2. neighbor smoothing: a `short` or `near_good` block is promoted
+    *     to `good` when the immediately previous or next block in
+    *     document order is context-free `good` (headings inherit the
+    *     article they title), demoted to `bad` otherwise.
     *  3. `main_text` = the final-`good` blocks, document order,
     *     newline-joined.
     *
-    * Output per document: (idCol, n_blocks, n_good_ctx, n_short_ctx,
-    * n_bad_ctx, n_good_final, main_chars, main_text).
+    * Output per document: (idCol, n_blocks, n_good_ctx, [n_near_ctx when
+    * the stopword signal is on,] n_short_ctx, n_bad_ctx, n_good_final,
+    * main_chars, main_text).
     *
     * Scale shape: the block explode is map-only; ONE hash exchange on
     * `idCol` feeds both the lag/lead window and the per-document
     * aggregate (Catalyst reuses the partitioning — no second shuffle).
-    * Boilerplate never leaves the executor that segmented it.
+    * Boilerplate never leaves the executor that segmented it. The
+    * stopword test is a per-block scalar over a broadcast-literal list —
+    * it rides the same projection.
     */
   def extractMainText(df: DataFrame, htmlCol: String, idCol: String,
-      minChars: Int = 80, maxLinkPermille: Int = 350): DataFrame = {
+      minChars: Int = 80, maxLinkPermille: Int = 350,
+      stopwords: Seq[String] = Nil, stopLowPermille: Int = 150,
+      stopHighPermille: Int = 400): DataFrame = {
     require(minChars > 0, s"minChars must be positive, got $minChars")
     require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
       s"maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    require(stopLowPermille >= 0 && stopHighPermille <= 1000 &&
+      stopLowPermille <= stopHighPermille,
+      s"stopword thresholds must satisfy 0 <= low <= high <= 1000, " +
+        s"got $stopLowPermille/$stopHighPermille")
+    val stopMode = stopwords.nonEmpty
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("idx"))
-    val blocks = df
+    val measured = df
       .select(col(idCol), explode(htmlBlocks(col(htmlCol))).as("b"))
       .select(col(idCol), col("b.idx").as("idx"), col("b.text").as("text"),
         col("b.n_chars").as("n_chars"), col("b.n_link_chars").as("n_link_chars"))
-      .withColumn("ctx_class",
-        when(col("n_link_chars") * 1000 > col("n_chars") * maxLinkPermille, lit("bad"))
-          .when(col("n_chars") < minChars, lit("short"))
-          .otherwise(lit("good")))
+    val linkBad =
+      col("n_link_chars") * 1000 > col("n_chars") * maxLinkPermille
+    val blocks =
+      if (!stopMode)
+        measured.withColumn("ctx_class",
+          when(linkBad, lit("bad"))
+            .when(col("n_chars") < minChars, lit("short"))
+            .otherwise(lit("good")))
+      else {
+        val words = filter(
+          split(lower(col("text")), "[^\\p{L}]+"), t => length(t) > 0)
+        val profile = typedLit(stopwords)
+        measured
+          .withColumn("_nw", size(words).cast("long"))
+          .withColumn("_ns",
+            size(filter(words, t => array_contains(profile, t))).cast("long"))
+          .withColumn("ctx_class",
+            when(linkBad, lit("bad"))
+              .when(col("n_chars") < minChars,
+                when(col("_ns") * 1000 >= col("_nw") * stopLowPermille,
+                  lit("short")).otherwise(lit("bad")))
+              .when(col("_ns") * 1000 >= col("_nw") * stopHighPermille, lit("good"))
+              .when(col("_ns") * 1000 >= col("_nw") * stopLowPermille,
+                lit("near_good"))
+              .otherwise(lit("bad")))
+          .drop("_nw", "_ns")
+      }
     val smoothed = blocks.withColumn("final_class",
-      when(col("ctx_class") =!= "short", col("ctx_class"))
+      when(col("ctx_class") === "good" || col("ctx_class") === "bad",
+        col("ctx_class"))
         .otherwise(when(
           lag(col("ctx_class"), 1).over(w) === "good" ||
             lead(col("ctx_class"), 1).over(w) === "good",
           lit("good")).otherwise(lit("bad"))))
+    val counts = Seq(
+      sum(when(col("ctx_class") === "good", 1L).otherwise(0L)).as("n_good_ctx")) ++
+      (if (stopMode)
+        Seq(sum(when(col("ctx_class") === "near_good", 1L).otherwise(0L))
+          .as("n_near_ctx"))
+      else Nil) ++ Seq(
+      sum(when(col("ctx_class") === "short", 1L).otherwise(0L)).as("n_short_ctx"),
+      sum(when(col("ctx_class") === "bad", 1L).otherwise(0L)).as("n_bad_ctx"),
+      sum(when(col("final_class") === "good", 1L).otherwise(0L)).as("n_good_final"),
+      sum(when(col("final_class") === "good", col("n_chars").cast("long"))
+        .otherwise(0L)).as("main_chars"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("final_class") === "good",
+            struct(col("idx"), col("text"))))),
+          b => b.getField("text")),
+        "\n").as("main_text"))
     smoothed.groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_blocks"),
-        sum(when(col("ctx_class") === "good", 1L).otherwise(0L)).as("n_good_ctx"),
-        sum(when(col("ctx_class") === "short", 1L).otherwise(0L)).as("n_short_ctx"),
-        sum(when(col("ctx_class") === "bad", 1L).otherwise(0L)).as("n_bad_ctx"),
-        sum(when(col("final_class") === "good", 1L).otherwise(0L)).as("n_good_final"),
-        sum(when(col("final_class") === "good", col("n_chars").cast("long"))
-          .otherwise(0L)).as("main_chars"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("final_class") === "good",
-              struct(col("idx"), col("text"))))),
-            b => b.getField("text")),
-          "\n").as("main_text"))
+      .agg(count(lit(1)).as("n_blocks"), counts: _*)
   }
 
   /** RFC 9309 robots.txt gate — may `agent` fetch `path` under this

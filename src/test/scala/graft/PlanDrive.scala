@@ -19,7 +19,9 @@ object PlanDrive {
         "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup",
         "mm_media_pipeline", "mm_media_probe",
         "tx_warc_ingest", "tx_tar_members", "tx_warc_curation",
-        "tx_boilerplate", "tx_crawl_plan")) {
+        "tx_boilerplate", "tx_crawl_plan",
+        "tx_budget_replan", "tx_link_rank_delta", "tx_pdf_text",
+        "tx_mirror_near", "tx_boilerplate_stop", "tx_recrawl_priority")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

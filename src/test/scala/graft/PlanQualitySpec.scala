@@ -236,8 +236,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // budget apportionment: the 1-row grand-total weight crosses into
       // the nShards-row shard table (allocateBudget's documented
       // single-row stat join); the epoch-plan and capacity-cap queries
-      // embed the same apportionment
+      // embed the same apportionment, and the replan round adds
+      // reallocateSpill's 1-row spill/headroom totals cross
       "tx_crawl_budget", "tx_crawl_plan", "tx_budget_capacity",
+      "tx_budget_replan",
       // CMS rollup: merged and direct 1-row sketches cross into the
       // per-type exact counts
       "hll_cms_reagg",

@@ -78,5 +78,68 @@ class BoilerplateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.extractMainText(df, "html", "doc_id", maxLinkPermille = 1001)
     }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.extractMainText(df, "html", "doc_id",
+        stopwords = Seq("the"), stopLowPermille = 500, stopHighPermille = 400)
+    }
+  }
+
+  private def runStop(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    TextAnalysis.extractMainText(
+      rows.toDF("doc_id", "html"), "html", "doc_id",
+      stopwords = graft.functions.TextStatsProfiles.stopwords("en"),
+      stopLowPermille = 150, stopHighPermille = 400)
+      .orderBy("doc_id").collect()
+  }
+
+  test("stopword mode: the demo page classifies per full jusText") {
+    val id = 3L
+    val k = (10 + id % 5).toInt
+    val k2 = (8 + id % 3).toInt
+    val Seq(r) = runStop(Seq(id -> graft.operators.Ingest.stopwordPage(id))).toSeq
+    assert(r.getAs[Long]("n_blocks") == 8)
+    assert(r.getAs[Long]("n_good_ctx") == 1)
+    assert(r.getAs[Long]("n_near_ctx") == 2)
+    assert(r.getAs[Long]("n_short_ctx") == 1)
+    assert(r.getAs[Long]("n_bad_ctx") == 4)
+    assert(r.getAs[Long]("n_good_final") == 3)
+    val article = ("the cat and the dog " * k).trim
+    val mid = ("green tea is fine here " * k2).trim
+    assert(r.getAs[String]("main_text") == s"On widget reviews\n$article\n$mid")
+    assert(r.getAs[Long]("main_chars") == 17 + (20 * k - 1) + (23 * k2 - 1))
+  }
+
+  test("stopword mode: keyword stuffing reclassifies from good to bad") {
+    val stuffed = ("buy cheap widget pills " * 10).trim
+    // link-only policy: long, no links -> good
+    val Seq(a) = run(Seq(1L -> s"<p>$stuffed</p>")).toSeq
+    assert(a.getAs[Long]("n_good_final") == 1)
+    // stopword policy: 0 permille -> bad, nothing kept
+    val Seq(b) = runStop(Seq(1L -> s"<p>$stuffed</p>")).toSeq
+    assert(b.getAs[Long]("n_good_final") == 0)
+    assert(b.getAs[String]("main_text") == "")
+  }
+
+  test("stopword mode: near_good lives or dies by its neighbors") {
+    val article = ("the cat and the dog " * 10).trim
+    val mid = ("green tea is fine here " * 8).trim
+    // beside the article: promoted
+    val Seq(a) = runStop(Seq(1L -> s"<p>$article</p><p>$mid</p>")).toSeq
+    assert(a.getAs[Long]("n_good_final") == 2)
+    // alone: demoted
+    val Seq(b) = runStop(Seq(1L -> s"<p>$mid</p>")).toSeq
+    assert(b.getAs[Long]("n_good_final") == 0)
+  }
+
+  test("stopword mode: a short stub without stopwords does not ride a neighbor") {
+    val article = ("the cat and the dog " * 10).trim
+    val Seq(r) = runStop(Seq(
+      1L -> s"<h1>On widget reviews</h1><h2>Widget specs</h2><p>$article</p>")).toSeq
+    // h1 (333 permille, short) does NOT promote: its neighbors are the
+    // bad h2 and nothing; h2 (0 permille) is ctx-bad outright
+    assert(r.getAs[Long]("n_short_ctx") == 1)
+    assert(r.getAs[Long]("n_bad_ctx") == 1)
+    assert(r.getAs[String]("main_text") == article)
   }
 }
