@@ -4513,6 +4513,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // the PDF-mining CAPSTONE: WARC archives (odd ones gzipped) carrying
+    // application/pdf responses -> archive explode -> content-type route
+    // -> structural text extract, with every fifth document encrypted in
+    // flight so the divert seam fires MID-PIPELINE (status names the
+    // reject; the archive scan never dies). Page counts and total chars
+    // replay from the same doc_id arithmetic as tx_pdf_text. Scale
+    // shape: two map-only walks (archive explode, PDF extract), zero
+    // shuffles before the final per-doc projection.
+    "tx_warc_pdf" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.pdfArchives(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_content_type") === "application/pdf")
+        .select(col("url"), col("body"))
+        .as[(String, Array[Byte])]
+        .map { case (url, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          try {
+            val t = graft.operators.PdfCodec.extractText(body)
+            (id, "ok", t.nPages.toLong, t.pages.map(_.length.toLong).sum)
+          } catch {
+            case e: IllegalArgumentException => (id, e.getMessage, 0L, 0L)
+          }
+        }
+        .toDF("doc_id", "status", "n_pages", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // ...and the PDF DIVERT seam: every fifth doc is an /Encrypt'd PDF —
     // the header-only probe keeps the container label with decodable =
     // false and no page count (it never throws), and the extract pass

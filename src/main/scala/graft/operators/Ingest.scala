@@ -409,6 +409,45 @@ object Ingest {
        |</body></html>""".stripMargin
   }
 
+  /** Demo WARC corpus for the PDF-mining capstone (`tx_warc_pdf`): one
+    * `application/pdf` response per document — pages and text from the
+    * same doc_id arithmetic as `tx_pdf_text` (1 + id%3 pages, even ids
+    * Flate-compressed) — with every fifth document ENCRYPTED in flight
+    * (an /Encrypt key spliced into the trailer), so the extract stage
+    * must divert mid-pipeline, not crash the archive scan. Odd archives
+    * per-record-gzipped like the main corpus.
+    */
+  def pdfArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val pages = (0 until (1 + id % 3).toInt).map(p =>
+            s"Doc $id page $p café\ntokens ${id % 7} (p$p)")
+          val clean = PdfCodec.write(pages, compress = id % 2 == 0)
+          val body =
+            if (id % 5 == 0) new String(clean,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+              .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            else clean
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/pdf/$id",
+            "WARC-Record-ID" -> s"<urn:graft:pdf:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "application/pdf", body)
+        }
+        Multimodal.MediaRecord(aid, s"fake://pdf/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
   /** Demo page for the stopword-density boilerplate policy
     * (`tx_boilerplate_stop`): eight blocks exercising every branch the
     * stopword signal adds over link-density alone —
