@@ -4014,17 +4014,20 @@ object SparkEntry {
     }),
 
     // INCREMENTAL link-rank maintenance — the daily-crawl shape: the
-    // stored host graph folds a sparse delta (hosts k%5==0 gain an edge
-    // to k+13; two are genuinely new after dedup, the rest collide with
-    // existing family edges — mergeEdges dedups), and ranks warm-start
-    // from the PREVIOUS epoch's converged vector instead of recomputing
-    // cold. The ORACLE IS THE FULL REBUILD: 24 cold integer iterations on
-    // the merged graph — by then both the warm and the cold run sit on
-    // the same integer fixed point (this graph converges at 21; the
-    // continuation identity and fixed-point agreement are spec-pinned in
-    // LinkGraphSpec), so equality here PROVES the incremental path gives
-    // the rebuild's answer. Scale shape: only the delta pays page-grain
-    // extraction; prev ranks checkpoint once before re-iterating.
+    // stored host graph folds a sparse delta BOTH ways (hosts k%5==0 gain
+    // an edge to k+13 — two genuinely new after dedup, the rest collide
+    // with existing family edges; hosts k%4==0 LOSE their k+11 family
+    // edge through mergeEdges' anti-join), and ranks warm-start from the
+    // PREVIOUS epoch's converged vector, re-iterating only to the warm
+    // horizon (6 rounds — the old vector sits near the new fixed point;
+    // this is the operator's entire point vs a 20+-round cold rebuild).
+    // The ORACLE REPLAYS THE EXACT WARM PATH: 8 cold iterations on the
+    // old graph, the warm vector seeded from that terminal state, then 6
+    // iterations on the merged graph — bit-equality holds by construction
+    // at ANY horizon; the warm==cold fixed-point agreement proof lives in
+    // LinkGraphSpec where it belongs. Scale shape: only the delta pays
+    // page-grain extraction; prev ranks checkpoint once before
+    // re-iterating.
     "tx_link_rank_delta" -> ((s, dir) => {
       import s.implicits._
       val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -4041,15 +4044,18 @@ object SparkEntry {
       val prev = graft.operators.LinkGraph
         .rankHosts(oldEdges, "src_host", "dst_host", iters = 8)
         .select(col("host"), col("rank"))
-      val adds = t(s, dir, "documents")
+      val ks = t(s, dir, "documents")
         .select((col("doc_id") % 20).as("k")).distinct()
-        .filter(col("k") % 5 === 0)
+      val adds = ks.filter(col("k") % 5 === 0)
         .select(concat(lit("src"), col("k"), lit(".invalid")).as("src_host"),
           concat(lit("src"), (col("k") + 13) % 20, lit(".invalid")).as("dst_host"))
+      val removes = ks.filter(col("k") % 4 === 0)
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("src_host"),
+          concat(lit("src"), (col("k") + 11) % 20, lit(".invalid")).as("dst_host"))
       val merged = graft.operators.LinkGraph.mergeEdges(
-        oldEdges, adds, adds.limit(0), "src_host", "dst_host")
+        oldEdges, adds, removes, "src_host", "dst_host")
       graft.operators.LinkGraph
-        .rankDelta(prev, "host", "rank", merged, "src_host", "dst_host", iters = 24)
+        .rankDelta(prev, "host", "rank", merged, "src_host", "dst_host", iters = 6)
         .orderBy(col("host"))
     }),
 
@@ -4910,12 +4916,18 @@ object SparkEntry {
   // inlines plain CTEs, and a 24-deep inlined chain hands the join-order
   // optimizer a ~100-relation tree (measured: >5 min at sf0.01;
   // materialized: 0.4 s).
-  private def rankIterCtes(from: Int, to: Int): String =
+  // One damped-integer rank iteration per step, unrolled as DuckDB CTEs.
+  // `g` suffixes the graph CTE names (e/deg/n) so one oracle can iterate
+  // over TWO graphs (the old epoch's, then the merged one); `rp` prefixes
+  // the rank CTEs so a warm-started chain (w0 seeded from the old chain's
+  // terminal vector) coexists with the cold one.
+  private def rankIterCtes(from: Int, to: Int, g: String = "",
+      rp: String = "r"): String =
     (from to to).map { i =>
-      s"""c$i AS MATERIALIZED (SELECT e.dst AS host, CAST(SUM((r${i - 1}.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
-         |       FROM e JOIN deg ON deg.src = e.src JOIN r${i - 1} ON r${i - 1}.host = e.src GROUP BY e.dst),
-         |r$i AS MATERIALIZED (SELECT n.host, 150000 + COALESCE(c$i.contrib, 0) AS rank
-         |       FROM n LEFT JOIN c$i ON c$i.host = n.host)""".stripMargin
+      s"""c$rp$i AS MATERIALIZED (SELECT e$g.dst AS host, CAST(SUM(($rp${i - 1}.rank * 17 // 20) // deg$g.out_deg) AS BIGINT) AS contrib
+         |       FROM e$g JOIN deg$g ON deg$g.src = e$g.src JOIN $rp${i - 1} ON $rp${i - 1}.host = e$g.src GROUP BY e$g.dst),
+         |$rp$i AS MATERIALIZED (SELECT n$g.host, 150000 + COALESCE(c$rp$i.contrib, 0) AS rank
+         |       FROM n$g LEFT JOIN c$rp$i ON c$rp$i.host = n$g.host)""".stripMargin
     }.mkString(",\n")
 
   // Shared oracle prefix for the budget-capacity family
@@ -7244,30 +7256,46 @@ object SparkEntry {
         |  LEFT JOIN idg ON idg.dst = n.host
         |  JOIN r3 ON r3.host = n.host
         |ORDER BY n.host""".stripMargin,
-    // the FULL REBUILD oracle for the incremental path: merged edges
-    // (3 families + the k%5==0 -> k+13 delta) iterated 24 cold rounds —
-    // past this graph's integer fixed point (reached at 21), which is
-    // exactly where the warm-started Spark run lands
+    // the EXACT warm-path replay for the incremental ranker: 8 cold
+    // iterations on the OLD graph (3 watPage families) -> that terminal
+    // vector seeds w0 over the MERGED graph (families + the k%5==0 ->
+    // k+13 adds, MINUS the k%4==0 -> k+11 removals, replaying
+    // mergeEdges' anti-join) -> 6 warm iterations. Bit-equality with the
+    // Spark run holds at any horizon because both sides run the same
+    // integer map from the same start — no convergence assumption needed
     "tx_link_rank_delta" ->
       ("""WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
         |e0 AS (
         |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
         |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
-        |  UNION SELECT k, (k + 11) % 20 FROM ks
-        |  UNION SELECT k, (k + 13) % 20 FROM ks WHERE k % 5 = 0),
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
         |e AS MATERIALIZED (SELECT 'src' || s || '.invalid' AS src,
         |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
-        |idg AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
         |n AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e),
         |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
-        |""".stripMargin + rankIterCtes(1, 24) + """
-        |SELECT n.host, COALESCE(deg.out_deg, 0) AS out_deg,
-        |  COALESCE(idg.in_deg, 0) AS in_deg, r24.rank
-        |FROM n LEFT JOIN deg ON deg.src = n.host
-        |  LEFT JOIN idg ON idg.dst = n.host
-        |  JOIN r24 ON r24.host = n.host
-        |ORDER BY n.host""".stripMargin),
+        |""".stripMargin + rankIterCtes(1, 8) + """,
+        |em0 AS (
+        |  SELECT s, t FROM e0
+        |  UNION SELECT k, (k + 13) % 20 FROM ks WHERE k % 5 = 0),
+        |rm AS (SELECT k AS s, (k + 11) % 20 AS t FROM ks WHERE k % 4 = 0),
+        |em AS MATERIALIZED (
+        |  SELECT 'src' || s || '.invalid' AS src,
+        |         'src' || t || '.invalid' AS dst
+        |  FROM (SELECT s, t FROM em0 WHERE s <> t
+        |        EXCEPT SELECT s, t FROM rm)),
+        |degm AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM em GROUP BY src),
+        |idgm AS (SELECT dst, COUNT(*) AS in_deg FROM em GROUP BY dst),
+        |nm AS MATERIALIZED (SELECT src AS host FROM em UNION SELECT dst FROM em),
+        |w0 AS (SELECT nm.host, COALESCE(r8.rank, CAST(1000000 AS BIGINT)) AS rank
+        |       FROM nm LEFT JOIN r8 ON r8.host = nm.host),
+        |""".stripMargin + rankIterCtes(1, 6, g = "m", rp = "w") + """
+        |SELECT nm.host, COALESCE(degm.out_deg, 0) AS out_deg,
+        |  COALESCE(idgm.in_deg, 0) AS in_deg, w6.rank
+        |FROM nm LEFT JOIN degm ON degm.src = nm.host
+        |  LEFT JOIN idgm ON idgm.dst = nm.host
+        |  JOIN w6 ON w6.host = nm.host
+        |ORDER BY nm.host""".stripMargin),
     // the anchor labels are constant per link position; hosts follow the
     // watPage cross-host arithmetic — the per-host label set and counts
     // replay from doc_id alone
@@ -7590,6 +7618,28 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN 'pdf: encrypted (no decryption support)'
         |    ELSE 'ok' END AS status
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the PDF WARC capstone replayed end-to-end: page counts and total
+    // chars are the same doc_id arithmetic as tx_pdf_text (1 + id%3 pages,
+    // each page's two fabricated lines), and every fifth document carries
+    // the /Encrypt splice, so its status is the NAMED reject with 0/0
+    "tx_warc_pdf" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents),
+        |p AS (SELECT doc_id, n_pages,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
+        |c AS (SELECT doc_id,
+        |    SUM(LENGTH('Doc ' || doc_id || ' page ' || page_idx || ' café' ||
+        |        chr(10) || 'tokens ' || (doc_id % 7) || ' (p' || page_idx ||
+        |        ')')) AS n_chars
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 0
+        |    THEN 'pdf: encrypted (no decryption support)' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.n_pages END
+        |    AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE c.n_chars END
+        |    AS BIGINT) AS n_chars
+        |FROM d JOIN c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the tx_link_rank iteration replay feeding the two-level integer
     // apportionment: largest remainder across shards (k % 4), cumulative
     // rounding within — DuckDB's // and Spark's div agree on positives
