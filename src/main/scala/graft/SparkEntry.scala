@@ -3940,6 +3940,102 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // rank × recrawl FETCH-ORDER capstone — the seam tx_crawl_plan and
+    // tx_recrawl_priority left open: the epoch plan selected by raw
+    // staleness, ignoring what the revisit history KNOWS about how fast
+    // each page changes. Here the selection key is the change-aware
+    // priority (age × 1000 div interval), so under the same per-host
+    // budget the planner prefers known-fast-changing pages: a 9-day-
+    // interval page outranks a 14-day page of equal age. Change
+    // intervals come from the REAL 4-epoch revisit machinery
+    // (Cho/Garcia-Molina, as tx_recrawl_rate), lastmod ages from REAL
+    // sitemap bytes (as tx_recrawl_priority), per-host budgets from the
+    // rank apportionment (as tx_crawl_plan) — every value is DuckDB
+    // arithmetic. Scale shape: url-grain joins on the shared doc key,
+    // ONE host-partitioned window under a broadcast budget dim — never
+    // a global frontier sort.
+    "tx_fetch_order" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      val verdicts = (1 to 4).map { e =>
+        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
+            ing.revisitIndex(epochs(e - 1)))
+          .select(col("url"), col("verdict"))
+      }.reduce(_ unionByName _)
+      val rates = ing.changeRate(verdicts, epochs = 4)
+        .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("interval_days"))
+      val maps = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (src, it) =>
+          val entries = it.map(_._2).toSeq.sorted.map { d =>
+            (s"http://corpus.invalid/$src/$d",
+              Some(f"2026-01-${(d % 28) + 1}%02d"): Option[String])
+          }
+          val k = src.stripPrefix("src").toLong
+          graft.operators.Multimodal.MediaRecord(k, s"fake://sm/$src.xml",
+            "application/xml",
+            graft.operators.Sitemaps.write(entries, gzipped = k % 2 == 1),
+            Map.empty)
+        }
+      val lastmod = maps
+        .flatMap(r => graft.operators.Sitemaps.parse(r.content)
+          .flatMap(e => e.lastmod.map(lm => (e.loc, lm))))
+        .toDF("url", "lastmod")
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("lastmod"), "-(\\d+)$", 1).cast("long")
+            .as("lastmod_day"))
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Ingest.watPage(id))
+        .toDF("url", "html")
+      val links = pages.select(col("url"),
+          explode(graft.operators.TextAnalysis.htmlOutlinks(
+            col("html"), col("url"))).as("raw_dst"))
+        .select(col("url"),
+          graft.operators.TextAnalysis.urlNormalize(col("raw_dst")).as("dst"))
+      val edges = graft.operators.LinkGraph.hostEdges(links, "url", "dst")
+      val ranked = graft.operators.LinkGraph
+        .rankHosts(edges, "src_host", "dst_host", iters = 3)
+        .withColumn("shard",
+          regexp_extract(col("host"), "src(\\d+)", 1).cast("long") % 4)
+        .select(col("host"), col("shard"), col("rank"))
+      val budgets = graft.operators.LinkGraph
+        .allocateBudget(ranked, "host", "rank", "shard", total = 300L)
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 20, lit(".invalid")).as("host"))
+        .join(rates, Seq("doc_id"))
+        .join(lastmod, Seq("doc_id"))
+        .withColumn("age_days", lit(28L) - col("lastmod_day"))
+        .withColumn("priority_permille",
+          expr("age_days * 1000 div interval_days"))
+        .withColumn("due", col("age_days") >= col("interval_days"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(col("priority_permille").desc, col("doc_id").asc)
+      urls
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(budgets.select(col("host"), col("rank"), col("alloc"))),
+          Seq("host"))
+        .filter(col("rn") <= col("alloc"))
+        .groupBy(col("host"))
+        .agg(max(col("rank")).as("rank"), max(col("alloc")).as("alloc"),
+          count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("priority_permille")).as("top_priority"),
+          sum(when(col("due"), 1L).otherwise(0L)).as("n_due"),
+          sum(when(col("interval_days") === 9, 1L).otherwise(0L)).as("n_fast"))
+        .withColumn("fetcher",
+          graft.operators.Sampling.rendezvousShard(col("host"), 4))
+        .select(col("host"), col("rank"), col("alloc"), col("n_selected"),
+          col("id_sum"), col("top_priority"), col("n_due"), col("n_fast"),
+          col("fetcher"))
+        .orderBy(col("host"))
+    }),
+
     // the FRONTIER-GROWTH capstone — the seam the r8 verdict said was
     // missing now closed end-to-end: outlinks DISCOVER urls (the real
     // extractor over the crawl pages), an anti-join against the crawl's
@@ -4495,18 +4591,19 @@ object SparkEntry {
 
     // PDF mining — the web-corpus document class the engine previously
     // dropped: a spec-correct writer fabricates per-doc PDFs (1 + id%3
-    // pages, even ids Flate-compressed, WinAnsi 'café' on every page,
-    // parens in the text to exercise string escaping), the structural
-    // parser walks xref -> page tree -> content streams -> BT/ET text
-    // operators, and DuckDB predicts every page's exact text. Map-only
-    // per-record walk; one task per partition of the documents scan.
+    // pages, even ids Flate-compressed, WinAnsi 'café' plus the 0x80-0x9F
+    // typographic block (smart quotes, em dash) on every page, parens in
+    // the text to exercise string escaping), the structural parser walks
+    // xref -> page tree -> content streams -> BT/ET text operators, and
+    // DuckDB predicts every page's exact text. Map-only per-record walk;
+    // one task per partition of the documents scan.
     "tx_pdf_text" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val nPages = (1 + id % 3).toInt
           val pages = (0 until nPages).map(p =>
-            s"Doc $id page $p café\ntokens ${id % 7} (p$p)")
+            s"Doc $id page $p ‘café’\ntokens ${id % 7} — (p$p)")
           val got = graft.operators.PdfCodec.extractText(
             graft.operators.PdfCodec.write(pages, compress = id % 2 == 0))
           (id, got.nPages.toLong, got.pages)
@@ -7579,6 +7676,87 @@ object SparkEntry {
         |  agg.n_selected, agg.id_sum, agg.stalest, f.fetcher
         |FROM agg JOIN f ON f.host = 'src' || agg.k || '.invalid'
         |ORDER BY host""".stripMargin,
+    // the change-aware epoch plan replayed end-to-end: the same rank +
+    // 300-page apportionment as tx_crawl_plan, but selection keyed by
+    // age×1000 // interval (interval from the id%3 mutation rule as
+    // tx_recrawl_rate, lastmod day from id%28 as tx_recrawl_priority) —
+    // membership pinned by id_sum, fast-changer preference by n_fast
+    "tx_fetch_order" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k AS s, (3 * k + 5) % 20 AS t FROM ks
+        |  UNION SELECT k, (7 * k + 3) % 20 FROM ks
+        |  UNION SELECT k, (k + 11) % 20 FROM ks),
+        |e AS (SELECT 'src' || s || '.invalid' AS src,
+        |             'src' || t || '.invalid' AS dst FROM e0 WHERE s <> t),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM((r0.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.host = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.host, 150000 + COALESCE(c1.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.host = n.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM((r1.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.host, 150000 + COALESCE(c2.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.host = n.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM((r2.rank * 17 // 20) // deg.out_deg) AS BIGINT) AS contrib
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.host = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.host, 150000 + COALESCE(c3.contrib, 0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.host = n.host),
+        |ranked AS (SELECT host, rank,
+        |    CAST(regexp_extract(host, 'src(\d+)', 1) AS BIGINT) % 4 AS shard
+        |  FROM r3),
+        |sw AS (SELECT shard, CAST(SUM(rank) AS BIGINT) AS ws
+        |       FROM ranked GROUP BY shard),
+        |g AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM sw),
+        |sb AS (SELECT shard, ws, 300 * ws // w AS base,
+        |         (300 * ws) % w AS rem FROM sw, g),
+        |lo AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM sb),
+        |rkd AS (SELECT shard, ws, base +
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, shard ASC)
+        |      <= leftover THEN 1 ELSE 0 END AS bs
+        |  FROM sb, lo),
+        |cum AS (SELECT ranked.host, ranked.shard, ranked.rank, rkd.ws, rkd.bs,
+        |    CAST(SUM(ranked.rank) OVER (PARTITION BY ranked.shard
+        |      ORDER BY ranked.host) AS BIGINT) AS cw
+        |  FROM ranked JOIN rkd USING (shard)),
+        |budget AS (SELECT host, rank,
+        |    CAST((bs * cw // ws) - (bs * (cw - rank) // ws) AS BIGINT) AS alloc
+        |  FROM cum),
+        |urls AS (SELECT doc_id, doc_id % 20 AS k,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 14 END AS BIGINT)
+        |      AS interval_days,
+        |    CAST((doc_id % 28) + 1 AS BIGINT) AS lastmod_day
+        |  FROM documents),
+        |q AS (SELECT doc_id, k, interval_days,
+        |    CAST(28 - lastmod_day AS BIGINT) AS age_days,
+        |    CAST((28 - lastmod_day) * 1000 // interval_days AS BIGINT)
+        |      AS priority_permille,
+        |    (28 - lastmod_day) >= interval_days AS due
+        |  FROM urls),
+        |rn AS (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY priority_permille DESC, doc_id ASC) AS rn FROM q),
+        |sel AS (SELECT rn.k, rn.doc_id, rn.priority_permille, rn.due,
+        |    rn.interval_days, b.rank, b.alloc
+        |  FROM rn JOIN budget b ON b.host = 'src' || rn.k || '.invalid'
+        |  WHERE rn.rn <= b.alloc),
+        |agg AS (SELECT k, MAX(rank) AS rank, MAX(alloc) AS alloc,
+        |    COUNT(*) AS n_selected, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |    MAX(priority_permille) AS top_priority,
+        |    CAST(SUM(CASE WHEN due THEN 1 ELSE 0 END) AS BIGINT) AS n_due,
+        |    CAST(SUM(CASE WHEN interval_days = 9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fast
+        |  FROM sel GROUP BY k),
+        |hrw AS (SELECT host, s, MD5(host || ':' || CAST(s AS VARCHAR)) AS hh
+        |  FROM (SELECT DISTINCT 'src' || k || '.invalid' AS host FROM agg),
+        |    UNNEST(GENERATE_SERIES(0, 3)) AS t(s)),
+        |f AS (SELECT host, ARG_MAX(s, hh) AS fetcher FROM hrw GROUP BY host)
+        |SELECT 'src' || agg.k || '.invalid' AS host, agg.rank, agg.alloc,
+        |  agg.n_selected, agg.id_sum, agg.top_priority, agg.n_due, agg.n_fast,
+        |  f.fetcher
+        |FROM agg JOIN f ON f.host = 'src' || agg.k || '.invalid'
+        |ORDER BY host""".stripMargin,
     // the capstone replayed end-to-end from doc_id: charset from the
     // id%3 wire encoding (every variant decodes clean), boilerplate
     // verdicts from the block rules (h1 carries ' café': +5 chars, +1
@@ -7595,15 +7773,16 @@ object SparkEntry {
         |  CAST(2 * k + 7 AS BIGINT) AS n_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
     // the PDF roundtrip replayed from doc_id arithmetic: page count
-    // 1 + id%3, every page's exact two-line text (WinAnsi café + escaped
-    // parens survive the writer->parser trip byte-for-byte)
+    // 1 + id%3, every page's exact two-line text (WinAnsi café, the
+    // 0x80-0x9F typographic block — smart quotes + em dash — and escaped
+    // parens all survive the writer->parser trip byte-for-byte)
     "tx_pdf_text" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents),
         |p AS (SELECT doc_id, n_pages,
         |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
         |t2 AS (SELECT doc_id, n_pages, page_idx,
-        |    'Doc ' || doc_id || ' page ' || page_idx || ' café' || chr(10) ||
-        |    'tokens ' || (doc_id % 7) || ' (p' || page_idx || ')' AS text
+        |    'Doc ' || doc_id || ' page ' || page_idx || ' ‘café’' || chr(10) ||
+        |    'tokens ' || (doc_id % 7) || ' — (p' || page_idx || ')' AS text
         |  FROM p)
         |SELECT doc_id, CAST(n_pages AS BIGINT) AS n_pages,
         |  CAST(page_idx AS BIGINT) AS page_idx, text,
@@ -7627,8 +7806,8 @@ object SparkEntry {
         |p AS (SELECT doc_id, n_pages,
         |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
         |c AS (SELECT doc_id,
-        |    SUM(LENGTH('Doc ' || doc_id || ' page ' || page_idx || ' café' ||
-        |        chr(10) || 'tokens ' || (doc_id % 7) || ' (p' || page_idx ||
+        |    SUM(LENGTH('Doc ' || doc_id || ' page ' || page_idx || ' ‘café’' ||
+        |        chr(10) || 'tokens ' || (doc_id % 7) || ' — (p' || page_idx ||
         |        ')')) AS n_chars
         |  FROM p GROUP BY doc_id)
         |SELECT d.doc_id,

@@ -427,7 +427,7 @@ object Ingest {
       .mapGroups { (aid, it) =>
         val recs = it.toSeq.sorted.map { id =>
           val pages = (0 until (1 + id % 3).toInt).map(p =>
-            s"Doc $id page $p café\ntokens ${id % 7} (p$p)")
+            s"Doc $id page $p ‘café’\ntokens ${id % 7} — (p$p)")
           val clean = PdfCodec.write(pages, compress = id % 2 == 0)
           val body =
             if (id % 5 == 0) new String(clean,

@@ -22,12 +22,18 @@ import java.nio.charset.StandardCharsets
   *  - content streams raw or FlateDecode (zlib), inflated through a
   *    BOUNDED loop (`MaxStreamBytes`, the `Gunzip.bounded` discipline —
   *    a hostile stream costs one buffer, not the heap);
-  *  - simple-font text: strings decode as Latin-1, correct for
-  *    WinAnsiEncoding text outside 0x80-0x9F (what the writer emits);
+  *  - simple-font text: strings decode as WinAnsiEncoding (ISO 32000-1
+  *    Annex D.2) — Latin-1 everywhere plus the 0x80-0x9F typographic
+  *    block (smart quotes, €, ™, …, en/em dashes) wild PDFs actually
+  *    carry there;
+  *  - inline images (§8.9.7) are SKIPPED structurally: the raw binary
+  *    after `ID` is scanned for the whitespace-delimited `EI` operator,
+  *    never parsed as objects (a '(' byte inside pixel data must not
+  *    read as a string);
   *  - OUT of profile, rejected loudly (divert, don't die): /Encrypt
   *    ("pdf: encrypted"), PDF 1.5+ cross-reference/object streams
   *    ("pdf: xref stream unsupported" — see MEDIA.md), non-Flate
-  *    content-stream filters.
+  *    content-stream filters, unterminated inline images.
   *
   * Scale shape: one PDF is one record; extraction is a map-only
   * per-record walk with zero driver state — identical distribution story
@@ -593,11 +599,54 @@ object PdfCodec {
     */
   final val TjSpaceThreshold = -180.0
 
+  /** WinAnsiEncoding's 0x80-0x9F block (ISO 32000-1 Annex D.2; byte-
+    * identical to Windows code page 1252): Latin-1 reads these bytes as C1
+    * controls, but in WinAnsi they are the typographic set real PDFs put
+    * there — smart quotes, €, ™, …, en/em dashes. The five unassigned
+    * slots (0x81 0x8D 0x8F 0x90 0x9D) pass through unchanged.
+    */
+  private final val WinAnsiHigh: Array[Char] = {
+    val a = (0x80 to 0x9F).map(_.toChar).toArray
+    Seq(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ'
+    ).foreach { case (b, c) => a(b - 0x80) = c }
+    a
+  }
+
+  /** Char -> WinAnsi byte (as a Latin-1 char) for the typographic block —
+    * the writer's reverse map, so `write` can emit text the extractor
+    * decodes back identically.
+    */
+  private final val WinAnsiEncode: Map[Char, Char] =
+    WinAnsiHigh.zipWithIndex.collect {
+      case (c, i) if c != (0x80 + i).toChar => c -> (0x80 + i).toChar
+    }.toMap
+
+  /** Decode simple-font string bytes as WinAnsiEncoding. */
+  private[operators] def winAnsiDecode(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val u = b(i) & 0xFF
+      sb.append(if (u >= 0x80 && u <= 0x9F) WinAnsiHigh(u - 0x80) else u.toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Interpret ONE page's (decoded, concatenated) content stream: text
     * shows inside BT/ET; Td TD T* Tm apostrophe/quote line moves become '\n',
     * TJ gaps below [[TjSpaceThreshold]] become ' '. Graphics operators
     * are skipped by construction (operands are parsed, non-text
-    * operators discarded). Strings decode as Latin-1 (simple-font
+    * operators discarded); inline images (`BI … ID <binary> EI`, §8.9.7)
+    * are skipped as raw bytes so binary pixel data never reaches the
+    * object lexer. Strings decode as WinAnsiEncoding (simple-font
     * profile — see the object scaladoc).
     */
   private[operators] def pageText(content: Array[Byte]): String = {
@@ -607,7 +656,7 @@ object PdfCodec {
     var lineHasText = false
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     def str(v: PVal): String = v match {
-      case PStr(b) => new String(b, StandardCharsets.ISO_8859_1)
+      case PStr(b) => winAnsiDecode(b)
       case _ => ""
     }
     def newline(): Unit = {
@@ -622,6 +671,7 @@ object PdfCodec {
         case _ =>
           val op = lx.readToken()
           if (op.isEmpty) lx.pos += 1 // defensive: skip an unparseable byte
+          else if (op == "BI") lx.pos = skipInlineImage(content, lx.pos)
           else if (inText) op match {
             case "Tj" => show(str(operands.lastOption.getOrElse(PNull)))
             case "'" =>
@@ -657,23 +707,66 @@ object PdfCodec {
     sb.toString
   }
 
+  /** Skip an inline image (§8.9.7) starting just after its `BI` token:
+    * scan forward to the `ID` token (the image dict entries are names /
+    * numbers / arrays — scanned as bytes, never interpreted), step over
+    * the single whitespace byte that follows it, then scan the RAW binary
+    * for the `EI` operator delimited by whitespace on both sides. Returns
+    * the position just past `EI`. A missing delimiter is a NAMED reject —
+    * binary data containing '(' or '<' must never reach the object lexer.
+    */
+  private def skipInlineImage(b: Array[Byte], from: Int): Int = {
+    def ws(c: Byte): Boolean = c == ' ' || c == '\n' || c == '\r' ||
+      c == '\t' || c == '\f' || c == 0
+    // a token boundary before ID/EI: whitespace or a closing delimiter
+    def boundary(c: Byte): Boolean = ws(c) || c == ']' || c == '>' || c == ')'
+    var i = from
+    var afterId = -1
+    while (afterId < 0 && i + 1 < b.length) {
+      if (b(i) == 'I' && b(i + 1) == 'D' &&
+        (i == 0 || boundary(b(i - 1))) &&
+        (i + 2 >= b.length || ws(b(i + 2)))) afterId = i + 2
+      i += 1
+    }
+    require(afterId >= 0, "pdf: inline image without ID")
+    // one whitespace byte separates ID from the binary data (§8.9.7)
+    var j = math.min(afterId + 1, b.length)
+    while (j + 1 < b.length) {
+      if (ws(b(j - 1)) && b(j) == 'E' && b(j + 1) == 'I' &&
+        (j + 2 >= b.length || ws(b(j + 2)))) return j + 2
+      j += 1
+    }
+    throw new IllegalArgumentException("pdf: unterminated inline image")
+  }
+
   // --------------------------------------------------------------- writer
 
   /** Spec-correct single-font writer — the oracle half: every byte
     * deterministic, so `extractText(write(pages)) == pages` by
-    * construction and a SQL engine can predict the round-trip.
+    * construction and a SQL engine can predict the round-trip. The
+    * round-trip contract is scoped to pages WITHOUT empty lines (no
+    * leading / interior / trailing '\n\n' or final '\n'): an empty line
+    * emits a `() Tj` that shows nothing, so the extractor — which only
+    * breaks after visible text — would collapse it; such pages are a
+    * caller error, rejected loudly below rather than silently narrowed.
     *
     * Layout: classic PDF 1.4 — catalog, one /Pages node, one Helvetica
     * /WinAnsiEncoding font shared by every page, one content stream per
     * page (`(line) Tj` + `0 -14 Td` per line break), classic xref table,
     * trailer. `compress = true` Flate-encodes the content streams.
-    * Page text must be Latin-1-representable (WinAnsi covers it outside
-    * 0x80-0x9F); anything else is a caller error, rejected loudly.
+    * Page text must be WinAnsi-representable: Latin-1 minus the
+    * 0x80-0x9F C1 controls, plus the typographic block ([[WinAnsiHigh]]
+    * — smart quotes, €, ™, … encode to their WinAnsi bytes and decode
+    * back identically). Anything else is a caller error, rejected loudly.
     */
   def write(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "pdf write: at least one page")
-    pages.foreach(p => require(p.forall(c => c <= 'ÿ'),
-      "pdf write: page text must be Latin-1-representable"))
+    pages.foreach { p =>
+      require(p.forall(encodableChar),
+        "pdf write: page text must be WinAnsi-representable")
+      require(p.isEmpty || p.split("\n", -1).forall(_.nonEmpty),
+        "pdf write: empty lines do not round-trip (see scaladoc)")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
     out.write(ascii("%PDF-1.4\n%âãÏÓ\n"))
@@ -703,7 +796,9 @@ object PdfCodec {
       val lines = text.split("\n", -1)
       lines.zipWithIndex.foreach { case (line, li) =>
         if (li > 0) ops.append("0 -14 Td\n")
-        ops.append('(').append(escapeString(line)).append(") Tj\n")
+        ops.append('(')
+          .append(escapeString(line.map(c => WinAnsiEncode.getOrElse(c, c))))
+          .append(") Tj\n")
       }
       ops.append("ET")
       val plain = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
@@ -722,6 +817,16 @@ object PdfCodec {
       s"startxref\n$xrefAt\n%%EOF\n"))
     out.toByteArray
   }
+
+  /** A char the writer can emit AND the extractor decodes back to itself:
+    * the WinAnsi typographic set, or Latin-1 outside the 0x80-0x9F block
+    * (whose ASSIGNED slots decode as typographic chars, so the C1
+    * controls they shadow cannot round-trip; the five unassigned slots
+    * pass through and are fine).
+    */
+  private def encodableChar(c: Char): Boolean =
+    WinAnsiEncode.contains(c) ||
+      (c <= 'ÿ' && (c < 0x80 || c > 0x9F || WinAnsiHigh(c - 0x80) == c))
 
   private[operators] def escapeString(s: String): String = {
     val sb = new StringBuilder

@@ -227,7 +227,9 @@ object TextAnalysis {
     *     stubs don't ride a neighbor), a long block is `good` at
     *     >= `stopHighPermille`, `near_good` at >= `stopLowPermille`, and
     *     `bad` below (the keyword-stuffing / navigation-prose class the
-    *     link signal alone cannot see).
+    *     link signal alone cannot see). A block with NO letter words at
+    *     all (numeric tables, separator rows) is `bad` — the density
+    *     tests never pass vacuously on 0/0.
     *  2. neighbor smoothing: a `short` or `near_good` block is promoted
     *     to `good` when the immediately previous or next block in
     *     document order is context-free `good` (headings inherit the
@@ -281,12 +283,20 @@ object TextAnalysis {
           .withColumn("_ns",
             size(filter(words, t => array_contains(profile, t))).cast("long"))
           .withColumn("ctx_class",
+            // `_nw > 0` gates every density test: a block with NO letter
+            // words (numeric tables, separator rows) would otherwise pass
+            // `0 >= 0` vacuously and classify good — jusText's intent for
+            // a wordless block is `bad`, and a wordless stub must not
+            // ride a neighbor either
             when(linkBad, lit("bad"))
               .when(col("n_chars") < minChars,
-                when(col("_ns") * 1000 >= col("_nw") * stopLowPermille,
+                when(col("_nw") > 0 &&
+                  col("_ns") * 1000 >= col("_nw") * stopLowPermille,
                   lit("short")).otherwise(lit("bad")))
-              .when(col("_ns") * 1000 >= col("_nw") * stopHighPermille, lit("good"))
-              .when(col("_ns") * 1000 >= col("_nw") * stopLowPermille,
+              .when(col("_nw") > 0 &&
+                col("_ns") * 1000 >= col("_nw") * stopHighPermille, lit("good"))
+              .when(col("_nw") > 0 &&
+                col("_ns") * 1000 >= col("_nw") * stopLowPermille,
                 lit("near_good"))
               .otherwise(lit("bad")))
           .drop("_nw", "_ns")

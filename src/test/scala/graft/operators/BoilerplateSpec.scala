@@ -132,6 +132,23 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_good_final") == 0)
   }
 
+  test("stopword mode: a wordless block never passes the density tests") {
+    val article = ("the cat and the dog " * 10).trim
+    // a long numeric-table block has _nw = 0: the density tests must not
+    // pass vacuously (0 >= 0) — jusText's intent for a wordless block is
+    // bad, both at long grain and as a stub riding a neighbor
+    val digits = ("12345 67.89 | " * 10).trim
+    val Seq(a) = runStop(Seq(1L -> s"<p>$digits</p>")).toSeq
+    assert(a.getAs[Long]("n_good_ctx") == 0)
+    assert(a.getAs[Long]("n_bad_ctx") == 1)
+    assert(a.getAs[String]("main_text") == "")
+    // a wordless SHORT stub beside a good article stays bad (no riding)
+    val Seq(b) = runStop(Seq(1L -> s"<h2>--- 42 ---</h2><p>$article</p>")).toSeq
+    assert(b.getAs[Long]("n_short_ctx") == 0)
+    assert(b.getAs[Long]("n_bad_ctx") == 1)
+    assert(b.getAs[String]("main_text") == article)
+  }
+
   test("stopword mode: a short stub without stopwords does not ride a neighbor") {
     val article = ("the cat and the dog " * 10).trim
     val Seq(r) = runStop(Seq(
