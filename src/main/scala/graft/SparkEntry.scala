@@ -4645,6 +4645,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the TRANSFER-DECODE seam: wild WARC captures store bodies exactly
+    // as the server sent them, so Content-Encoding must be undone before
+    // charset/boilerplate/PDF work. The corpus exercises the whole
+    // routing table — gzip, spec deflate (zlib), the wild-server RAW
+    // deflate under the same token (decode retries unwrapped), identity,
+    // and an unsupported brotli token that DIVERTS with the original
+    // bytes kept and the reject named. Decoded text is pinned exactly.
+    // Scale shape: per-record scalar decode inside the archive explode's
+    // partition — bodies never shuffle to be decoded.
+    "tx_content_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.encodedArchives(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("http_content_encoding").as("encoding"),
+          col("body"))
+        .as[(String, String, Array[Byte])]
+        .map { case (url, enc, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          val d = graft.operators.HttpPayload.decodeTransfer(body, enc)
+          (id, enc, d.clean, d.reason, d.body.length.toLong,
+            new String(d.body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("doc_id", "encoding", "clean", "reason", "n_bytes", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ...and the PDF DIVERT seam: every fifth doc is an /Encrypt'd PDF —
     // the header-only probe keeps the container label with decodable =
     // false and no page count (it never throws), and the extract pass
@@ -7788,6 +7815,27 @@ object SparkEntry {
         |  CAST(page_idx AS BIGINT) AS page_idx, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id, page_idx""".stripMargin,
+    // the transfer-decode seam replayed: token by id%5 (both deflate
+    // variants surface the same header token), decoded text and its BYTE
+    // length from the payload template, the brotli rows diverted with the
+    // named reject and their raw (= plain-text) bytes kept
+    "tx_content_encoding" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n,
+        |    CASE doc_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+        |      WHEN 2 THEN 'deflate' WHEN 3 THEN '' ELSE 'br' END AS encoding
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, encoding,
+        |    repeat('payload ' || doc_id || ' café' || chr(10), CAST(n AS INT))
+        |      AS text
+        |  FROM d)
+        |SELECT doc_id, encoding,
+        |  doc_id % 5 <> 4 AS clean,
+        |  CASE WHEN doc_id % 5 = 4
+        |    THEN 'http: unsupported content-encoding ''br'''
+        |    ELSE '' END AS reason,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  text
+        |FROM t2 ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
     "tx_pdf_quarantine" ->

@@ -28,6 +28,7 @@ object Ingest {
       http_status: Option[Int],
       mime: String,
       http_content_type: String, // the nested HTTP Content-Type ("" off responses) — carries the charset= the decode seam needs
+      http_content_encoding: String, // the nested HTTP Content-Encoding ("" when absent) — the transfer-decode seam's routing key
       content_length: Long,
       body: Array[Byte])
 
@@ -44,10 +45,11 @@ object Ingest {
           val (status, headers, body) = Warc.parseHttpResponse(rec.content)
           WarcCapture(r.media_id, rec.targetUri, rec.warcType, Some(status),
             rec.contentType, headers.getOrElse("content-type", ""),
+            headers.getOrElse("content-encoding", ""),
             body.length.toLong, body)
         } else
           WarcCapture(r.media_id, rec.targetUri, rec.warcType, None,
-            rec.contentType, "", rec.content.length.toLong, rec.content)
+            rec.contentType, "", "", rec.content.length.toLong, rec.content)
       }
     }
   }
@@ -444,6 +446,47 @@ object Ingest {
             Warc.httpResponse(200, "application/pdf", body)
         }
         Multimodal.MediaRecord(aid, s"fake://pdf/$aid.warc", "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
+  /** Demo WARC corpus for the transfer-decode seam
+    * (`tx_content_encoding`): one `text/plain` response per document,
+    * body = a deterministic payload line repeated 1 + id%3 times, wire
+    * bytes transfer-encoded by id%5 — gzip / zlib deflate / RAW deflate
+    * under the `deflate` token (the wild-server bug) / identity (no
+    * header) / a brotli token over raw bytes (the unsupported-encoding
+    * divert). Odd archives per-record-gzipped like the main corpus, so
+    * record-level Content-Encoding sits UNDER archive-level gzip — two
+    * independent compression layers, both exercised.
+    */
+  def encodedArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val text = s"payload $id café\n" * (1 + id % 3).toInt
+          val mode = (id % 5) match {
+            case 0 => "gzip"
+            case 1 => "deflate"
+            case 2 => "deflate-raw"
+            case 3 => ""
+            case _ => "br"
+          }
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/enc/$id",
+            "WARC-Record-ID" -> s"<urn:graft:enc:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponseEncoded(200, "text/plain; charset=utf-8",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8), mode)
+        }
+        Multimodal.MediaRecord(aid, s"fake://enc/$aid.warc", "application/warc",
           Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
       }
   }

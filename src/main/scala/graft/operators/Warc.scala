@@ -244,13 +244,26 @@ object Warc {
   }
 
   /** Build the HTTP response payload for a `response` record. */
-  def httpResponse(status: Int, contentType: String, body: Array[Byte]): Array[Byte] = {
+  def httpResponse(status: Int, contentType: String, body: Array[Byte]): Array[Byte] =
+    httpResponseEncoded(status, contentType, body, mode = "")
+
+  /** [[httpResponse]] with the body transfer-encoded per
+    * [[HttpPayload.encodeTransfer]] — the writer half of the
+    * Content-Encoding seam (`mode` "" omits the header; "gzip" /
+    * "deflate" / "deflate-raw" compress the wire bytes; any other token
+    * is emitted over the raw bytes, the unsupported-encoding fixture
+    * shape). Content-Length counts the WIRE bytes, as on the real wire.
+    */
+  def httpResponseEncoded(status: Int, contentType: String, body: Array[Byte],
+      mode: String): Array[Byte] = {
+    val (token, wire) = HttpPayload.encodeTransfer(body, mode)
     val reason = status match {
       case 200 => "OK"; case 404 => "Not Found"; case 301 => "Moved Permanently"
       case _ => "Status"
     }
+    val encHdr = if (token.isEmpty) "" else s"Content-Encoding: $token\r\n"
     val head = s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n"
-    head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+      encHdr + s"Content-Length: ${wire.length}\r\n\r\n"
+    head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ wire
   }
 }
