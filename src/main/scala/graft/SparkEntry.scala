@@ -4699,6 +4699,83 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HOST HEALTH from fetch outcomes — the feedback loop the politeness
+    // surface was missing: per-host HTTP status mix out of the REAL
+    // archive walk (statuses rotate per host via the (id div 20 + id%20)
+    // rule, so error rates genuinely differ), exact integer error
+    // permille, and a backoff verdict that DOUBLES the host's declared
+    // Crawl-Delay (REAL robots parsing, as tx_budget_capacity) before
+    // recomputing its hourly fetch capacity — error-heavy hosts lose
+    // budget, healthy hosts keep theirs. Scale shape: map-only archive
+    // explode carrying (host, status) only, ONE host-grain aggregate,
+    // robots dim broadcast.
+    "tx_host_health" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val fetches = ing.ingestWarc(ing.statusArchives(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("url"), "//([^/]+)/", 1).as("host"),
+          col("http_status").as("status"))
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k")).distinct()
+        .select(concat(lit("src"), col("k"), lit(".invalid")).as("host"),
+          concat(lit("User-agent: graftbot\nCrawl-delay: "), col("k") % 5 + 1,
+            lit("\n\nUser-agent: *\nCrawl-delay: 60\n")).as("robots_txt"))
+        .as[(String, String)]
+        .map { case (host, txt) =>
+          (host, graft.operators.Robots.crawlDelay(
+            graft.operators.Robots.parse(txt), "graftbot").getOrElse(60.0).toLong)
+        }.toDF("host", "delay_s")
+      fetches.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(when(col("status") >= 200 && col("status") < 300, 1L)
+            .otherwise(0L)).as("n_2xx"),
+          sum(when(col("status") >= 300 && col("status") < 400, 1L)
+            .otherwise(0L)).as("n_3xx"),
+          sum(when(col("status") >= 400 && col("status") < 500, 1L)
+            .otherwise(0L)).as("n_4xx"),
+          sum(when(col("status") >= 500, 1L).otherwise(0L)).as("n_5xx"))
+        .withColumn("error_permille",
+          expr("(n_4xx + n_5xx) * 1000 div n_fetches"))
+        .withColumn("backoff", col("error_permille") >= 300)
+        .join(broadcast(robots), Seq("host"))
+        .withColumn("effective_delay_s",
+          when(col("backoff"), col("delay_s") * 2).otherwise(col("delay_s")))
+        .withColumn("capacity", expr("3600 div effective_delay_s"))
+        .select(col("host"), col("n_fetches"), col("n_2xx"), col("n_3xx"),
+          col("n_4xx"), col("n_5xx"), col("error_permille"), col("backoff"),
+          col("delay_s"), col("effective_delay_s"), col("capacity"))
+        .orderBy(col("host"))
+    }),
+
+    // PDF document metadata (§14.3.3) — the PROVENANCE half of PDF
+    // mining: /Info title/author/producer/dates extracted header-only
+    // (xref walk + one dict, no stream ever decompresses). The corpus
+    // forces BOTH text-string encodings (§7.9.2.2): titles carry № —
+    // outside PDFDocEncoding, so the writer emits UTF-16BE with the BOM —
+    // while authors carry an ellipsis that PDFDocEncoding encodes at 0x83
+    // (a DIFFERENT slot than WinAnsi's 0x85: the two tables are pinned
+    // apart by the same fixture). Map-only per-record walk.
+    "tx_pdf_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val title = s"Report $id — ‘résumé’ №${id % 100}"
+          val author = s"Author ${id % 7} (unit…)"
+          val pdf = graft.operators.PdfCodec.write(
+            Seq(s"body $id"), compress = id % 2 == 0,
+            info = Seq("Title" -> title, "Author" -> author,
+              "Producer" -> "graft 1.0",
+              "CreationDate" -> s"D:2026010${1 + id % 9}000000Z"))
+          val m = graft.operators.PdfCodec.info(pdf)
+          (id, m.title.getOrElse(""), m.author.getOrElse(""),
+            m.producer.getOrElse(""), m.created.getOrElse(""),
+            m.subject.isEmpty)
+        }
+        .toDF("doc_id", "title", "author", "producer", "created", "no_subject")
+        .orderBy(col("doc_id"))
+    }),
+
     // from seed RANKING to crawl PLAN: the host ranks (3 integer
     // iterations, as tx_link_rank) apportion a 10,000-page fetch budget —
     // exact largest-remainder across arithmetic shards (k % 4), exact
@@ -7836,6 +7913,41 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  text
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // host health replayed from the rotation rule: status class from
+    // q = (id div 20 + id%20) % 10, error permille exact-integer, the
+    // backoff doubling and the capacity division both replayed
+    "tx_host_health" ->
+      """WITH f AS (SELECT doc_id, doc_id % 20 AS k,
+        |    ((doc_id // 20) + (doc_id % 20)) % 10 AS q FROM documents),
+        |a AS (SELECT k, COUNT(*) AS n_fetches,
+        |    CAST(SUM(CASE WHEN q <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_2xx,
+        |    CAST(SUM(CASE WHEN q = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_3xx,
+        |    CAST(SUM(CASE WHEN q = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx,
+        |    CAST(SUM(CASE WHEN q >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx
+        |  FROM f GROUP BY k),
+        |b AS (SELECT k, n_fetches, n_2xx, n_3xx, n_4xx, n_5xx,
+        |    (n_4xx + n_5xx) * 1000 // n_fetches AS error_permille,
+        |    1 + k % 5 AS delay_s FROM a),
+        |c AS (SELECT *, error_permille >= 300 AS backoff,
+        |    CASE WHEN error_permille >= 300 THEN delay_s * 2
+        |         ELSE delay_s END AS eff FROM b)
+        |SELECT 'src' || k || '.invalid' AS host, n_fetches, n_2xx, n_3xx,
+        |  n_4xx, n_5xx, error_permille, backoff,
+        |  CAST(delay_s AS BIGINT) AS delay_s,
+        |  CAST(eff AS BIGINT) AS effective_delay_s,
+        |  CAST(3600 // eff AS BIGINT) AS capacity
+        |FROM c ORDER BY host""".stripMargin,
+    // /Info provenance replayed from the templates: both text-string
+    // encodings (UTF-16BE titles, PDFDocEncoding authors) decode back to
+    // the same strings DuckDB concatenates
+    "tx_pdf_meta" ->
+      """SELECT doc_id,
+        |  'Report ' || doc_id || ' — ‘résumé’ №' || (doc_id % 100) AS title,
+        |  'Author ' || (doc_id % 7) || ' (unit…)' AS author,
+        |  'graft 1.0' AS producer,
+        |  'D:2026010' || (1 + doc_id % 9) || '000000Z' AS created,
+        |  TRUE AS no_subject
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
     "tx_pdf_quarantine" ->

@@ -491,6 +491,47 @@ object Ingest {
       }
   }
 
+  /** Demo WARC corpus for the host-health seam (`tx_host_health`): one
+    * response per document whose HTTP status follows
+    * q = (id div 20 + id mod 20) % 10 — 0-5 → 200, 6 → 301, 7 → 404,
+    * 8 → 500, 9 → 503. The key mixes the archive round WITH the host
+    * residue: a pure id%10 rule would give every fetch on a host (id%20)
+    * the same status, and a pure round rule the same MIX on every host —
+    * this one rotates the mix per host, so error rates genuinely differ
+    * and the backoff threshold splits the host set. Odd archives
+    * per-record-gzipped like the main corpus.
+    */
+  def statusArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val status = ((id / 20 + id % 20) % 10) match {
+            case 6 => 301
+            case 7 => 404
+            case 8 => 500
+            case 9 => 503
+            case _ => 200
+          }
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/page/$id",
+            "WARC-Record-ID" -> s"<urn:graft:health:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(status, "text/plain",
+              s"fetch $id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        Multimodal.MediaRecord(aid, s"fake://health/$aid.warc",
+          "application/warc",
+          Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
   /** Demo page for the stopword-density boilerplate policy
     * (`tx_boilerplate_stop`): eight blocks exercising every branch the
     * stopword signal adds over link-density alone —

@@ -516,6 +516,85 @@ object PdfCodec {
     */
   def pageCount(bytes: Array[Byte]): Int = openPages(bytes)._2.length
 
+  /** Document-information dictionary (§14.3.3) — the provenance metadata
+    * a corpus pipeline files alongside extracted text: title, author,
+    * subject, producer, creation/modification date (dates as the raw
+    * `D:...` strings, §7.9.4). Absent /Info or absent keys are None.
+    */
+  final case class PdfInfo(title: Option[String], author: Option[String],
+      subject: Option[String], producer: Option[String],
+      created: Option[String], modified: Option[String])
+
+  /** Read the /Info dictionary. Header-only work like [[pageCount]]: the
+    * xref walk + one dict, no stream ever decompresses. Same named
+    * rejects as the rest of the walk (/Encrypt, xref streams); a file
+    * whose trailer was lost to damage recovers the object index but not
+    * the /Info pointer — all-None, never a crash.
+    *
+    * /Info values are PDF TEXT STRINGS (§7.9.2.2): UTF-16BE when they
+    * open with the FE FF BOM, PDFDocEncoding (Annex D.3) otherwise —
+    * a DIFFERENT table from the page-content WinAnsi: 0x18-0x1F carry
+    * accents, 0x80-0x9E the typographic set in another order, 0xA0 the
+    * euro.
+    */
+  def info(bytes: Array[Byte]): PdfInfo = {
+    require(isPdf(bytes), "pdf: missing %PDF- header")
+    val (index, trailer) = buildIndex(bytes)
+    require(index.nonEmpty, "pdf: no objects found")
+    if (trailer.m.contains("Encrypt"))
+      throw new IllegalArgumentException("pdf: encrypted (no decryption support)")
+    val doc = new Doc(bytes, index, trailer)
+    val m = trailer.m.get("Info").map(doc.resolve) match {
+      case Some(PDict(d)) => d
+      case _ => Map.empty[String, PVal]
+    }
+    def str(k: String): Option[String] = m.get(k).map(doc.resolve).collect {
+      case PStr(b) => decodeTextString(b)
+    }
+    PdfInfo(str("Title"), str("Author"), str("Subject"), str("Producer"),
+      str("CreationDate"), str("ModDate"))
+  }
+
+  /** PDF text-string decode (§7.9.2.2): UTF-16BE behind a FE FF BOM,
+    * PDFDocEncoding otherwise.
+    */
+  private[operators] def decodeTextString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
+    else pdfDocDecode(b)
+
+  /** PDFDocEncoding (ISO 32000-1 Annex D.3): Latin-1 identity except
+    * 0x18-0x1F (spacing accents), 0x80-0x9E (the typographic set — in a
+    * DIFFERENT order from WinAnsi), and 0xA0 (euro). The undefined slots
+    * (0x7F, 0x9F, 0xAD) pass through unchanged, the same graceful rule as
+    * WinAnsi's unassigned five.
+    */
+  private final val PdfDoc: Array[Char] = {
+    val a = (0 until 256).map(_.toChar).toArray
+    val accents = "˘ˇˆ˙˝˛˚˜"
+    accents.zipWithIndex.foreach { case (c, i) => a(0x18 + i) = c }
+    val high = "•†‡…—–ƒ⁄" +
+      "‹›−‰„“”‘" +
+      "’‚™ﬁﬂŁŒŠ" +
+      "ŸŽıłœšž"
+    high.zipWithIndex.foreach { case (c, i) => a(0x80 + i) = c }
+    a(0xA0) = '€'
+    a
+  }
+
+  /** Char -> PDFDocEncoding byte for every representable char — the
+    * writer's reverse map.
+    */
+  private final val PdfDocEncode: Map[Char, Int] =
+    PdfDoc.zipWithIndex.map { case (c, i) => c -> i }.toMap
+
+  private[operators] def pdfDocDecode(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) { sb.append(PdfDoc(b(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
   private def openPages(bytes: Array[Byte]): (Doc, Vector[PDict]) = {
     require(isPdf(bytes), "pdf: missing %PDF- header")
     val (index, trailer) = buildIndex(bytes)
@@ -759,7 +838,8 @@ object PdfCodec {
     * — smart quotes, €, ™, … encode to their WinAnsi bytes and decode
     * back identically). Anything else is a caller error, rejected loudly.
     */
-  def write(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
+  def write(pages: Seq[String], compress: Boolean = false,
+      info: Seq[(String, String)] = Nil): Array[Byte] = {
     require(pages.nonEmpty, "pdf write: at least one page")
     pages.foreach { p =>
       require(p.forall(encodableChar),
@@ -767,12 +847,18 @@ object PdfCodec {
       require(p.isEmpty || p.split("\n", -1).forall(_.nonEmpty),
         "pdf write: empty lines do not round-trip (see scaladoc)")
     }
+    info.foreach { case (k, _) =>
+      require(k.nonEmpty && k.forall(_.isLetterOrDigit),
+        s"pdf write: bad /Info key '$k'")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
     out.write(ascii("%PDF-1.4\n%âãÏÓ\n"))
     val n = pages.length
-    // object numbers: 1 catalog, 2 pages, 3 font, then (page, stream) pairs
-    val total = 3 + 2 * n
+    // object numbers: 1 catalog, 2 pages, 3 font, then (page, stream)
+    // pairs, then (when present) the /Info dict LAST — existing files'
+    // bytes are unchanged when info is empty
+    val total = 3 + 2 * n + (if (info.nonEmpty) 1 else 0)
     val offsets = new Array[Int](total + 1)
     def obj(num: Int, body: Array[Byte]): Unit = {
       offsets(num) = out.size()
@@ -809,12 +895,45 @@ object PdfCodec {
       out.write(data)
       out.write(ascii("\nendstream\nendobj\n"))
     }
+    if (info.nonEmpty) {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(ascii("<<"))
+      info.foreach { case (k, v) =>
+        bo.write(ascii(s" /$k "))
+        bo.write(textStringBytes(v))
+      }
+      bo.write(ascii(" >>"))
+      obj(total, bo.toByteArray)
+    }
     val xrefAt = out.size()
     out.write(ascii(s"xref\n0 ${total + 1}\n"))
     out.write(ascii("0000000000 65535 f \n"))
     (1 to total).foreach(i => out.write(ascii(f"${offsets(i)}%010d 00000 n \n")))
-    out.write(ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n" +
+    val infoRef = if (info.nonEmpty) s" /Info $total 0 R" else ""
+    out.write(ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R$infoRef >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Serialize a text string (§7.9.2.2) as a literal string object:
+    * PDFDocEncoding when every char is representable, else UTF-16BE with
+    * the FE FF BOM. BYTE-level escaping — a '(' / ')' / '\' / CR byte
+    * inside UTF-16 code units would otherwise unbalance the literal.
+    */
+  private def textStringBytes(value: String): Array[Byte] = {
+    val enc: Array[Byte] =
+      if (value.forall(PdfDocEncode.contains))
+        value.map(c => PdfDocEncode(c).toByte).toArray
+      else Array(0xFE.toByte, 0xFF.toByte) ++
+        value.getBytes(StandardCharsets.UTF_16BE)
+    val out = new java.io.ByteArrayOutputStream(enc.length + 8)
+    out.write('(')
+    enc.foreach { b =>
+      if (b == '(' || b == ')' || b == '\\') { out.write('\\'); out.write(b) }
+      else if (b == 0x0D) { out.write('\\'); out.write('r') }
+      else out.write(b)
+    }
+    out.write(')')
     out.toByteArray
   }
 
