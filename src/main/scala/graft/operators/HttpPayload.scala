@@ -17,7 +17,9 @@ package graft.operators
   *    server bug documented since the HTTP/1.1 era (token named after the
   *    raw format, so a large server class ships it unwrapped); both paths
   *    bounded;
-  *  - anything else (`br`, `zstd`, chains like `gzip, br`) and any
+  *  - `zstd`: RFC 9659 / RFC 8878 via [[Zstandard.decompressBounded]]
+  *    (concatenated frames allowed, skippable frames skipped, bounded);
+  *  - anything else (`br`, chains like `gzip, br`) and any
   *    truncated / corrupt / over-cap stream: DIVERT, don't die — the
   *    original stored bytes come back with `clean = false` and a reason
   *    that names the reject, so the quarantine seam files the record and
@@ -64,6 +66,11 @@ object HttpPayload {
               inflate(body, maxOut, nowrap = true)
           }
         TransferDecoded(decoded, clean = true, "")
+      case "zstd" =>
+        // RFC 9659: the payload is one or more zstd frames (RFC 8878);
+        // skippable frames are skipped, the cap is enforced mid-stream
+        TransferDecoded(
+          Zstandard.decompressBounded(body, maxOut, "http"), clean = true, "")
       case other =>
         TransferDecoded(body, clean = false,
           s"http: unsupported content-encoding '$other'")
@@ -114,7 +121,8 @@ object HttpPayload {
   /** Transfer-ENCODE a body for the writer half (demo corpora + tests).
     * `mode`: "" (no header), "gzip", "deflate" (zlib-wrapped per the RFC),
     * "deflate-raw" (the wild-server bug: header token `deflate`, raw
-    * wire), or any other token (bytes pass through UNTOUCHED under that
+    * wire), "zstd" (one RFC 8878 frame), or any other token (bytes pass
+    * through UNTOUCHED under that
     * token — the fixture shape for unsupported-encoding rejects). Returns
     * (headerValue, wireBytes); headerValue "" means omit the header.
     */
@@ -129,6 +137,7 @@ object HttpPayload {
         ("gzip", out.toByteArray)
       case "deflate" => ("deflate", deflate(body, nowrap = false))
       case "deflate-raw" => ("deflate", deflate(body, nowrap = true))
+      case "zstd" => ("zstd", Zstandard.compressFrame(body))
       case other => (other, body)
     }
 

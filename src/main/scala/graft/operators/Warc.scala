@@ -33,6 +33,7 @@ object Warc {
 
   def isWarc(bytes: Array[Byte]): Boolean = {
     if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1)) return true
+    if (Zstandard.isZstd(bytes)) return true
     bytes.length >= 8 && new String(bytes, 0, 8,
       java.nio.charset.StandardCharsets.US_ASCII) == "WARC/1.0"
   }
@@ -47,16 +48,34 @@ object Warc {
   private def gunzip(bytes: Array[Byte]): Array[Byte] =
     Gunzip.bounded(bytes, MaxGunzipBytes, "warc")
 
-  /** Parse every record in the buffer (gunzipping first if the buffer is
-    * gzip — including concatenated per-record members). Strict: a bad
-    * version line, a missing Content-Length, a truncated payload, or a
-    * missing CRLF CRLF trailer dies in a require — crawl triage must not
-    * silently drop the tail of an archive.
+  /** Parse every record in the buffer — gunzipping first if the buffer is
+    * gzip (including concatenated per-record members), or walking zstd
+    * frames per the IIPC `.warc.zst` layout (leading dictionary frame
+    * honored, each data frame decompressed against it — see
+    * [[Zstandard.warcDict]]). Strict: a bad version line, a missing
+    * Content-Length, a truncated payload, or a missing CRLF CRLF trailer
+    * dies in a require — crawl triage must not silently drop the tail of
+    * an archive.
     */
   def readRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    if (Zstandard.isZstd(bytes)) return zstdSpans(bytes).flatMap {
+      case (plain, _, _) => walkPlain(plain).map(_._1)
+    }
     val b = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1))
       gunzip(bytes) else bytes
     walkPlain(b).map(_._1)
+  }
+
+  /** Decompress each zstd DATA frame of a `.warc.zst` buffer:
+    * (plain bytes, archive offset, compressed length) per frame.
+    */
+  private def zstdSpans(bytes: Array[Byte]): Seq[(Array[Byte], Long, Long)] = {
+    val (dict, spans) = Zstandard.warcDict(bytes, MaxGunzipBytes)
+    spans.collect {
+      case f if !f.skippable =>
+        (Zstandard.decompressFrame(bytes, f, MaxGunzipBytes, "warc", dict),
+          f.offset.toLong, f.length.toLong)
+    }
   }
 
   /** The plain-framing walk: every record plus its [start, end) byte
@@ -105,6 +124,13 @@ object Warc {
     * span, so it rejects loudly rather than emit an index that lies.
     */
   def readRecordsLocated(bytes: Array[Byte]): Seq[LocatedRecord] = {
+    if (Zstandard.isZstd(bytes)) return zstdSpans(bytes).map {
+      case (plain, off, len) =>
+        val recs = walkPlain(plain)
+        require(recs.length == 1,
+          s"warc: zstd frame at byte $off holds ${recs.length} records — CDX needs one per frame")
+        LocatedRecord(recs.head._1, off, len)
+    }
     if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1)) {
       val out = scala.collection.mutable.ArrayBuffer.empty[LocatedRecord]
       var p = 0
@@ -239,6 +265,33 @@ object Warc {
         // underlying ByteArrayOutputStream is a no-op, so reuse is safe).
         gz.close()
       } else out.write(rec.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** Write records in the IIPC `.warc.zst` layout: one zstd frame PER
+    * RECORD (the random-access property CDX indexing needs), preceded —
+    * when `dict` is supplied — by a 0x184D2A5D skippable frame holding
+    * the dictionary zstd-compressed, with every record frame compressed
+    * against it. `dict = None` writes plain concatenated frames, which
+    * [[readRecords]] consumes identically.
+    */
+  def writeWarcZstd(records: Seq[(Map[String, String], Array[Byte])],
+      dict: Option[Array[Byte]] = None, level: Int = 3): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    dict.foreach { d =>
+      out.write(Zstandard.skippableFrame(Zstandard.DictFrameMagic,
+        Zstandard.compressFrame(d, level)))
+    }
+    records.foreach { case (headers, content) =>
+      val rec = new java.io.ByteArrayOutputStream()
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+      sb.append("Content-Length: ").append(content.length).append("\r\n\r\n")
+      rec.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      rec.write(content)
+      rec.write('\r'); rec.write('\n'); rec.write('\r'); rec.write('\n')
+      out.write(Zstandard.compressFrame(rec.toByteArray, level, dict))
     }
     out.toByteArray
   }

@@ -42,7 +42,7 @@ class HttpPayloadSpec extends AnyFunSuite {
   }
 
   test("unsupported tokens divert with the original bytes kept") {
-    for (tok <- Seq("br", "zstd", "gzip, br")) {
+    for (tok <- Seq("br", "compress", "gzip, br")) {
       val d = HttpPayload.decodeTransfer(raw, tok)
       assert(!d.clean && (d.body sameElements raw))
       assert(d.reason.contains("unsupported content-encoding"))
