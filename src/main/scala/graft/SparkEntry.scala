@@ -4672,6 +4672,120 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the 1.5-PROFILE roundtrip: the same per-doc fabrication idea as
+    // tx_pdf_text but written the MODERN way — catalog/pages/font/page
+    // dicts packed in a compressed object stream (§7.5.7), located by a
+    // cross-reference STREAM with /W widths and the PNG Up predictor
+    // (§7.5.8) — and extracted back through the type-2 entry walk. Same
+    // scale shape as tx_pdf_text: map-only per-record work.
+    "tx_pdf_text15" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val pages = (0 until (1 + id % 3).toInt).map(p =>
+            s"Doc $id v1.5 page $p ‘€${id % 9}’\nmodern ${id % 7} (p$p)")
+          val got = graft.operators.PdfCodec.extractText(
+            graft.operators.PdfCodec.write15(pages))
+          (id, got.nPages.toLong, got.pages)
+        }.toDF("doc_id", "n_pages", "pages")
+      docs.select(col("doc_id"), col("n_pages"),
+          posexplode(col("pages")).as(Seq("page_idx", "text")))
+        .select(col("doc_id"), col("n_pages"),
+          col("page_idx").cast("long").as("page_idx"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("page_idx"))
+    }),
+
+    // the §7.4 FILTER FAMILY in situ: each document's content streams go
+    // through the cascade id%5 picks (LZW / ASCIIHex / ASCII85 /
+    // RunLength / ASCII85+Flate), write and extract — so every filter
+    // decoder is driver-verified inside a real file, not just unit-
+    // tested. Map-only per-record work.
+    "tx_pdf_filters" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cascade = graft.operators.Ingest.modernCascade(id)
+          val pages = (0 until (1 + id % 3).toInt).map(p =>
+            s"Doc $id filtered page $p ‘…’\nchain ${id % 5} (p$p)")
+          val got = graft.operators.PdfCodec.extractText(
+            graft.operators.PdfCodec.writeWithFilters(pages, cascade))
+          (id, cascade.mkString(">"), got.nPages.toLong,
+            got.pages.map(_.length.toLong).sum)
+        }.toDF("doc_id", "filter_chain", "n_pages", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the `.warc.zst` ingest seam: archives in the IIPC zstd layout (one
+    // frame per record; even archives dictionary-led, odd dict-less)
+    // explode through the SAME ingestWarc walk as gzip/plain — the
+    // compression transparency a Common-Crawl-shaped corpus needs now
+    // that CC publishes zstd. Map-only explode, bodies never shuffle.
+    "tx_warc_zstd" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.zstdArchives(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("body"))
+        .as[(String, Array[Byte])]
+        .map { case (url, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          (id, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        }.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-Encoding: zstd (RFC 9659) through the transfer-decode
+    // seam — the id%3 routing exercises zstd next to gzip and identity
+    // so the new token rides the exact same divert-or-decode table.
+    "tx_zstd_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.encodedArchives(s, dir,
+          modeOf = id => Seq("zstd", "gzip", "")((id % 3).toInt)))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("http_content_encoding").as("encoding"),
+          col("body"))
+        .as[(String, String, Array[Byte])]
+        .map { case (url, enc, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          val d = graft.operators.HttpPayload.decodeTransfer(body, enc)
+          (id, enc, d.clean, d.body.length.toLong,
+            new String(d.body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("doc_id", "encoding", "clean", "n_bytes", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the MODERN-STACK capstone: `.warc.zst` archives carrying PDF 1.5
+    // files (even docs: object + xref streams; odd docs: classic files
+    // under the id%5 filter cascade), every fifth /Encrypt-spliced so
+    // the divert seam fires on the modern layout too — zstd framing,
+    // 1.5 walk, filter family, and quarantine in ONE pipeline. Two
+    // map-only walks, zero shuffles before the final projection.
+    "tx_pdf_modern" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.modernPdfArchives(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_content_type") === "application/pdf")
+        .select(col("url"), col("body"))
+        .as[(String, Array[Byte])]
+        .map { case (url, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          try {
+            val t = graft.operators.PdfCodec.extractText(body)
+            (id, "ok", t.nPages.toLong, t.pages.map(_.length.toLong).sum)
+          } catch {
+            case e: IllegalArgumentException => (id, e.getMessage, 0L, 0L)
+          }
+        }
+        .toDF("doc_id", "status", "n_pages", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // ...and the PDF DIVERT seam: every fifth doc is an /Encrypt'd PDF —
     // the header-only probe keeps the container label with decodable =
     // false and no page count (it never throws), and the extract pass
@@ -7969,6 +8083,84 @@ object SparkEntry {
         |    SUM(LENGTH('Doc ' || doc_id || ' page ' || page_idx || ' ‘café’' ||
         |        chr(10) || 'tokens ' || (doc_id % 7) || ' — (p' || page_idx ||
         |        ')')) AS n_chars
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 0
+        |    THEN 'pdf: encrypted (no decryption support)' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.n_pages END
+        |    AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE c.n_chars END
+        |    AS BIGINT) AS n_chars
+        |FROM d JOIN c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // the 1.5-profile roundtrip replayed: same doc_id arithmetic as
+    // tx_pdf_text, new template — the writer/extractor pair guarantees
+    // the bytes, DuckDB guarantees the text
+    "tx_pdf_text15" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents),
+        |p AS (SELECT doc_id, n_pages,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
+        |t2 AS (SELECT doc_id, n_pages, page_idx,
+        |    'Doc ' || doc_id || ' v1.5 page ' || page_idx || ' ‘€' ||
+        |    (doc_id % 9) || '’' || chr(10) || 'modern ' || (doc_id % 7) ||
+        |    ' (p' || page_idx || ')' AS text
+        |  FROM p)
+        |SELECT doc_id, CAST(n_pages AS BIGINT) AS n_pages,
+        |  CAST(page_idx AS BIGINT) AS page_idx, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id, page_idx""".stripMargin,
+    // the filter family replayed: the cascade label from id%5 and the
+    // char sum over the fabricated pages
+    "tx_pdf_filters" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages,
+        |    CASE doc_id % 5 WHEN 0 THEN 'LZWDecode'
+        |      WHEN 1 THEN 'ASCIIHexDecode' WHEN 2 THEN 'ASCII85Decode'
+        |      WHEN 3 THEN 'RunLengthDecode'
+        |      ELSE 'ASCII85Decode>FlateDecode' END AS filter_chain
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_pages, filter_chain,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
+        |c AS (SELECT doc_id, ANY_VALUE(filter_chain) AS filter_chain,
+        |    ANY_VALUE(n_pages) AS n_pages,
+        |    SUM(LENGTH('Doc ' || doc_id || ' filtered page ' || page_idx ||
+        |      ' ‘…’' || chr(10) || 'chain ' || (doc_id % 5) || ' (p' ||
+        |      page_idx || ')')) AS n_chars
+        |  FROM p GROUP BY doc_id)
+        |SELECT doc_id, filter_chain, CAST(n_pages AS BIGINT) AS n_pages,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the .warc.zst ingest replayed from the body template
+    "tx_warc_zstd" ->
+      """WITH t2 AS (SELECT doc_id,
+        |    '<html>doc ' || doc_id || ' on src' || (doc_id % 20) ||
+        |    ' café ×' || (1 + doc_id % 3) || '</html>' AS text
+        |  FROM documents)
+        |SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    // Content-Encoding zstd next to gzip and identity: every row decodes
+    // clean, text and BYTE length replay from the payload template
+    "tx_zstd_encoding" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n,
+        |    CASE doc_id % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'gzip'
+        |      ELSE '' END AS encoding
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, encoding,
+        |    repeat('payload ' || doc_id || ' café' || chr(10), CAST(n AS INT))
+        |      AS text
+        |  FROM d)
+        |SELECT doc_id, encoding, TRUE AS clean,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes, text
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    // the modern-stack capstone replayed: 1.5/filtered page counts and
+    // char sums from the new template, every fifth row the named reject
+    "tx_pdf_modern" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents),
+        |p AS (SELECT doc_id, n_pages,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
+        |c AS (SELECT doc_id,
+        |    SUM(LENGTH('Doc ' || doc_id || ' v1.5 page ' || page_idx ||
+        |      ' ‘€' || (doc_id % 9) || '’' || chr(10) || 'modern ' ||
+        |      (doc_id % 7) || ' (p' || page_idx || ')')) AS n_chars
         |  FROM p GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 5 = 0

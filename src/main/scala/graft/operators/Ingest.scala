@@ -450,6 +450,92 @@ object Ingest {
       }
   }
 
+  /** Demo `.warc.zst` corpus (`tx_warc_zstd`): one `text/html` response
+    * per document, archives in the IIPC layout — one zstd frame per
+    * record, EVEN archives led by a trained-dictionary skippable frame
+    * (every record frame compressed against it), odd archives dict-less
+    * — so both read paths the wild corpus ships are exercised. Bodies
+    * are the deterministic template the oracle replays.
+    */
+  def zstdArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val text = s"<html>doc $id on src${id % 20} café ×${1 + id % 3}</html>"
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/zst/$id",
+            "WARC-Record-ID" -> s"<urn:graft:zst:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "text/html; charset=utf-8",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val dict =
+          if (aid % 2 == 0)
+            Zstandard.trainDict(Seq.fill(8)(recs.map(_._2)).flatten)
+          else None
+        Multimodal.MediaRecord(aid, s"fake://zst/$aid.warc.zst",
+          "application/warc", Warc.writeWarcZstd(recs, dict), Map.empty)
+      }
+  }
+
+  /** Demo corpus for the MODERN pdf capstone (`tx_pdf_modern`):
+    * `.warc.zst` archives whose responses carry PDFs in the 1.5 profile
+    * — even documents written with [[PdfCodec.write15]] (object stream +
+    * predictor-coded xref stream), odd ones classic files whose content
+    * streams go through a filter cascade picked by id%5 (LZW / ASCIIHex /
+    * ASCII85 / RunLength / ASCII85+Flate) — and every FIFTH document
+    * /Encrypt-spliced so the divert seam fires on the modern layout too.
+    */
+  def modernPdfArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val pages = (0 until (1 + id % 3).toInt).map(p =>
+            s"Doc $id v1.5 page $p ‘€${id % 9}’\nmodern ${id % 7} (p$p)")
+          val clean =
+            if (id % 2 == 0) PdfCodec.write15(pages)
+            else PdfCodec.writeWithFilters(pages, modernCascade(id))
+          val rootRef = if (id % 2 == 0) "/Root 2 0 R" else "/Root 1 0 R"
+          val body =
+            if (id % 5 == 0) new String(clean,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+              .replace(rootRef, s"$rootRef /Encrypt 99 0 R")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            else clean
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/mpdf/$id",
+            "WARC-Record-ID" -> s"<urn:graft:mpdf:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "application/pdf", body)
+        }
+        Multimodal.MediaRecord(aid, s"fake://mpdf/$aid.warc.zst",
+          "application/warc", Warc.writeWarcZstd(recs), Map.empty)
+      }
+  }
+
+  /** The filter cascade the modern-pdf corpus assigns to odd documents. */
+  def modernCascade(id: Long): Seq[String] = (id % 5) match {
+    case 0 => Seq("LZWDecode")
+    case 1 => Seq("ASCIIHexDecode")
+    case 2 => Seq("ASCII85Decode")
+    case 3 => Seq("RunLengthDecode")
+    case _ => Seq("ASCII85Decode", "FlateDecode")
+  }
+
   /** Demo WARC corpus for the transfer-decode seam
     * (`tx_content_encoding`): one `text/plain` response per document,
     * body = a deterministic payload line repeated 1 + id%3 times, wire
@@ -461,7 +547,8 @@ object Ingest {
     * independent compression layers, both exercised.
     */
   def encodedArchives(spark: SparkSession, dir: String,
-      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+      docsPerArchive: Int = 16,
+      modeOf: Long => String = defaultEncodingMode): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
@@ -470,13 +557,7 @@ object Ingest {
       .mapGroups { (aid, it) =>
         val recs = it.toSeq.sorted.map { id =>
           val text = s"payload $id café\n" * (1 + id % 3).toInt
-          val mode = (id % 5) match {
-            case 0 => "gzip"
-            case 1 => "deflate"
-            case 2 => "deflate-raw"
-            case 3 => ""
-            case _ => "br"
-          }
+          val mode = modeOf(id)
           Map(
             "WARC-Type" -> "response",
             "WARC-Target-URI" -> s"http://src${id % 20}.invalid/enc/$id",
@@ -489,6 +570,15 @@ object Ingest {
         Multimodal.MediaRecord(aid, s"fake://enc/$aid.warc", "application/warc",
           Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
       }
+  }
+
+  /** The id%5 routing table [[encodedArchives]] uses by default. */
+  def defaultEncodingMode(id: Long): String = (id % 5) match {
+    case 0 => "gzip"
+    case 1 => "deflate"
+    case 2 => "deflate-raw"
+    case 3 => ""
+    case _ => "br"
   }
 
   /** Demo WARC corpus for the host-health seam (`tx_host_health`): one

@@ -19,9 +19,18 @@ import java.nio.charset.StandardCharsets
   *  - classic cross-reference TABLES incl. incremental-update /Prev
   *    chains; when the table is damaged/truncated, a linear `N G obj`
   *    byte scan rebuilds the object index (truncation tolerance);
-  *  - content streams raw or FlateDecode (zlib), inflated through a
-  *    BOUNDED loop (`MaxStreamBytes`, the `Gunzip.bounded` discipline —
-  *    a hostile stream costs one buffer, not the heap);
+  *  - PDF 1.5+ cross-reference STREAMS (§7.5.8: /W field widths, /Index
+  *    subsections, type-1/type-2 entries) and OBJECT streams (§7.5.7:
+  *    /N `num offset` header pairs + /First), classic and 1.5 sections
+  *    mixed freely along the /Prev chain; hybrid-reference files
+  *    (§7.5.8.4) read through their classic table, which lists every
+  *    object by construction — /XRefStm is deliberately not chased;
+  *  - stream filters (§7.4): FlateDecode, LZWDecode (/EarlyChange 0-1),
+  *    ASCIIHexDecode, ASCII85Decode, RunLengthDecode, in any cascade,
+  *    each stage inflated through a BOUNDED loop (`MaxStreamBytes`, the
+  *    `Gunzip.bounded` discipline — a hostile stream costs one buffer,
+  *    not the heap), plus /Predictor 2 (TIFF) and 10-15 (PNG row
+  *    filters, §7.4.4.4) post-passes;
   *  - simple-font text: strings decode as WinAnsiEncoding (ISO 32000-1
   *    Annex D.2) — Latin-1 everywhere plus the 0x80-0x9F typographic
   *    block (smart quotes, €, ™, …, en/em dashes) wild PDFs actually
@@ -31,9 +40,11 @@ import java.nio.charset.StandardCharsets
   *    never parsed as objects (a '(' byte inside pixel data must not
   *    read as a string);
   *  - OUT of profile, rejected loudly (divert, don't die): /Encrypt
-  *    ("pdf: encrypted"), PDF 1.5+ cross-reference/object streams
-  *    ("pdf: xref stream unsupported" — see MEDIA.md), non-Flate
-  *    content-stream filters, unterminated inline images.
+  *    ("pdf: encrypted"), image-only filters (DCT/JPX/CCITT/JBIG2 —
+  *    pixels, not text), composite Type0/CID fonts ("pdf: composite
+  *    (Type0) font unsupported" — their codes need a ToUnicode CMap,
+  *    and WinAnsi-decoding them would be silently wrong), unterminated
+  *    inline images.
   *
   * Scale shape: one PDF is one record; extraction is a map-only
   * per-record walk with zero driver state — identical distribution story
@@ -73,6 +84,14 @@ object PdfCodec {
   private case object PNull extends PVal
   /** dict + RAW (still compressed) stream bytes */
   private case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+
+  /** Where an object lives: at a byte offset in the file (classic xref /
+    * type-1 entries), or inside a PDF 1.5 object stream (type-2 entries:
+    * compressed object `idx` of stream object `stm`).
+    */
+  private sealed trait Loc
+  private case class AtOffset(off: Int) extends Loc
+  private case class InObjStm(stm: Int, idx: Int) extends Loc
 
   // ---------------------------------------------------------------- lexer
 
@@ -277,7 +296,7 @@ object PdfCodec {
   /** Parsed document handle: object index + lazy object loading with
     * memoization and reference-cycle guard.
     */
-  private final class Doc(bytes: Array[Byte], index: Map[Int, Int],
+  private final class Doc(bytes: Array[Byte], index: Map[Int, Loc],
       val trailer: PDict) {
     private val memo = scala.collection.mutable.Map.empty[Int, PVal]
     private val loading = scala.collection.mutable.Set.empty[Int]
@@ -286,7 +305,19 @@ object PdfCodec {
       require(loading.add(num), s"pdf: reference cycle through object $num")
       try index.get(num) match {
         case None => PNull
-        case Some(off) =>
+        case Some(InObjStm(stm, _)) =>
+          // PDF 1.5 compressed object: find it by NUMBER in the stream's
+          // own header (more robust than trusting the xref's index column)
+          val (byNum, data) = objStm(stm)
+          byNum.get(num) match {
+            case Some(o) =>
+              require(o >= 0 && o < data.length,
+                s"pdf: object $num offset $o outside object stream $stm")
+              new Lexer(data, o).readValue()
+            case None => throw new IllegalArgumentException(
+              s"pdf: object $num not found in object stream $stm")
+          }
+        case Some(AtOffset(off)) =>
           val lx = new Lexer(bytes, off)
           val n = lx.readToken().toInt
           require(n == num, s"pdf: object at offset $off is $n, xref said $num")
@@ -316,99 +347,251 @@ object PdfCodec {
     })
 
     /** Damaged /Length: scan for the `endstream` keyword. */
-    private def scanEnd(start: Int): Int = {
-      val pat = "endstream".getBytes(StandardCharsets.ISO_8859_1)
-      var i = start
-      while (i + pat.length <= bytes.length) {
-        if (bytes(i) == pat(0) && pat.indices.forall(j => bytes(i + j) == pat(j))) {
-          // back off the EOL that precedes endstream
-          var e = i
-          if (e > start && bytes(e - 1) == '\n') e -= 1
-          if (e > start && bytes(e - 1) == '\r') e -= 1
-          return e - start
-        }
-        i += 1
-      }
-      throw new IllegalArgumentException("pdf: unterminated stream (no endstream)")
-    }
+    private def scanEnd(start: Int): Int = scanEndstream(bytes, start)
 
     def resolve(v: PVal): PVal = v match {
       case PRef(n, _) => resolve(obj(n))
       case other => other
     }
+
+    /** Parsed /ObjStm cache: object-number -> offset map (from the N
+      * `num offset` header pairs, §7.5.7) plus the decoded stream bytes.
+      */
+    private val objStms =
+      scala.collection.mutable.Map.empty[Int, (Map[Int, Int], Array[Byte])]
+
+    private def objStm(stm: Int): (Map[Int, Int], Array[Byte]) =
+      objStms.getOrElseUpdate(stm, obj(stm) match {
+        case PStream(d, raw) =>
+          require(d.m.get("Type").contains(PName("ObjStm")),
+            s"pdf: xref type-2 entry points at object $stm, which is not an /ObjStm")
+          val data = streamData(d, raw)
+          val n = resolve(d.m.getOrElse("N", PNull)) match {
+            case PNum(v) if v >= 0 && v <= MaxObjects => v.toInt
+            case _ => throw new IllegalArgumentException(s"pdf: object stream $stm has no sane /N")
+          }
+          val first = resolve(d.m.getOrElse("First", PNull)) match {
+            case PNum(v) if v >= 0 && v <= data.length => v.toInt
+            case _ => throw new IllegalArgumentException(s"pdf: object stream $stm has no sane /First")
+          }
+          val hdr = new Lexer(data, 0)
+          val m = Map.newBuilder[Int, Int]
+          var i = 0
+          while (i < n) {
+            val on = hdr.readToken().toInt
+            val rel = hdr.readToken().toInt
+            m += on -> (first + rel)
+            i += 1
+          }
+          (m.result(), data)
+        case other => throw new IllegalArgumentException(
+          s"pdf: xref type-2 entry points into non-stream object $stm" +
+            s" (${other.getClass.getSimpleName})")
+      })
+
+    /** Decode a stream's bytes through its /Filter chain (+ per-filter
+      * /DecodeParms predictors) with indirect params resolved through
+      * this document. Every stage is bounded by [[MaxStreamBytes]].
+      */
+    def streamData(d: PDict, raw: Array[Byte]): Array[Byte] =
+      decodeFilterChain(d, raw, resolve)
+  }
+
+  /** Length of stream data starting at `start` when /Length is unusable:
+    * scan for the `endstream` keyword, backing off its preceding EOL.
+    */
+  private def scanEndstream(bytes: Array[Byte], start: Int): Int = {
+    val pat = "endstream".getBytes(StandardCharsets.ISO_8859_1)
+    var i = start
+    while (i + pat.length <= bytes.length) {
+      if (bytes(i) == pat(0) && pat.indices.forall(j => bytes(i + j) == pat(j))) {
+        // back off the EOL that precedes endstream
+        var e = i
+        if (e > start && bytes(e - 1) == '\n') e -= 1
+        if (e > start && bytes(e - 1) == '\r') e -= 1
+        return e - start
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("pdf: unterminated stream (no endstream)")
   }
 
   // --------------------------------------------------------------- xref
 
   /** Object index from the trailer walk: `startxref` → classic xref
-    * table(s) following /Prev (§7.5.4, bounded chain). An xref STREAM at
-    * the offset (PDF 1.5+, §7.5.8) is out of profile — named reject. A
-    * damaged table falls back to [[scanObjects]].
+    * table(s) (§7.5.4) OR PDF 1.5 cross-reference STREAMS (§7.5.8),
+    * following /Prev (bounded chain); both section kinds may alternate
+    * along the chain (a 1.5 file incrementally updated by a classic
+    * writer does exactly that). Hybrid-reference files (§7.5.8.4) read
+    * through their classic table, which by construction lists every
+    * object for backward compatibility — the /XRefStm pointer is not
+    * needed and not followed. A damaged chain falls back to
+    * [[scanObjects]] (which cannot see inside object streams — 1.5 files
+    * need their xref intact, a documented profile edge).
     */
-  private def buildIndex(b: Array[Byte]): (Map[Int, Int], PDict) = {
+  private def buildIndex(b: Array[Byte]): (Map[Int, Loc], PDict) = {
     val sx = lastIndexOf(b, "startxref")
     if (sx < 0) return (scanObjects(b), scanTrailer(b))
     try {
       val lx = new Lexer(b, sx + "startxref".length)
       var off = lx.readToken().toLong.toInt
-      var index = Map.empty[Int, Int]
+      var index = Map.empty[Int, Loc]
       var trailer: PDict = PDict(Map.empty)
       var hops = 0
       while (off >= 0 && hops < 16) {
         hops += 1
         val x = new Lexer(b, off)
         x.skipWs()
-        if (!x.tryKeyword("xref")) {
-          // an indirect object here is a PDF 1.5 cross-reference stream
-          val probe = new Lexer(b, off)
-          val t = probe.readToken()
-          if (t.nonEmpty && t.forall(_.isDigit))
-            throw new IllegalArgumentException(
-              "pdf: xref stream unsupported (PDF 1.5+ profile — see MEDIA.md)")
-          throw new IllegalArgumentException(s"pdf: no xref table at offset $off")
-        }
-        // subsections until `trailer`
-        while (!x.tryKeyword("trailer")) {
-          val first = x.readToken().toInt
-          val count = x.readToken().toInt
-          require(count >= 0 && count <= MaxObjects, s"pdf: xref count $count")
-          var i = 0
-          while (i < count) {
-            val o = x.readToken()
-            x.readToken() // generation
-            val kind = x.readToken()
-            val num = first + i
-            // first definition wins across the /Prev chain (newest first)
-            if (kind == "n" && !index.contains(num)) index += num -> o.toInt
-            i += 1
+        val sectionTrailer: PDict =
+          if (x.tryKeyword("xref")) {
+            // classic table: subsections until `trailer`
+            while (!x.tryKeyword("trailer")) {
+              val first = x.readToken().toInt
+              val count = x.readToken().toInt
+              require(count >= 0 && count <= MaxObjects, s"pdf: xref count $count")
+              var i = 0
+              while (i < count) {
+                val o = x.readToken()
+                x.readToken() // generation
+                val kind = x.readToken()
+                val num = first + i
+                // first definition wins across the /Prev chain (newest first)
+                if (kind == "n" && !index.contains(num)) index += num -> AtOffset(o.toInt)
+                i += 1
+              }
+              x.skipWs()
+            }
+            x.readValue() match {
+              case d: PDict => d
+              case _ => throw new IllegalArgumentException("pdf: trailer is not a dictionary")
+            }
+          } else {
+            // PDF 1.5 cross-reference stream: the dict doubles as trailer
+            val (d, data) = xrefStreamAt(b, off)
+            xrefStreamEntries(d, data) { (num, loc) =>
+              if (!index.contains(num)) index += num -> loc
+            }
+            d
           }
-          x.skipWs()
-        }
-        val t = x.readValue() match {
-          case d: PDict => d
-          case _ => throw new IllegalArgumentException("pdf: trailer is not a dictionary")
-        }
-        if (trailer.m.isEmpty) trailer = t
-        off = t.m.get("Prev") match {
+        if (trailer.m.isEmpty) trailer = sectionTrailer
+        off = sectionTrailer.m.get("Prev") match {
           case Some(PNum(p)) => p.toInt
           case _ => -1
         }
       }
       (index, trailer)
     } catch {
-      case e: IllegalArgumentException if e.getMessage != null &&
-        e.getMessage.contains("xref stream unsupported") => throw e
       case scala.util.control.NonFatal(_) =>
         // damaged xref/trailer: rebuild both by scanning
         (scanObjects(b), scanTrailer(b))
     }
   }
 
+  /** Parse the indirect stream object at `off` as a cross-reference
+    * stream (§7.5.8): returns its dict (the 1.5 trailer) and DECODED
+    * entry bytes. Bootstrap context — no object index exists yet — so
+    * /Length and every filter parameter must be direct values (which
+    * §7.5.8.2 requires of the Table-17 keys, and writers honor for
+    * /Length too since readers cannot resolve references this early).
+    */
+  private def xrefStreamAt(b: Array[Byte], off: Int): (PDict, Array[Byte]) = {
+    val lx = new Lexer(b, off)
+    val numTok = lx.readToken()
+    require(numTok.nonEmpty && numTok.forall(_.isDigit), s"pdf: no xref section at offset $off")
+    lx.readToken() // generation
+    lx.expect("obj")
+    val d = lx.readValue() match {
+      case d: PDict => d
+      case _ => throw new IllegalArgumentException("pdf: xref stream object is not a dict")
+    }
+    require(d.m.get("Type").contains(PName("XRef")),
+      s"pdf: object at startxref offset $off is not a /Type /XRef stream")
+    lx.skipWs()
+    require(lx.tryKeyword("stream"), "pdf: xref stream object has no stream")
+    if (lx.peek == '\r') lx.pos += 1
+    if (lx.peek == '\n') lx.pos += 1
+    val start = lx.pos
+    val len = d.m.get("Length") match {
+      case Some(PNum(l)) if l >= 0 && start + l <= b.length =>
+        val probe = new Lexer(b, start + l.toInt)
+        probe.skipWs()
+        if (probe.keywordAhead("endstream")) l.toInt else scanEndstream(b, start)
+      case _ => scanEndstream(b, start)
+    }
+    val raw = java.util.Arrays.copyOfRange(b, start, start + len)
+    (d, decodeFilterChain(d, raw, identity))
+  }
+
+  /** Walk the decoded xref-stream entries (§7.5.8.3): /W field widths
+    * (big-endian), /Index subsection pairs (default `[0 /Size]`); type 1
+    * entries locate objects at offsets, type 2 inside object streams,
+    * type 0 (free) and unknown future types are skipped per spec.
+    */
+  private def xrefStreamEntries(d: PDict, data: Array[Byte])
+      (add: (Int, Loc) => Unit): Unit = {
+    def nums(v: Option[PVal]): Vector[Long] = v match {
+      case Some(PArr(items)) => items.map {
+        case PNum(x) => x.toLong
+        case other => throw new IllegalArgumentException(s"pdf: non-numeric xref field $other")
+      }
+      case _ => Vector.empty
+    }
+    val w = nums(d.m.get("W"))
+    require(w.length == 3 && w.forall(x => x >= 0 && x <= 8),
+      s"pdf: xref stream /W must be three widths 0-8, got $w")
+    val size = d.m.get("Size") match {
+      case Some(PNum(s)) if s >= 0 && s <= MaxObjects => s.toInt
+      case _ => throw new IllegalArgumentException("pdf: xref stream has no sane /Size")
+    }
+    val idx = nums(d.m.get("Index"))
+    val pairs =
+      if (idx.isEmpty) Vector((0L, size.toLong))
+      else {
+        require(idx.length % 2 == 0, "pdf: xref stream /Index must hold pairs")
+        idx.grouped(2).map(p => (p(0), p(1))).toVector
+      }
+    val rowLen = w.sum.toInt
+    require(rowLen > 0, "pdf: xref stream with all-zero /W")
+    var p = 0
+    pairs.foreach { case (first, count) =>
+      require(first >= 0 && count >= 0 && first + count <= MaxObjects,
+        s"pdf: xref stream subsection $first+$count out of range")
+      var i = 0L
+      while (i < count) {
+        require(p + rowLen <= data.length, "pdf: xref stream entry data truncated")
+        var q = p
+        def field(width: Int): Long = {
+          var v = 0L
+          var j = 0
+          while (j < width) { v = (v << 8) | (data(q + j) & 0xffL); j += 1 }
+          q += width
+          v
+        }
+        val t = if (w(0) == 0) 1L else field(w(0).toInt) // type defaults to 1
+        val f2 = field(w(1).toInt)
+        val f3 = field(w(2).toInt)
+        val num = (first + i).toInt
+        t match {
+          case 1 =>
+            require(f2 <= Int.MaxValue, s"pdf: xref offset $f2 out of range")
+            add(num, AtOffset(f2.toInt))
+          case 2 =>
+            require(f2 <= MaxObjects && f3 <= MaxObjects,
+              s"pdf: xref type-2 entry ($f2, $f3) out of range")
+            add(num, InObjStm(f2.toInt, f3.toInt))
+          case _ => () // 0 = free; >2 = future types read as null (§7.5.8.3)
+        }
+        p += rowLen
+        i += 1
+      }
+    }
+  }
+
   /** Truncation-tolerant object index: linear scan for `N G obj`. Later
     * definitions override earlier ones (the incremental-update rule).
     */
-  private def scanObjects(b: Array[Byte]): Map[Int, Int] = {
-    var index = Map.empty[Int, Int]
+  private def scanObjects(b: Array[Byte]): Map[Int, Loc] = {
+    var index = Map.empty[Int, Loc]
     var i = 0
     var count = 0
     while (i + 2 < b.length) {
@@ -429,7 +612,7 @@ object PdfCodec {
           if (numEnd >= numStart && prevOk && numEnd - numStart < 9) {
             val num = new String(b, numStart, numEnd - numStart + 1,
               StandardCharsets.ISO_8859_1).toInt
-            index += num -> numStart // later hit overwrites: update wins
+            index += num -> AtOffset(numStart) // later hit overwrites: update wins
             count += 1
             require(count <= MaxObjects, s"pdf: more than $MaxObjects objects")
           }
@@ -639,6 +822,22 @@ object PdfCodec {
 
   private def extractFrom(doc: Doc, pages: Vector[PDict]): PdfText = {
     val texts = pages.map { p =>
+      // composite (Type0/CID) fonts carry multi-byte codes that only a
+      // ToUnicode CMap can decode — extracting their strings as WinAnsi
+      // would be silently wrong, so they are a NAMED reject (best-effort:
+      // the page's own /Resources; inherited resources are not chased)
+      doc.resolve(p.m.getOrElse("Resources", PNull)) match {
+        case PDict(res) => doc.resolve(res.getOrElse("Font", PNull)) match {
+          case PDict(fonts) => fonts.values.map(doc.resolve).foreach {
+            case PDict(fm) if fm.get("Subtype").contains(PName("Type0")) =>
+              throw new IllegalArgumentException(
+                "pdf: composite (Type0) font unsupported — needs a ToUnicode CMap")
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
       val content = doc.resolve(p.m.getOrElse("Contents", PNull))
       val streams: Seq[PVal] = content match {
         case PArr(items) => items.map(doc.resolve)
@@ -661,16 +860,422 @@ object PdfCodec {
   }
 
   private def decodeStream(doc: Doc, d: PDict, raw: Array[Byte]): Array[Byte] =
-    doc.resolve(d.m.getOrElse("Filter", PNull)) match {
-      case PNull => raw
-      case PName("FlateDecode") => inflateBounded(raw, MaxStreamBytes, "pdf")
-      case PArr(fs) =>
-        fs.map(doc.resolve).foldLeft(raw) {
-          case (acc, PName("FlateDecode")) => inflateBounded(acc, MaxStreamBytes, "pdf")
-          case (_, f) => throw new IllegalArgumentException(s"pdf: unsupported filter $f")
-        }
+    doc.streamData(d, raw)
+
+  /** Decode stream data through its /Filter chain (§7.4): filters apply
+    * in array order, each with its positional /DecodeParms entry (alias
+    * /DP), each output bounded by [[MaxStreamBytes]]. Supported: Flate,
+    * LZW (with /EarlyChange), ASCIIHex, ASCII85, RunLength — plus the
+    * /Predictor 2 / 10-15 post-pass (§7.4.4.4) on Flate and LZW. The
+    * image-only filters (DCT, JPX, CCITT, JBIG2) stay NAMED rejects:
+    * they decode pixels, not text, and a text extractor that "handled"
+    * them would be the silently-wrong listing this profile refuses.
+    */
+  private def decodeFilterChain(d: PDict, raw: Array[Byte],
+      resolve: PVal => PVal): Array[Byte] = {
+    val filters: Vector[PVal] = resolve(d.m.getOrElse("Filter", PNull)) match {
+      case PNull => Vector.empty
+      case n: PName => Vector(n)
+      case PArr(fs) => fs.map(resolve)
       case f => throw new IllegalArgumentException(s"pdf: unsupported filter $f")
     }
+    val parms: Vector[PVal] = resolve(
+      d.m.get("DecodeParms").orElse(d.m.get("DP")).getOrElse(PNull)) match {
+      case PNull => Vector.empty
+      case one: PDict => Vector(one)
+      case PArr(ps) => ps.map(resolve)
+      case other => throw new IllegalArgumentException(s"pdf: bad /DecodeParms $other")
+    }
+    filters.zipWithIndex.foldLeft(raw) { case (acc, (f, i)) =>
+      val parm: Map[String, PVal] = parms.lift(i).map(resolve) match {
+        case Some(PDict(m)) => m
+        case _ => Map.empty
+      }
+      def ip(k: String, dflt: Int): Int = parm.get(k).map(resolve) match {
+        case Some(PNum(v)) => v.toInt
+        case _ => dflt
+      }
+      val name = f match {
+        case PName(n) => n
+        case other => throw new IllegalArgumentException(s"pdf: unsupported filter $other")
+      }
+      val decoded = name match {
+        case "FlateDecode" | "Fl" => inflateBounded(acc, MaxStreamBytes, "pdf")
+        case "LZWDecode" | "LZW" => lzwDecode(acc, ip("EarlyChange", 1), MaxStreamBytes)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(acc)
+        case "ASCII85Decode" | "A85" => ascii85Decode(acc)
+        case "RunLengthDecode" | "RL" => runLengthDecode(acc, MaxStreamBytes)
+        case other => throw new IllegalArgumentException(s"pdf: unsupported filter /$other")
+      }
+      val predictor = ip("Predictor", 1)
+      if (predictor == 1) decoded
+      else unpredict(decoded, predictor, ip("Columns", 1), ip("Colors", 1),
+        ip("BitsPerComponent", 8))
+    }
+  }
+
+  // ------------------------------------------------------------- filters
+
+  /** LZW per §7.4.4.2 (the TIFF variant): MSB-first codes, width 9-12,
+    * 256 = ClearTable, 257 = EOD, /EarlyChange (default 1) widens the
+    * code one entry early. Bounded like every other decode.
+    */
+  private[operators] def lzwDecode(data: Array[Byte], earlyChange: Int,
+      maxOut: Long): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1,
+      s"pdf: /EarlyChange must be 0 or 1, got $earlyChange")
+    val out = new java.io.ByteArrayOutputStream(math.max(data.length * 2, 64))
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      (0 until 256).foreach(i => table += Array(i.toByte))
+      table += Array.emptyByteArray // 256 clear
+      table += Array.emptyByteArray // 257 eod
+    }
+    resetTable()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) {
+        done = true // data exhausted without EOD: tolerate (writers truncate pads)
+      } else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { resetTable(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < table.length && code != 256 && code != 257) table(code)
+            else if (code == table.length && prev != null) prev :+ prev(0)
+            else throw new IllegalArgumentException(
+              s"pdf: LZW code $code outside table of ${table.length}")
+          if (out.size().toLong + entry.length > maxOut)
+            throw new IllegalArgumentException(
+              s"pdf: LZW stream expands past the $maxOut-byte cap — rejected as a bomb")
+          out.write(entry, 0, entry.length)
+          if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+          prev = entry
+          if (width < 12 && table.length + earlyChange >= (1 << width)) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW encoder (the writer/oracle half): greedy longest-match with the
+    * same width schedule as [[lzwDecode]]; emits ClearTable when the
+    * table fills, EOD at the end.
+    */
+  private[operators] def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    var next = 258
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.Map.empty[(Int, Byte), Int]
+    emit(256)
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (cur < 0) cur = b & 0xff
+      else dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          emit(cur)
+          dict((cur, b)) = next; next += 1
+          // the decoder's table runs ONE entry behind mid-stream (it makes
+          // no entry for the first code after a clear), so its size when
+          // about to read our next code is `next - 1` — mirror its bump
+          if (width < 12 && (next - 1) + earlyChange >= (1 << width)) width += 1
+          if (next >= 4095) { // table nearly full: clear, like reference encoders
+            emit(256); dict.clear(); next = 258; width = 9
+          }
+          cur = b & 0xff
+      }
+      i += 1
+    }
+    if (cur >= 0) emit(cur)
+    // the final code got no table entry on our side (data ended), so here
+    // the decoder's size equals `next` exactly — its bump before reading
+    // EOD uses the un-shifted condition
+    if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` ends,
+    * odd final digit pads with 0.
+    */
+  private[operators] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 8)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') { if (hi >= 0) out.write(hi << 4); done = true }
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        require(d >= 0, s"pdf: bad hex digit '${c.toChar}' in ASCIIHex stream")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    require(done, "pdf: ASCIIHex stream missing the '>' terminator")
+    out.toByteArray
+  }
+
+  private[operators] def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 2 + 1)
+    data.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.append('>')
+    sb.toString.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups `!`..`u`, `z` = four zero
+    * bytes, `~>` terminates; a trailing group of n chars yields n-1 bytes.
+    */
+  private[operators] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 8)
+    val group = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      require(chars >= 2, "pdf: ASCII85 trailing group of one char")
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < chars) group(j) else 84); j += 1 }
+      require(v <= 0xFFFFFFFFL, "pdf: ASCII85 group overflows 32 bits")
+      var k = 0
+      while (k < chars - 1) { out.write(((v >> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') {
+        require(i + 1 < data.length && data(i + 1) == '>',
+          "pdf: ASCII85 stream missing the '~>' terminator")
+        if (n > 0) flush(n)
+        n = 0
+        done = true
+      } else if (c == 'z') {
+        require(n == 0, "pdf: ASCII85 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        require(c >= '!' && c <= 'u', s"pdf: bad ASCII85 char '${c.toChar}'")
+        group(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    require(done, "pdf: ASCII85 stream missing the '~>' terminator")
+    out.toByteArray
+  }
+
+  private[operators] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val chars = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < chars) data(i + j) & 0xffL else 0L); j += 1
+      }
+      if (v == 0 && chars == 4) sb.append('z')
+      else {
+        val digits = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { digits(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        var m = 0
+        while (m < chars + 1) { sb.append(digits(m)); m += 1 }
+      }
+      i += chars
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0-127 copies the next L+1
+    * bytes, 129-255 repeats the next byte 257-L times, 128 is EOD.
+    */
+  private[operators] def runLengthDecode(data: Array[Byte], maxOut: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 8)
+    var i = 0
+    var done = false
+    while (!done) {
+      require(i < data.length, "pdf: RunLength stream missing the EOD byte")
+      val l = data(i) & 0xff; i += 1
+      if (l == 128) done = true
+      else {
+        val n = if (l < 128) l + 1 else 257 - l
+        if (out.size().toLong + n > maxOut) throw new IllegalArgumentException(
+          s"pdf: RunLength stream expands past the $maxOut-byte cap — rejected as a bomb")
+        if (l < 128) {
+          require(i + n <= data.length, "pdf: RunLength literal run truncated")
+          out.write(data, i, n); i += n
+        } else {
+          require(i < data.length, "pdf: RunLength repeat run truncated")
+          var k = 0
+          while (k < n) { out.write(data(i)); k += 1 }
+          i += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private[operators] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 127 + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (run < 128 && i + run < data.length && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        var lit = 1 // literal up to the next >=3 run or 128 bytes
+        while (lit < 128 && i + lit < data.length &&
+          !(i + lit + 2 < data.length && data(i + lit) == data(i + lit + 1) &&
+            data(i + lit) == data(i + lit + 2))) lit += 1
+        out.write(lit - 1); out.write(data, i, lit); i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------- predictors
+
+  /** Undo a /Predictor post-pass (§7.4.4.4): 2 = TIFF horizontal
+    * differencing (8-bit samples), 10-15 = PNG row filters (RFC 2083
+    * §6.1 — each stored row opens with its filter-type byte; None / Sub /
+    * Up / Average / Paeth all accepted regardless of the declared
+    * predictor, as the spec requires).
+    */
+  private[operators] def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int, bpc: Int): Array[Byte] = {
+    require(columns >= 1 && colors >= 1 && bpc >= 1,
+      s"pdf: bad predictor geometry columns=$columns colors=$colors bpc=$bpc")
+    predictor match {
+      case 1 => data
+      case 2 =>
+        require(bpc == 8, s"pdf: TIFF predictor with $bpc-bit samples unsupported")
+        val rowBytes = columns * colors
+        require(rowBytes > 0 && data.length % rowBytes == 0,
+          s"pdf: predictor data ${data.length} not a multiple of row size $rowBytes")
+        val out = data.clone()
+        var r = 0
+        while (r < out.length) {
+          var i = colors
+          while (i < rowBytes) {
+            out(r + i) = (out(r + i) + out(r + i - colors)).toByte
+            i += 1
+          }
+          r += rowBytes
+        }
+        out
+      case p if p >= 10 && p <= 15 =>
+        val bpp = math.max(1, colors * bpc / 8)
+        val rowBytes = (columns * colors * bpc + 7) / 8
+        val stride = rowBytes + 1
+        require(stride > 1 && data.length % stride == 0,
+          s"pdf: PNG-predicted data ${data.length} not a multiple of row stride $stride")
+        val rows = data.length / stride
+        val out = new Array[Byte](rows * rowBytes)
+        val prior = new Array[Byte](rowBytes)
+        var r = 0
+        while (r < rows) {
+          val ft = data(r * stride) & 0xff
+          val src = r * stride + 1
+          val dst = r * rowBytes
+          var i = 0
+          while (i < rowBytes) {
+            val raw = data(src + i) & 0xff
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+            val up = prior(i) & 0xff
+            val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + ((left + up) / 2)
+              case 4 => raw + paeth(left, up, upLeft)
+              case other => throw new IllegalArgumentException(
+                s"pdf: unknown PNG filter type $other in row $r")
+            }
+            out(dst + i) = (v & 0xff).toByte
+            i += 1
+          }
+          System.arraycopy(out, dst, prior, 0, rowBytes)
+          r += 1
+        }
+        out
+      case other =>
+        throw new IllegalArgumentException(s"pdf: unsupported /Predictor $other")
+    }
+  }
+
+  /** PNG Paeth predictor (RFC 2083 §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Apply ONE PNG row filter to unfiltered rows — the writer half of
+    * [[unpredict]] (used by [[write15]]'s Up-predicted xref stream and
+    * by tests to build every-filter fixtures). `filterType` 0-4.
+    */
+  private[operators] def predictPng(data: Array[Byte], filterType: Int,
+      columns: Int, colors: Int = 1, bpc: Int = 8): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    require(rowBytes > 0 && data.length % rowBytes == 0,
+      s"pdf: cannot PNG-filter ${data.length} bytes into $rowBytes-byte rows")
+    val rows = data.length / rowBytes
+    val out = new Array[Byte](rows * (rowBytes + 1))
+    val prior = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val src = r * rowBytes
+      val dst = r * (rowBytes + 1)
+      out(dst) = filterType.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) data(src + i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val v = filterType match {
+          case 0 => raw
+          case 1 => raw - left
+          case 2 => raw - up
+          case 3 => raw - ((left + up) / 2)
+          case 4 => raw - paeth(left, up, upLeft)
+          case other => throw new IllegalArgumentException(s"pdf: bad PNG filter type $other")
+        }
+        out(dst + 1 + i) = (v & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(data, src, prior, 0, rowBytes)
+      r += 1
+    }
+    out
+  }
 
   /** TJ position adjustments more negative than this (thousandths of an
     * em, §9.4.3) read as an inter-word gap — the standard extractor
@@ -839,7 +1444,47 @@ object PdfCodec {
     * back identically). Anything else is a caller error, rejected loudly.
     */
   def write(pages: Seq[String], compress: Boolean = false,
+      info: Seq[(String, String)] = Nil): Array[Byte] =
+    writeBody(pages, info, plain =>
+      if (compress) (deflate(plain), " /Filter /FlateDecode") else (plain, ""),
+      version = "1.4")
+
+  /** [[write]] with the content streams stored through an arbitrary
+    * supported filter cascade — the every-filter fixture half of
+    * [[decodeFilterChain]]. `filters` is the /Filter array in DECODE
+    * order (first filter applied first when reading), so encoding runs
+    * right-to-left: `Seq("ASCII85Decode", "FlateDecode")` stores
+    * a85(deflate(plain)). Same round-trip contract as [[write]].
+    */
+  def writeWithFilters(pages: Seq[String], filters: Seq[String],
       info: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(filters.nonEmpty, "pdf write: empty filter cascade — use write()")
+    val encoded = writeEncoder(filters)
+    val filterArr =
+      if (filters.length == 1) s" /Filter /${filters.head}"
+      else s" /Filter [${filters.map("/" + _).mkString(" ")}]"
+    writeBody(pages, info, plain => (encoded(plain), filterArr), version = "1.4")
+  }
+
+  private def writeEncoder(filters: Seq[String]): Array[Byte] => Array[Byte] = {
+    val stages: Seq[Array[Byte] => Array[Byte]] = filters.map {
+      case "FlateDecode" => deflate _
+      case "LZWDecode" => (d: Array[Byte]) => lzwEncode(d)
+      case "ASCIIHexDecode" => asciiHexEncode _
+      case "ASCII85Decode" => ascii85Encode _
+      case "RunLengthDecode" => runLengthEncode _
+      case other => throw new IllegalArgumentException(
+        s"pdf write: no encoder for filter /$other")
+    }
+    plain => stages.foldRight(plain)((enc, acc) => enc(acc))
+  }
+
+  /** The page/content/xref body shared by [[write]] variants: classic
+    * layout, content streams transformed by `encode` (returns the stored
+    * bytes and the /Filter clause).
+    */
+  private def writeBody(pages: Seq[String], info: Seq[(String, String)],
+      encode: Array[Byte] => (Array[Byte], String), version: String): Array[Byte] = {
     require(pages.nonEmpty, "pdf write: at least one page")
     pages.foreach { p =>
       require(p.forall(encodableChar),
@@ -853,11 +1498,8 @@ object PdfCodec {
     }
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
-    out.write(ascii("%PDF-1.4\n%âãÏÓ\n"))
+    out.write(ascii(s"%PDF-$version\n%âãÏÓ\n"))
     val n = pages.length
-    // object numbers: 1 catalog, 2 pages, 3 font, then (page, stream)
-    // pairs, then (when present) the /Info dict LAST — existing files'
-    // bytes are unchanged when info is empty
     val total = 3 + 2 * n + (if (info.nonEmpty) 1 else 0)
     val offsets = new Array[Int](total + 1)
     def obj(num: Int, body: Array[Byte]): Unit = {
@@ -877,19 +1519,7 @@ object PdfCodec {
       obj(pageNum, ascii(
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
           s" /Resources << /Font << /F1 3 0 R >> >> /Contents $streamNum 0 R >>"))
-      val ops = new StringBuilder
-      ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
-      val lines = text.split("\n", -1)
-      lines.zipWithIndex.foreach { case (line, li) =>
-        if (li > 0) ops.append("0 -14 Td\n")
-        ops.append('(')
-          .append(escapeString(line.map(c => WinAnsiEncode.getOrElse(c, c))))
-          .append(") Tj\n")
-      }
-      ops.append("ET")
-      val plain = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
-      val (data, filter) =
-        if (compress) (deflate(plain), " /Filter /FlateDecode") else (plain, "")
+      val (data, filter) = encode(contentOps(text))
       offsets(streamNum) = out.size()
       out.write(ascii(s"$streamNum 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"))
       out.write(data)
@@ -912,6 +1542,122 @@ object PdfCodec {
     val infoRef = if (info.nonEmpty) s" /Info $total 0 R" else ""
     out.write(ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R$infoRef >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** One page's content-stream operators (shared by every writer). */
+  private def contentOps(text: String): Array[Byte] = {
+    val ops = new StringBuilder
+    ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    text.split("\n", -1).zipWithIndex.foreach { case (line, li) =>
+      if (li > 0) ops.append("0 -14 Td\n")
+      ops.append('(')
+        .append(escapeString(line.map(c => WinAnsiEncode.getOrElse(c, c))))
+        .append(") Tj\n")
+    }
+    ops.append("ET")
+    ops.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Spec-correct PDF 1.5 writer: the same page model as [[write]] laid
+    * out the modern way — catalog / pages node / font / page dicts /
+    * /Info packed into ONE compressed object stream (§7.5.7), content
+    * streams as regular Flate objects, and a cross-reference STREAM
+    * (§7.5.8) with `/W [1 4 2]`, FlateDecode and the PNG Up predictor
+    * (/Predictor 12) — i.e. every 1.5 structure [[extractText]] must
+    * walk, byte-deterministic so oracles can predict the round-trip.
+    * Same page-text contract as [[write]].
+    */
+  def write15(pages: Seq[String], info: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(pages.nonEmpty, "pdf write: at least one page")
+    pages.foreach { p =>
+      require(p.forall(encodableChar),
+        "pdf write: page text must be WinAnsi-representable")
+      require(p.isEmpty || p.split("\n", -1).forall(_.nonEmpty),
+        "pdf write: empty lines do not round-trip (see scaladoc)")
+    }
+    info.foreach { case (k, _) =>
+      require(k.nonEmpty && k.forall(_.isLetterOrDigit),
+        s"pdf write: bad /Info key '$k'")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(ascii("%PDF-1.5\n%âãÏÓ\n"))
+    val n = pages.length
+    // numbering: 1 = ObjStm; in-stream: 2 catalog, 3 pages, 4 font,
+    // 5..4+n page dicts, 5+2n info (when present); regular: 5+n..4+2n
+    // content streams; LAST = the xref stream itself
+    val infoNum = 5 + 2 * n
+    val xrefNum = if (info.nonEmpty) 6 + 2 * n else 5 + 2 * n
+    val offsets = new Array[Int](xrefNum + 1)
+    // content streams first (their offsets are plain file positions)
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val streamNum = 5 + n + i
+      val data = deflate(contentOps(text))
+      offsets(streamNum) = out.size()
+      out.write(ascii(s"$streamNum 0 obj\n<< /Length ${data.length}" +
+        " /Filter /FlateDecode >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+    }
+    // the object stream: header pairs then the packed dicts
+    val kids = (0 until n).map(i => s"${5 + i} 0 R").mkString(" ")
+    val packed = Vector(
+      2 -> s"<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>",
+      4 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " /Encoding /WinAnsiEncoding >>")) ++
+      (0 until n).map { i =>
+        (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 4 0 R >> >> /Contents ${5 + n + i} 0 R >>")
+      } ++ (if (info.isEmpty) Vector.empty else {
+        val bo = new java.lang.StringBuilder("<<")
+        info.foreach { case (k, v) =>
+          bo.append(s" /$k ").append(new String(textStringBytes(v),
+            StandardCharsets.ISO_8859_1))
+        }
+        bo.append(" >>")
+        Vector(infoNum -> bo.toString)
+      })
+    val bodies = packed.map(_._2 + "\n")
+    val rels = bodies.scanLeft(0)(_ + _.length)
+    val header = packed.zip(rels).map { case ((num, _), rel) => s"$num $rel" }
+      .mkString("", " ", "\n")
+    val stmPlain = ascii(header ++ bodies.mkString)
+    val stmData = deflate(stmPlain)
+    offsets(1) = out.size()
+    out.write(ascii(s"1 0 obj\n<< /Type /ObjStm /N ${packed.length}" +
+      s" /First ${header.length} /Length ${stmData.length}" +
+      " /Filter /FlateDecode >>\nstream\n"))
+    out.write(stmData)
+    out.write(ascii("\nendstream\nendobj\n"))
+    // the cross-reference stream: /W [1 4 2], PNG Up predictor rows
+    offsets(xrefNum) = out.size()
+    val rowBytes = 7
+    val rows = new Array[Byte]((xrefNum + 1) * rowBytes)
+    def row(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val p = num * rowBytes
+      rows(p) = t.toByte
+      rows(p + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(p + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(p + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(p + 4) = (f2 & 0xff).toByte
+      rows(p + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(p + 6) = (f3 & 0xff).toByte
+    }
+    row(0, 0, 0L, 0xFFFF) // the free-list head
+    row(1, 1, offsets(1).toLong, 0)
+    packed.zipWithIndex.foreach { case ((num, _), idx) => row(num, 2, 1L, idx) }
+    (0 until n).foreach(i => row(5 + n + i, 1, offsets(5 + n + i).toLong, 0))
+    row(xrefNum, 1, offsets(xrefNum).toLong, 0)
+    val xrefData = deflate(predictPng(rows, 2, columns = rowBytes))
+    val infoRef = if (info.nonEmpty) s" /Info $infoNum 0 R" else ""
+    out.write(ascii(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1}" +
+      s" /W [1 4 2] /Root 2 0 R$infoRef /Length ${xrefData.length}" +
+      " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns" +
+      s" $rowBytes >> >>\nstream\n"))
+    out.write(xrefData)
+    out.write(ascii(s"\nendstream\nendobj\nstartxref\n${offsets(xrefNum)}\n%%EOF\n"))
     out.toByteArray
   }
 

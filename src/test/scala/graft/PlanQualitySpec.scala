@@ -240,6 +240,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // reallocateSpill's 1-row spill/headroom totals cross
       "tx_crawl_budget", "tx_crawl_plan", "tx_budget_capacity",
       "tx_budget_replan",
+      // fetch-order capstone: embeds the same allocateBudget 1-row
+      // grand-total stat join as the epoch-plan family above
+      "tx_fetch_order",
       // CMS rollup: merged and direct 1-row sketches cross into the
       // per-type exact counts
       "hll_cms_reagg",

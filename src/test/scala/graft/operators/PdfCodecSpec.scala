@@ -222,14 +222,15 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("encrypted"))
   }
 
-  test("PDF 1.5 cross-reference streams are a named reject") {
-    // minimal file whose startxref points at an indirect object (the 1.5
-    // shape) rather than an `xref` table
+  test("a damaged xref stream falls back to the scan, then rejects namedly") {
+    // startxref points at a /Type /XRef object with no /W — the 1.5 parse
+    // fails, the linear scan recovers the one object, and the absence of
+    // any catalog is the named reject (not a crash)
     val body = "%PDF-1.5\n7 0 obj\n<< /Type /XRef /Length 0 >>\nstream\n\nendstream\nendobj\n"
     val pdf = body + s"startxref\n${"%PDF-1.5\n".length}\n%%EOF\n"
     val e = intercept[IllegalArgumentException](
       PdfCodec.extractText(ascii(pdf)))
-    assert(e.getMessage.contains("xref stream unsupported"))
+    assert(e.getMessage.contains("no /Root catalog"))
   }
 
   test("incremental update: newest definition of an object wins") {
