@@ -4645,6 +4645,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // OFFICE documents — the second-biggest document class after PDF:
+    // DOCX (OOXML zip, w:p/w:t/w:tab/w:br) and ODT (OpenDocument zip,
+    // text:p) written and extracted through the hardened XML walk
+    // (doctype = parse error, so XXE/entity bombs die loudly). Map-only
+    // per-record work like the PDF trio.
+    "tx_office_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val paras = (0 until (1 + id % 4).toInt).map(p =>
+            s"Para $p doc $id\ttab ‘§${id % 7}’")
+          val bytes =
+            if (id % 2 == 0) graft.operators.OfficeCodec.writeDocx(paras)
+            else graft.operators.OfficeCodec.writeOdt(paras)
+          val got = graft.operators.OfficeCodec.extractText(bytes)
+          (id, got.format, got.nParagraphs.toLong, got.text)
+        }.toDF("doc_id", "format", "n_paragraphs", "text")
+        .select(col("doc_id"), col("format"), col("n_paragraphs"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MAILING-LIST mining: mbox mailboxes (RFC 4155 + mboxrd quoting)
+    // split into messages, each through the MIME walk — 7bit / quoted-
+    // printable / base64 / multipart-alternative bodies by id%4, RFC 2047
+    // encoded-word subjects on id%3==0 — with the first text/plain leaf
+    // extracted exactly. Map-only mailbox explode, bodies never shuffle.
+    "tx_mail_mbox" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.mboxArchives(s, dir)
+        .flatMap(r => graft.operators.Mail.splitMbox(r.content)
+          .map(graft.operators.Mail.parseMessage))
+        .map { m =>
+          val id = m.messageId.stripPrefix("<graft:").takeWhile(_ != '@').toLong
+          (id, m.subject, m.contentType, m.textFound, m.nParts.toLong, m.text)
+        }
+        .toDF("doc_id", "subject", "content_type", "text_found", "n_parts", "text")
+        .select(col("doc_id"), col("subject"), col("content_type"),
+          col("text_found"), col("n_parts"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the TRANSFER-DECODE seam: wild WARC captures store bodies exactly
     // as the server sent them, so Content-Encoding must be undone before
     // charset/boilerplate/PDF work. The corpus exercises the whole
@@ -8171,6 +8215,38 @@ object SparkEntry {
         |    AS BIGINT) AS n_chars
         |FROM d JOIN c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // office roundtrip replayed: paragraphs by id%4, format by parity,
+    // the writer/extractor pair guarantees the bytes, DuckDB the text
+    "tx_office_text" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS np,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS format
+        |  FROM documents),
+        |p AS (SELECT doc_id, np, format,
+        |    UNNEST(GENERATE_SERIES(0, np - 1)) AS pi FROM d),
+        |t2 AS (SELECT doc_id, np, format,
+        |    STRING_AGG('Para ' || pi || ' doc ' || doc_id || chr(9) ||
+        |      'tab ‘§' || (doc_id % 7) || '’', chr(10) ORDER BY pi) AS text
+        |  FROM p GROUP BY doc_id, np, format)
+        |SELECT doc_id, format, CAST(np AS BIGINT) AS n_paragraphs, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    // mail mining replayed: decoded subject (the id%3 B-word rule),
+    // media type / part count by the id%4 body route, exact body text
+    "tx_mail_mbox" ->
+      """WITH t2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Betreff ' || doc_id || ' ü'
+        |      ELSE 'Subject ' || doc_id END AS subject,
+        |    CASE WHEN doc_id % 4 = 3 THEN 'multipart/alternative'
+        |      ELSE 'text/plain' END AS content_type,
+        |    CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS n_parts,
+        |    'Mail ' || doc_id || ' von Nutzer ' || (doc_id % 7) ||
+        |    ' — Grüße à ' || (1 + doc_id % 3) || '€' || chr(10) ||
+        |    'Zeile zwei (§' || (doc_id % 9) || ')' AS text
+        |  FROM documents)
+        |SELECT doc_id, subject, content_type, TRUE AS text_found,
+        |  CAST(n_parts AS BIGINT) AS n_parts, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id""".stripMargin,
     // the tx_link_rank iteration replay feeding the two-level integer
     // apportionment: largest remainder across shards (k % 4), cumulative
     // rounding within — DuckDB's // and Spark's div agree on positives

@@ -477,9 +477,16 @@ object Ingest {
               text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         val dict =
-          if (aid % 2 == 0)
-            Zstandard.trainDict(Seq.fill(8)(recs.map(_._2)).flatten)
-          else None
+          if (aid % 2 == 0) {
+            // 4 KiB dict from 8 repetitions of the archive's records —
+            // sized so COVER always converges on a 16-record archive; a
+            // silent None here would downgrade the contract's dict path
+            // to dict-less, so failure is LOUD
+            val d = Zstandard.trainDict(
+              Seq.fill(8)(recs.map(_._2)).flatten, dictSize = 4 * 1024)
+            require(d.nonEmpty, s"zstdArchives: dict training failed for archive $aid")
+            d
+          } else None
         Multimodal.MediaRecord(aid, s"fake://zst/$aid.warc.zst",
           "application/warc", Warc.writeWarcZstd(recs, dict), Map.empty)
       }
@@ -571,6 +578,72 @@ object Ingest {
           Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
       }
   }
+
+  /** Demo mbox corpus (`tx_mail_mbox`): one message per document, 16 per
+    * mailbox, exercising the MIME table — id%4 routes the body through
+    * 7bit / quoted-printable / base64 / multipart-alternative (html +
+    * plain), and id%3==0 subjects ride an RFC 2047 B encoded-word. The
+    * doc id travels in Message-ID, never parsed from free text.
+    */
+  def mboxArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val msgs = it.toSeq.sorted.map(mailMessage)
+        Multimodal.MediaRecord(aid, s"fake://mbox/$aid.mbox",
+          "application/mbox", Mail.writeMbox(msgs), Map.empty)
+      }
+  }
+
+  /** One fabricated RFC 5322 message — shared by the fixture and the
+    * oracle comment: body text is [[mailBodyText]], LF framing.
+    */
+  def mailMessage(id: Long): Array[Byte] = {
+    val u = java.nio.charset.StandardCharsets.UTF_8
+    val subject =
+      if (id % 3 == 0)
+        "=?UTF-8?B?" + java.util.Base64.getEncoder.encodeToString(
+          s"Betreff $id ü".getBytes(u)) + "?="
+      else s"Subject $id"
+    val common =
+      s"From: User ${id % 7} <u${id % 7}@src${id % 20}.invalid>\n" +
+        s"Subject: $subject\n" +
+        s"Date: Sat, 16 Aug 2026 00:00:00 +0000\n" +
+        s"Message-ID: <graft:$id@mbox>\n"
+    val text = mailBodyText(id)
+    // the message is assembled as an ISO-8859-1 string (byte-transparent),
+    // so UTF-8 body bytes must ride through it ISO-safely
+    val textWire = new String(text.getBytes(u),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val body = (id % 4) match {
+      case 0 => common +
+        "Content-Type: text/plain; charset=utf-8\n" +
+        "Content-Transfer-Encoding: 8bit\n\n" + textWire
+      case 1 => common +
+        "Content-Type: text/plain; charset=utf-8\n" +
+        "Content-Transfer-Encoding: quoted-printable\n\n" +
+        new String(Mail.qpEncode(text), java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 2 => common +
+        "Content-Type: text/plain; charset=utf-8\n" +
+        "Content-Transfer-Encoding: base64\n\n" +
+        java.util.Base64.getMimeEncoder.encodeToString(text.getBytes(u))
+      case _ => common +
+        s"Content-Type: multipart/alternative; boundary=G$id\n\n" +
+        s"--G$id\nContent-Type: text/html; charset=utf-8\n\n<b>doc $id</b>\n" +
+        s"--G$id\nContent-Type: text/plain; charset=utf-8\n" +
+        s"Content-Transfer-Encoding: 8bit\n\n$textWire\n" +
+        s"--G$id--"
+    }
+    body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** The per-message plain-text body template the oracle replays. */
+  def mailBodyText(id: Long): String =
+    s"Mail $id von Nutzer ${id % 7} — Grüße à ${1 + id % 3}€\nZeile zwei (§${id % 9})"
 
   /** The id%5 routing table [[encodedArchives]] uses by default. */
   def defaultEncodingMode(id: Long): String = (id % 5) match {

@@ -1,0 +1,291 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** Structural text extraction for ZIP-packaged office documents — the
+  * second-biggest document class a web corpus carries after PDF: DOCX
+  * (ISO/IEC 29500 OOXML — a zip holding `word/document.xml`) and ODT
+  * (OASIS OpenDocument 1.2 — a zip holding `content.xml`). Both are pure
+  * structure: unzip (the existing CRC-verified, bounded [[Zip]] walk),
+  * then walk the XML for paragraph text. No rendering, no styles, no
+  * embedded media — the TEXT a training pipeline mines.
+  *
+  * Parser hardening matches [[Sitemaps]]: doctype declarations are
+  * DISALLOWED (no XXE, no entity bombs — `disallow-doctype-decl` makes
+  * a DTD a parse error), XInclude off, entity expansion off; only the
+  * five predefined XML entities ever expand. Member decompression is
+  * bounded by [[Zip.readMembers]]' cap.
+  *
+  * Extraction profile:
+  *  - DOCX: `<w:p>` paragraphs in document order (table cells' paragraphs
+  *    arrive in order too — they are `w:p` elements); within a paragraph,
+  *    `<w:t>` runs concatenate, `<w:tab/>` becomes '\t' and `<w:br/>`/
+  *    `<w:cr/>` '\n'. Headers/footers/footnotes live in OTHER zip members
+  *    and are deliberately out of scope (body text only).
+  *  - ODT: `<text:p>` and `<text:h>` paragraphs; `<text:tab/>` '\t',
+  *    `<text:line-break/>` '\n', `<text:s text:c="N"/>` N spaces.
+  *  - OUT of profile, rejected loudly (divert, don't die): OLE/CFB
+  *    containers (legacy `.doc`/`.xls` AND password-protected OOXML,
+  *    which re-wraps the zip in CFB — "office: OLE/CFB container"),
+  *    archives missing the document member, malformed XML, zip damage
+  *    (the Zip walk's own named rejects pass through).
+  *
+  * Scale shape: one document is one record; extraction is a map-only
+  * per-record walk with zero driver state — identical distribution story
+  * to the PDF/WARC walks.
+  */
+object OfficeCodec {
+
+  /** Extracted document: paragraphs joined with '\n'. */
+  final case class OfficeText(format: String, nParagraphs: Int, text: String)
+
+  /** OLE/CFB compound-file magic (D0 CF 11 E0 A1 B1 1A E1) — legacy
+    * binary Office AND encrypted OOXML both ship in it.
+    */
+  def isOle(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0xD0 && (b(1) & 0xff) == 0xCF &&
+      (b(2) & 0xff) == 0x11 && (b(3) & 0xff) == 0xE0 &&
+      (b(4) & 0xff) == 0xA1 && (b(5) & 0xff) == 0xB1 &&
+      (b(6) & 0xff) == 0x1A && (b(7) & 0xff) == 0xE1
+
+  /** Route on container + key member: docx / odt / None (not an office
+    * zip). OLE is handled by the extractors as a named reject, not here.
+    */
+  def sniff(bytes: Array[Byte]): Option[String] =
+    if (!Zip.isZip(bytes)) None
+    else {
+      val names = Zip.readMembers(bytes).map(_.name).toSet
+      if (names.contains("word/document.xml")) Some("docx")
+      else if (names.contains("content.xml") || names.contains("mimetype")) Some("odt")
+      else None
+    }
+
+  /** Extract body text from a DOCX or ODT, routing on the zip's members.
+    * Throws `IllegalArgumentException` with a stable `office: ...` (or
+    * `zip: ...`) reason for anything out of profile.
+    */
+  def extractText(bytes: Array[Byte]): OfficeText = {
+    if (isOle(bytes)) throw new IllegalArgumentException(
+      "office: OLE/CFB container (legacy binary or encrypted OOXML) unsupported")
+    require(Zip.isZip(bytes), "office: not a zip container")
+    val members = Zip.readMembers(bytes)
+    val byName = members.map(m => m.name -> m).toMap
+    byName.get("word/document.xml") match {
+      case Some(m) => extractDocxXml(m.payload)
+      case None => byName.get("content.xml") match {
+        case Some(m) => extractOdtXml(m.payload)
+        case None => throw new IllegalArgumentException(
+          "office: zip has neither word/document.xml nor content.xml")
+      }
+    }
+  }
+
+  private def parseXml(bytes: Array[Byte], what: String): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.setNamespaceAware(false)
+    try f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: org.xml.sax.SAXException =>
+        throw new IllegalArgumentException(s"office: malformed $what XML (${e.getMessage})")
+    }
+  }
+
+  /** DOCX body walk (namespace prefixes are matched literally — `w:` is
+    * the universal convention and non-`w:` producers fall outside the
+    * profile loudly via the no-paragraph result, never silently).
+    */
+  private def extractDocxXml(xml: Array[Byte]): OfficeText = {
+    val doc = parseXml(xml, "word/document.xml")
+    val paras = doc.getElementsByTagName("w:p")
+    val texts = (0 until paras.getLength).map { i =>
+      val sb = new java.lang.StringBuilder
+      walkDocx(paras.item(i), sb)
+      sb.toString
+    }
+    OfficeText("docx", texts.length, texts.mkString("\n"))
+  }
+
+  private def walkDocx(n: org.w3c.dom.Node, sb: java.lang.StringBuilder): Unit = {
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val k = kids.item(i)
+      k.getNodeName match {
+        case "w:t" => sb.append(k.getTextContent)
+        case "w:tab" => sb.append('\t')
+        case "w:br" | "w:cr" => sb.append('\n')
+        case "w:p" => () // a nested paragraph is its own entry in the flat list
+        case _ => walkDocx(k, sb)
+      }
+      i += 1
+    }
+  }
+
+  /** ODT content walk: text:p / text:h paragraphs (flat, document
+    * order — getElementsByTagName returns nested table-cell paragraphs
+    * too, which we skip when revisited inside a parent to avoid
+    * double-counting).
+    */
+  private def extractOdtXml(xml: Array[Byte]): OfficeText = {
+    val doc = parseXml(xml, "content.xml")
+    val all = doc.getElementsByTagName("*")
+    val paras = Vector.newBuilder[org.w3c.dom.Node]
+    var i = 0
+    while (i < all.getLength) {
+      val n = all.item(i)
+      val name = n.getNodeName
+      if ((name == "text:p" || name == "text:h") && !hasParaAncestor(n))
+        paras += n
+      i += 1
+    }
+    val texts = paras.result().map { p =>
+      val sb = new java.lang.StringBuilder
+      walkOdt(p, sb)
+      sb.toString
+    }
+    OfficeText("odt", texts.length, texts.mkString("\n"))
+  }
+
+  private def hasParaAncestor(n: org.w3c.dom.Node): Boolean = {
+    var p = n.getParentNode
+    while (p != null) {
+      val nm = p.getNodeName
+      if (nm == "text:p" || nm == "text:h") return true
+      p = p.getParentNode
+    }
+    false
+  }
+
+  private def walkOdt(n: org.w3c.dom.Node, sb: java.lang.StringBuilder): Unit = {
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val k = kids.item(i)
+      k.getNodeType match {
+        case org.w3c.dom.Node.TEXT_NODE => sb.append(k.getNodeValue)
+        case org.w3c.dom.Node.ELEMENT_NODE => k.getNodeName match {
+          case "text:tab" => sb.append('\t')
+          case "text:line-break" => sb.append('\n')
+          case "text:s" =>
+            val c = Option(k.getAttributes.getNamedItem("text:c"))
+              .map(_.getNodeValue.toInt).getOrElse(1)
+            require(c >= 0 && c <= (1 << 20), s"office: text:s count $c out of range")
+            var j = 0
+            while (j < c) { sb.append(' '); j += 1 }
+          case "text:p" | "text:h" => () // nested paragraph: own entry
+          case _ => walkOdt(k, sb)
+        }
+        case _ => ()
+      }
+      i += 1
+    }
+  }
+
+  // --------------------------------------------------------------- writers
+
+  private def xmlEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Paragraph text -> the `w:r`/`w:t` run sequence: '\t' emits
+    * `<w:tab/>`, '\n' `<w:br/>`, text runs carry `xml:space="preserve"`
+    * so leading/trailing spaces survive real readers.
+    */
+  private def docxRuns(p: String): String = {
+    val sb = new java.lang.StringBuilder("<w:r>")
+    var text = new java.lang.StringBuilder
+    def flush(): Unit = {
+      if (text.length > 0) {
+        sb.append("<w:t xml:space=\"preserve\">")
+          .append(xmlEscape(text.toString)).append("</w:t>")
+        text = new java.lang.StringBuilder
+      }
+    }
+    p.foreach {
+      case '\t' => flush(); sb.append("<w:tab/>")
+      case '\n' => flush(); sb.append("<w:br/>")
+      case c => text.append(c)
+    }
+    flush()
+    sb.append("</w:r>").toString
+  }
+
+  /** Minimal spec-correct DOCX writer — the oracle half: deterministic
+    * bytes, `extractText(writeDocx(paras)).text == paras.mkString("\n")`
+    * for paragraphs free of '\r' (CR normalizes to LF in XML parsing, so
+    * it is a caller error here).
+    */
+  def writeDocx(paragraphs: Seq[String]): Array[Byte] = {
+    require(paragraphs.nonEmpty, "docx write: at least one paragraph")
+    paragraphs.foreach(p => require(!p.contains('\r'),
+      "docx write: CR does not round-trip through XML"))
+    val body = paragraphs.map(p => s"<w:p>${docxRuns(p)}</w:p>").mkString
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+        s"<w:body>$body</w:body></w:document>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+        "<Override PartName=\"/word/document.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml\"/>" +
+        "</Types>"
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\" Target=\"word/document.xml\"/>" +
+        "</Relationships>"
+    Zip.writeZip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
+      "_rels/.rels" -> rels.getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8)),
+      deflate = true)
+  }
+
+  /** Minimal spec-correct ODT writer (OpenDocument 1.2 §2.2.1: the
+    * `mimetype` member first and STORED, as the format requires).
+    */
+  def writeOdt(paragraphs: Seq[String]): Array[Byte] = {
+    require(paragraphs.nonEmpty, "odt write: at least one paragraph")
+    paragraphs.foreach(p => require(!p.contains('\r'),
+      "odt write: CR does not round-trip through XML"))
+    val body = paragraphs.map { p =>
+      val runs = p.split("\n", -1).map { seg =>
+        seg.split("\t", -1).map(xmlEscape).mkString("<text:tab/>")
+      }.mkString("<text:line-break/>")
+      s"<text:p>$runs</text:p>"
+    }.mkString
+    val contentXml =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        "\n<office:document-content" +
+        " xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\"" +
+        " xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\"" +
+        " office:version=\"1.2\"><office:body><office:text>" +
+        body + "</office:text></office:body></office:document-content>"
+    val manifest =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        "\n<manifest:manifest xmlns:manifest=\"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0\" manifest:version=\"1.2\">" +
+        "<manifest:file-entry manifest:full-path=\"/\" manifest:media-type=\"application/vnd.oasis.opendocument.text\"/>" +
+        "<manifest:file-entry manifest:full-path=\"content.xml\" manifest:media-type=\"text/xml\"/>" +
+        "</manifest:manifest>"
+    // mimetype FIRST and STORED (uncompressed), per the spec's magic rule
+    val mimetype = "application/vnd.oasis.opendocument.text"
+    Zip.writeZip(Seq(
+      "mimetype" -> mimetype.getBytes(StandardCharsets.US_ASCII),
+      "content.xml" -> contentXml.getBytes(StandardCharsets.UTF_8),
+      "META-INF/manifest.xml" -> manifest.getBytes(StandardCharsets.UTF_8)),
+      deflate = false)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+class OfficeCodecSpec extends AnyFunSuite {
+
+  private def utf8(s: String) = s.getBytes(StandardCharsets.UTF_8)
+
+  test("docx roundtrip: paragraphs, tabs, breaks, escapes, unicode") {
+    val paras = Seq(
+      "Plain paragraph",
+      "tabs\there\tand here",
+      "break\nwithin one paragraph",
+      "escapes: a < b && c > d \"quoted\"",
+      "unicode: café € Žofia — …")
+    val bytes = OfficeCodec.writeDocx(paras)
+    assert(Zip.isZip(bytes))
+    assert(OfficeCodec.sniff(bytes).contains("docx"))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.format == "docx" && got.nParagraphs == 5)
+    assert(got.text == paras.mkString("\n"))
+  }
+
+  test("odt roundtrip: paragraphs, tabs, breaks, mimetype-first layout") {
+    val paras = Seq("First ¶", "with\ttab", "and\nline break", "€nd")
+    val bytes = OfficeCodec.writeOdt(paras)
+    assert(OfficeCodec.sniff(bytes).contains("odt"))
+    // OpenDocument magic rule: member 0 is the STORED mimetype, so the
+    // media type is readable at fixed offset 38 without unzipping
+    assert(new String(bytes, 30, 8, StandardCharsets.US_ASCII) == "mimetype")
+    assert(new String(bytes, 38, 39, StandardCharsets.US_ASCII) ==
+      "application/vnd.oasis.opendocument.text")
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.format == "odt" && got.nParagraphs == 4)
+    assert(got.text == paras.mkString("\n"))
+  }
+
+  test("docx: table-cell and textbox paragraphs extract once, in order") {
+    val documentXml =
+      """<?xml version="1.0"?><w:document xmlns:w="x"><w:body>""" +
+        "<w:p><w:r><w:t>before</w:t></w:r></w:p>" +
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell one</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t>cell two</w:t></w:r></w:p></w:tc></w:tr></w:tbl>" +
+        "<w:p><w:r><w:drawing><w:txbxContent>" +
+        "<w:p><w:r><w:t>boxed</w:t></w:r></w:p>" +
+        "</w:txbxContent></w:drawing><w:t>after</w:t></w:r></w:p>" +
+        "</w:body></w:document>"
+    val bytes = Zip.writeZip(Seq(
+      "word/document.xml" -> utf8(documentXml)), deflate = true)
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.nParagraphs == 5)
+    // flat DOCUMENT order: the outer paragraph (whose text is "after")
+    // STARTS before its nested textbox paragraph, so it lists first
+    assert(got.text == "before\ncell one\ncell two\nafter\nboxed")
+  }
+
+  test("odt: text:s expands, table-cell paragraphs count once") {
+    val contentXml =
+      """<?xml version="1.0"?><office:document-content xmlns:office="o" xmlns:text="t">""" +
+        "<office:body><office:text>" +
+        "<text:p>a<text:s text:c=\"3\"/>b</text:p>" +
+        "<table:table xmlns:table=\"tb\"><table:table-row><table:table-cell>" +
+        "<text:p>cell</text:p></table:table-cell></table:table-row></table:table>" +
+        "<text:h>heading</text:h>" +
+        "</office:text></office:body></office:document-content>"
+    val bytes = Zip.writeZip(Seq("content.xml" -> utf8(contentXml)))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.nParagraphs == 3)
+    assert(got.text == "a   b\ncell\nheading")
+  }
+
+  test("OLE/CFB containers are a named reject (legacy .doc, encrypted OOXML)") {
+    val ole = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ new Array[Byte](64)
+    assert(OfficeCodec.isOle(ole))
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(ole))
+    assert(e.getMessage.contains("OLE/CFB"))
+  }
+
+  test("zip without a document member and non-zip bytes reject namedly") {
+    val stray = Zip.writeZip(Seq("readme.txt" -> utf8("nope")))
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(stray))
+    assert(e.getMessage.contains("neither word/document.xml nor content.xml"))
+    assert(OfficeCodec.sniff(stray).isEmpty)
+    intercept[IllegalArgumentException](
+      OfficeCodec.extractText(utf8("just some text")))
+  }
+
+  test("malformed XML and DOCTYPE (XXE guard) are named rejects") {
+    val bad = Zip.writeZip(Seq("word/document.xml" -> utf8("<w:document><unclosed")))
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(bad))
+    assert(e.getMessage.contains("malformed"))
+    // a doctype declaration — the XXE/entity-bomb vector — is a parse error
+    val xxe = Zip.writeZip(Seq("word/document.xml" -> utf8(
+      """<?xml version="1.0"?><!DOCTYPE d [<!ENTITY x SYSTEM "file:///etc/passwd">]>""" +
+        "<w:document><w:body><w:p><w:r><w:t>&x;</w:t></w:r></w:p></w:body></w:document>")))
+    val e2 = intercept[IllegalArgumentException](OfficeCodec.extractText(xxe))
+    assert(e2.getMessage.contains("malformed"))
+  }
+
+  test("damaged zip passes through the Zip walk's own named reject") {
+    val good = OfficeCodec.writeDocx(Seq("content"))
+    val cut = java.util.Arrays.copyOf(good, good.length - 7)
+    intercept[IllegalArgumentException](OfficeCodec.extractText(cut))
+  }
+
+  test("writers validate CR input") {
+    intercept[IllegalArgumentException](OfficeCodec.writeDocx(Seq("a\rb")))
+    intercept[IllegalArgumentException](OfficeCodec.writeOdt(Seq("a\rb")))
+    intercept[IllegalArgumentException](OfficeCodec.writeDocx(Nil))
+  }
+
+  test("empty paragraphs and whitespace-preserving runs survive") {
+    val paras = Seq("", "  leading and trailing  ", "")
+    val got = OfficeCodec.extractText(OfficeCodec.writeDocx(paras))
+    assert(got.nParagraphs == 3)
+    assert(got.text == paras.mkString("\n"))
+    val gotOdt = OfficeCodec.extractText(OfficeCodec.writeOdt(paras))
+    assert(gotOdt.text == paras.mkString("\n"))
+  }
+}
