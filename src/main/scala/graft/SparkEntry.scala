@@ -4667,6 +4667,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SPREADSHEET/SLIDES half of the office family: XLSX cell grids
+    // (shared-string table exercised by repeated cells) and PPTX slide
+    // paragraphs, same hardened XML walk, same map-only shape.
+    "tx_sheet_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0) graft.operators.OfficeCodec.writeXlsx(Seq(Seq(
+              Seq("metric", "value"),
+              Seq(s"rows doc $id", s"${id % 97}"),
+              Seq("metric", s"${id % 7}"))))
+            else graft.operators.OfficeCodec.writePptx(Seq(
+              Seq(s"Slide doc $id", s"point ${id % 5}\nmore ‘§’"),
+              Seq(s"Closing ${id % 3}")))
+          val got = graft.operators.OfficeCodec.extractText(bytes)
+          (id, got.format, got.nParagraphs.toLong, got.text)
+        }.toDF("doc_id", "format", "n_units", "text")
+        .select(col("doc_id"), col("format"), col("n_units"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MAILING-LIST mining: mbox mailboxes (RFC 4155 + mboxrd quoting)
     // split into messages, each through the MIME walk — 7bit / quoted-
     // printable / base64 / multipart-alternative bodies by id%4, RFC 2047
@@ -4687,6 +4710,43 @@ object SparkEntry {
           col("text_found"), col("n_parts"), col("text"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // FEED-DRIVEN discovery: RSS/Atom feeds (the channel that announces
+    // new urls before sitemaps or the link graph see them) parsed through
+    // the hardened XML walk, entries anti-joined against the known
+    // frontier — new urls surface per host with their announcement day.
+    // Feeds are host-grain KB dims; the anti-join keys on url only (both
+    // sides pruned to the key before the exchange), and at crawl scale
+    // the frontier side is partition-pruned to the announcing hosts
+    // before the join ever runs.
+    "tx_feed_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val entries = ing.feedArchives(s, dir)
+        .flatMap { r =>
+          graft.operators.Feeds.parse(r.content).map(e =>
+            (r.media_id, e.kind, e.link, e.published))
+        }
+        .toDF("host_k", "kind", "url", "published")
+      val frontier = t(s, dir, "documents")
+        .select(concat(lit("http://src"), col("doc_id") % 20,
+          lit(".invalid/post/"), col("doc_id")).as("url"))
+      val flagged = entries.join(frontier.withColumn("known", lit(1L)),
+        Seq("url"), "left_outer")
+      flagged
+        .groupBy(col("host_k"))
+        .agg(max(col("kind")).as("kind"),
+          count(lit(1)).as("n_entries"),
+          sum(coalesce(col("known"), lit(0L))).as("n_known"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("known").isNull,
+            regexp_extract(col("url"), "new-(\\d+)$", 1).cast("long"))
+            .otherwise(0L)).as("new_id_sum"))
+        .select(concat(lit("src"), col("host_k"), lit(".invalid")).as("host"),
+          col("kind"), col("n_entries"), col("n_known"), col("n_new"),
+          col("new_id_sum"))
+        .orderBy(col("host"))
     }),
 
     // the TRANSFER-DECODE seam: wild WARC captures store bodies exactly
@@ -8230,6 +8290,24 @@ object SparkEntry {
         |SELECT doc_id, format, CAST(np AS BIGINT) AS n_paragraphs, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // spreadsheet/slides replayed: xlsx rows tab-joined (3 rows), pptx
+    // three paragraphs, by parity
+    "tx_sheet_text" ->
+      """WITH t2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'xlsx' ELSE 'pptx' END AS format,
+        |    3 AS n_units,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'metric' || chr(9) || 'value' || chr(10) ||
+        |      'rows doc ' || doc_id || chr(9) || (doc_id % 97) || chr(10) ||
+        |      'metric' || chr(9) || (doc_id % 7)
+        |    ELSE
+        |      'Slide doc ' || doc_id || chr(10) || 'point ' || (doc_id % 5) ||
+        |      chr(10) || 'more ‘§’' || chr(10) || 'Closing ' || (doc_id % 3)
+        |    END AS text
+        |  FROM documents)
+        |SELECT doc_id, format, CAST(n_units AS BIGINT) AS n_units, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id""".stripMargin,
     // mail mining replayed: decoded subject (the id%3 B-word rule),
     // media type / part count by the id%4 body route, exact body text
     "tx_mail_mbox" ->
@@ -8247,6 +8325,20 @@ object SparkEntry {
         |  CAST(n_parts AS BIGINT) AS n_parts, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // feed discovery replayed: every known post announced, id%3==0 docs
+    // add one new url each; kind by host parity
+    "tx_feed_discovery" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
+        |a AS (SELECT k, COUNT(*) AS n_known,
+        |    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE 0 END)
+        |      AS BIGINT) AS new_id_sum
+        |  FROM d GROUP BY k)
+        |SELECT 'src' || k || '.invalid' AS host,
+        |  CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        |  n_known + n_new AS n_entries, n_known, n_new, new_id_sum
+        |FROM a ORDER BY host""".stripMargin,
     // the tx_link_rank iteration replay feeding the two-level integer
     // apportionment: largest remainder across shards (k % 4), cumulative
     // rounding within — DuckDB's // and Spark's div agree on positives

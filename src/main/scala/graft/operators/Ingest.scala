@@ -645,6 +645,36 @@ object Ingest {
   def mailBodyText(id: Long): String =
     s"Mail $id von Nutzer ${id % 7} — Grüße à ${1 + id % 3}€\nZeile zwei (§${id % 9})"
 
+  /** Demo feed corpus (`tx_feed_discovery`): one feed per source host —
+    * even hosts RSS 2.0, odd hosts Atom 1.0, odd ARCHIVES gzipped — each
+    * announcing every known post of that host PLUS a brand-new URL for
+    * docs with id%3==0 (the discovery signal: feeds see new content
+    * before sitemaps do).
+    */
+  def feedArchives(spark: SparkSession, dir: String): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ % 20)
+      .mapGroups { (k, it) =>
+        val entries = it.toSeq.sorted.flatMap { id =>
+          val known = (s"http://src$k.invalid/post/$id", s"Post $id",
+            s"2026-01-${1 + id % 28}", s"urn:post:$id")
+          val fresh =
+            if (id % 3 == 0) Seq((s"http://src$k.invalid/post/new-$id",
+              s"New post $id", s"2026-01-${1 + id % 28}", s"urn:post:new-$id"))
+            else Nil
+          known +: fresh
+        }
+        val bytes =
+          if (k % 2 == 0) Feeds.writeRss(s"src$k feed", entries, gzipped = k % 4 == 2)
+          else Feeds.writeAtom(s"src$k feed", entries, gzipped = k % 4 == 3)
+        Multimodal.MediaRecord(k, s"fake://feed/src$k.xml",
+          "application/rss+xml", bytes, Map.empty)
+      }
+  }
+
   /** The id%5 routing table [[encodedArchives]] uses by default. */
   def defaultEncodingMode(id: Long): String = (id % 5) match {
     case 0 => "gzip"

@@ -3,12 +3,13 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 /** Structural text extraction for ZIP-packaged office documents — the
-  * second-biggest document class a web corpus carries after PDF: DOCX
-  * (ISO/IEC 29500 OOXML — a zip holding `word/document.xml`) and ODT
-  * (OASIS OpenDocument 1.2 — a zip holding `content.xml`). Both are pure
-  * structure: unzip (the existing CRC-verified, bounded [[Zip]] walk),
-  * then walk the XML for paragraph text. No rendering, no styles, no
-  * embedded media — the TEXT a training pipeline mines.
+  * second-biggest document class a web corpus carries after PDF: DOCX /
+  * XLSX / PPTX (ISO/IEC 29500 OOXML — zips holding `word/document.xml`,
+  * `xl/workbook.xml`, `ppt/presentation.xml`) and ODT (OASIS
+  * OpenDocument 1.2 — a zip holding `content.xml`). All pure structure:
+  * unzip (the existing CRC-verified, bounded [[Zip]] walk), then walk
+  * the XML for paragraph / cell / slide text. No rendering, no styles,
+  * no embedded media — the TEXT a training pipeline mines.
   *
   * Parser hardening matches [[Sitemaps]]: doctype declarations are
   * DISALLOWED (no XXE, no entity bombs — `disallow-doctype-decl` makes
@@ -24,6 +25,11 @@ import java.nio.charset.StandardCharsets
   *    and are deliberately out of scope (body text only).
   *  - ODT: `<text:p>` and `<text:h>` paragraphs; `<text:tab/>` '\t',
   *    `<text:line-break/>` '\n', `<text:s text:c="N"/>` N spaces.
+  *  - XLSX: worksheet rows in numeric sheet order, cells '\t'-joined —
+  *    shared strings (incl. rich runs), inline strings, formula strings,
+  *    booleans, raw numeric text.
+  *  - PPTX: `<a:p>` paragraphs of every slide in numeric order, `<a:t>`
+  *    runs concatenated, `<a:br/>` as '\n'.
   *  - OUT of profile, rejected loudly (divert, don't die): OLE/CFB
   *    containers (legacy `.doc`/`.xls` AND password-protected OOXML,
   *    which re-wraps the zip in CFB — "office: OLE/CFB container"),
@@ -56,6 +62,8 @@ object OfficeCodec {
     else {
       val names = Zip.readMembers(bytes).map(_.name).toSet
       if (names.contains("word/document.xml")) Some("docx")
+      else if (names.contains("xl/workbook.xml")) Some("xlsx")
+      else if (names.contains("ppt/presentation.xml")) Some("pptx")
       else if (names.contains("content.xml") || names.contains("mimetype")) Some("odt")
       else None
     }
@@ -70,13 +78,113 @@ object OfficeCodec {
     require(Zip.isZip(bytes), "office: not a zip container")
     val members = Zip.readMembers(bytes)
     val byName = members.map(m => m.name -> m).toMap
-    byName.get("word/document.xml") match {
-      case Some(m) => extractDocxXml(m.payload)
-      case None => byName.get("content.xml") match {
-        case Some(m) => extractOdtXml(m.payload)
-        case None => throw new IllegalArgumentException(
-          "office: zip has neither word/document.xml nor content.xml")
+    if (byName.contains("word/document.xml"))
+      extractDocxXml(byName("word/document.xml").payload)
+    else if (byName.contains("xl/workbook.xml"))
+      extractXlsx(members)
+    else if (byName.contains("ppt/presentation.xml"))
+      extractPptx(members)
+    else if (byName.contains("content.xml"))
+      extractOdtXml(byName("content.xml").payload)
+    else throw new IllegalArgumentException(
+      "office: zip has no document member (word/document.xml, " +
+        "xl/workbook.xml, ppt/presentation.xml, or content.xml)")
+  }
+
+  /** Numeric-aware member order: `sheet10.xml` AFTER `sheet9.xml` — plain
+    * string order would interleave them.
+    */
+  private def partOrder(name: String): (String, Long) = {
+    val stem = name.takeWhile(c => !c.isDigit)
+    val num = name.drop(stem.length).takeWhile(_.isDigit)
+    (stem, if (num.isEmpty) -1L else num.toLong)
+  }
+
+  /** XLSX (SpreadsheetML): worksheet cells row-wise — shared strings
+    * (`t="s"`, rich runs concatenated), inline strings (`t="inlineStr"`),
+    * formula strings (`t="str"`), booleans, and raw numeric `<v>` text.
+    * One extracted "paragraph" per row: cells joined with '\t', sheets
+    * separated like any other paragraph break.
+    */
+  private def extractXlsx(members: Seq[Zip.ZipMember]): OfficeText = {
+    val byName = members.map(m => m.name -> m).toMap
+    val shared: Vector[String] = byName.get("xl/sharedStrings.xml") match {
+      case None => Vector.empty
+      case Some(m) =>
+        val doc = parseXml(m.payload, "xl/sharedStrings.xml")
+        val sis = doc.getElementsByTagName("si")
+        (0 until sis.getLength).map { i =>
+          // a shared string is one <t> or rich <r><t> runs — textContent
+          // of the <si> concatenates exactly those
+          sis.item(i).getTextContent
+        }.toVector
+    }
+    val sheets = members.map(_.name)
+      .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+      .sortBy(partOrder)
+    val rows = Vector.newBuilder[String]
+    sheets.foreach { name =>
+      val doc = parseXml(byName(name).payload, name)
+      val rs = doc.getElementsByTagName("row")
+      (0 until rs.getLength).foreach { i =>
+        val r = rs.item(i).asInstanceOf[org.w3c.dom.Element]
+        val cs = r.getElementsByTagName("c")
+        val cells = (0 until cs.getLength).map { j =>
+          val c = cs.item(j).asInstanceOf[org.w3c.dom.Element]
+          val t = c.getAttribute("t")
+          t match {
+            case "s" =>
+              val idx = c.getTextContent.trim.toInt
+              require(idx >= 0 && idx < shared.length,
+                s"office: shared-string index $idx out of ${shared.length}")
+              shared(idx)
+            case "inlineStr" => c.getTextContent
+            case "b" => if (c.getTextContent.trim == "1") "TRUE" else "FALSE"
+            case _ => c.getTextContent.trim // "str", numeric, dates-as-serials
+          }
+        }
+        rows += cells.mkString("\t")
       }
+    }
+    val texts = rows.result()
+    OfficeText("xlsx", texts.length, texts.mkString("\n"))
+  }
+
+  /** PPTX (PresentationML): slide text — `<a:p>` paragraphs with their
+    * `<a:t>` runs concatenated and `<a:br/>` as '\n', slides in numeric
+    * order.
+    */
+  private def extractPptx(members: Seq[Zip.ZipMember]): OfficeText = {
+    val byName = members.map(m => m.name -> m).toMap
+    val slides = members.map(_.name)
+      .filter(n => n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
+      .sortBy(partOrder)
+    val paras = Vector.newBuilder[String]
+    slides.foreach { name =>
+      val doc = parseXml(byName(name).payload, name)
+      val ps = doc.getElementsByTagName("a:p")
+      (0 until ps.getLength).foreach { i =>
+        val sb = new java.lang.StringBuilder
+        walkPptx(ps.item(i), sb)
+        paras += sb.toString
+      }
+    }
+    val texts = paras.result()
+    OfficeText("pptx", texts.length, texts.mkString("\n"))
+  }
+
+  private def walkPptx(n: org.w3c.dom.Node, sb: java.lang.StringBuilder): Unit = {
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val k = kids.item(i)
+      k.getNodeName match {
+        case "a:t" => sb.append(k.getTextContent)
+        case "a:br" => sb.append('\n')
+        case "a:p" => () // nested paragraph: its own entry
+        case _ => walkPptx(k, sb)
+      }
+      i += 1
     }
   }
 
@@ -251,6 +359,100 @@ object OfficeCodec {
       "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
       "_rels/.rels" -> rels.getBytes(StandardCharsets.UTF_8),
       "word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8)),
+      deflate = true)
+  }
+
+  /** Minimal spec-correct XLSX writer: one worksheet per outer Seq
+    * entry; string cells go through a DEDUPLICATED sharedStrings table
+    * (`t="s"`, the layout real producers emit), integer-looking cells
+    * as numeric `<v>`. `extractText(writeXlsx(sheets))` equals the rows
+    * tab-joined, sheets concatenated.
+    */
+  def writeXlsx(sheets: Seq[Seq[Seq[String]]]): Array[Byte] = {
+    require(sheets.nonEmpty && sheets.forall(_.nonEmpty),
+      "xlsx write: at least one sheet with at least one row")
+    val flat = sheets.flatten.flatten
+    flat.foreach(c => require(!c.contains('\r') && !c.contains('\n') && !c.contains('\t'),
+      "xlsx write: cell text must be free of CR/LF/TAB (they are row/cell framing)"))
+    def isNum(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
+    val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    flat.filterNot(isNum).foreach(s =>
+      if (!sharedIdx.contains(s)) sharedIdx(s) = sharedIdx.size)
+    val sharedXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<sst xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"" +
+        s" count=\"${sharedIdx.size}\" uniqueCount=\"${sharedIdx.size}\">" +
+        sharedIdx.keys.map(s => s"<si><t xml:space=\"preserve\">${xmlEscape(s)}</t></si>").mkString +
+        "</sst>"
+    def colName(j: Int): String = { // 0 -> A, 25 -> Z, 26 -> AA ...
+      var n = j + 1; val sb = new java.lang.StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheetXmls = sheets.map { rows =>
+      val body = rows.zipWithIndex.map { case (cells, i) =>
+        val cs = cells.zipWithIndex.map { case (cell, j) =>
+          val ref = s"${colName(j)}${i + 1}"
+          if (isNum(cell)) s"""<c r="$ref"><v>$cell</v></c>"""
+          else s"""<c r="$ref" t="s"><v>${sharedIdx(cell)}</v></c>"""
+        }.mkString
+        s"""<row r="${i + 1}">$cs</row>"""
+      }.mkString
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+        s"<sheetData>$body</sheetData></worksheet>"
+    }
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"" +
+        " xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\"><sheets>" +
+        sheets.indices.map(i =>
+          s"""<sheet name="Sheet${i + 1}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""").mkString +
+        "</sheets></workbook>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+        "<Override PartName=\"/xl/workbook.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml\"/>" +
+        "</Types>"
+    Zip.writeZip(
+      Seq("[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
+        "xl/workbook.xml" -> workbook.getBytes(StandardCharsets.UTF_8),
+        "xl/sharedStrings.xml" -> sharedXml.getBytes(StandardCharsets.UTF_8)) ++
+        sheetXmls.zipWithIndex.map { case (x, i) =>
+          s"xl/worksheets/sheet${i + 1}.xml" -> x.getBytes(StandardCharsets.UTF_8)
+        },
+      deflate = true)
+  }
+
+  /** Minimal spec-correct PPTX writer: one slide per outer Seq entry,
+    * paragraphs as `<a:p>` with '\n' inside a paragraph as `<a:br/>`.
+    */
+  def writePptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    require(slides.nonEmpty && slides.forall(_.nonEmpty),
+      "pptx write: at least one slide with at least one paragraph")
+    slides.flatten.foreach(p => require(!p.contains('\r'),
+      "pptx write: CR does not round-trip through XML"))
+    val slideXmls = slides.map { paras =>
+      val body = paras.map { p =>
+        val runs = p.split("\n", -1).map(seg =>
+          s"<a:r><a:t>${xmlEscape(seg)}</a:t></a:r>").mkString("<a:br/>")
+        s"<a:p>$runs</a:p>"
+      }.mkString
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<p:sld xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\"" +
+        " xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\">" +
+        "<p:cSld><p:spTree><p:sp><p:txBody>" + body +
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    }
+    val presentation =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\"/>"
+    Zip.writeZip(
+      Seq("ppt/presentation.xml" -> presentation.getBytes(StandardCharsets.UTF_8)) ++
+        slideXmls.zipWithIndex.map { case (x, i) =>
+          s"ppt/slides/slide${i + 1}.xml" -> x.getBytes(StandardCharsets.UTF_8)
+        },
       deflate = true)
   }
 

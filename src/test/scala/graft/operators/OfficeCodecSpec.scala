@@ -81,7 +81,7 @@ class OfficeCodecSpec extends AnyFunSuite {
   test("zip without a document member and non-zip bytes reject namedly") {
     val stray = Zip.writeZip(Seq("readme.txt" -> utf8("nope")))
     val e = intercept[IllegalArgumentException](OfficeCodec.extractText(stray))
-    assert(e.getMessage.contains("neither word/document.xml nor content.xml"))
+    assert(e.getMessage.contains("no document member"))
     assert(OfficeCodec.sniff(stray).isEmpty)
     intercept[IllegalArgumentException](
       OfficeCodec.extractText(utf8("just some text")))
@@ -109,6 +109,59 @@ class OfficeCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](OfficeCodec.writeDocx(Seq("a\rb")))
     intercept[IllegalArgumentException](OfficeCodec.writeOdt(Seq("a\rb")))
     intercept[IllegalArgumentException](OfficeCodec.writeDocx(Nil))
+  }
+
+  test("xlsx roundtrip: shared strings dedup, numerics, multi-sheet order") {
+    val sheets = Seq(
+      Seq(Seq("name", "count", "note"),
+        Seq("alpha", "42", "café …"),
+        Seq("alpha", "7", "")), // "alpha" and "" exercise dedup + empty
+      Seq(Seq("second sheet", "99")))
+    val bytes = OfficeCodec.writeXlsx(sheets)
+    assert(OfficeCodec.sniff(bytes).contains("xlsx"))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.format == "xlsx" && got.nParagraphs == 4)
+    assert(got.text ==
+      "name\tcount\tnote\nalpha\t42\tcafé …\nalpha\t7\t\nsecond sheet\t99")
+    // the writer really deduplicates: one <si> per distinct string
+    val ss = new String(Zip.readMembers(bytes)
+      .find(_.name == "xl/sharedStrings.xml").get.payload, StandardCharsets.UTF_8)
+    // name,count,note,alpha,café …,"",second sheet — numerics excluded
+    assert("<si>".r.findAllIn(ss).length == 7)
+  }
+
+  test("xlsx: inline strings, rich shared runs, booleans, sheet10 after sheet9") {
+    val shared =
+      """<?xml version="1.0"?><sst><si><t>plain</t></si>""" +
+        "<si><r><t>rich </t></r><r><t>run</t></r></si></sst>"
+    def sheet(cell: String) =
+      s"""<?xml version="1.0"?><worksheet><sheetData><row r="1">$cell</row></sheetData></worksheet>"""
+    val bytes = Zip.writeZip(Seq(
+      "xl/workbook.xml" -> utf8("""<?xml version="1.0"?><workbook/>"""),
+      "xl/sharedStrings.xml" -> utf8(shared),
+      "xl/worksheets/sheet9.xml" -> utf8(sheet(
+        """<c t="s"><v>1</v></c><c t="b"><v>1</v></c>""")),
+      "xl/worksheets/sheet10.xml" -> utf8(sheet(
+        """<c t="inlineStr"><is><t>inline</t></is></c><c><v>3.25</v></c>"""))))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.text == "rich run\tTRUE\ninline\t3.25")
+    // out-of-range shared index is a named reject
+    val bad = Zip.writeZip(Seq(
+      "xl/workbook.xml" -> utf8("""<?xml version="1.0"?><workbook/>"""),
+      "xl/worksheets/sheet1.xml" -> utf8(sheet("""<c t="s"><v>0</v></c>"""))))
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(bad))
+    assert(e.getMessage.contains("shared-string index"))
+  }
+
+  test("pptx roundtrip: slides in order, breaks inside paragraphs") {
+    val slides = Seq(
+      Seq("Title slide", "subtitle\nsecond line"),
+      Seq("Bullet one", "Bullet two — …"))
+    val bytes = OfficeCodec.writePptx(slides)
+    assert(OfficeCodec.sniff(bytes).contains("pptx"))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.format == "pptx" && got.nParagraphs == 4)
+    assert(got.text == slides.flatten.mkString("\n"))
   }
 
   test("empty paragraphs and whitespace-preserving runs survive") {
