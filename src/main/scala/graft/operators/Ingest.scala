@@ -465,31 +465,41 @@ object Ingest {
       .as[Long]
       .groupByKey(_ / docsPerArchive)
       .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
-          val text = s"<html>doc $id on src${id % 20} café ×${1 + id % 3}</html>"
-          Map(
-            "WARC-Type" -> "response",
-            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/zst/$id",
-            "WARC-Record-ID" -> s"<urn:graft:zst:$id>",
-            "WARC-Date" -> "2026-01-01T00:00:00Z",
-            "Content-Type" -> "application/http;msgtype=response") ->
-            Warc.httpResponse(200, "text/html; charset=utf-8",
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-        val dict =
-          if (aid % 2 == 0) {
-            // 4 KiB dict from 8 repetitions of the archive's records —
-            // sized so COVER always converges on a 16-record archive; a
-            // silent None here would downgrade the contract's dict path
-            // to dict-less, so failure is LOUD
-            val d = Zstandard.trainDict(
-              Seq.fill(8)(recs.map(_._2)).flatten, dictSize = 4 * 1024)
-            require(d.nonEmpty, s"zstdArchives: dict training failed for archive $aid")
-            d
-          } else None
+        val recs = it.toSeq.sorted.map(zstdRecord)
+        val dict = if (aid % 2 == 0) Some(zstdDemoDict) else None
         Multimodal.MediaRecord(aid, s"fake://zst/$aid.warc.zst",
           "application/warc", Warc.writeWarcZstd(recs, dict), Map.empty)
       }
+  }
+
+  /** One record of the zstd demo corpus (shared by the archive builder
+    * and the dictionary trainer).
+    */
+  private def zstdRecord(id: Long): (Map[String, String], Array[Byte]) = {
+    val text = s"<html>doc $id on src${id % 20} café ×${1 + id % 3}</html>"
+    Map(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> s"http://src${id % 20}.invalid/zst/$id",
+      "WARC-Record-ID" -> s"<urn:graft:zst:$id>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/http;msgtype=response") ->
+      Warc.httpResponse(200, "text/html; charset=utf-8",
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The demo corpus' shared dictionary — trained ONCE per JVM from the
+    * deterministic record templates (ids 0-15), the way a production
+    * crawl trains ONE dict per crawl and ships it in every archive's
+    * skippable frame (training per archive would invert the layout's
+    * point). Deterministic: fixed samples -> fixed dict bytes. A silent
+    * training failure would downgrade the contract's dict path to
+    * dict-less, so failure is LOUD.
+    */
+  lazy val zstdDemoDict: Array[Byte] = {
+    val samples = Seq.fill(8)((0L until 16L).map(id => zstdRecord(id)._2)).flatten
+    val d = Zstandard.trainDict(samples, dictSize = 4 * 1024)
+    require(d.nonEmpty, "zstdArchives: demo dict training failed")
+    d.get
   }
 
   /** Demo corpus for the MODERN pdf capstone (`tx_pdf_modern`):
