@@ -4690,6 +4690,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the BOOK/LEGACY-DOC half of the document family: EPUB (OCF zip ->
+    // OPF spine -> XHTML block text) and RTF (structural control-word
+    // walk: \par/\line/\tab, \'xx cp1252, \uN unicode, destinations
+    // skipped), both deterministic writers so the oracle replays exact
+    // text. Map-only per-record work.
+    "tx_book_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          if (id % 2 == 0) {
+            val chapters = (0 until (1 + id % 3).toInt).map(c => Seq(
+              s"Chapter $c of doc $id", s"Body $c — ‘§${id % 7}’"))
+            val got = graft.operators.OfficeCodec.extractText(
+              graft.operators.OfficeCodec.writeEpub(chapters))
+            (id, got.format, got.nParagraphs.toLong, got.text)
+          } else {
+            val paras = (0 until (1 + id % 4).toInt).map(p =>
+              s"RTF para $p doc $id — café ${id % 9}")
+            val text = graft.operators.Rtf.extractText(
+              graft.operators.Rtf.write(paras))
+            (id, "rtf", paras.length.toLong, text)
+          }
+        }.toDF("doc_id", "format", "n_units", "text")
+        .select(col("doc_id"), col("format"), col("n_units"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MAILING-LIST mining: mbox mailboxes (RFC 4155 + mboxrd quoting)
     // split into messages, each through the MIME walk — 7bit / quoted-
     // printable / base64 / multipart-alternative bodies by id%4, RFC 2047
@@ -8308,6 +8336,31 @@ object SparkEntry {
         |SELECT doc_id, format, CAST(n_units AS BIGINT) AS n_units, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // book/legacy-doc replayed: epub = 2 blocks per chapter over 1+id%3
+    // chapters, rtf = 1+id%4 paragraphs, text by arithmetic
+    "tx_book_text" ->
+      """WITH e AS (SELECT doc_id, 1 + doc_id % 3 AS nc FROM documents
+        |    WHERE doc_id % 2 = 0),
+        |ec AS (SELECT doc_id, nc, UNNEST(GENERATE_SERIES(0, nc - 1)) AS c
+        |  FROM e),
+        |et AS (SELECT doc_id, 2 * ANY_VALUE(nc) AS n_units,
+        |    STRING_AGG('Chapter ' || c || ' of doc ' || doc_id || chr(10) ||
+        |      'Body ' || c || ' — ‘§' || (doc_id % 7) || '’',
+        |      chr(10) ORDER BY c) AS text
+        |  FROM ec GROUP BY doc_id),
+        |r AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents
+        |    WHERE doc_id % 2 = 1),
+        |rp AS (SELECT doc_id, np, UNNEST(GENERATE_SERIES(0, np - 1)) AS p
+        |  FROM r),
+        |rt AS (SELECT doc_id, ANY_VALUE(np) AS n_units,
+        |    STRING_AGG('RTF para ' || p || ' doc ' || doc_id || ' — café ' ||
+        |      (doc_id % 9), chr(10) ORDER BY p) AS text
+        |  FROM rp GROUP BY doc_id),
+        |u AS (SELECT doc_id, 'epub' AS format, n_units, text FROM et
+        |  UNION ALL SELECT doc_id, 'rtf', n_units, text FROM rt)
+        |SELECT doc_id, format, CAST(n_units AS BIGINT) AS n_units, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM u ORDER BY doc_id""".stripMargin,
     // mail mining replayed: decoded subject (the id%3 B-word rule),
     // media type / part count by the id%4 body route, exact body text
     "tx_mail_mbox" ->

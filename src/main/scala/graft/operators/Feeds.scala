@@ -41,13 +41,8 @@ object Feeds {
     val xml = if (bytes.length >= 2 && bytes(0) == Gzip(0) && bytes(1) == Gzip(1))
       Gunzip.bounded(bytes, MaxFeedBytes, "feed")
     else bytes
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(false)
     val doc =
-      try f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(xml))
+      try XmlWalk.parse(xml)
       catch {
         case e: org.xml.sax.SAXException =>
           throw new IllegalArgumentException(s"feed: malformed XML (${e.getMessage})")

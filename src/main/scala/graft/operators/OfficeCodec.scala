@@ -60,10 +60,15 @@ object OfficeCodec {
   def sniff(bytes: Array[Byte]): Option[String] =
     if (!Zip.isZip(bytes)) None
     else {
-      val names = Zip.readMembers(bytes).map(_.name).toSet
+      val members = Zip.readMembers(bytes)
+      val names = members.map(_.name).toSet
       if (names.contains("word/document.xml")) Some("docx")
       else if (names.contains("xl/workbook.xml")) Some("xlsx")
       else if (names.contains("ppt/presentation.xml")) Some("pptx")
+      else if (names.contains("META-INF/container.xml") &&
+        members.find(_.name == "mimetype")
+          .exists(m => new String(m.payload,
+            StandardCharsets.US_ASCII).trim == "application/epub+zip")) Some("epub")
       else if (names.contains("content.xml") || names.contains("mimetype")) Some("odt")
       else None
     }
@@ -84,11 +89,131 @@ object OfficeCodec {
       extractXlsx(members)
     else if (byName.contains("ppt/presentation.xml"))
       extractPptx(members)
+    else if (byName.contains("META-INF/container.xml"))
+      extractEpub(members)
     else if (byName.contains("content.xml"))
       extractOdtXml(byName("content.xml").payload)
     else throw new IllegalArgumentException(
       "office: zip has no document member (word/document.xml, " +
-        "xl/workbook.xml, ppt/presentation.xml, or content.xml)")
+        "xl/workbook.xml, ppt/presentation.xml, META-INF/container.xml," +
+        " or content.xml)")
+  }
+
+  /** EPUB (OCF + OPF, the EPUB 3 / IDPF profile): container.xml names
+    * the OPF rootfile, the OPF's `<spine>` orders `<manifest>` items,
+    * and each XHTML chapter contributes its block text — text nodes
+    * concatenated, a '\n' after every p / h1-h6 / li / tr / blockquote /
+    * div close and `<br/>`, `script`/`style` subtrees skipped. XHTML
+    * carrying DTD-entity references (`&nbsp;`) rejects with the doctype
+    * rule like every other XML here — real EPUB 3 is entity-free UTF-8;
+    * paragraph counts are the nonempty block count.
+    */
+  private def extractEpub(members: Seq[Zip.ZipMember]): OfficeText = {
+    val byName = members.map(m => m.name -> m).toMap
+    val container = parseXml(byName("META-INF/container.xml").payload,
+      "META-INF/container.xml")
+    val rootfiles = container.getElementsByTagName("rootfile")
+    require(rootfiles.getLength > 0, "office: epub container has no rootfile")
+    val opfPath = rootfiles.item(0).asInstanceOf[org.w3c.dom.Element]
+      .getAttribute("full-path")
+    val opfMember = byName.getOrElse(opfPath, throw new IllegalArgumentException(
+      s"office: epub rootfile '$opfPath' not in the archive"))
+    val opf = parseXml(opfMember.payload, opfPath)
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => opfPath.substring(0, i + 1)
+    }
+    val hrefById = {
+      val items = opf.getElementsByTagName("item")
+      (0 until items.getLength).map { i =>
+        val e = items.item(i).asInstanceOf[org.w3c.dom.Element]
+        e.getAttribute("id") -> e.getAttribute("href")
+      }.toMap
+    }
+    val refs = opf.getElementsByTagName("itemref")
+    val chapters = (0 until refs.getLength).map { i =>
+      val idref = refs.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("idref")
+      val href = hrefById.getOrElse(idref, throw new IllegalArgumentException(
+        s"office: epub spine idref '$idref' not in the manifest"))
+      opfDir + href
+    }
+    var nBlocks = 0
+    val texts = chapters.map { path =>
+      val m = byName.getOrElse(path, throw new IllegalArgumentException(
+        s"office: epub chapter '$path' not in the archive"))
+      val doc = parseXml(m.payload, path)
+      val sb = new java.lang.StringBuilder
+      val bodies = doc.getElementsByTagName("body")
+      (0 until bodies.getLength).foreach(i => walkXhtml(bodies.item(i), sb))
+      val t = sb.toString
+      val trimmed = if (t.endsWith("\n")) t.substring(0, t.length - 1) else t
+      nBlocks += trimmed.split("\n", -1).count(_.nonEmpty)
+      trimmed
+    }.filter(_.nonEmpty)
+    OfficeText("epub", nBlocks, texts.mkString("\n"))
+  }
+
+  private val XhtmlBlocks = Set("p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "tr", "blockquote", "div")
+
+  private def walkXhtml(n: org.w3c.dom.Node, sb: java.lang.StringBuilder): Unit = {
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val k = kids.item(i)
+      k.getNodeType match {
+        case org.w3c.dom.Node.TEXT_NODE => sb.append(k.getNodeValue)
+        case org.w3c.dom.Node.ELEMENT_NODE =>
+          val name = k.getNodeName.toLowerCase(java.util.Locale.ROOT)
+          if (name == "script" || name == "style") () // never text
+          else if (name == "br") sb.append('\n')
+          else {
+            walkXhtml(k, sb)
+            if (XhtmlBlocks(name) && sb.length > 0 &&
+              sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+  }
+
+  /** Minimal spec-correct EPUB 3 writer: OCF layout (stored `mimetype`
+    * first), container.xml -> OEBPS/content.opf -> one XHTML chapter
+    * per outer Seq entry, each inner string a `<p>`.
+    */
+  def writeEpub(chapters: Seq[Seq[String]]): Array[Byte] = {
+    require(chapters.nonEmpty && chapters.forall(_.nonEmpty),
+      "epub write: at least one chapter with at least one paragraph")
+    chapters.flatten.foreach(p => require(!p.contains('\r') && !p.contains('\n'),
+      "epub write: paragraph text must be single-line (CR/LF are block framing)"))
+    val container =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        "\n<container version=\"1.0\" xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\"" +
+        " media-type=\"application/oebps-package+xml\"/></rootfiles></container>"
+    val manifest = chapters.indices.map(i =>
+      s"""<item id="c${i + 1}" href="chapter${i + 1}.xhtml" media-type="application/xhtml+xml"/>""").mkString
+    val spine = chapters.indices.map(i => s"""<itemref idref="c${i + 1}"/>""").mkString
+    val opf =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        "\n<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\" unique-identifier=\"id\">" +
+        "<metadata><dc:identifier xmlns:dc=\"http://purl.org/dc/elements/1.1/\" id=\"id\">graft</dc:identifier></metadata>" +
+        s"<manifest>$manifest</manifest><spine>$spine</spine></package>"
+    val chapterXmls = chapters.map { paras =>
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        "\n<html xmlns=\"http://www.w3.org/1999/xhtml\"><head><title>c</title></head><body>" +
+        paras.map(p => s"<p>${xmlEscape(p)}</p>").mkString +
+        "</body></html>"
+    }
+    Zip.writeZip(
+      Seq("mimetype" -> "application/epub+zip".getBytes(StandardCharsets.US_ASCII),
+        "META-INF/container.xml" -> container.getBytes(StandardCharsets.UTF_8),
+        "OEBPS/content.opf" -> opf.getBytes(StandardCharsets.UTF_8)) ++
+        chapterXmls.zipWithIndex.map { case (x, i) =>
+          s"OEBPS/chapter${i + 1}.xhtml" -> x.getBytes(StandardCharsets.UTF_8)
+        },
+      deflate = false) // stored keeps the OCF mimetype-first magic readable
   }
 
   /** Numeric-aware member order: `sheet10.xml` AFTER `sheet9.xml` — plain
@@ -188,18 +313,12 @@ object OfficeCodec {
     }
   }
 
-  private def parseXml(bytes: Array[Byte], what: String): org.w3c.dom.Document = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(false)
-    try f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+  private def parseXml(bytes: Array[Byte], what: String): org.w3c.dom.Document =
+    try XmlWalk.parse(bytes)
     catch {
       case e: org.xml.sax.SAXException =>
         throw new IllegalArgumentException(s"office: malformed $what XML (${e.getMessage})")
     }
-  }
 
   /** DOCX body walk (namespace prefixes are matched literally — `w:` is
     * the universal convention and non-`w:` producers fall outside the

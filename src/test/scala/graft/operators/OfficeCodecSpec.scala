@@ -164,6 +164,50 @@ class OfficeCodecSpec extends AnyFunSuite {
     assert(got.text == slides.flatten.mkString("\n"))
   }
 
+  test("epub roundtrip: OCF layout, spine order, block text") {
+    val chapters = Seq(
+      Seq("Chapter one opens.", "Second paragraph — with café."),
+      Seq("Chapter two."))
+    val bytes = OfficeCodec.writeEpub(chapters)
+    assert(OfficeCodec.sniff(bytes).contains("epub"))
+    // OCF magic: stored mimetype first, readable at fixed offset 38
+    assert(new String(bytes, 38, 20, StandardCharsets.US_ASCII) ==
+      "application/epub+zip")
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.format == "epub" && got.nParagraphs == 3)
+    assert(got.text == chapters.flatten.mkString("\n"))
+  }
+
+  test("epub: spine reorders chapters; script/style and br handled") {
+    val container = """<?xml version="1.0"?><container><rootfiles>""" +
+      """<rootfile full-path="book/pkg.opf"/></rootfiles></container>"""
+    val opf = """<?xml version="1.0"?><package><manifest>""" +
+      """<item id="a" href="one.xhtml"/><item id="b" href="two.xhtml"/>""" +
+      """</manifest><spine><itemref idref="b"/><itemref idref="a"/></spine></package>"""
+    val one = """<?xml version="1.0"?><html><body><p>FIRST file</p></body></html>"""
+    val two = """<?xml version="1.0"?><html><body>""" +
+      """<script>ignore();</script><style>p{}</style>""" +
+      """<h1>Title</h1><p>line one<br/>line two</p></body></html>"""
+    val bytes = Zip.writeZip(Seq(
+      "mimetype" -> utf8("application/epub+zip"),
+      "META-INF/container.xml" -> utf8(container),
+      "book/pkg.opf" -> utf8(opf),
+      "book/one.xhtml" -> utf8(one),
+      "book/two.xhtml" -> utf8(two)))
+    val got = OfficeCodec.extractText(bytes)
+    assert(got.text == "Title\nline one\nline two\nFIRST file")
+  }
+
+  test("epub: missing rootfile / chapter / idref are named rejects") {
+    val bytes = Zip.writeZip(Seq(
+      "mimetype" -> utf8("application/epub+zip"),
+      "META-INF/container.xml" -> utf8(
+        """<?xml version="1.0"?><container><rootfiles>""" +
+          """<rootfile full-path="gone.opf"/></rootfiles></container>""")))
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(bytes))
+    assert(e.getMessage.contains("rootfile 'gone.opf' not in the archive"))
+  }
+
   test("empty paragraphs and whitespace-preserving runs survive") {
     val paras = Seq("", "  leading and trailing  ", "")
     val got = OfficeCodec.extractText(OfficeCodec.writeDocx(paras))
