@@ -4718,6 +4718,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TRIAGE over the document family: probeBytes routes every container
+    // this engine extracts (docx/odt/xlsx/pptx/epub/rtf/mbox) plus the
+    // OLE/CFB reject lane — zip routing is HEADER-ONLY (central-directory
+    // names, zero decompression), the property that makes classifying a
+    // 100 TB archive store cost directory reads.
+    "tx_doc_probe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val oc = graft.operators.OfficeCodec
+          val bytes = (id % 8) match {
+            case 0 => oc.writeDocx(Seq(s"doc $id"))
+            case 1 => oc.writeOdt(Seq(s"doc $id"))
+            case 2 => oc.writeXlsx(Seq(Seq(Seq(s"doc $id"))))
+            case 3 => oc.writePptx(Seq(Seq(s"doc $id")))
+            case 4 => oc.writeEpub(Seq(Seq(s"doc $id")))
+            case 5 => graft.operators.Rtf.write(Seq(s"doc $id"))
+            case 6 => graft.operators.Mail.writeMbox(Seq(
+              s"Subject: d$id\n\nbody".getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)))
+            case _ => Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+              0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ new Array[Byte](64)
+          }
+          val p = graft.operators.Multimodal.probeBytes(id, bytes)
+          (id, p.container, p.decodable)
+        }.toDF("doc_id", "container", "decodable")
+        .orderBy(col("doc_id"))
+    }),
+
     // MAILING-LIST mining: mbox mailboxes (RFC 4155 + mboxrd quoting)
     // split into messages, each through the MIME walk — 7bit / quoted-
     // printable / base64 / multipart-alternative bodies by id%4, RFC 2047
@@ -8336,6 +8365,16 @@ object SparkEntry {
         |SELECT doc_id, format, CAST(n_units AS BIGINT) AS n_units, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // document-triage replayed: container by id%8, only the OLE lane is
+    // non-decodable
+    "tx_doc_probe" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'odt'
+        |    WHEN 2 THEN 'xlsx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'epub'
+        |    WHEN 5 THEN 'rtf' WHEN 6 THEN 'mbox' ELSE 'ole-cfb' END
+        |    AS container,
+        |  doc_id % 8 <> 7 AS decodable
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // book/legacy-doc replayed: epub = 2 blocks per chapter over 1+id%3
     // chapters, rtf = 1+id%4 paragraphs, text by arithmetic
     "tx_book_text" ->

@@ -667,6 +667,23 @@ object Multimodal {
       val m = Mp3Frames.probe(bytes)
       MediaProbe(id, "mp3", Some(s"mpeg${m.version}-layer${m.layer}"), None, None,
         Some(m.sampleRate), Some(m.channels), Some(m.pcmFrames), decodable = false)
+    } else if (OfficeCodec.isOle(bytes)) {
+      // legacy binary Office / encrypted OOXML: identified, never decoded
+      bare("ole-cfb")
+    } else if (Rtf.isRtf(bytes)) {
+      MediaProbe(id, "rtf", Some("rtf"), None, None, None, None, None,
+        decodable = true)
+    } else if (Mail.isMbox(bytes)) {
+      MediaProbe(id, "mbox", Some("rfc5322"), None, None, None, None, None,
+        decodable = true)
+    } else if (Zip.isZip(bytes)) guarded("zip") {
+      // HEADER-ONLY document routing: central-directory names, no
+      // payload decompression (OfficeCodec.sniff's contract)
+      OfficeCodec.sniff(bytes) match {
+        case Some(fmt) => MediaProbe(id, fmt, Some(fmt), None, None,
+          None, None, None, decodable = true)
+        case None => bare("zip") // an archive, not a document — ingestZip's lane
+      }
     } else {
       guarded("unknown") {
         probeImageFormat(bytes) match {

@@ -54,21 +54,19 @@ object OfficeCodec {
       (b(4) & 0xff) == 0xA1 && (b(5) & 0xff) == 0xB1 &&
       (b(6) & 0xff) == 0x1A && (b(7) & 0xff) == 0xE1
 
-  /** Route on container + key member: docx / odt / None (not an office
-    * zip). OLE is handled by the extractors as a named reject, not here.
+  /** Route on container + key member names — HEADER-ONLY (the zip
+    * central directory, no payload decompression), so triage can
+    * classify archives at scan cost. OLE is handled by the extractors
+    * as a named reject, not here.
     */
   def sniff(bytes: Array[Byte]): Option[String] =
     if (!Zip.isZip(bytes)) None
     else {
-      val members = Zip.readMembers(bytes)
-      val names = members.map(_.name).toSet
+      val names = Zip.memberNames(bytes).toSet
       if (names.contains("word/document.xml")) Some("docx")
       else if (names.contains("xl/workbook.xml")) Some("xlsx")
       else if (names.contains("ppt/presentation.xml")) Some("pptx")
-      else if (names.contains("META-INF/container.xml") &&
-        members.find(_.name == "mimetype")
-          .exists(m => new String(m.payload,
-            StandardCharsets.US_ASCII).trim == "application/epub+zip")) Some("epub")
+      else if (names.contains("META-INF/container.xml")) Some("epub")
       else if (names.contains("content.xml") || names.contains("mimetype")) Some("odt")
       else None
     }

@@ -111,6 +111,44 @@ object Zip {
   def readMembers(bytes: Array[Byte]): Seq[ZipMember] =
     readMembers(bytes, DefaultMaxMemberBytes)
 
+  /** Header-only listing: the central directory's member NAMES without
+    * touching a single payload byte — the triage pass ([[Multimodal]]'s
+    * container probe, `OfficeCodec.sniff`) and the planner's
+    * prune-by-name both run on this, so classifying a million archives
+    * costs directory reads, never decompression. Structural checks are
+    * the directory-level subset of [[readMembers]]' (EOCD, entry
+    * signatures, field bounds); payload-level verification still
+    * happens when a member is actually read.
+    */
+  def memberNames(bytes: Array[Byte]): Seq[String] = {
+    val eocd = findEocd(bytes)
+    require(u16(bytes, eocd + 4) == 0 && u16(bytes, eocd + 6) == 0,
+      "zip: multi-disk archives not supported")
+    val total = u16(bytes, eocd + 10)
+    val cdSize = u32(bytes, eocd + 12)
+    val cdOff = u32(bytes, eocd + 16)
+    require(total != 0xffff && cdSize != 0xffffffffL && cdOff != 0xffffffffL,
+      "zip: zip64 archives not supported")
+    require(cdOff + cdSize <= eocd, "zip: central directory overruns the EOCD record")
+    val cdEnd = (cdOff + cdSize).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = cdOff.toInt
+    var i = 0
+    while (i < total) {
+      require(p + 46 <= cdEnd && u32(bytes, p) == CentralSig,
+        s"zip: bad central-directory entry $i at byte $p")
+      val nameLen = u16(bytes, p + 28)
+      val extraLen = u16(bytes, p + 30)
+      val commentLen = u16(bytes, p + 32)
+      require(p + 46 + nameLen + extraLen + commentLen <= cdEnd,
+        s"zip: entry $i variable-length fields overrun the central directory")
+      out += new String(bytes, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    out.toSeq
+  }
+
   def readMembers(bytes: Array[Byte], maxMemberBytes: Long): Seq[ZipMember] = {
     val eocd = findEocd(bytes)
     require(u16(bytes, eocd + 4) == 0 && u16(bytes, eocd + 6) == 0,
