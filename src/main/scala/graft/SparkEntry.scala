@@ -4747,6 +4747,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the DOCUMENT-MINING capstone: one WARC stream carrying every
+    // container this engine extracts, under octet-stream Content-Types
+    // (servers lie) — magic-byte triage routes each record to its
+    // extractor (pdf / the four office dialects / epub / rtf), the OLE
+    // lane diverts namedly, and the unified output is (container,
+    // status, extracted chars). Two map-only walks, zero shuffles before
+    // the per-doc projection — the whole point of the document family:
+    // a 100 TB crawl mines EVERY document class in one pass.
+    "tx_doc_mine" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.ingestWarc(ing.docArchives(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("body"))
+        .as[(String, Array[Byte])]
+        .map { case (url, body) =>
+          val id = url.substring(url.lastIndexOf('/') + 1).toLong
+          val probe = graft.operators.Multimodal.probeBytes(id, body)
+          try {
+            val text = probe.container match {
+              case "pdf" =>
+                graft.operators.PdfCodec.extractText(body).pages.mkString("\n")
+              case "docx" | "odt" | "xlsx" | "pptx" | "epub" =>
+                graft.operators.OfficeCodec.extractText(body).text
+              case "rtf" => graft.operators.Rtf.extractText(body)
+              case other => throw new IllegalArgumentException(
+                s"doc-mine: no text extractor for container '$other'")
+            }
+            (id, probe.container, "ok", text.length.toLong)
+          } catch {
+            case e: IllegalArgumentException =>
+              (id, probe.container, e.getMessage, 0L)
+          }
+        }
+        .toDF("doc_id", "container", "status", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // MAILING-LIST mining: mbox mailboxes (RFC 4155 + mboxrd quoting)
     // split into messages, each through the MIME walk — 7bit / quoted-
     // printable / base64 / multipart-alternative bodies by id%4, RFC 2047
@@ -8365,6 +8403,24 @@ object SparkEntry {
         |SELECT doc_id, format, CAST(n_units AS BIGINT) AS n_units, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // document-mining replayed: container by id%8, the office family
+    // shares one text template, pdf its own, OLE diverts with 0 chars
+    "tx_doc_mine" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        |    WHEN 2 THEN 'odt' WHEN 3 THEN 'xlsx' WHEN 4 THEN 'pptx'
+        |    WHEN 5 THEN 'epub' WHEN 6 THEN 'rtf' ELSE 'ole-cfb' END
+        |    AS container,
+        |  CASE WHEN doc_id % 8 = 7
+        |    THEN 'doc-mine: no text extractor for container ''ole-cfb'''
+        |    ELSE 'ok' END AS status,
+        |  CAST(CASE doc_id % 8
+        |    WHEN 7 THEN 0
+        |    WHEN 0 THEN LENGTH('PDF doc ' || doc_id || ' — ‘§' ||
+        |      (doc_id % 7) || '’')
+        |    ELSE LENGTH('Mixed doc ' || doc_id || ' — café ' || (doc_id % 9))
+        |    END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // document-triage replayed: container by id%8, only the OLE lane is
     // non-decodable
     "tx_doc_probe" ->

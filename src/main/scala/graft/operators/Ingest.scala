@@ -685,6 +685,55 @@ object Ingest {
       }
   }
 
+  /** Demo corpus for the document-mining capstone (`tx_doc_mine`): WARC
+    * archives whose responses carry EVERY document container the engine
+    * extracts — pdf / docx / odt / xlsx / pptx / epub / rtf by id%8,
+    * with the OLE/CFB reject lane at 7 — under DELIBERATELY unreliable
+    * HTTP Content-Types (every response claims octet-stream), because
+    * wild servers lie: routing must come from magic bytes, not headers.
+    */
+  def docArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sorted.map { id =>
+          val body = docBody(id)
+          Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://src${id % 20}.invalid/doc/$id",
+            "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response") ->
+            Warc.httpResponse(200, "application/octet-stream", body)
+        }
+        Multimodal.MediaRecord(aid, s"fake://doc/$aid.warc",
+          "application/warc", Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+      }
+  }
+
+  /** The per-container body of the mixed-document corpus: the office
+    * family shares ONE paragraph template (so the oracle is one LENGTH
+    * expression), pdf has its own, and id%8==7 is the OLE reject lane.
+    */
+  def docBody(id: Long): Array[Byte] = {
+    val officeText = s"Mixed doc $id — café ${id % 9}"
+    (id % 8) match {
+      case 0 => PdfCodec.write(Seq(s"PDF doc $id — ‘§${id % 7}’"), compress = true)
+      case 1 => OfficeCodec.writeDocx(Seq(officeText))
+      case 2 => OfficeCodec.writeOdt(Seq(officeText))
+      case 3 => OfficeCodec.writeXlsx(Seq(Seq(Seq(officeText))))
+      case 4 => OfficeCodec.writePptx(Seq(Seq(officeText)))
+      case 5 => OfficeCodec.writeEpub(Seq(Seq(officeText)))
+      case 6 => Rtf.write(Seq(officeText))
+      case _ => Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+        0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ new Array[Byte](64)
+    }
+  }
+
   /** The id%5 routing table [[encodedArchives]] uses by default. */
   def defaultEncodingMode(id: Long): String = (id % 5) match {
     case 0 => "gzip"

@@ -15,7 +15,8 @@ object R11Drive {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     for (q <- Seq("tx_pdf_text15", "tx_pdf_filters", "tx_warc_zstd",
       "tx_zstd_encoding", "tx_pdf_modern", "tx_office_text", "tx_mail_mbox",
-      "tx_sheet_text", "tx_feed_discovery", "tx_book_text", "tx_doc_probe")) {
+      "tx_sheet_text", "tx_feed_discovery", "tx_book_text", "tx_doc_probe",
+      "tx_doc_mine")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val rows = df.collect()
       println(s"R11 $q rows=${rows.length} head=${rows.headOption.getOrElse("-")}")
