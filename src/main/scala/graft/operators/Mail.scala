@@ -77,15 +77,22 @@ object Mail {
       out += body.getBytes(StandardCharsets.ISO_8859_1)
       cur.setLength(0)
     }
+    // RFC 4155: a postmark is a 'From ' line FOLLOWING a blank line (or
+    // at start-of-buffer). Wild mboxes from non-mboxrd producers carry
+    // unquoted body 'From ' lines mid-paragraph — gating on the blank
+    // separator keeps those as message text instead of silently
+    // splitting the message.
+    var prevBlank = true
     lines.foreach { raw =>
       val line = if (raw.endsWith("\r")) raw.substring(0, raw.length - 1) else raw
-      if (line.startsWith("From ")) { flush(); open = true }
+      if (prevBlank && line.startsWith("From ")) { flush(); open = true }
       else if (open) {
         // mboxrd: any number of '>' before 'From ' loses ONE '>'
         val unquoted =
           if (line.matches("^>+From .*")) line.substring(1) else line
         cur.append(unquoted).append('\n')
       }
+      prevBlank = line.isEmpty
     }
     flush()
     out.toSeq

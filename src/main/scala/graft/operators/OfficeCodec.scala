@@ -67,7 +67,11 @@ object OfficeCodec {
       else if (names.contains("xl/workbook.xml")) Some("xlsx")
       else if (names.contains("ppt/presentation.xml")) Some("pptx")
       else if (names.contains("META-INF/container.xml")) Some("epub")
-      else if (names.contains("content.xml") || names.contains("mimetype")) Some("odt")
+      // content.xml is what the ODT extractor actually reads — a zip with
+      // only a `mimetype` member (e.g. a malformed EPUB missing
+      // container.xml) must NOT be promised as decodable, or triage says
+      // "odt" and extractText throws "zip has no document member"
+      else if (names.contains("content.xml")) Some("odt")
       else None
     }
 

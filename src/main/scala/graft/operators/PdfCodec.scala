@@ -422,10 +422,12 @@ object PdfCodec {
     * table(s) (§7.5.4) OR PDF 1.5 cross-reference STREAMS (§7.5.8),
     * following /Prev (bounded chain); both section kinds may alternate
     * along the chain (a 1.5 file incrementally updated by a classic
-    * writer does exactly that). Hybrid-reference files (§7.5.8.4) read
-    * through their classic table, which by construction lists every
-    * object for backward compatibility — the /XRefStm pointer is not
-    * needed and not followed. A damaged chain falls back to
+    * writer does exactly that). Hybrid-reference files (§7.5.8.4) chase
+    * the /XRefStm pointer too, merged at LOWER precedence than the
+    * classic section of the same update: Acrobat-written hybrids mark
+    * object-stream-compressed objects FREE in the classic table and list
+    * them only in the stream, so without the chase those objects resolve
+    * to nothing. A damaged chain falls back to
     * [[scanObjects]] (which cannot see inside object streams — 1.5 files
     * need their xref intact, a documented profile edge).
     */
@@ -461,10 +463,24 @@ object PdfCodec {
               }
               x.skipWs()
             }
-            x.readValue() match {
+            val td = x.readValue() match {
               case d: PDict => d
               case _ => throw new IllegalArgumentException("pdf: trailer is not a dictionary")
             }
+            // hybrid-reference (§7.5.8.4): the classic section only lists
+            // the backward-compatible view (compressed objects are FREE
+            // there); the rest live in the /XRefStm stream. Merge it after
+            // the classic entries — first-definition-wins keeps the classic
+            // section authoritative where both define an object.
+            td.m.get("XRefStm").foreach {
+              case PNum(p) =>
+                val (sd, sdata) = xrefStreamAt(b, p.toInt)
+                xrefStreamEntries(sd, sdata) { (num, loc) =>
+                  if (!index.contains(num)) index += num -> loc
+                }
+              case _ => ()
+            }
+            td
           } else {
             // PDF 1.5 cross-reference stream: the dict doubles as trailer
             val (d, data) = xrefStreamAt(b, off)
@@ -820,13 +836,35 @@ object PdfCodec {
     (doc, pageDicts.result())
   }
 
+  /** /Resources is an inheritable page attribute (ISO 32000-1 §7.7.3.4):
+    * wild PDFs routinely hang it on the /Pages node and let every page
+    * inherit. The Type0 guard must see the INHERITED dict, or a CJK
+    * document with tree-level fonts bypasses the named reject and its
+    * multi-byte codes get decoded as WinAnsi mojibake. Follow /Parent up
+    * the tree; the depth cap doubles as the cycle guard.
+    */
+  private def inheritedResources(doc: Doc, page: PDict): PVal = {
+    var cur = page
+    var depth = 0
+    while (depth < MaxKidsDepth) {
+      cur.m.get("Resources") match {
+        case Some(r) => return doc.resolve(r)
+        case None => doc.resolve(cur.m.getOrElse("Parent", PNull)) match {
+          case d: PDict => cur = d; depth += 1
+          case _ => return PNull
+        }
+      }
+    }
+    PNull
+  }
+
   private def extractFrom(doc: Doc, pages: Vector[PDict]): PdfText = {
     val texts = pages.map { p =>
       // composite (Type0/CID) fonts carry multi-byte codes that only a
       // ToUnicode CMap can decode — extracting their strings as WinAnsi
-      // would be silently wrong, so they are a NAMED reject (best-effort:
-      // the page's own /Resources; inherited resources are not chased)
-      doc.resolve(p.m.getOrElse("Resources", PNull)) match {
+      // would be silently wrong, so they are a NAMED reject (checked on
+      // the page's EFFECTIVE resources, own or inherited via /Parent)
+      inheritedResources(doc, p) match {
         case PDict(res) => doc.resolve(res.getOrElse("Font", PNull)) match {
           case PDict(fonts) => fonts.values.map(doc.resolve).foreach {
             case PDict(fm) if fm.get("Subtype").contains(PName("Type0")) =>

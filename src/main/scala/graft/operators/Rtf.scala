@@ -50,17 +50,28 @@ object Rtf {
     val stack = new Array[(Boolean, Int)](MaxGroupDepth)
     var i = 0
     var pendingUcSkip = 0 // fallback chars to swallow after \uN
+    // Only LITERAL text counts toward the \uN fallback skip (RTF 1.9.1:
+    // the fallback is the \ansi rendering — plain chars, \'xx, and the
+    // escaped literals). Control-word OUTPUT (\par, \tab, \emdash, ...)
+    // is not fallback text: "荤\par" must keep its paragraph break,
+    // so emit() resets the pending skip instead of consuming it; group
+    // boundaries reset it too.
     def append(c: Char): Unit =
       if (!skipping) {
         if (pendingUcSkip > 0) pendingUcSkip -= 1
         else sb.append(c)
       }
+    def emit(c: Char): Unit = {
+      pendingUcSkip = 0
+      if (!skipping) sb.append(c)
+    }
     while (i < bytes.length) {
       val c = bytes(i) & 0xff
       c match {
         case '{' =>
           require(depth < MaxGroupDepth, "rtf: groups nested past the cap")
           stack(depth) = (skipping, ucSkip)
+          pendingUcSkip = 0
           depth += 1
           i += 1
           // a starred destination `{\*\word ...}` is skipped wholesale
@@ -68,6 +79,7 @@ object Rtf {
             skipping = true
         case '}' =>
           require(depth > 0, "rtf: unbalanced '}'")
+          pendingUcSkip = 0
           depth -= 1
           val (s, u) = stack(depth)
           skipping = s; ucSkip = u
@@ -85,9 +97,9 @@ object Rtf {
             i += 3
           } else if (d == '\\' || d == '{' || d == '}') {
             append(d.toChar); i += 1
-          } else if (d == '~') { append('\u00A0'); i += 1 } // nbsp
+          } else if (d == '~') { emit('\u00A0'); i += 1 } // nbsp
           else if (d == '-' || d == '_' || d == ':') i += 1 // soft hyphen etc.
-          else if (d == '\n' || d == '\r') { append('\n'); i += 1 } // \<eol> = \par
+          else if (d == '\n' || d == '\r') { emit('\n'); i += 1 } // \<eol> = \par
           else if (d == '*') i += 1 // handled at '{'; stray \* is styling
           else if (Character.isLetter(d)) {
             // control word: letters, optional signed parameter, optional space
@@ -107,15 +119,15 @@ object Rtf {
             if (neg) param = -param
             if (i < bytes.length && bytes(i) == ' ') i += 1 // delimiter space
             word match {
-              case "par" | "line" | "sect" | "page" => append('\n')
-              case "tab" => append('\t')
-              case "emdash" => append('—')
-              case "endash" => append('–')
-              case "lquote" => append('‘')
-              case "rquote" => append('’')
-              case "ldblquote" => append('“')
-              case "rdblquote" => append('”')
-              case "bullet" => append('•')
+              case "par" | "line" | "sect" | "page" => emit('\n')
+              case "tab" => emit('\t')
+              case "emdash" => emit('—')
+              case "endash" => emit('–')
+              case "lquote" => emit('‘')
+              case "rquote" => emit('’')
+              case "ldblquote" => emit('“')
+              case "rdblquote" => emit('”')
+              case "bullet" => emit('•')
               case "uc" => ucSkip = math.max(0, param.toInt)
               case "u" =>
                 // \uN: signed 16-bit code unit; negative N means N+65536

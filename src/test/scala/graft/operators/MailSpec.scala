@@ -169,4 +169,26 @@ class MailSpec extends AnyFunSuite {
       "Content-Type: multipart/mixed; boundary=X", body))
     assert(!m.textFound && m.text == "" && m.nParts == 1)
   }
+
+  // -------------------------------------- RFC 4155 postmark gating (r11 advice)
+
+  test("body 'From ' lines without a preceding blank line do not split the message") {
+    // wild non-mboxrd producer: the body line is NOT >-quoted; only the
+    // blank-line-preceded postmark delimits (RFC 4155)
+    val wild = ascii(
+      "From a@x Thu Jan  1 00:00:00 2026\n" +
+        "From: a@x\nSubject: wild\n\n" +
+        "line one\n" +
+        "From the start, this held firm\n" +
+        "line three\n" +
+        "\n" +
+        "From b@y Thu Jan  1 00:00:01 2026\n" +
+        "From: b@y\nSubject: second\n\n" +
+        "ok\n")
+    val msgs = Mail.splitMbox(wild)
+    assert(msgs.length == 2)
+    val first = Mail.parseMessage(msgs(0))
+    assert(first.text == "line one\nFrom the start, this held firm\nline three")
+    assert(Mail.parseMessage(msgs(1)).text == "ok")
+  }
 }

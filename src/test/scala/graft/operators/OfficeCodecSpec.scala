@@ -216,4 +216,17 @@ class OfficeCodecSpec extends AnyFunSuite {
     val gotOdt = OfficeCodec.extractText(OfficeCodec.writeOdt(paras))
     assert(gotOdt.text == paras.mkString("\n"))
   }
+
+  // ------------------------------------- sniff/extract agreement (r11 advice)
+
+  test("a zip with only a mimetype member is not promised as decodable") {
+    // e.g. a malformed EPUB missing container.xml: sniff must NOT say
+    // "odt" when extractText would throw "no document member" — triage
+    // and extraction have to agree on decodability
+    val stray = Zip.writeZip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(StandardCharsets.US_ASCII)))
+    assert(OfficeCodec.sniff(stray).isEmpty)
+    val e = intercept[IllegalArgumentException](OfficeCodec.extractText(stray))
+    assert(e.getMessage.contains("no document member"))
+  }
 }

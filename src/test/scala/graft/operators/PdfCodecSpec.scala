@@ -314,4 +314,59 @@ class PdfCodecSpec extends AnyFunSuite {
     val bad = Multimodal.probeBytes(8L, enc.getBytes(StandardCharsets.ISO_8859_1))
     assert(bad.container == "pdf" && !bad.decodable && bad.n_frames.isEmpty)
   }
+
+  // ------------------------------ inherited resources + hybrid xref (r11 advice)
+
+  test("Type0 fonts inherited from the /Pages node are still a named reject") {
+    // /Resources is inheritable (ISO 32000-1 \u00a77.7.3.4): wild CJK PDFs
+    // hang the composite font on the page TREE; the guard must see it.
+    // No xref on purpose: the scan fallback indexes the objects.
+    val doc =
+      "%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1" +
+        " /Resources << /Font << /F1 4 0 R >> >> >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n" +
+        "4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Any >> endobj\n" +
+        "5 0 obj << /Length 19 >>\nstream\nBT (mojibake) Tj ET\nendstream\nendobj\n"
+    val e = intercept[IllegalArgumentException](PdfCodec.extractText(ascii(doc)))
+    assert(e.getMessage.contains("Type0"))
+    // a page-level /Resources OVERRIDES the inherited one: same tree, but
+    // the page carries its own simple font - extraction succeeds
+    val own = doc.replace(
+      "/Parent 2 0 R /Contents 5 0 R",
+      "/Parent 2 0 R /Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R") +
+      "6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >> endobj\n"
+    assert(PdfCodec.extractText(ascii(own)).pages == Seq("mojibake"))
+  }
+
+  test("hybrid-reference: objects listed only in /XRefStm resolve (Acrobat shape)") {
+    // Acrobat-written hybrids mark object-stream-compressed objects FREE
+    // in the classic table and list them only in the /XRefStm stream; a
+    // reader that ignores the pointer loses the catalog itself.
+    val pages = Seq("hybrid text survives")
+    val base = PdfCodec.write15(pages)
+    val s = new String(base, StandardCharsets.ISO_8859_1)
+    val tail = s.substring(s.lastIndexOf("startxref"))
+    val xrefStmOff = tail.split("\\s+")(1).toInt
+    def off(num: Int): Int = {
+      val i = s.indexOf(s"\n$num 0 obj"); require(i >= 0, s"obj $num not found"); i + 1
+    }
+    // classic update: only the DIRECT objects (objstm 1, content 6, xref
+    // stream 7) are listed; compressed 2..5 appear nowhere here
+    val classic = new StringBuilder
+    val tableOff = base.length
+    classic.append("xref\n0 2\n")
+    classic.append(f"${0}%010d 65535 f \n")
+    classic.append(f"${off(1)}%010d 00000 n \n")
+    classic.append("6 2\n")
+    classic.append(f"${off(6)}%010d 00000 n \n")
+    classic.append(f"$xrefStmOff%010d 00000 n \n")
+    classic.append(s"trailer\n<< /Size 8 /Root 2 0 R /XRefStm $xrefStmOff >>\n")
+    classic.append(s"startxref\n$tableOff\n%%EOF\n")
+    val hybrid = base ++ classic.toString.getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extractText(hybrid).pages == pages)
+    assert(PdfCodec.pageCount(hybrid) == 1)
+  }
 }

@@ -86,4 +86,25 @@ class RtfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Rtf.write(Seq("ok", "")))
     intercept[IllegalArgumentException](Rtf.write(Seq("trailing\n")))
   }
+
+  // ---------------------------------------------- \uN fallback-skip (r11 advice)
+
+  test("\\uN fallback skip consumes only literal text and \\'xx, not control output") {
+    // '\u8364\par b': no fallback char was written — the \par break must
+    // survive, not be swallowed as the pending fallback
+    assert(Rtf.extractText(ascii("{\\rtf1 a\\u8364\\par b}")) == "a€\nb")
+    // a literal fallback char IS swallowed
+    assert(Rtf.extractText(ascii("{\\rtf1 \\u8364 ?x}")) == "€x")
+    // a \'xx fallback byte is swallowed too
+    assert(Rtf.extractText(ascii("{\\rtf1 \\u8364\\'80y}")) == "€y")
+    // styling control words neither consume nor reset: the fallback after
+    // them is still skipped
+    assert(Rtf.extractText(ascii("{\\rtf1 \\u8364\\f1 ?z}")) == "€z")
+  }
+
+  test("\\uN fallback skip resets at group boundaries") {
+    // the skip cannot leak out of the group where \uN appeared
+    assert(Rtf.extractText(ascii("{\\rtf1 {\\u8364}? end}")) == "€? end")
+    assert(Rtf.extractText(ascii("{\\rtf1 \\u8364{?} end}")) == "€? end")
+  }
 }
