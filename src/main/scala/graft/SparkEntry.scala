@@ -4811,10 +4811,15 @@ object SparkEntry {
     // new urls before sitemaps or the link graph see them) parsed through
     // the hardened XML walk, entries anti-joined against the known
     // frontier — new urls surface per host with their announcement day.
-    // Feeds are host-grain KB dims; the anti-join keys on url only (both
-    // sides pruned to the key before the exchange), and at crawl scale
-    // the frontier side is partition-pruned to the announcing hosts
-    // before the join ever runs.
+    // Feeds are host-grain KB dims; the 100 TB side is the FRONTIER, so
+    // the plan must never shuffle or broadcast it: the frontier is probed
+    // ONCE through a left-semi BroadcastHashJoin with the entries urls as
+    // the build side (an outer join preserving entries could only ever
+    // broadcast the frontier — Spark builds the non-preserved side — so
+    // the flag is derived in two dim-grain steps instead), and the
+    // resulting known-url set (≤ the entries size) flags the entries in a
+    // second broadcast join. Both exchanges carry dims; frontier rows
+    // stream.
     "tx_feed_discovery" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
@@ -4827,8 +4832,11 @@ object SparkEntry {
       val frontier = t(s, dir, "documents")
         .select(concat(lit("http://src"), col("doc_id") % 20,
           lit(".invalid/post/"), col("doc_id")).as("url"))
-      val flagged = entries.join(frontier.withColumn("known", lit(1L)),
-        Seq("url"), "left_outer")
+      val knownUrls = frontier
+        .join(broadcast(entries.select(col("url")).distinct()),
+          Seq("url"), "left_semi")
+        .withColumn("known", lit(1L))
+      val flagged = entries.join(broadcast(knownUrls), Seq("url"), "left_outer")
       flagged
         .groupBy(col("host_k"))
         .agg(max(col("kind")).as("kind"),

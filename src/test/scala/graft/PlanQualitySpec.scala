@@ -280,4 +280,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"cross dedup degraded to cross product:\n$p")
   }
+
+  test("feed discovery probes the frontier via broadcast builds, never shuffles it") {
+    // the SCALING.md claim made structural (r11 verdict #4): the 100 TB
+    // frontier streams through BroadcastHashJoin probes with the entries
+    // dim as build side — no SMJ/shuffled join anywhere in the plan
+    val p = plan("tx_feed_discovery")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"frontier join degraded to a shuffle join:\n$p")
+  }
 }
