@@ -5002,14 +5002,17 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val clean = graft.operators.PdfCodec.write(
-            Seq(s"quarantine probe $id"), compress = false)
+          // the encrypted lane is REALLY encrypted now (standard security
+          // handler, user password set), so the reject is the honest
+          // "password required" — empty-password files decrypt instead
+          // (tx_pdf_encrypted) and never reach quarantine
           val bytes =
-            if (id % 5 == 0) new String(clean,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
-              .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-            else clean
+            if (id % 5 == 0) graft.operators.PdfCodec.writeEncrypted(
+              Seq(s"quarantine probe $id"),
+              Seq("rc4-40", "rc4-128", "aes-128", "aes-256")(((id / 5) % 4).toInt),
+              userPw = "locked")
+            else graft.operators.PdfCodec.write(
+              Seq(s"quarantine probe $id"), compress = false)
           val probe = graft.operators.Multimodal.probeBytes(id, bytes)
           val status =
             try { graft.operators.PdfCodec.extractText(bytes); "ok" }
@@ -5017,6 +5020,37 @@ object SparkEntry {
           (id, probe.container, probe.n_frames, probe.decodable, status)
         }
         .toDF("doc_id", "container", "n_pages", "decodable", "status")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ENCRYPTED PDFs — the standard security handler (ISO 32000-1
+    // §7.6.3 / 32000-2 §7.6.4) over the dominant wild class: documents
+    // whose OWNER password restricts editing but whose USER password is
+    // empty, readable without any secret. Ciphers rotate by id%4
+    // (RC4-40 / RC4-128 / AES-128-CBC / AES-256 R6); every 7th document
+    // carries a REAL user password and stays the named reject — only
+    // truly-locked files quarantine now. Map-only per-record decrypt +
+    // extract; keys derive per record, nothing crosses an exchange.
+    "tx_pdf_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val method =
+            Seq("rc4-40", "rc4-128", "aes-128", "aes-256")((id % 4).toInt)
+          val pages = (0 until (1 + id % 2).toInt).map(p =>
+            s"Secret doc $id page $p ‘café’\nciphered ${id % 5} — (p$p)")
+          val locked = id % 7 == 0
+          val bytes = graft.operators.PdfCodec.writeEncrypted(pages, method,
+            userPw = if (locked) "secret" else "")
+          try {
+            val t = graft.operators.PdfCodec.extractText(bytes)
+            (id, method, "ok", t.nPages.toLong,
+              t.pages.map(_.length.toLong).sum)
+          } catch {
+            case e: IllegalArgumentException => (id, method, e.getMessage, 0L, 0L)
+          }
+        }
+        .toDF("doc_id", "method", "status", "n_pages", "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -8271,11 +8305,34 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
+    // the standard-security handler replayed: ciphers rotate by id%4,
+    // every 7th doc is REALLY user-locked (the named reject with 0/0),
+    // the rest decrypt with the empty password and their page text is
+    // the same doc_id arithmetic every PDF oracle uses
+    "tx_pdf_encrypted" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+        |      WHEN 2 THEN 'aes-128' ELSE 'aes-256' END AS method,
+        |    1 + doc_id % 2 AS n_pages, doc_id % 7 = 0 AS locked
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_pages,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS page_idx FROM d),
+        |c AS (SELECT doc_id,
+        |    SUM(LENGTH('Secret doc ' || doc_id || ' page ' || page_idx ||
+        |        ' ‘café’' || chr(10) || 'ciphered ' || (doc_id % 5) ||
+        |        ' — (p' || page_idx || ')')) AS n_chars
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.method,
+        |  CASE WHEN d.locked THEN 'pdf: encrypted (password required)'
+        |    ELSE 'ok' END AS status,
+        |  CASE WHEN d.locked THEN 0 ELSE CAST(d.n_pages AS BIGINT) END AS n_pages,
+        |  CASE WHEN d.locked THEN 0 ELSE CAST(c.n_chars AS BIGINT) END AS n_chars
+        |FROM d JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "tx_pdf_quarantine" ->
       """SELECT doc_id, 'pdf' AS container,
         |  CASE WHEN doc_id % 5 <> 0 THEN CAST(1 AS BIGINT) END AS n_pages,
         |  doc_id % 5 <> 0 AS decodable,
-        |  CASE WHEN doc_id % 5 = 0 THEN 'pdf: encrypted (no decryption support)'
+        |  CASE WHEN doc_id % 5 = 0 THEN 'pdf: encrypted (password required)'
         |    ELSE 'ok' END AS status
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the PDF WARC capstone replayed end-to-end: page counts and total
@@ -8293,7 +8350,7 @@ object SparkEntry {
         |  FROM p GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 5 = 0
-        |    THEN 'pdf: encrypted (no decryption support)' ELSE 'ok' END AS status,
+        |    THEN 'pdf: encrypted (password required)' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.n_pages END
         |    AS BIGINT) AS n_pages,
         |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE c.n_chars END
@@ -8371,7 +8428,7 @@ object SparkEntry {
         |  FROM p GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 5 = 0
-        |    THEN 'pdf: encrypted (no decryption support)' ELSE 'ok' END AS status,
+        |    THEN 'pdf: encrypted (password required)' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.n_pages END
         |    AS BIGINT) AS n_pages,
         |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE c.n_chars END

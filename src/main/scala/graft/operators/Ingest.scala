@@ -430,13 +430,14 @@ object Ingest {
         val recs = it.toSeq.sorted.map { id =>
           val pages = (0 until (1 + id % 3).toInt).map(p =>
             s"Doc $id page $p ‘café’\ntokens ${id % 7} — (p$p)")
-          val clean = PdfCodec.write(pages, compress = id % 2 == 0)
+          // the encrypted lane carries a REAL standard-security file with a
+          // user password, rotating ciphers — the honest password-gated
+          // reject class (empty-password files decrypt, tx_pdf_encrypted)
           val body =
-            if (id % 5 == 0) new String(clean,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
-              .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-            else clean
+            if (id % 5 == 0) PdfCodec.writeEncrypted(pages,
+              Seq("rc4-40", "rc4-128", "aes-128", "aes-256")(((id / 5) % 4).toInt),
+              userPw = "locked")
+            else PdfCodec.write(pages, compress = id % 2 == 0)
           Map(
             "WARC-Type" -> "response",
             "WARC-Target-URI" -> s"http://src${id % 20}.invalid/pdf/$id",
@@ -524,12 +525,10 @@ object Ingest {
           val clean =
             if (id % 2 == 0) PdfCodec.write15(pages)
             else PdfCodec.writeWithFilters(pages, modernCascade(id))
-          val rootRef = if (id % 2 == 0) "/Root 2 0 R" else "/Root 1 0 R"
           val body =
-            if (id % 5 == 0) new String(clean,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
-              .replace(rootRef, s"$rootRef /Encrypt 99 0 R")
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            if (id % 5 == 0) PdfCodec.writeEncrypted(pages,
+              Seq("rc4-40", "rc4-128", "aes-128", "aes-256")(((id / 5) % 4).toInt),
+              userPw = "locked")
             else clean
           Map(
             "WARC-Type" -> "response",

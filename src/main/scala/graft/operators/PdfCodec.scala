@@ -291,6 +291,85 @@ object PdfCodec {
     }
   }
 
+  // ----------------------------------------------------------- encryption
+
+  /** Wire the standard security handler (ISO 32000-1 §7.6.3 / 32000-2
+    * §7.6.4) into a freshly-opened doc when the trailer carries
+    * /Encrypt. ONLY the empty password is ever tried — the owner-locked
+    * documents every corpus carries at percent scale are readable
+    * without a secret; anything actually password-gated stays a NAMED
+    * reject ("pdf: encrypted (password required)"). Non-Standard
+    * handlers and unknown /V stay named rejects too.
+    */
+  private def setupDecryption(doc: Doc): Unit =
+    doc.trailer.m.get("Encrypt").foreach { encRef =>
+      val encNum = encRef match { case PRef(n, _) => n; case _ => -1 }
+      val enc = doc.resolve(encRef) match {
+        case d: PDict => d
+        case _ => throw new IllegalArgumentException(
+          "pdf: encrypted (malformed /Encrypt dictionary)")
+      }
+      def num(k: String, dflt: Int): Int = doc.resolve(enc.m.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toInt
+        case _ => dflt
+      }
+      def str(k: String): Array[Byte] = doc.resolve(enc.m.getOrElse(k, PNull)) match {
+        case PStr(b) => b
+        case _ => Array.emptyByteArray
+      }
+      doc.resolve(enc.m.getOrElse("Filter", PNull)) match {
+        case PName("Standard") => ()
+        case PName(other) => throw new IllegalArgumentException(
+          s"pdf: encrypted (non-standard security handler /$other)")
+        case _ => throw new IllegalArgumentException(
+          "pdf: encrypted (missing security handler /Filter)")
+      }
+      val v = num("V", 0)
+      val r = num("R", if (v <= 1) 2 else 3)
+      val id0 = doc.trailer.m.get("ID").map(doc.resolve) match {
+        case Some(PArr(items)) if items.nonEmpty => doc.resolve(items.head) match {
+          case PStr(b) => b
+          case _ => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray // spec requires /ID; damaged files: empty
+      }
+      val encryptMetadata = doc.resolve(enc.m.getOrElse("EncryptMetadata",
+        PBool(true))) match {
+        case PBool(b) => b
+        case _ => true
+      }
+      // V4/V5: resolve the named crypt filters for streams and strings
+      def cfm(sel: String): String =
+        if (v < 4) "V2"
+        else doc.resolve(enc.m.getOrElse(sel, PName("Identity"))) match {
+          case PName("Identity") => "Identity"
+          case PName(cfName) => doc.resolve(enc.m.getOrElse("CF", PNull)) match {
+            case PDict(cfs) => doc.resolve(cfs.getOrElse(cfName, PNull)) match {
+              case PDict(f) => doc.resolve(f.getOrElse("CFM", PNull)) match {
+                case PName(m) => m
+                case _ => throw new IllegalArgumentException(
+                  s"pdf: encrypted (crypt filter /$cfName has no /CFM)")
+              }
+              case _ => throw new IllegalArgumentException(
+                s"pdf: encrypted (crypt filter /$cfName not in /CF)")
+            }
+            case _ => throw new IllegalArgumentException(
+              "pdf: encrypted (/CF dictionary missing)")
+          }
+          case _ => "Identity"
+        }
+      val params = PdfCrypt.Params(v = v, r = r,
+        lengthBits = num("Length", 40), o = str("O"), u = str("U"),
+        oe = str("OE"), ue = str("UE"), p = num("P", -1), id0 = id0,
+        encryptMetadata = encryptMetadata,
+        stmCfm = cfm("StmF"), strCfm = cfm("StrF"))
+      PdfCrypt.authenticateEmpty(params) match {
+        case Some(key) => doc.installDecryption(params, key, encNum)
+        case None => throw new IllegalArgumentException(
+          "pdf: encrypted (password required)")
+      }
+    }
+
   // ----------------------------------------------------------- documents
 
   /** Parsed document handle: object index + lazy object loading with
@@ -300,6 +379,57 @@ object PdfCodec {
       val trailer: PDict) {
     private val memo = scala.collection.mutable.Map.empty[Int, PVal]
     private val loading = scala.collection.mutable.Set.empty[Int]
+
+    /** Standard-security decryption state: (params, file key, number of
+      * the /Encrypt dict itself — its /O,/U strings are stored clear).
+      * Installed by [[installDecryption]] AFTER the Encrypt dict has
+      * been read (clear) through this doc; the memo is dropped so any
+      * object touched during setup re-reads decrypted.
+      */
+    private var crypt: Option[(PdfCrypt.Params, Array[Byte], Int)] = None
+
+    def installDecryption(p: PdfCrypt.Params, key: Array[Byte],
+        encNum: Int): Unit = {
+      crypt = Some((p, key, encNum))
+      memo.clear()
+      objStms.clear()
+    }
+
+    /** Strings decrypt with the TOP-LEVEL object's (num, gen) key
+      * (§7.6.2 Algorithm 1 — nested strings share their object's key).
+      */
+    private def decryptStrings(num: Int, gen: Int)(v: PVal): PVal =
+      crypt match {
+        case None => v
+        case Some((p, key, _)) =>
+          def walk(x: PVal): PVal = x match {
+            case PStr(b) =>
+              PStr(PdfCrypt.decrypt(p, key, p.strCfm, num, gen, b))
+            case PArr(items) => PArr(items.map(walk))
+            case PDict(m) => PDict(m.map { case (k, e) => k -> walk(e) })
+            case other => other
+          }
+          walk(v)
+      }
+
+    /** Decrypt a just-parsed top-level object: stream bytes through the
+      * stream filter, strings through the string filter. Cross-reference
+      * streams are NEVER encrypted (§7.5.8.2), the /Encrypt dict's own
+      * strings are stored clear, and object-stream members are handled
+      * by their container (§7.5.7: not separately encrypted).
+      */
+    private def decryptObject(num: Int, gen: Int, v: PVal): PVal =
+      crypt match {
+        case None => v
+        case Some((p, key, encNum)) if num == encNum => v
+        case Some((p, key, _)) => v match {
+          case PStream(d, raw) if d.m.get("Type").contains(PName("XRef")) => v
+          case PStream(d, raw) =>
+            val dd = decryptStrings(num, gen)(d).asInstanceOf[PDict]
+            PStream(dd, PdfCrypt.decrypt(p, key, p.stmCfm, num, gen, raw))
+          case other => decryptStrings(num, gen)(other)
+        }
+      }
 
     def obj(num: Int): PVal = memo.getOrElseUpdate(num, {
       require(loading.add(num), s"pdf: reference cycle through object $num")
@@ -321,11 +451,11 @@ object PdfCodec {
           val lx = new Lexer(bytes, off)
           val n = lx.readToken().toInt
           require(n == num, s"pdf: object at offset $off is $n, xref said $num")
-          lx.readToken() // generation
+          val gen = try lx.readToken().toInt catch { case _: NumberFormatException => 0 }
           lx.expect("obj")
           val v = lx.readValue()
           lx.skipWs()
-          v match {
+          decryptObject(num, gen, v match {
             case d: PDict if lx.tryKeyword("stream") =>
               // EOL after `stream` is CRLF or LF (§7.3.8.1)
               if (lx.peek == '\r') lx.pos += 1
@@ -342,7 +472,7 @@ object PdfCodec {
               }
               PStream(d, java.util.Arrays.copyOfRange(bytes, start, start + len))
             case other => other
-          }
+          })
       } finally loading.remove(num)
     })
 
@@ -740,9 +870,8 @@ object PdfCodec {
     require(isPdf(bytes), "pdf: missing %PDF- header")
     val (index, trailer) = buildIndex(bytes)
     require(index.nonEmpty, "pdf: no objects found")
-    if (trailer.m.contains("Encrypt"))
-      throw new IllegalArgumentException("pdf: encrypted (no decryption support)")
     val doc = new Doc(bytes, index, trailer)
+    setupDecryption(doc)
     val m = trailer.m.get("Info").map(doc.resolve) match {
       case Some(PDict(d)) => d
       case _ => Map.empty[String, PVal]
@@ -798,9 +927,8 @@ object PdfCodec {
     require(isPdf(bytes), "pdf: missing %PDF- header")
     val (index, trailer) = buildIndex(bytes)
     require(index.nonEmpty, "pdf: no objects found")
-    if (trailer.m.contains("Encrypt"))
-      throw new IllegalArgumentException("pdf: encrypted (no decryption support)")
     val doc = new Doc(bytes, index, trailer)
+    setupDecryption(doc)
     val rootRef = trailer.m.getOrElse("Root",
       // trailer lost to truncation: find the catalog by scanning objects
       // (individual damaged objects are skipped, not fatal)
@@ -1583,6 +1711,135 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** Encrypting writer — the fixture/oracle half of the standard
+    * security handler. `method` picks the profile:
+    *
+    *   - `rc4-40`: /V 1 /R 2 (the 40-bit legacy class)
+    *   - `rc4-128`: /V 2 /R 3 /Length 128
+    *   - `aes-128`: /V 4 /R 4, /StdCF /CFM /AESV2
+    *   - `aes-256`: /V 5 /R 6 (ISO 32000-2), /CFM /AESV3
+    *
+    * `userPw` defaults to "" — the owner-locked shape [[extractText]]
+    * reads back without a secret; pass a real user password to fabricate
+    * the password-gated reject lane. Deterministic: AES IVs and the
+    * /ID derive from the content, so oracles can predict round-trips.
+    * Same page-text contract as [[write]].
+    */
+  def writeEncrypted(pages: Seq[String], method: String,
+      ownerPw: String = "owner", userPw: String = "",
+      info: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(pages.nonEmpty, "pdf write: at least one page")
+    pages.foreach { p =>
+      require(p.forall(encodableChar),
+        "pdf write: page text must be WinAnsi-representable")
+      require(p.isEmpty || p.split("\n", -1).forall(_.nonEmpty),
+        "pdf write: empty lines do not round-trip (see scaladoc)")
+    }
+    val (v, r, lengthBits, cfmName) = method match {
+      case "rc4-40" => (1, 2, 40, "V2")
+      case "rc4-128" => (2, 3, 128, "V2")
+      case "aes-128" => (4, 4, 128, "AESV2")
+      case "aes-256" => (5, 6, 256, "AESV3")
+      case other => throw new IllegalArgumentException(
+        s"pdf write: unknown encryption method '$other'")
+    }
+    val permissions = -44 // print allowed, modify/copy denied: owner-locked
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pages.mkString(" ").getBytes(StandardCharsets.UTF_8))
+    def hex(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02x").mkString("<", "", ">")
+    // ---- handler setup: O/U (+OE/UE for V5) and the file key
+    val base = PdfCrypt.Params(v = v, r = r, lengthBits = lengthBits,
+      o = Array.emptyByteArray, u = Array.emptyByteArray,
+      oe = Array.emptyByteArray, ue = Array.emptyByteArray,
+      p = permissions, id0 = id0, encryptMetadata = true,
+      stmCfm = cfmName, strCfm = cfmName)
+    val (params, fileKey, extraEnc) =
+      if (v < 5) {
+        val (o, u) = PdfCrypt.makeOU(base, ownerPw, userPw)
+        val p2 = base.copy(o = o, u = u)
+        (p2, PdfCrypt.deriveKey(p2, userPw), "")
+      } else {
+        // deterministic 32-byte file key + salts from the content digest
+        val fk = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(("filekey:" + pages.mkString(" "))
+            .getBytes(StandardCharsets.UTF_8))
+        val salts = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(("salts:" + pages.mkString(" "))
+            .getBytes(StandardCharsets.UTF_8))
+        val (u, ue, o, oe) = PdfCrypt.makeV5(r, ownerPw, userPw, fk, salts)
+        val p2 = base.copy(o = o, u = u, oe = oe, ue = ue)
+        (p2, fk, s" /OE ${hex(oe)} /UE ${hex(ue)} /Perms <00000000000000000000000000000000>")
+      }
+    def iv(num: Int): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"iv:$num:${pages.length}".getBytes(StandardCharsets.UTF_8))
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      PdfCrypt.encrypt(params, fileKey, params.stmCfm, num, 0, iv(num), data)
+    def encString(num: Int, data: Array[Byte]): Array[Byte] =
+      PdfCrypt.encrypt(params, fileKey, params.strCfm, num, 0, iv(num * 7919 + 1), data)
+    // ---- classic body layout (the write() shape) + /Encrypt + /ID
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(ascii("%PDF-1.6\n%âãÏÓ\n"))
+    val n = pages.length
+    val infoNum = if (info.nonEmpty) 4 + 2 * n else 0
+    val encNum = 4 + 2 * n + (if (info.nonEmpty) 1 else 0)
+    val offsets = new Array[Int](encNum + 1)
+    def obj(num: Int, body: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      out.write(ascii(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(ascii("\nendobj\n"))
+    }
+    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(1, ascii("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2, ascii(s"<< /Type /Pages /Kids [$kids] /Count $n >>"))
+    obj(3, ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>"))
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 4 + 2 * i
+      val streamNum = pageNum + 1
+      obj(pageNum, ascii(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 3 0 R >> >> /Contents $streamNum 0 R >>"))
+      // stored bytes = Encrypt(filterEncode(plain)): readers decrypt
+      // FIRST, then run /Filter (§7.6.2 ordering)
+      val data = encStream(streamNum, deflate(contentOps(text)))
+      offsets(streamNum) = out.size()
+      out.write(ascii(s"$streamNum 0 obj\n<< /Length ${data.length}" +
+        " /Filter /FlateDecode >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+    }
+    if (info.nonEmpty) {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(ascii("<<"))
+      info.foreach { case (k, v2) =>
+        bo.write(ascii(s" /$k "))
+        bo.write(ascii(hex(encString(infoNum, textStringRaw(v2)))))
+      }
+      bo.write(ascii(" >>"))
+      obj(infoNum, bo.toByteArray)
+    }
+    val cfClause =
+      if (v < 4) ""
+      else s" /CF << /StdCF << /CFM /$cfmName /AuthEvent /DocOpen" +
+        s" /Length ${lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF"
+    obj(encNum, ascii(s"<< /Filter /Standard /V $v /R $r" +
+      s" /Length $lengthBits /P $permissions" +
+      s" /O ${hex(params.o)} /U ${hex(params.u)}$extraEnc$cfClause >>"))
+    val xrefAt = out.size()
+    out.write(ascii(s"xref\n0 ${encNum + 1}\n"))
+    out.write(ascii("0000000000 65535 f \n"))
+    (1 to encNum).foreach(i => out.write(ascii(f"${offsets(i)}%010d 00000 n \n")))
+    val infoRef = if (info.nonEmpty) s" /Info $infoNum 0 R" else ""
+    out.write(ascii(s"trailer\n<< /Size ${encNum + 1} /Root 1 0 R$infoRef" +
+      s" /Encrypt $encNum 0 R /ID [${hex(id0)} ${hex(id0)}] >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
   /** One page's content-stream operators (shared by every writer). */
   private def contentOps(text: String): Array[Byte] = {
     val ops = new StringBuilder
@@ -1705,11 +1962,7 @@ object PdfCodec {
     * inside UTF-16 code units would otherwise unbalance the literal.
     */
   private def textStringBytes(value: String): Array[Byte] = {
-    val enc: Array[Byte] =
-      if (value.forall(PdfDocEncode.contains))
-        value.map(c => PdfDocEncode(c).toByte).toArray
-      else Array(0xFE.toByte, 0xFF.toByte) ++
-        value.getBytes(StandardCharsets.UTF_16BE)
+    val enc = textStringRaw(value)
     val out = new java.io.ByteArrayOutputStream(enc.length + 8)
     out.write('(')
     enc.foreach { b =>
@@ -1720,6 +1973,16 @@ object PdfCodec {
     out.write(')')
     out.toByteArray
   }
+
+  /** The UNSERIALIZED text-string bytes (encoding choice only, no
+    * literal framing) — what the encrypting writer ciphers before
+    * storing as a hex string.
+    */
+  private def textStringRaw(value: String): Array[Byte] =
+    if (value.forall(PdfDocEncode.contains))
+      value.map(c => PdfDocEncode(c).toByte).toArray
+    else Array(0xFE.toByte, 0xFF.toByte) ++
+      value.getBytes(StandardCharsets.UTF_16BE)
 
   /** A char the writer can emit AND the extractor decodes back to itself:
     * the WinAnsi typographic set, or Latin-1 outside the 0x80-0x9F block
