@@ -4738,8 +4738,7 @@ object SparkEntry {
             case 6 => graft.operators.Mail.writeMbox(Seq(
               s"Subject: d$id\n\nbody".getBytes(
                 java.nio.charset.StandardCharsets.ISO_8859_1)))
-            case _ => Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
-              0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ new Array[Byte](64)
+            case _ => graft.operators.MsDoc.write(Seq(s"doc $id"))
           }
           val p = graft.operators.Multimodal.probeBytes(id, bytes)
           (id, p.container, p.decodable)
@@ -4769,7 +4768,7 @@ object SparkEntry {
             val text = probe.container match {
               case "pdf" =>
                 graft.operators.PdfCodec.extractText(body).pages.mkString("\n")
-              case "docx" | "odt" | "xlsx" | "pptx" | "epub" =>
+              case "docx" | "odt" | "xlsx" | "pptx" | "epub" | "doc" =>
                 graft.operators.OfficeCodec.extractText(body).text
               case "rtf" => graft.operators.Rtf.extractText(body)
               case other => throw new IllegalArgumentException(
@@ -8474,27 +8473,27 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |    WHEN 2 THEN 'odt' WHEN 3 THEN 'xlsx' WHEN 4 THEN 'pptx'
-        |    WHEN 5 THEN 'epub' WHEN 6 THEN 'rtf' ELSE 'ole-cfb' END
+        |    WHEN 5 THEN 'epub' WHEN 6 THEN 'rtf' ELSE 'doc' END
         |    AS container,
-        |  CASE WHEN doc_id % 8 = 7
-        |    THEN 'doc-mine: no text extractor for container ''ole-cfb'''
-        |    ELSE 'ok' END AS status,
+        |  'ok' AS status,
         |  CAST(CASE doc_id % 8
-        |    WHEN 7 THEN 0
         |    WHEN 0 THEN LENGTH('PDF doc ' || doc_id || ' — ‘§' ||
         |      (doc_id % 7) || '’')
+        |    WHEN 7 THEN LENGTH('Mixed doc ' || doc_id || ' — café ' ||
+        |      (doc_id % 9) || CASE WHEN (doc_id // 8) % 2 = 1
+        |        THEN ' 日' ELSE '' END)
         |    ELSE LENGTH('Mixed doc ' || doc_id || ' — café ' || (doc_id % 9))
         |    END AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // document-triage replayed: container by id%8, only the OLE lane is
-    // non-decodable
+    // document-triage replayed: container by id%8 — every lane is
+    // decodable now that the legacy .doc lane has a real extractor
     "tx_doc_probe" ->
       """SELECT doc_id,
         |  CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'odt'
         |    WHEN 2 THEN 'xlsx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'epub'
-        |    WHEN 5 THEN 'rtf' WHEN 6 THEN 'mbox' ELSE 'ole-cfb' END
+        |    WHEN 5 THEN 'rtf' WHEN 6 THEN 'mbox' ELSE 'doc' END
         |    AS container,
-        |  doc_id % 8 <> 7 AS decodable
+        |  TRUE AS decodable
         |FROM documents ORDER BY doc_id""".stripMargin,
     // book/legacy-doc replayed: epub = 2 blocks per chapter over 1+id%3
     // chapters, rtf = 1+id%4 paragraphs, text by arithmetic

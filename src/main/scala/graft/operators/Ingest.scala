@@ -687,7 +687,7 @@ object Ingest {
   /** Demo corpus for the document-mining capstone (`tx_doc_mine`): WARC
     * archives whose responses carry EVERY document container the engine
     * extracts — pdf / docx / odt / xlsx / pptx / epub / rtf by id%8,
-    * with the OLE/CFB reject lane at 7 — under DELIBERATELY unreliable
+    * with the legacy .doc lane at 7 — under DELIBERATELY unreliable
     * HTTP Content-Types (every response claims octet-stream), because
     * wild servers lie: routing must come from magic bytes, not headers.
     */
@@ -716,7 +716,7 @@ object Ingest {
 
   /** The per-container body of the mixed-document corpus: the office
     * family shares ONE paragraph template (so the oracle is one LENGTH
-    * expression), pdf has its own, and id%8==7 is the OLE reject lane.
+    * expression), pdf has its own, and id%8==7 is the legacy .doc lane.
     */
   def docBody(id: Long): Array[Byte] = {
     val officeText = s"Mixed doc $id — café ${id % 9}"
@@ -728,8 +728,11 @@ object Ingest {
       case 4 => OfficeCodec.writePptx(Seq(Seq(officeText)))
       case 5 => OfficeCodec.writeEpub(Seq(Seq(officeText)))
       case 6 => Rtf.write(Seq(officeText))
-      case _ => Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
-        0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ new Array[Byte](64)
+      // lane 7: a REAL legacy Word binary ([MS-CFB] + [MS-DOC] piece
+      // table); every other doc gets a wide char so both PCD encodings
+      // (cp1252-compressed and UTF-16) ride the corpus
+      case _ => MsDoc.write(Seq(
+        officeText + (if ((id / 8) % 2 == 1) " \u65e5" else "")))
     }
   }
 

@@ -667,9 +667,16 @@ object Multimodal {
       val m = Mp3Frames.probe(bytes)
       MediaProbe(id, "mp3", Some(s"mpeg${m.version}-layer${m.layer}"), None, None,
         Some(m.sampleRate), Some(m.channels), Some(m.pcmFrames), decodable = false)
-    } else if (OfficeCodec.isOle(bytes)) {
-      // legacy binary Office / encrypted OOXML: identified, never decoded
-      bare("ole-cfb")
+    } else if (OfficeCodec.isOle(bytes)) guarded("ole-cfb") {
+      // legacy binary Office: Word .doc is decodable (CFB walk + piece
+      // table); xls/ppt/encrypted-OOXML are identified by their stream
+      // names but not decoded; unknown/damaged containers stay bare
+      Cfb.kind(bytes) match {
+        case Some("doc") => MediaProbe(id, "doc", Some("ms-doc"), None, None,
+          None, None, None, decodable = true)
+        case Some(k) => bare("ole-cfb").copy(codec = Some(k))
+        case None => bare("ole-cfb")
+      }
     } else if (Rtf.isRtf(bytes)) {
       MediaProbe(id, "rtf", Some("rtf"), None, None, None, None, None,
         decodable = true)

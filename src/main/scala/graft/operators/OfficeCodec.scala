@@ -80,8 +80,21 @@ object OfficeCodec {
     * `zip: ...`) reason for anything out of profile.
     */
   def extractText(bytes: Array[Byte]): OfficeText = {
-    if (isOle(bytes)) throw new IllegalArgumentException(
-      "office: OLE/CFB container (legacy binary or encrypted OOXML) unsupported")
+    if (isOle(bytes)) {
+      // legacy binary Office: Word .doc extracts through the [MS-CFB]
+      // walk + [MS-DOC] piece table; the other residents stay NAMED
+      // rejects until their extractors exist
+      Cfb.kind(bytes) match {
+        case Some("doc") =>
+          val text = MsDoc.extractText(bytes)
+          val paras = text.split("\n", -1)
+          return OfficeText("doc", paras.count(_.nonEmpty), text)
+        case Some(k) => throw new IllegalArgumentException(
+          s"office: OLE/CFB container holds '$k' (no extractor yet)")
+        case None => throw new IllegalArgumentException(
+          "office: OLE/CFB container without a known document stream")
+      }
+    }
     require(Zip.isZip(bytes), "office: not a zip container")
     val members = Zip.readMembers(bytes)
     val byName = members.map(m => m.name -> m).toMap
