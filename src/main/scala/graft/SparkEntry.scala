@@ -4762,24 +4762,7 @@ object SparkEntry {
         .select(col("url"), col("body"))
         .as[(String, Array[Byte])]
         .map { case (url, body) =>
-          val id = url.substring(url.lastIndexOf('/') + 1).toLong
-          val probe = graft.operators.Multimodal.probeBytes(id, body)
-          try {
-            val text = probe.container match {
-              case "pdf" =>
-                graft.operators.PdfCodec.extractText(body).pages.mkString("\n")
-              case "docx" | "odt" | "xlsx" | "pptx" | "epub" | "doc" =>
-                graft.operators.OfficeCodec.extractText(body).text
-              case "rtf" => graft.operators.Rtf.extractText(body)
-              case other => throw new IllegalArgumentException(
-                s"doc-mine: no text extractor for container '$other'")
-            }
-            (id, probe.container, "ok", text.length.toLong)
-          } catch {
-            case e: IllegalArgumentException =>
-              (id, probe.container, e.getMessage, 0L)
-          }
-        }
+          graft.operators.Ingest.docMineRecord(url, body) }
         .toDF("doc_id", "container", "status", "n_chars")
         .orderBy(col("doc_id"))
     }),

@@ -714,6 +714,30 @@ object Ingest {
       }
   }
 
+  /** One document-mining record: magic-byte triage + the routed
+    * extraction — the STATELESS per-record core of `tx_doc_mine`,
+    * shared verbatim by its streaming twin (a crawl tails the archive
+    * stream with exactly the batch operator). Extraction failures
+    * divert per-record with their named reason.
+    */
+  def docMineRecord(url: String, body: Array[Byte]): (Long, String, String, Long) = {
+    val id = url.substring(url.lastIndexOf('/') + 1).toLong
+    val probe = Multimodal.probeBytes(id, body)
+    try {
+      val text = probe.container match {
+        case "pdf" => PdfCodec.extractText(body).pages.mkString("\n")
+        case "docx" | "odt" | "xlsx" | "pptx" | "epub" | "doc" =>
+          OfficeCodec.extractText(body).text
+        case "rtf" => Rtf.extractText(body)
+        case other => throw new IllegalArgumentException(
+          s"doc-mine: no text extractor for container '$other'")
+      }
+      (id, probe.container, "ok", text.length.toLong)
+    } catch {
+      case e: IllegalArgumentException => (id, probe.container, e.getMessage, 0L)
+    }
+  }
+
   /** The per-container body of the mixed-document corpus: the office
     * family shares ONE paragraph template (so the oracle is one LENGTH
     * expression), pdf has its own, and id%8==7 is the legacy .doc lane.

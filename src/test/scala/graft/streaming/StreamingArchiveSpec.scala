@@ -201,4 +201,39 @@ class StreamingArchiveSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming magic-routed document mining matches batch (the tx_doc_mine twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one archive carrying every container lane (ids 0-8 cover pdf, the
+    // four office dialects, epub, rtf, legacy .doc with a UTF-16 piece)
+    val recs = (0L to 8L).map { id =>
+      Map("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://src.invalid/doc/$id",
+        "WARC-Record-ID" -> s"<urn:t:doc:$id>") ->
+        Warc.httpResponse(200, "application/octet-stream", Ingest.docBody(id))
+    }
+    val archive = Multimodal.MediaRecord(0L, "t://docs.warc", "application/warc",
+      Warc.writeWarc(recs, gzipped = true), Map.empty)
+    def mine(ds: org.apache.spark.sql.Dataset[Ingest.WarcCapture]) = ds
+      .filter(_.warc_type == "response")
+      .map(c => Ingest.docMineRecord(c.url, c.body))
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = mine(Ingest.ingestWarc(stream.toDS()))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("docmine_stream_out").start()
+    try {
+      stream.addData(Seq(archive))
+      q.processAllAvailable()
+      val streamed = spark.table("docmine_stream_out")
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      val batch = mine(Ingest.ingestWarc(spark.createDataset(Seq(archive))))
+        .collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.map(_._2).toSeq == Seq("pdf", "docx", "odt", "xlsx",
+        "pptx", "epub", "rtf", "doc", "pdf"))
+      assert(batch.forall(_._3 == "ok"))
+      assert(batch.forall(_._4 > 0))
+    } finally q.stop()
+  }
 }
