@@ -5005,6 +5005,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LEGACY EXCEL (.xls, BIFF8) — the [MS-XLS] record walk over the
+    // CFB container: SST shared strings (every 3rd doc written with a
+    // tiny record cap, forcing REAL CONTINUE splits that resume
+    // mid-string behind fresh width flags), LABELSST + RK + NUMBER cell
+    // lanes, multi-sheet BOUNDSHEET offsets, a wide (UTF-16) string per
+    // sheet. Cells flatten to rows; map-only per-record walk.
+    "tx_xls_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nSheets = (1 + id % 2).toInt
+          val sheets = (0 until nSheets).map { k =>
+            s"S$k" -> Seq(
+              Seq[Any](s"Cell $id-$k r0", id * 3 + k),
+              Seq[Any](3.5, s"wide 日本 $id"))
+          }
+          val cap = if (id % 3 == 0) 64 else 8224
+          val got = graft.operators.MsXls.extract(
+            graft.operators.MsXls.write(sheets, maxRecordBytes = cap))
+          got.cells.map(c =>
+            (id, c.sheet.toLong, c.row.toLong, c.col.toLong, c.text))
+        }
+        .toDF("doc_id", "sheet", "row", "col", "text")
+        .orderBy(col("doc_id"), col("sheet"), col("row"), col("col"))
+    }),
+
     // ENCRYPTED PDFs — the standard security handler (ISO 32000-1
     // §7.6.3 / 32000-2 §7.6.4) over the dominant wild class: documents
     // whose OWNER password restricts editing but whose USER password is
@@ -8287,6 +8313,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
+    // the BIFF8 walk replayed: four cells per sheet by arithmetic (the
+    // CONTINUE-split lane changes bytes, never values)
+    "tx_xls_text" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ns FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(GENERATE_SERIES(0, ns - 1)) AS s
+        |  FROM d),
+        |cells AS (
+        |  SELECT doc_id, s, 0 AS row, 0 AS col,
+        |    'Cell ' || doc_id || '-' || s || ' r0' AS text FROM sh
+        |  UNION ALL SELECT doc_id, s, 0, 1,
+        |    CAST(doc_id * 3 + s AS VARCHAR) FROM sh
+        |  UNION ALL SELECT doc_id, s, 1, 0, '3.5' FROM sh
+        |  UNION ALL SELECT doc_id, s, 1, 1, 'wide 日本 ' || doc_id FROM sh)
+        |SELECT doc_id, CAST(s AS BIGINT) AS sheet, CAST(row AS BIGINT) AS row,
+        |  CAST(col AS BIGINT) AS col, text
+        |FROM cells ORDER BY doc_id, sheet, row, col""".stripMargin,
     // the standard-security handler replayed: ciphers rotate by id%4,
     // every 7th doc is REALLY user-locked (the named reject with 0/0),
     // the rest decrypt with the empty password and their page text is

@@ -674,6 +674,8 @@ object Multimodal {
       Cfb.kind(bytes) match {
         case Some("doc") => MediaProbe(id, "doc", Some("ms-doc"), None, None,
           None, None, None, decodable = true)
+        case Some("xls") => MediaProbe(id, "xls", Some("biff8"), None, None,
+          None, None, None, decodable = true)
         case Some(k) => bare("ole-cfb").copy(codec = Some(k))
         case None => bare("ole-cfb")
       }

@@ -89,6 +89,9 @@ object OfficeCodec {
           val text = MsDoc.extractText(bytes)
           val paras = text.split("\n", -1)
           return OfficeText("doc", paras.count(_.nonEmpty), text)
+        case Some("xls") =>
+          val x = MsXls.extract(bytes)
+          return OfficeText("xls", x.cells.length, x.text)
         case Some(k) => throw new IllegalArgumentException(
           s"office: OLE/CFB container holds '$k' (no extractor yet)")
         case None => throw new IllegalArgumentException(
