@@ -5005,6 +5005,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LEGACY POWERPOINT (.ppt) — the [MS-PPT] record-tree walk over the
+    // CFB container: nested containers (Document → SlideListWithText →
+    // Slide), both text atoms (TextBytesAtom low-byte lane; every 4th
+    // doc carries a wide char so TextCharsAtom/UTF-16 rides the corpus),
+    // paragraph marks mapped. Map-only per-record walk.
+    "tx_ppt_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nSlides = (1 + id % 3).toInt
+          val slides = (0 until nSlides).map { k =>
+            Seq(s"Slide $k of $id",
+              s"Bullet ${id % 5} — café" + (if (id % 4 == 1) " 漢" else ""))
+          }
+          val texts = graft.operators.MsPpt.extractTexts(
+            graft.operators.MsPpt.write(slides))
+          (id, nSlides.toLong, texts)
+        }
+        .toDF("doc_id", "n_slides", "texts")
+        .select(col("doc_id"), col("n_slides"),
+          posexplode(col("texts")).as(Seq("slide_idx", "text")))
+        .select(col("doc_id"), col("n_slides"),
+          col("slide_idx").cast("long").as("slide_idx"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("slide_idx"))
+    }),
+
     // LEGACY EXCEL (.xls, BIFF8) — the [MS-XLS] record walk over the
     // CFB container: SST shared strings (every 3rd doc written with a
     // tiny record cap, forcing REAL CONTINUE splits that resume
@@ -8313,6 +8340,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
+    // the PPT record walk replayed: per-slide text by arithmetic (the
+    // wide-char lane only changes the ATOM type, never the text)
+    "tx_ppt_text" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_slides FROM documents),
+        |sl AS (SELECT doc_id, n_slides,
+        |    UNNEST(GENERATE_SERIES(0, n_slides - 1)) AS slide_idx FROM d),
+        |t2 AS (SELECT doc_id, n_slides, slide_idx,
+        |    'Slide ' || slide_idx || ' of ' || doc_id || chr(10) ||
+        |    'Bullet ' || (doc_id % 5) || ' — café' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' 漢' ELSE '' END AS text
+        |  FROM sl)
+        |SELECT doc_id, CAST(n_slides AS BIGINT) AS n_slides,
+        |  CAST(slide_idx AS BIGINT) AS slide_idx, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM t2 ORDER BY doc_id, slide_idx""".stripMargin,
     // the BIFF8 walk replayed: four cells per sheet by arithmetic (the
     // CONTINUE-split lane changes bytes, never values)
     "tx_xls_text" ->

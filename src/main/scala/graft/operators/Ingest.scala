@@ -726,7 +726,7 @@ object Ingest {
     try {
       val text = probe.container match {
         case "pdf" => PdfCodec.extractText(body).pages.mkString("\n")
-        case "docx" | "odt" | "xlsx" | "pptx" | "epub" | "doc" | "xls" =>
+        case "docx" | "odt" | "xlsx" | "pptx" | "epub" | "doc" | "xls" | "ppt" =>
           OfficeCodec.extractText(body).text
         case "rtf" => Rtf.extractText(body)
         case other => throw new IllegalArgumentException(

@@ -676,6 +676,8 @@ object Multimodal {
           None, None, None, decodable = true)
         case Some("xls") => MediaProbe(id, "xls", Some("biff8"), None, None,
           None, None, None, decodable = true)
+        case Some("ppt") => MediaProbe(id, "ppt", Some("ms-ppt"), None, None,
+          None, None, None, decodable = true)
         case Some(k) => bare("ole-cfb").copy(codec = Some(k))
         case None => bare("ole-cfb")
       }

@@ -92,6 +92,9 @@ object OfficeCodec {
         case Some("xls") =>
           val x = MsXls.extract(bytes)
           return OfficeText("xls", x.cells.length, x.text)
+        case Some("ppt") =>
+          val texts = MsPpt.extractTexts(bytes)
+          return OfficeText("ppt", texts.length, MsPpt.extractText(bytes))
         case Some(k) => throw new IllegalArgumentException(
           s"office: OLE/CFB container holds '$k' (no extractor yet)")
         case None => throw new IllegalArgumentException(
