@@ -8538,16 +8538,16 @@ object SparkEntry {
     // shares one text template, pdf its own, OLE diverts with 0 chars
     "tx_doc_mine" ->
       """SELECT doc_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        |  CASE doc_id % 10 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |    WHEN 2 THEN 'odt' WHEN 3 THEN 'xlsx' WHEN 4 THEN 'pptx'
-        |    WHEN 5 THEN 'epub' WHEN 6 THEN 'rtf' ELSE 'doc' END
-        |    AS container,
+        |    WHEN 5 THEN 'epub' WHEN 6 THEN 'rtf' WHEN 7 THEN 'doc'
+        |    WHEN 8 THEN 'xls' ELSE 'ppt' END AS container,
         |  'ok' AS status,
-        |  CAST(CASE doc_id % 8
+        |  CAST(CASE doc_id % 10
         |    WHEN 0 THEN LENGTH('PDF doc ' || doc_id || ' — ‘§' ||
         |      (doc_id % 7) || '’')
         |    WHEN 7 THEN LENGTH('Mixed doc ' || doc_id || ' — café ' ||
-        |      (doc_id % 9) || CASE WHEN (doc_id // 8) % 2 = 1
+        |      (doc_id % 9) || CASE WHEN (doc_id // 10) % 2 = 1
         |        THEN ' 日' ELSE '' END)
         |    ELSE LENGTH('Mixed doc ' || doc_id || ' — café ' || (doc_id % 9))
         |    END AS BIGINT) AS n_chars

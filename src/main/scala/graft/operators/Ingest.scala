@@ -687,7 +687,7 @@ object Ingest {
   /** Demo corpus for the document-mining capstone (`tx_doc_mine`): WARC
     * archives whose responses carry EVERY document container the engine
     * extracts — pdf / docx / odt / xlsx / pptx / epub / rtf by id%8,
-    * with the legacy .doc lane at 7 — under DELIBERATELY unreliable
+    * with the legacy .doc/.xls/.ppt lanes at 7-9 — under DELIBERATELY unreliable
     * HTTP Content-Types (every response claims octet-stream), because
     * wild servers lie: routing must come from magic bytes, not headers.
     */
@@ -740,11 +740,11 @@ object Ingest {
 
   /** The per-container body of the mixed-document corpus: the office
     * family shares ONE paragraph template (so the oracle is one LENGTH
-    * expression), pdf has its own, and id%8==7 is the legacy .doc lane.
+    * expression), pdf has its own, and id%10 in 7-9 are the legacy binaries.
     */
   def docBody(id: Long): Array[Byte] = {
     val officeText = s"Mixed doc $id — café ${id % 9}"
-    (id % 8) match {
+    (id % 10) match {
       case 0 => PdfCodec.write(Seq(s"PDF doc $id — ‘§${id % 7}’"), compress = true)
       case 1 => OfficeCodec.writeDocx(Seq(officeText))
       case 2 => OfficeCodec.writeOdt(Seq(officeText))
@@ -752,11 +752,15 @@ object Ingest {
       case 4 => OfficeCodec.writePptx(Seq(Seq(officeText)))
       case 5 => OfficeCodec.writeEpub(Seq(Seq(officeText)))
       case 6 => Rtf.write(Seq(officeText))
-      // lane 7: a REAL legacy Word binary ([MS-CFB] + [MS-DOC] piece
-      // table); every other doc gets a wide char so both PCD encodings
-      // (cp1252-compressed and UTF-16) ride the corpus
-      case _ => MsDoc.write(Seq(
-        officeText + (if ((id / 8) % 2 == 1) " \u65e5" else "")))
+      // lanes 7-9: the REAL legacy binaries over the [MS-CFB] walk —
+      // Word piece table (every other .doc carries a wide char so both
+      // PCD encodings ride the corpus), BIFF8 Excel, PowerPoint atoms.
+      // All three extract the SAME template, so one LENGTH oracle
+      // covers the whole office family.
+      case 7 => MsDoc.write(Seq(
+        officeText + (if ((id / 10) % 2 == 1) " \u65e5" else "")))
+      case 8 => MsXls.write(Seq("S0" -> Seq(Seq[Any](officeText))))
+      case _ => MsPpt.write(Seq(Seq(officeText)))
     }
   }
 

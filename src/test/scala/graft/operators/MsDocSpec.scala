@@ -74,9 +74,13 @@ class MsDocSpec extends AnyFunSuite {
     assert(got.format == "doc")
     assert(got.text == "Routed through OfficeCodec")
     assert(got.nParagraphs == 1)
-    // non-doc OLE keeps a named reject
+    // a damaged xls routes to the BIFF walk and rejects namedly there
     val xls = Cfb.write(Seq("Workbook" -> new Array[Byte](16)))
     val e = intercept[IllegalArgumentException](OfficeCodec.extractText(xls))
-    assert(e.getMessage.startsWith("office:"))
+    assert(e.getMessage.contains("xls: Workbook stream has no BOF"))
+    // an OLE container with no known document stream keeps the office reject
+    val alien = Cfb.write(Seq("Mystery" -> new Array[Byte](16)))
+    val e2 = intercept[IllegalArgumentException](OfficeCodec.extractText(alien))
+    assert(e2.getMessage.startsWith("office:"))
   }
 }

@@ -205,9 +205,9 @@ class StreamingArchiveSpec extends AnyFunSuite {
   test("streaming magic-routed document mining matches batch (the tx_doc_mine twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // one archive carrying every container lane (ids 0-8 cover pdf, the
-    // four office dialects, epub, rtf, legacy .doc with a UTF-16 piece)
-    val recs = (0L to 8L).map { id =>
+    // one archive carrying every container lane (ids 0-9 cover pdf, the
+    // four office dialects, epub, rtf, and the three legacy binaries)
+    val recs = (0L to 9L).map { id =>
       Map("WARC-Type" -> "response",
         "WARC-Target-URI" -> s"http://src.invalid/doc/$id",
         "WARC-Record-ID" -> s"<urn:t:doc:$id>") ->
@@ -231,7 +231,7 @@ class StreamingArchiveSpec extends AnyFunSuite {
         .collect().sortBy(_._1)
       assert(streamed.toSeq == batch.toSeq)
       assert(batch.map(_._2).toSeq == Seq("pdf", "docx", "odt", "xlsx",
-        "pptx", "epub", "rtf", "doc", "pdf"))
+        "pptx", "epub", "rtf", "doc", "xls", "ppt"))
       assert(batch.forall(_._3 == "ok"))
       assert(batch.forall(_._4 > 0))
     } finally q.stop()
