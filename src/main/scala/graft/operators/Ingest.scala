@@ -754,12 +754,17 @@ object Ingest {
       case 6 => Rtf.write(Seq(officeText))
       // lanes 7-9: the REAL legacy binaries over the [MS-CFB] walk —
       // Word piece table (every other .doc carries a wide char so both
-      // PCD encodings ride the corpus), BIFF8 Excel, PowerPoint atoms.
-      // All three extract the SAME template, so one LENGTH oracle
-      // covers the whole office family.
-      case 7 => MsDoc.write(Seq(
-        officeText + (if ((id / 10) % 2 == 1) " \u65e5" else "")))
-      case 8 => MsXls.write(Seq("S0" -> Seq(Seq[Any](officeText))))
+      // PCD encodings ride the corpus; (id/10)%4==2 writes the Word-95
+      // non-complex shape), Excel (BIFF8, with BIFF5 `Book` files on
+      // alternating rounds), PowerPoint atoms. All three extract the
+      // SAME template, so one LENGTH oracle covers the office family.
+      case 7 =>
+        if ((id / 10) % 2 == 1) MsDoc.write(Seq(officeText + " \u65e5"))
+        else if ((id / 10) % 4 == 2) MsDoc.write95(Seq(officeText))
+        else MsDoc.write(Seq(officeText))
+      case 8 =>
+        if ((id / 10) % 2 == 1) MsXls.write5(Seq("S0" -> Seq(Seq[Any](officeText))))
+        else MsXls.write(Seq("S0" -> Seq(Seq[Any](officeText))))
       case _ => MsPpt.write(Seq(Seq(officeText)))
     }
   }

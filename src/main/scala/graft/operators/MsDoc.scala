@@ -21,8 +21,10 @@ import java.nio.charset.StandardCharsets
   *    delimiters 0x13/0x14/0x15 and the embedded-object anchor 0x01
   *    are dropped; ONE trailing break is document framing (the final
   *    paragraph mark every writer emits);
-  *  - pre-Word-97 files (nFib < 0x00C1: different FcLcb layout) and
-  *    FIBs without a Clx are NAMED rejects — never silently-wrong text.
+  *  - pre-Word-97 files (nFib < 0x00C1: no FibRgFcLcb97) read through
+  *    the [[extractPre97]] non-complex path ([fcMin, fcMac) cp1252 run);
+  *    fast-saved pre-97 files and FIBs without a Clx are NAMED
+  *    rejects — never silently-wrong text.
   *
   * Scale shape: per-record scalar walk, the document-family story.
   */
@@ -51,7 +53,7 @@ object MsDoc {
     require(word.length >= 0x01AA, "doc: WordDocument stream shorter than the FIB")
     require(u16(word, 0) == 0xA5EC, "doc: FIB wIdent is not A5EC")
     val nFib = u16(word, 2)
-    require(nFib >= 0x00C1, f"doc: pre-Word-97 binary (nFib 0x$nFib%04X) unsupported")
+    if (nFib < 0x00C1) return extractPre97(word, nFib)
     val flags = u16(word, 0x0A)
     val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
     val table = strs.getOrElse(tableName, throw new IllegalArgumentException(
@@ -105,6 +107,38 @@ object MsDoc {
       i += 1
     }
     // the final paragraph mark every writer emits is framing, not text
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
+      sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** Word 6/95 (nFib < 0x00C1): no FibRgFcLcb97, but a NON-complex
+    * (fully-saved) document's text is simply the cp1252 byte run
+    * [fcMin, fcMac) of the WordDocument stream (FIB base offsets
+    * 0x18/0x1C) — the overwhelmingly common shape for files that old.
+    * Fast-saved documents (fComplex, FIB flag bit 2) interleave
+    * revision pieces and NEED the era's piece table — a NAMED reject,
+    * never interleaved garbage text.
+    */
+  private def extractPre97(word: Array[Byte], nFib: Int): String = {
+    require(word.length >= 0x20, "doc: pre-97 FIB truncated")
+    val flags = u16(word, 0x0A)
+    require((flags & 0x0004) == 0,
+      f"doc: fast-saved pre-Word-97 binary (nFib 0x$nFib%04X, fComplex) unsupported")
+    val fcMin = u32(word, 0x18)
+    val fcMac = u32(word, 0x1C)
+    require(fcMin >= 0 && fcMac >= fcMin && fcMac <= word.length,
+      s"doc: pre-97 text run [$fcMin,$fcMac) outside the WordDocument stream")
+    require(fcMac - fcMin <= MaxChars, "doc: text longer than the cap")
+    val raw = java.util.Arrays.copyOfRange(word, fcMin.toInt, fcMac.toInt)
+    val text = new String(raw, java.nio.charset.Charset.forName("windows-1252"))
+    val sb = new java.lang.StringBuilder(text.length)
+    text.foreach {
+      case '\r' | '\u000B' | '\u000C' => sb.append('\n')
+      case '\u0007' => sb.append('\t')
+      case '\u0013' | '\u0014' | '\u0015' | '\u0001' => ()
+      case c => sb.append(c)
+    }
     if (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
       sb.setLength(sb.length - 1)
     sb.toString
@@ -185,6 +219,36 @@ object MsDoc {
       fc += pb.length
     }
     Cfb.write(Seq("WordDocument" -> wordStream, "1Table" -> tbl.toByteArray))
+  }
+
+  /** Deterministic Word-95 writer (nFib 0x0068, non-complex): FIB base
+    * only, text as one cp1252 run at [fcMin, fcMac). The fixture half
+    * of [[extractPre97]]; every char must be cp1252-encodable.
+    */
+  def write95(paragraphs: Seq[String]): Array[Byte] = {
+    require(paragraphs.nonEmpty, "doc write: at least one paragraph")
+    require(paragraphs.last.nonEmpty && !paragraphs.last.endsWith("\n"),
+      "doc write: final paragraph must not be empty or end with a line break")
+    val text = paragraphs.mkString("\r") + "\r"
+    val body = text.map { c =>
+      require(c == '\r' || c == '\t' || Cp1252.encode.contains(c),
+        s"doc write95: char U+" + f"${c.toInt}%04X" + " not cp1252-encodable")
+      if (c == '\r' || c == '\t') c.toByte else Cp1252.encode(c).toByte
+    }.toArray
+    val fcMin = 1024
+    val word = new Array[Byte](fcMin + body.length)
+    def wU16(o: Int, v: Int): Unit = {
+      word(o) = (v & 0xff).toByte; word(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def wU32(o: Int, v: Long): Unit = {
+      word(o) = (v & 0xff).toByte; word(o + 1) = ((v >> 8) & 0xff).toByte
+      word(o + 2) = ((v >> 16) & 0xff).toByte; word(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    wU16(0, 0xA5EC); wU16(2, 0x0068) // wIdent, nFib: Word 95
+    wU16(0x0A, 0x0000) // flags: NOT fComplex
+    wU32(0x18, fcMin.toLong); wU32(0x1C, (fcMin + body.length).toLong)
+    System.arraycopy(body, 0, word, fcMin, body.length)
+    Cfb.write(Seq("WordDocument" -> word))
   }
 
   /** Shared cp1252 encode table (the Rtf/WinAnsi lineage). */

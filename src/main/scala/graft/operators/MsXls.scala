@@ -15,8 +15,10 @@ import java.nio.charset.StandardCharsets
   *    string), NUMBER (IEEE 754), RK (packed 30-bit int/x100 float),
   *    BOOLERR, MULRK runs; FORMULA results are skipped (cached values
   *    are a fidelity trap — a mining pass wants literal content);
-  *  - BIFF5 (`Book` stream) and encrypted workbooks (FILEPASS) are
-  *    NAMED rejects — never silently-wrong text;
+  *  - BIFF5 (`Book` stream, Excel 5.0/95) reads through the same walk
+  *    with inline LABEL byte strings instead of the SST; encrypted
+  *    workbooks (FILEPASS) are NAMED rejects — never silently-wrong
+  *    text;
   *  - rich-text runs and ExtRst phonetics are SKIPPED BY LENGTH.
   *
   * The writer is the deterministic oracle half and takes a
@@ -164,13 +166,17 @@ object MsXls {
     */
   def extract(bytes: Array[Byte]): XlsText = {
     val strs = Cfb.streams(bytes)
-    if (strs.contains("Book") && !strs.contains("Workbook"))
-      throw new IllegalArgumentException("xls: BIFF5 'Book' stream unsupported")
-    val wb = strs.getOrElse("Workbook", throw new IllegalArgumentException(
-      "xls: OLE container has no Workbook stream"))
+    // BIFF8 ships in `Workbook`; the Excel 5.0/95 era used `Book` with
+    // BIFF5 — same record framing, byte strings instead of the SST
+    val (wb, biff5) = strs.get("Workbook").map((_, false))
+      .orElse(strs.get("Book").map((_, true)))
+      .getOrElse(throw new IllegalArgumentException(
+        "xls: OLE container has no Workbook stream"))
     val recs = records(wb)
     require(recs.nonEmpty && recs.head.id == RBof, "xls: Workbook stream has no BOF")
-    require(u16(recs.head.data, 0) == 0x0600, "xls: not BIFF8 (BOF version)")
+    val bofVer = u16(recs.head.data, 0)
+    if (biff5) require(bofVer == 0x0500, f"xls: Book stream BOF version 0x$bofVer%04X is not BIFF5")
+    else require(bofVer == 0x0600, "xls: not BIFF8 (BOF version)")
     // ---- globals: FILEPASS check, BOUNDSHEETs, SST (+CONTINUEs)
     val globalsEnd = recs.indexWhere(_.id == REof)
     require(globalsEnd > 0, "xls: globals substream has no EOF")
@@ -180,9 +186,11 @@ object MsXls {
     val sheets = globals.filter(_.id == RBoundSheet).map { r =>
       val at = u32(r.data, 0)
       val cch = r.data(6) & 0xff
-      val wide = (r.data(7) & 1) != 0
       val name =
-        if (wide) new String(r.data, 8, cch * 2, StandardCharsets.UTF_16LE)
+        if (biff5) new String(r.data, 7, cch,
+          java.nio.charset.Charset.forName("windows-1252"))
+        else if ((r.data(7) & 1) != 0)
+          new String(r.data, 8, cch * 2, StandardCharsets.UTF_16LE)
         else new String(r.data, 8, cch, StandardCharsets.ISO_8859_1)
       (name, at.toInt)
     }
@@ -214,9 +222,17 @@ object MsXls {
         val r = recs(i)
         r.id match {
           case RLabelSst =>
+            require(!biff5, "xls: LABELSST record in a BIFF5 stream")
             val isst = u32(r.data, 6).toInt
             require(isst >= 0 && isst < sst.length, s"xls: LABELSST index $isst")
             add(u16(r.data, 0), u16(r.data, 2), sst(isst))
+          case RLabel if biff5 =>
+            // BIFF5 inline byte string: cch(2) then codepage bytes
+            // (cp1252, the Western default the era's files carry)
+            val cch = u16(r.data, 6)
+            require(8 + cch <= r.data.length, "xls: BIFF5 LABEL truncated")
+            add(u16(r.data, 0), u16(r.data, 2), new String(r.data, 8, cch,
+              java.nio.charset.Charset.forName("windows-1252")))
           case RLabel =>
             val cur = new SstCursor(IndexedSeq(
               java.util.Arrays.copyOfRange(r.data, 6, r.data.length)))
@@ -248,6 +264,72 @@ object MsXls {
   }
 
   // ----------------------------------------------------------------- writer
+
+  /** Deterministic BIFF5 (.xls, Excel 5.0/95 `Book` stream) writer —
+    * the fixture half of the BIFF5 read path. Strings are inline LABEL
+    * byte strings (no SST), so every char must fit one byte.
+    */
+  def write5(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+    require(sheets.nonEmpty, "xls write5: at least one sheet")
+    def rec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](4 + payload.length)
+      out(0) = (id & 0xff).toByte; out(1) = ((id >> 8) & 0xff).toByte
+      out(2) = (payload.length & 0xff).toByte
+      out(3) = ((payload.length >> 8) & 0xff).toByte
+      System.arraycopy(payload, 0, out, 4, payload.length)
+      out
+    }
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def bof(dt: Int) = rec(RBof, le16(0x0500) ++ le16(dt) ++ le16(0x0DBB) ++
+      le16(0x07CC))
+    val sheetBytes = sheets.map { case (_, rows) =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bof(0x0010))
+      rows.zipWithIndex.foreach { case (cols, r) =>
+        cols.zipWithIndex.foreach { case (v, c) =>
+          v match {
+            case str: String =>
+              val cs = java.nio.charset.Charset.forName("windows-1252")
+              require(cs.newEncoder().canEncode(str),
+                s"xls write5: BIFF5 byte strings cannot carry wide chars")
+              val nb = str.getBytes(cs)
+              out.write(rec(RLabel, le16(r) ++ le16(c) ++ le16(0) ++
+                le16(nb.length) ++ nb))
+            case n: Long =>
+              require(n >= -(1L << 29) && n < (1L << 29),
+                s"xls write5: RK integer $n out of range")
+              out.write(rec(RRk, le16(r) ++ le16(c) ++ le16(0) ++
+                le32((n << 2) | 2)))
+            case d: Double =>
+              val bits = java.lang.Double.doubleToLongBits(d)
+              out.write(rec(RNumber, le16(r) ++ le16(c) ++ le16(0) ++
+                le32(bits & 0xFFFFFFFFL) ++ le32(bits >>> 32)))
+            case other => throw new IllegalArgumentException(
+              s"xls write5: unsupported cell ${other.getClass.getSimpleName}")
+          }
+        }
+      }
+      out.write(rec(REof, Array.emptyByteArray))
+      out.toByteArray
+    }
+    def boundSheets(offsets: Seq[Int]): Array[Byte] =
+      sheets.zip(offsets).map { case ((name, _), at) =>
+        val nb = name.getBytes(StandardCharsets.ISO_8859_1)
+        require(nb.length <= 31 && name.forall(_ <= 0xFF),
+          s"xls write5: bad sheet name '$name'")
+        rec(RBoundSheet, le32(at.toLong) ++ Array[Byte](0, 0) ++
+          Array(nb.length.toByte) ++ nb)
+      }.reduce(_ ++ _)
+    val globalsLen = bof(0x0005).length +
+      boundSheets(sheets.map(_ => 0)).length + 4
+    val offsets = sheetBytes.scanLeft(globalsLen)(_ + _.length).init
+    val wb = bof(0x0005) ++ boundSheets(offsets) ++
+      rec(REof, Array.emptyByteArray) ++
+      sheetBytes.fold(Array.emptyByteArray)(_ ++ _)
+    Cfb.write(Seq("Book" -> wb))
+  }
 
   /** Deterministic BIFF8 writer — the oracle half. Cells are strings
     * (via SST LABELSST), `Long` (RK), or `Double` (NUMBER) per the

@@ -59,13 +59,15 @@ class MsDocSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](MsDoc.extractText(noWord))
     assert(e1.getMessage.contains("no WordDocument stream"))
     val good = MsDoc.write(Seq("x"))
-    // corrupt nFib to a pre-97 value
+    // corrupt nFib to a pre-97 value AND point fcMac past the stream:
+    // the non-complex pre-97 path must bounds-reject, not read garbage
     val strs = Cfb.streams(good)
     val wd = strs("WordDocument").clone()
     wd(2) = 0x65; wd(3) = 0x00 // nFib 0x0065: Word 6
+    wd(0x1C) = 0xFF.toByte; wd(0x1D) = 0xFF.toByte // fcMac >> stream length
     val old = Cfb.write(Seq("WordDocument" -> wd, "1Table" -> strs("1Table")))
     val e2 = intercept[IllegalArgumentException](MsDoc.extractText(old))
-    assert(e2.getMessage.contains("pre-Word-97"))
+    assert(e2.getMessage.contains("outside the WordDocument stream"))
   }
 
   test("office: extractText routes real .doc through the CFB walk") {
@@ -82,5 +84,23 @@ class MsDocSpec extends AnyFunSuite {
     val alien = Cfb.write(Seq("Mystery" -> new Array[Byte](16)))
     val e2 = intercept[IllegalArgumentException](OfficeCodec.extractText(alien))
     assert(e2.getMessage.startsWith("office:"))
+  }
+
+  test("word 6/95 non-complex: cp1252 run at [fcMin, fcMac) round-trips") {
+    val paras = Seq("Ancient Word file", "tab\there — café", "done (1995)")
+    val bytes = MsDoc.write95(paras)
+    assert(MsDoc.isDoc(bytes))
+    assert(MsDoc.extractText(bytes) == paras.mkString("\n"))
+    // wide chars cannot ride the 8-bit run
+    intercept[IllegalArgumentException](MsDoc.write95(Seq("\u65e5")))
+  }
+
+  test("word 6/95 fast-saved (fComplex) is a named reject") {
+    val good = MsDoc.write95(Seq("x"))
+    val wd = Cfb.streams(good)("WordDocument").clone()
+    wd(0x0A) = (wd(0x0A) | 0x04).toByte // set fComplex
+    val bad = Cfb.write(Seq("WordDocument" -> wd))
+    val e = intercept[IllegalArgumentException](MsDoc.extractText(bad))
+    assert(e.getMessage.contains("fast-saved"))
   }
 }

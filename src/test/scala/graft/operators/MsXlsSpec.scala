@@ -55,13 +55,25 @@ class MsXlsSpec extends AnyFunSuite {
       Seq("0", "-1", "536870911", "-536870912", "2.25", "1.0E20"))
   }
 
-  test("named rejects: no Workbook stream, BIFF5, FILEPASS, non-xls OLE") {
+  test("BIFF5 Book stream: inline byte-string labels round-trip") {
+    val rows: Seq[Seq[Any]] = Seq(Seq("legacy95", 7L), Seq(2.5, "café"))
+    val bytes = MsXls.write5(Seq("Old" -> rows, "Two" -> Seq(Seq[Any](1L))))
+    assert(Cfb.kind(bytes).contains("xls"))
+    val got = MsXls.extract(bytes)
+    assert(got.sheetNames == Seq("Old", "Two"))
+    assert(got.text == "legacy95\t7\n2.5\tcafé\n1")
+    // wide chars cannot ride BIFF5 byte strings
+    intercept[IllegalArgumentException](
+      MsXls.write5(Seq("S" -> Seq(Seq[Any]("日本")))))
+  }
+
+  test("named rejects: no Workbook stream, damaged BIFF5, FILEPASS, non-xls OLE") {
     val doc = MsDoc.write(Seq("not a workbook"))
     val e1 = intercept[IllegalArgumentException](MsXls.extract(doc))
     assert(e1.getMessage.contains("no Workbook stream"))
-    val biff5 = Cfb.write(Seq("Book" -> new Array[Byte](16)))
-    val e2 = intercept[IllegalArgumentException](MsXls.extract(biff5))
-    assert(e2.getMessage.contains("BIFF5"))
+    val damaged5 = Cfb.write(Seq("Book" -> new Array[Byte](16)))
+    val e2 = intercept[IllegalArgumentException](MsXls.extract(damaged5))
+    assert(e2.getMessage.contains("no BOF"))
     // splice a FILEPASS record right after the globals BOF
     val good = MsXls.write(Seq("S" -> Seq(Seq[Any]("x"))))
     val wb = Cfb.streams(good)("Workbook")
