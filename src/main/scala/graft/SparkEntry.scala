@@ -4728,7 +4728,7 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val oc = graft.operators.OfficeCodec
-          val bytes = (id % 8) match {
+          val bytes = (id % 10) match {
             case 0 => oc.writeDocx(Seq(s"doc $id"))
             case 1 => oc.writeOdt(Seq(s"doc $id"))
             case 2 => oc.writeXlsx(Seq(Seq(Seq(s"doc $id"))))
@@ -4738,7 +4738,10 @@ object SparkEntry {
             case 6 => graft.operators.Mail.writeMbox(Seq(
               s"Subject: d$id\n\nbody".getBytes(
                 java.nio.charset.StandardCharsets.ISO_8859_1)))
-            case _ => graft.operators.MsDoc.write(Seq(s"doc $id"))
+            case 7 => graft.operators.MsDoc.write(Seq(s"doc $id"))
+            case 8 => graft.operators.MsXls.write(Seq(
+              "S0" -> Seq(Seq[Any](s"doc $id"))))
+            case _ => graft.operators.MsPpt.write(Seq(Seq(s"doc $id")))
           }
           val p = graft.operators.Multimodal.probeBytes(id, bytes)
           (id, p.container, p.decodable)
@@ -8552,14 +8555,14 @@ object SparkEntry {
         |    ELSE LENGTH('Mixed doc ' || doc_id || ' — café ' || (doc_id % 9))
         |    END AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // document-triage replayed: container by id%8 — every lane is
-    // decodable now that the legacy .doc lane has a real extractor
+    // document-triage replayed: container by id%10 — every lane is
+    // decodable now that all three legacy binaries have real extractors
     "tx_doc_probe" ->
       """SELECT doc_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'odt'
+        |  CASE doc_id % 10 WHEN 0 THEN 'docx' WHEN 1 THEN 'odt'
         |    WHEN 2 THEN 'xlsx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'epub'
-        |    WHEN 5 THEN 'rtf' WHEN 6 THEN 'mbox' ELSE 'doc' END
-        |    AS container,
+        |    WHEN 5 THEN 'rtf' WHEN 6 THEN 'mbox' WHEN 7 THEN 'doc'
+        |    WHEN 8 THEN 'xls' ELSE 'ppt' END AS container,
         |  TRUE AS decodable
         |FROM documents ORDER BY doc_id""".stripMargin,
     // book/legacy-doc replayed: epub = 2 blocks per chapter over 1+id%3

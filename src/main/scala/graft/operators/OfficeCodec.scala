@@ -30,9 +30,10 @@ import java.nio.charset.StandardCharsets
   *    booleans, raw numeric text.
   *  - PPTX: `<a:p>` paragraphs of every slide in numeric order, `<a:t>`
   *    runs concatenated, `<a:br/>` as '\n'.
-  *  - OUT of profile, rejected loudly (divert, don't die): OLE/CFB
-  *    containers (legacy `.doc`/`.xls` AND password-protected OOXML,
-  *    which re-wraps the zip in CFB — "office: OLE/CFB container"),
+  *  - OLE/CFB containers route through [[Cfb.kind]]: legacy `.doc` /
+  *    `.xls` / `.ppt` extract via [[MsDoc]]/[[MsXls]]/[[MsPpt]];
+  *    password-protected OOXML (the zip re-wrapped in CFB) is a NAMED
+  *    reject. OUT of profile, rejected loudly (divert, don't die):
   *    archives missing the document member, malformed XML, zip damage
   *    (the Zip walk's own named rejects pass through).
   *
@@ -56,8 +57,9 @@ object OfficeCodec {
 
   /** Route on container + key member names — HEADER-ONLY (the zip
     * central directory, no payload decompression), so triage can
-    * classify archives at scan cost. OLE is handled by the extractors
-    * as a named reject, not here.
+    * classify archives at scan cost. OLE routes through `Cfb.kind`
+    * inside the extractors (doc/xls/ppt extract; encrypted OOXML is
+    * the named reject), not here.
     */
   def sniff(bytes: Array[Byte]): Option[String] =
     if (!Zip.isZip(bytes)) None
@@ -81,9 +83,9 @@ object OfficeCodec {
     */
   def extractText(bytes: Array[Byte]): OfficeText = {
     if (isOle(bytes)) {
-      // legacy binary Office: Word .doc extracts through the [MS-CFB]
-      // walk + [MS-DOC] piece table; the other residents stay NAMED
-      // rejects until their extractors exist
+      // legacy binary Office over the [MS-CFB] walk: .doc ([MS-DOC]
+      // piece table), .xls ([MS-XLS] BIFF8/BIFF5), .ppt ([MS-PPT]
+      // record tree); encrypted OOXML stays a NAMED reject
       Cfb.kind(bytes) match {
         case Some("doc") =>
           val text = MsDoc.extractText(bytes)
