@@ -4792,6 +4792,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MAIL-ATTACHMENT mining — the cross-family capstone list archives
+    // demand: mailbox explode → MIME walk → NON-text leaves decoded
+    // (base64, filename from Content-Disposition) → magic-routed
+    // document extraction (pdf/docx/rtf/xls by id%4, one shared
+    // template). Documents riding mail never cross an exchange either:
+    // the whole lane is one map-side flatMap.
+    "tx_mail_attachments" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.attachmentArchives(s, dir)
+        .flatMap { r =>
+          graft.operators.Mail.splitMbox(r.content).flatMap { m =>
+            val parsed = graft.operators.Mail.parseMessage(m)
+            val id = parsed.messageId.stripPrefix("<graft:")
+              .takeWhile(_ != '@').toLong
+            graft.operators.Mail.attachments(m).map { a =>
+              val probe = graft.operators.Multimodal.probeBytes(id, a.bytes)
+              val text = probe.container match {
+                case "pdf" => graft.operators.PdfCodec.extractText(a.bytes)
+                  .pages.mkString("\n")
+                case "rtf" => graft.operators.Rtf.extractText(a.bytes)
+                case _ => graft.operators.OfficeCodec.extractText(a.bytes).text
+              }
+              (id, a.filename, probe.container, parsed.text,
+                text.length.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "filename", "container", "cover", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // FEED-DRIVEN discovery: RSS/Atom feeds (the channel that announces
     // new urls before sitemaps or the link graph see them) parsed through
     // the hardened XML walk, entries anti-joined against the known
@@ -8343,6 +8375,20 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
+    // the attachment walk replayed: filename/container by id%4, the
+    // shared extraction template's LENGTH, the cover note exact
+    "tx_mail_attachments" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        |      WHEN 2 THEN 'rtf' ELSE 'xls' END AS ext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'doc' || doc_id || '.' || ext AS filename,
+        |  ext AS container,
+        |  'Cover note ' || doc_id AS cover,
+        |  CAST(LENGTH('Attached doc ' || doc_id || ' — café ' ||
+        |    (doc_id % 9)) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the PPT record walk replayed: per-slide text by arithmetic (the
     // wide-char lane only changes the ATOM type, never the text)
     "tx_ppt_text" ->

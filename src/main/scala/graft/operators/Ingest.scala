@@ -608,6 +608,61 @@ object Ingest {
       }
   }
 
+  /** Mailboxes whose messages CARRY DOCUMENTS — multipart/mixed with a
+    * text/plain cover note and one base64 attachment rotating through
+    * the document family (pdf / docx / rtf / xls by id%4), all
+    * extracting the same template so one LENGTH expression oracles the
+    * whole family. The attachment seam every real mail corpus needs:
+    * list archives are where decades of documents actually live.
+    */
+  def attachmentArchives(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / docsPerArchive)
+      .mapGroups { (aid, it) =>
+        val msgs = it.toSeq.sorted.map(attachmentMessage)
+        Multimodal.MediaRecord(aid, s"fake://attmbox/$aid.mbox",
+          "application/mbox", Mail.writeMbox(msgs), Map.empty)
+      }
+  }
+
+  /** One multipart/mixed message with a document attachment (id%4
+    * rotates pdf/docx/rtf/xls; the extracted text is the SAME template
+    * for all four).
+    */
+  def attachmentMessage(id: Long): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val template = s"Attached doc $id — café ${id % 9}"
+    val (ext, bytes) = (id % 4) match {
+      case 0 => ("pdf", PdfCodec.write(Seq(template), compress = id % 8 == 4))
+      case 1 => ("docx", OfficeCodec.writeDocx(Seq(template)))
+      case 2 => ("rtf", Rtf.write(Seq(template)))
+      case _ => ("xls", MsXls.write(Seq("S0" -> Seq(Seq[Any](template)))))
+    }
+    val b64 = java.util.Base64.getMimeEncoder(76, Array('\n'.toByte))
+      .encodeToString(bytes)
+    val boundary = s"b$id"
+    (s"From: User ${id % 7} <u${id % 7}@src${id % 20}.invalid>\n" +
+      s"Subject: Document $id\n" +
+      s"Date: Sat, 16 Aug 2026 00:00:00 +0000\n" +
+      s"Message-ID: <graft:$id@attmbox>\n" +
+      "MIME-Version: 1.0\n" +
+      s"""Content-Type: multipart/mixed; boundary="$boundary"\n""" +
+      "\n" +
+      s"--$boundary\n" +
+      "Content-Type: text/plain; charset=utf-8\n\n" +
+      s"Cover note $id\n" +
+      s"--$boundary\n" +
+      s"""Content-Type: application/octet-stream; name="doc$id.$ext"\n""" +
+      s"""Content-Disposition: attachment; filename="doc$id.$ext"\n""" +
+      "Content-Transfer-Encoding: base64\n\n" +
+      b64 + "\n" +
+      s"--$boundary--\n").getBytes(iso)
+  }
+
   /** One fabricated RFC 5322 message — shared by the fixture and the
     * oracle comment: body text is [[mailBodyText]], LF framing.
     */

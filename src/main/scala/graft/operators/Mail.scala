@@ -201,6 +201,51 @@ object Mail {
     * text leaves decode (transfer encoding, then charset) into the
     * accumulator; non-text leaves are skipped structurally.
     */
+  /** One non-text MIME leaf: the decoded bytes plus the name the
+    * sender gave it (Content-Disposition `filename`, else Content-Type
+    * `name`, else "").
+    */
+  final case class Attachment(filename: String, contentType: String,
+      bytes: Array[Byte])
+
+  /** Collect every NON-text leaf of a message — the attachment side of
+    * the MIME walk [[parseMessage]] structurally skips. Same bounds
+    * (depth cap, per-part size cap) and the same named rejects.
+    */
+  def attachments(message: Array[Byte]): Seq[Attachment] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Attachment]
+    def walk(ct: String, cte: String, disp: String, body: Array[Byte],
+        depth: Int): Unit = {
+      require(depth <= MaxMimeDepth,
+        s"mail: multipart nested past $MaxMimeDepth — rejected as a bomb")
+      val mt = mediaType(ct, "text/plain")
+      if (mt.startsWith("multipart/")) {
+        val boundary = ctParam(ct, "boundary").getOrElse(
+          throw new IllegalArgumentException("mail: multipart without a boundary parameter"))
+        splitParts(body, boundary).foreach { part =>
+          val (ph, pb) = headerBlock(part)
+          walk(ph.getOrElse("content-type", ""),
+            ph.getOrElse("content-transfer-encoding", ""),
+            ph.getOrElse("content-disposition", ""), pb, depth + 1)
+        }
+      } else if (mt == "message/rfc822") {
+        val (ih, ib) = headerBlock(decodeTransferEnc(body, cte))
+        walk(ih.getOrElse("content-type", ""),
+          ih.getOrElse("content-transfer-encoding", ""),
+          ih.getOrElse("content-disposition", ""), ib, depth + 1)
+      } else if (!mt.startsWith("text/")) {
+        val name = ctParam(disp, "filename").orElse(ctParam(ct, "name"))
+          .map(decodeWords).getOrElse("")
+        out += Attachment(name, mt, decodeTransferEnc(body, cte))
+      }
+    }
+    val (headers, body) = headerBlock(message)
+    walk(headers.getOrElse("content-type", ""),
+      headers.getOrElse("content-transfer-encoding", ""),
+      headers.getOrElse("content-disposition", ""), body, 0)
+    out.toSeq
+  }
+
   private def collectTextLeaves(ct: String, cte: String, body: Array[Byte],
       depth: Int, out: scala.collection.mutable.ArrayBuffer[(String, String)]): Unit = {
     require(depth <= MaxMimeDepth, s"mail: multipart nested past $MaxMimeDepth — rejected as a bomb")

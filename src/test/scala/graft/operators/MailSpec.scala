@@ -191,4 +191,28 @@ class MailSpec extends AnyFunSuite {
     assert(first.text == "line one\nFrom the start, this held firm\nline three")
     assert(Mail.parseMessage(msgs(1)).text == "ok")
   }
+
+  // --------------------------------------------- attachment walk (r12)
+
+  test("attachments: base64 document leaves decode with their filenames") {
+    val m = Ingest.attachmentMessage(6L) // rtf lane
+    val atts = Mail.attachments(m)
+    assert(atts.map(_.filename) == Seq("doc6.rtf"))
+    assert(atts.head.contentType == "application/octet-stream")
+    assert(Rtf.extractText(atts.head.bytes) == "Attached doc 6 — café 6")
+    // the text walk still finds the cover note, unchanged
+    assert(Mail.parseMessage(m).text == "Cover note 6")
+  }
+
+  test("attachments: text-only messages yield none; nested rfc822 recurses") {
+    assert(Mail.attachments(Ingest.mailMessage(1L)).isEmpty)
+    val inner = Ingest.attachmentMessage(0L)
+    val outer = ("Subject: fwd\nMessage-ID: <x@y>\n" +
+      "Content-Type: message/rfc822\n\n").getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ inner
+    val atts = Mail.attachments(outer)
+    assert(atts.map(_.filename) == Seq("doc0.pdf"))
+    assert(PdfCodec.extractText(atts.head.bytes).pages ==
+      Seq("Attached doc 0 — café 0"))
+  }
 }
