@@ -4792,6 +4792,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WIKI-DUMP mining — the classic public-corpus source in its real
+    // shipping shape: bzip2 export-XML shards (the from-scratch Bzip2
+    // walk, both CRCs verified) → hardened XML parse → per-page
+    // wikitext cleanup (templates dropped, links unwrapped, refs and
+    // comments removed, heading bars stripped). One shard is one
+    // record; pages never cross an exchange before the projection.
+    "tx_wiki_dump" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.wikiArchives(s, dir)
+        .flatMap { r =>
+          graft.operators.MediaWiki.parseDump(
+            graft.operators.Bzip2.decompress(r.content))
+            .map { p =>
+              val text = graft.operators.MediaWiki.cleanWikitext(p.wikitext)
+              (p.pageId, p.title, p.ns, p.username, text,
+                text.length.toLong)
+            }
+        }
+        .toDF("doc_id", "title", "ns", "username", "text", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // MAIL-ATTACHMENT mining — the cross-family capstone list archives
     // demand: mailbox explode → MIME walk → NON-text leaves decoded
     // (base64, filename from Content-Disposition) → magic-routed
@@ -8375,6 +8398,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the divert seam: id%5==0 carries /Encrypt — probe keeps the label,
     // drops the page count, flips decodable; extract names the reject
+    // the wikitext cleanup replayed line-exactly by id arithmetic
+    "tx_wiki_dump" ->
+      """WITH d AS (SELECT doc_id,
+        |    'Article ' || doc_id || ' is about subject ' || (doc_id % 7) ||
+        |      '.' || chr(10) ||
+        |    'Body of article ' || doc_id || ' links Plain ' ||
+        |      (doc_id % 5) || ' and notes café.' || chr(10) ||
+        |    'Section ' || (doc_id % 3) || chr(10) ||
+        |    'Final line ' || doc_id || ' — done.' AS text
+        |  FROM documents)
+        |SELECT doc_id, 'Article ' || doc_id AS title,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS INTEGER) AS ns,
+        |  'User' || (doc_id % 7) AS username, text,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the attachment walk replayed: filename/container by id%4, the
     // shared extraction template's LENGTH, the cover note exact
     "tx_mail_attachments" ->

@@ -71,6 +71,10 @@ object HttpPayload {
         // skippable frames are skipped, the cap is enforced mid-stream
         TransferDecoded(
           Zstandard.decompressBounded(body, maxOut, "http"), clean = true, "")
+      case "bzip2" | "x-bzip2" =>
+        // a non-registry token some servers emit anyway; both CRCs verify
+        TransferDecoded(Bzip2.decompress(body,
+          math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
       case other =>
         TransferDecoded(body, clean = false,
           s"http: unsupported content-encoding '$other'")
@@ -138,6 +142,7 @@ object HttpPayload {
       case "deflate" => ("deflate", deflate(body, nowrap = false))
       case "deflate-raw" => ("deflate", deflate(body, nowrap = true))
       case "zstd" => ("zstd", Zstandard.compressFrame(body))
+      case "bzip2" => ("bzip2", Bzip2.compress(body))
       case other => (other, body)
     }
 

@@ -608,6 +608,45 @@ object Ingest {
       }
   }
 
+  /** MediaWiki dump shards — the classic public-corpus source, in its
+    * real shipping shape: bzip2-compressed export XML, one multistream
+    * SHARD per record so readers explode shards in parallel. Pages are
+    * deterministic wikitext exercising every [[MediaWiki.cleanWikitext]]
+    * rule (bold/italic quotes, piped + plain links, a template, a ref,
+    * a heading); the talk namespace rides every 10th page.
+    */
+  def wikiArchives(spark: SparkSession, dir: String,
+      pagesPerShard: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(_ / pagesPerShard)
+      .mapGroups { (aid, it) =>
+        val pages = it.toSeq.sorted.map(wikiPage)
+        Multimodal.MediaRecord(aid, s"fake://wiki/shard$aid.xml.bz2",
+          "application/x-bzip2",
+          Bzip2.compress(MediaWiki.writeDump(pages)), Map.empty)
+      }
+  }
+
+  /** One fabricated export page — shared by the fixture and the oracle
+    * comment: the cleaned text is four exact lines by id arithmetic.
+    */
+  def wikiPage(id: Long): MediaWiki.WikiPage = MediaWiki.WikiPage(
+    pageId = id,
+    title = s"Article $id",
+    ns = if (id % 10 == 9) 1 else 0,
+    username = s"User${id % 7}",
+    timestamp = "2026-01-01T00:00:00Z",
+    wikitext =
+      s"'''Article $id''' is about [[Topic ${id % 7}|subject ${id % 7}]]." +
+        s"{{Infobox|id=$id}}\n" +
+        s"Body of article $id links [[Plain ${id % 5}]] and notes " +
+        s"''café''.<ref>cite $id</ref>\n" +
+        s"== Section ${id % 3} ==\n" +
+        s"Final line $id — done.")
+
   /** Mailboxes whose messages CARRY DOCUMENTS — multipart/mixed with a
     * text/plain cover note and one base64 attachment rotating through
     * the document family (pdf / docx / rtf / xls by id%4), all

@@ -1,0 +1,158 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** MediaWiki XML export mining — THE classic public training-data
+  * source (Wikipedia dumps ship as `pages-articles.xml.bz2`). Public
+  * format: the MediaWiki export schema (Special:Export /
+  * dumps.wikimedia.org): `<mediawiki>` → `<page>` (title, ns, id) →
+  * `<revision>` (id, timestamp, contributor/username, `<text>`).
+  * Parsed through the ONE hardened XML walk every structural codec
+  * shares (doctype = parse error, bounded input), after the bounded
+  * [[Bzip2]]/gzip-transparent decompress.
+  *
+  * [[cleanWikitext]] is the light, deterministic markup strip a
+  * corpus pass wants BEFORE tokenization: `{{templates}}` dropped
+  * (nested, depth-capped), `[[target|label]]` → label / `[[target]]`
+  * → target (File:/Category: links dropped entirely), `'''bold''' /
+  * ''italic''` quotes unwrapped, `<ref>...</ref>` and HTML comments
+  * removed, heading `== x ==` bars stripped. It is NOT a renderer —
+  * it is the normalization step, and everything it does is
+  * deterministic so oracles can replay expected outputs exactly.
+  *
+  * Scale shape: one dump SHARD is one record (the real dumps are
+  * multistream exactly so readers can explode shards in parallel);
+  * page extraction is a map-only per-record walk.
+  */
+object MediaWiki {
+
+  final val MaxDumpBytes = 256 << 20
+  final val MaxPages = 1 << 20
+  final val MaxTemplateDepth = 32
+
+  final case class WikiPage(pageId: Long, title: String, ns: Int,
+      username: String, timestamp: String, wikitext: String)
+
+  /** Parse one export shard (raw XML bytes, NOT compressed). */
+  def parseDump(xml: Array[Byte]): Seq[WikiPage] = {
+    require(xml.length <= MaxDumpBytes, "wiki: dump shard past the cap")
+    val doc =
+      try XmlWalk.parse(xml)
+      catch { case e: org.xml.sax.SAXException =>
+        throw new IllegalArgumentException(s"wiki: malformed export XML (${e.getMessage})")
+      }
+    require(doc.getDocumentElement.getTagName == "mediawiki",
+      s"wiki: root element '${doc.getDocumentElement.getTagName}' is not <mediawiki>")
+    val pages = doc.getElementsByTagName("page")
+    require(pages.getLength <= MaxPages, "wiki: more pages than the cap")
+    (0 until pages.getLength).map { i =>
+      val p = pages.item(i).asInstanceOf[org.w3c.dom.Element]
+      def child(e: org.w3c.dom.Element, name: String): Option[org.w3c.dom.Element] = {
+        val kids = e.getChildNodes
+        (0 until kids.getLength).iterator.map(kids.item)
+          .collectFirst { case el: org.w3c.dom.Element if el.getTagName == name => el }
+      }
+      def textOf(e: Option[org.w3c.dom.Element]): String =
+        e.map(_.getTextContent).getOrElse("")
+      val rev = child(p, "revision")
+      val contributor = rev.flatMap(child(_, "contributor"))
+      WikiPage(
+        pageId = textOf(child(p, "id")).trim.toLongOption.getOrElse(-1L),
+        title = textOf(child(p, "title")),
+        ns = textOf(child(p, "ns")).trim.toIntOption.getOrElse(0),
+        username = textOf(contributor.flatMap(child(_, "username"))),
+        timestamp = textOf(rev.flatMap(child(_, "timestamp"))),
+        wikitext = textOf(rev.flatMap(child(_, "text"))))
+    }
+  }
+
+  /** Light deterministic wikitext → plain text (see object doc). */
+  def cleanWikitext(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length)
+    var i = 0
+    val n = w.length
+    def startsAt(s: String, at: Int): Boolean = w.regionMatches(at, s, 0, s.length)
+    while (i < n) {
+      if (startsAt("{{", i)) {
+        // drop the template span, tracking nesting
+        var depth = 1
+        i += 2
+        while (i < n && depth > 0) {
+          if (startsAt("{{", i)) { depth += 1; i += 2 }
+          else if (startsAt("}}", i)) { depth -= 1; i += 2 }
+          else i += 1
+          require(depth <= MaxTemplateDepth, "wiki: templates nested past the cap")
+        }
+      } else if (startsAt("<!--", i)) {
+        val end = w.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (startsAt("<ref", i)) {
+        // <ref .../> self-closed, or <ref ...>...</ref>
+        val close = w.indexOf('>', i + 4)
+        if (close < 0) i = n
+        else if (w.charAt(close - 1) == '/') i = close + 1
+        else {
+          val end = w.indexOf("</ref>", close + 1)
+          i = if (end < 0) n else end + 6
+        }
+      } else if (startsAt("[[", i)) {
+        val end = w.indexOf("]]", i + 2)
+        if (end < 0) { sb.append("[["); i += 2 }
+        else {
+          val inner = w.substring(i + 2, end)
+          val colon = inner.indexOf(':')
+          val prefix = if (colon > 0) inner.substring(0, colon) else ""
+          if (prefix == "File" || prefix == "Image" || prefix == "Category") ()
+          else {
+            val bar = inner.lastIndexOf('|')
+            sb.append(if (bar >= 0) inner.substring(bar + 1) else inner)
+          }
+          i = end + 2
+        }
+      } else if (startsAt("'''", i)) { i += 3 }
+      else if (startsAt("''", i)) { i += 2 }
+      else if (startsAt("==", i)) {
+        // heading bars (any run of '=') strip; the title text stays
+        while (i < n && w.charAt(i) == '=') i += 1
+      } else {
+        sb.append(w.charAt(i))
+        i += 1
+      }
+    }
+    // collapse the whitespace the stripping leaves behind
+    sb.toString.split("\n").map(_.trim).filter(_.nonEmpty).mkString("\n")
+  }
+
+  // ------------------------------------------------------------- writer
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Deterministic export-shard writer — the fixture half. */
+  def writeDump(pages: Seq[WikiPage]): Array[Byte] = {
+    require(pages.nonEmpty, "wiki write: at least one page")
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<mediawiki version=\"0.10\" xml:lang=\"en\">\n")
+    sb.append("  <siteinfo><sitename>Graftpedia</sitename></siteinfo>\n")
+    pages.foreach { p =>
+      sb.append("  <page>\n")
+      sb.append(s"    <title>${esc(p.title)}</title>\n")
+      sb.append(s"    <ns>${p.ns}</ns>\n")
+      sb.append(s"    <id>${p.pageId}</id>\n")
+      sb.append("    <revision>\n")
+      sb.append(s"      <id>${p.pageId * 10}</id>\n")
+      sb.append(s"      <timestamp>${esc(p.timestamp)}</timestamp>\n")
+      sb.append("      <contributor><username>")
+      sb.append(esc(p.username))
+      sb.append("</username></contributor>\n")
+      sb.append("      <text xml:space=\"preserve\">")
+      sb.append(esc(p.wikitext))
+      sb.append("</text>\n")
+      sb.append("    </revision>\n")
+      sb.append("  </page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** bzip2 stream walk: round-trips (incl. property sweep), CRC gates,
+  * bounds, named rejects.
+  */
+class Bzip2Spec extends AnyFunSuite {
+
+  // scalatestplus isn't in the offline dep cache; drive ScalaCheck Gens
+  // directly with deterministic seeds (the HllPropertiesSpec pattern)
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 50)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def rt(data: Array[Byte], level: Int = 1): Unit = {
+    val packed = Bzip2.compress(data, level)
+    assert(Bzip2.isBzip2(packed))
+    assert(Bzip2.decompress(packed).sameElements(data))
+  }
+
+  test("round-trips: text, runs, binary, empty, single byte") {
+    rt("hello block-sorting world — café\n".getBytes(StandardCharsets.UTF_8))
+    rt(Array.fill(1000)('a'.toByte)) // long runs exercise RLE1 + RUNA/RUNB
+    rt(Array.tabulate(4096)(i => (i * 131 % 251).toByte)) // all-byte alphabet
+    rt(Array.emptyByteArray)
+    rt(Array[Byte](0))
+    rt("abab".getBytes(StandardCharsets.US_ASCII)) // periodic: BWT tie rows
+  }
+
+  test("multi-block streams round-trip (block cut under the level cap)") {
+    val big = Array.tabulate(250000)(i => ((i / 7) % 200).toByte)
+    rt(big, level = 1) // 100k blocks -> 3 blocks
+  }
+
+  test("property: arbitrary byte arrays round-trip") {
+    forAllSeeded(Gen.containerOf[Array, Byte](
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { data =>
+      rt(data)
+    }
+  }
+
+  test("block CRC and stream CRC are verified, not decorative") {
+    val packed = Bzip2.compress("verify me please".getBytes(StandardCharsets.US_ASCII))
+    // flip one bit inside the block payload (past the 4-byte header +
+    // 6-byte magic + 4-byte crc)
+    val broken = packed.clone()
+    broken(20) = (broken(20) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException](Bzip2.decompress(broken))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("bzip2:"))
+  }
+
+  test("named rejects: bad header, truncation, output cap") {
+    intercept[IllegalArgumentException](Bzip2.decompress("not bzip".getBytes))
+    val packed = Bzip2.compress("truncate me after the header".getBytes)
+    val e = intercept[IllegalArgumentException](
+      Bzip2.decompress(packed.take(8)))
+    assert(e.getMessage.contains("truncated"))
+    val big = Bzip2.compress(Array.fill(10000)('x'.toByte))
+    val e2 = intercept[IllegalArgumentException](
+      Bzip2.decompress(big, maxOut = 100))
+    assert(e2.getMessage.contains("cap"))
+  }
+
+  test("decodes CANONICAL bzip2 output (golden interop, text + binary)") {
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream("/" + n)
+      assert(in != null, s"missing resource $n")
+      try in.readAllBytes() finally in.close()
+    }
+    for (base <- Seq("bzip2_golden_text", "bzip2_golden_binary")) {
+      val packed = res(s"$base.bz2")
+      val plain = res(s"$base.plain")
+      assert(Bzip2.decompress(packed).sameElements(plain), base)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MediaWiki export parse + wikitext cleanup + the bz2 shard seam. */
+class MediaWikiSpec extends AnyFunSuite {
+
+  test("export round-trip: fields and wikitext survive the writer/parser") {
+    val pages = Seq(Ingest.wikiPage(3L), Ingest.wikiPage(9L))
+    val back = MediaWiki.parseDump(MediaWiki.writeDump(pages))
+    assert(back == pages)
+    assert(back(1).ns == 1) // the talk-namespace lane
+  }
+
+  test("a bz2 shard decodes end-to-end (the dump's real shipping shape)") {
+    val pages = Seq(Ingest.wikiPage(0L), Ingest.wikiPage(1L))
+    val shard = Bzip2.compress(MediaWiki.writeDump(pages))
+    assert(MediaWiki.parseDump(Bzip2.decompress(shard)) == pages)
+  }
+
+  test("cleanWikitext: every rule, including the oracle template") {
+    val cleaned = MediaWiki.cleanWikitext(Ingest.wikiPage(5L).wikitext)
+    assert(cleaned ==
+      "Article 5 is about subject 5.\n" +
+        "Body of article 5 links Plain 0 and notes café.\n" +
+        "Section 2\n" +
+        "Final line 5 — done.")
+    // nested templates drop as one span; File/Category links drop whole;
+    // inline spaces stay (only LINES trim in the collapse)
+    assert(MediaWiki.cleanWikitext(
+      "a {{outer|{{inner}}}} b [[File:x.png|thumb|cap]] c [[Category:Y]] d")
+      == "a  b  c  d")
+    // comments and self-closed refs
+    assert(MediaWiki.cleanWikitext("x<!-- hidden -->y<ref name=\"a\"/>z") == "xyz")
+    // unterminated ref eats to the end, never hangs
+    assert(MediaWiki.cleanWikitext("keep<ref>dangling forever") == "keep")
+  }
+
+  test("named rejects: malformed XML, wrong root, runaway template nesting") {
+    val e1 = intercept[IllegalArgumentException](
+      MediaWiki.parseDump("<mediawiki><page>".getBytes("UTF-8")))
+    assert(e1.getMessage.contains("malformed export XML"))
+    val e2 = intercept[IllegalArgumentException](
+      MediaWiki.parseDump("<notwiki/>".getBytes("UTF-8")))
+    assert(e2.getMessage.contains("not <mediawiki>"))
+    val bomb = "{{" * 64 + "x" + "}}" * 64
+    val e3 = intercept[IllegalArgumentException](MediaWiki.cleanWikitext(bomb))
+    assert(e3.getMessage.contains("nested past the cap"))
+    // doctype (XXE shape) is a parse error through the shared walk
+    val xxe = ("<?xml version=\"1.0\"?><!DOCTYPE m [<!ENTITY x \"y\">]>" +
+      "<mediawiki/>").getBytes("UTF-8")
+    val e4 = intercept[IllegalArgumentException](MediaWiki.parseDump(xxe))
+    assert(e4.getMessage.contains("malformed export XML"))
+  }
+}

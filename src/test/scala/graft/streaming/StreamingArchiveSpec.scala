@@ -236,4 +236,35 @@ class StreamingArchiveSpec extends AnyFunSuite {
       assert(batch.forall(_._4 > 0))
     } finally q.stop()
   }
+
+  test("streaming wiki-dump shard explode matches batch (stateless flatMap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shards = (0L to 1L).map { sid =>
+      val pages = (sid * 4 until sid * 4 + 4).map(Ingest.wikiPage)
+      Multimodal.MediaRecord(sid, s"t://shard$sid.xml.bz2",
+        "application/x-bzip2",
+        graft.operators.Bzip2.compress(
+          graft.operators.MediaWiki.writeDump(pages)), Map.empty)
+    }
+    def mine(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) = ds
+      .flatMap { r =>
+        graft.operators.MediaWiki.parseDump(
+          graft.operators.Bzip2.decompress(r.content))
+          .map(p => (p.pageId, p.title,
+            graft.operators.MediaWiki.cleanWikitext(p.wikitext)))
+      }
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = mine(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wiki_stream_out").start()
+    try {
+      shards.foreach { sh => stream.addData(Seq(sh)); q.processAllAvailable() }
+      val streamed = spark.table("wiki_stream_out")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val batch = mine(spark.createDataset(shards)).collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.length == 8 && batch.forall(_._3.nonEmpty))
+    } finally q.stop()
+  }
 }
