@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,23 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+  }
+
+  /** The documents id list REPARTITIONED for fabrication parallelism:
+    * the small parquet scans as ONE partition, so every
+    * fabricate-and-extract fixture downstream would run single-threaded
+    * (and DID — the r12 lap bisect measured the whole document family
+    * serialized on one core). An explicit numPartitions repartition —
+    * user-specified, so AQE must respect it — spreads the expensive
+    * per-id work across the executor threads for the price of shuffling
+    * 8-byte ids. At production scale inputs arrive multi-partition and
+    * this exchange is the one you would DELETE; in the demo corpus the
+    * fabrication cost is the honest workload being parallelized.
+    */
+  private def docIds(s: SparkSession, dir: String): Dataset[Long] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(math.max(2, s.sparkContext.defaultParallelism))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3632,7 +3649,7 @@ object SparkEntry {
     // arithmetic-predicted.
     "tx_sitemap_frontier" -> ((s, dir) => {
       import s.implicits._
-      val maps = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val maps = docIds(s, dir)
         .groupByKey(_ % 20)
         .mapGroups { (k, it) =>
           val entries = it.toSeq.sorted.map { d =>
@@ -3988,7 +4005,7 @@ object SparkEntry {
           regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
           regexp_extract(col("lastmod"), "-(\\d+)$", 1).cast("long")
             .as("lastmod_day"))
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4050,7 +4067,7 @@ object SparkEntry {
     // host-grain aggregate.
     "tx_frontier_growth" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val discovered = pages
@@ -4096,7 +4113,7 @@ object SparkEntry {
     // float PageRank cannot). Degrees + final rank per host.
     "tx_link_rank" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4126,7 +4143,7 @@ object SparkEntry {
     // re-iterating.
     "tx_link_rank_delta" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4165,7 +4182,7 @@ object SparkEntry {
     // labels only (text capped at 256 cp), ONE host-grain aggregate.
     "tx_anchor_text" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       pages
@@ -4198,7 +4215,7 @@ object SparkEntry {
     // window and the reassembly aggregate.
     "tx_boilerplate" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => (id, graft.operators.Ingest.boilerplatePage(id)))
         .toDF("doc_id", "html")
       graft.operators.TextAnalysis.extractMainText(pages, "html", "doc_id")
@@ -4214,7 +4231,7 @@ object SparkEntry {
     // per-block scalar over the literal "en" profile.
     "tx_boilerplate_stop" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => (id, graft.operators.Ingest.stopwordPage(id)))
         .toDF("doc_id", "html")
       graft.operators.TextAnalysis.extractMainText(pages, "html", "doc_id",
@@ -4232,7 +4249,7 @@ object SparkEntry {
     // arithmetic as tx_frontier_growth's n_new), the Bloom only routes.
     "tx_frontier_bloom" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val discovered = pages
@@ -4310,7 +4327,7 @@ object SparkEntry {
     // pipeline groups on BEFORE content hashing. Map-only scalar.
     "tx_meta_gate" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.metaPage(id))
         .toDF("url", "html")
       pages
@@ -4334,7 +4351,7 @@ object SparkEntry {
     // HAVING must drop). ONE key-grain exchange, map-only extraction.
     "tx_canonical_dedup" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.metaPage(id))
         .toDF("url", "html")
       pages
@@ -4359,7 +4376,7 @@ object SparkEntry {
     // restricted to follow-allowed docs.
     "tx_frontier_nofollow" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map { id =>
           val (url, html) = graft.operators.Ingest.watPage(id)
           val tag = (id % 4) match {
@@ -4431,7 +4448,7 @@ object SparkEntry {
     // host-grain rows on broadcast dims.
     "tx_crawl_plan" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4481,7 +4498,7 @@ object SparkEntry {
     // rows end to end; the robots dim broadcasts.
     "tx_budget_capacity" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4525,7 +4542,7 @@ object SparkEntry {
     // an nShards-row dim.
     "tx_budget_replan" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),
@@ -4599,7 +4616,7 @@ object SparkEntry {
     // one task per partition of the documents scan.
     "tx_pdf_text" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val docs = docIds(s, dir)
         .map { id =>
           val nPages = (1 + id % 3).toInt
           val pages = (0 until nPages).map(p =>
@@ -4652,7 +4669,7 @@ object SparkEntry {
     // per-record work like the PDF trio.
     "tx_office_text" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val paras = (0 until (1 + id % 4).toInt).map(p =>
             s"Para $p doc $id\ttab ‘§${id % 7}’")
@@ -4672,7 +4689,7 @@ object SparkEntry {
     // paragraphs, same hardened XML walk, same map-only shape.
     "tx_sheet_text" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val bytes =
             if (id % 2 == 0) graft.operators.OfficeCodec.writeXlsx(Seq(Seq(
@@ -4697,7 +4714,7 @@ object SparkEntry {
     // text. Map-only per-record work.
     "tx_book_text" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           if (id % 2 == 0) {
             val chapters = (0 until (1 + id % 3).toInt).map(c => Seq(
@@ -4725,7 +4742,7 @@ object SparkEntry {
     // 100 TB archive store cost directory reads.
     "tx_doc_probe" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val oc = graft.operators.OfficeCodec
           val bytes = (id % 10) match {
@@ -4927,7 +4944,7 @@ object SparkEntry {
     // scale shape as tx_pdf_text: map-only per-record work.
     "tx_pdf_text15" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val docs = docIds(s, dir)
         .map { id =>
           val pages = (0 until (1 + id % 3).toInt).map(p =>
             s"Doc $id v1.5 page $p ‘€${id % 9}’\nmodern ${id % 7} (p$p)")
@@ -4950,7 +4967,7 @@ object SparkEntry {
     // tested. Map-only per-record work.
     "tx_pdf_filters" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val cascade = graft.operators.Ingest.modernCascade(id)
           val pages = (0 until (1 + id % 3).toInt).map(p =>
@@ -5040,7 +5057,7 @@ object SparkEntry {
     // column IS the quarantine reason the Quality seam files on.
     "tx_pdf_quarantine" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           // the encrypted lane is REALLY encrypted now (standard security
           // handler, user password set), so the reject is the honest
@@ -5070,7 +5087,7 @@ object SparkEntry {
     // paragraph marks mapped. Map-only per-record walk.
     "tx_ppt_text" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val nSlides = (1 + id % 3).toInt
           val slides = (0 until nSlides).map { k =>
@@ -5098,7 +5115,7 @@ object SparkEntry {
     // sheet. Cells flatten to rows; map-only per-record walk.
     "tx_xls_text" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .flatMap { id =>
           val nSheets = (1 + id % 2).toInt
           val sheets = (0 until nSheets).map { k =>
@@ -5126,7 +5143,7 @@ object SparkEntry {
     // extract; keys derive per record, nothing crosses an exchange.
     "tx_pdf_encrypted" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val method =
             Seq("rc4-40", "rc4-128", "aes-128", "aes-256")((id % 4).toInt)
@@ -5206,7 +5223,7 @@ object SparkEntry {
     // apart by the same fixture). Map-only per-record walk.
     "tx_pdf_meta" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .map { id =>
           val title = s"Report $id — ‘résumé’ №${id % 100}"
           val author = s"Author ${id % 7} (unit…)"
@@ -5234,7 +5251,7 @@ object SparkEntry {
     // construction); the host-grain pass is one shard-partitioned window.
     "tx_crawl_budget" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = docIds(s, dir)
         .map(id => graft.operators.Ingest.watPage(id))
         .toDF("url", "html")
       val links = pages.select(col("url"),

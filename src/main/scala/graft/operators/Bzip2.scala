@@ -415,18 +415,33 @@ object Bzip2 {
     o.putLong(0x314159265359L, 48)
     o.put(crc, 32)
     o.put(0, 1) // not randomized
-    // ---- BWT: sort rotations (n is fixture-small; cyclic compare)
-    val idx = (0 until n).sortWith { (a, b) =>
-      var k = 0
-      var r = false
-      var decided = false
-      while (k < n && !decided) {
-        val ca = block((a + k) % n) & 0xff
-        val cb = block((b + k) % n) & 0xff
-        if (ca != cb) { r = ca < cb; decided = true }
-        k += 1
+    // ---- BWT: sort rotations by prefix doubling (Manber-Myers ranks,
+    // O(n log^2 n)) — naive cyclic compares are quadratic on the
+    // repetitive inputs (XML, logs) fixtures actually compress
+    val idx: IndexedSeq[Int] = {
+      var rank = new Array[Int](n)
+      var i = 0
+      while (i < n) { rank(i) = block(i) & 0xff; i += 1 }
+      var order = (0 until n).toArray
+      var k = 1
+      var distinct = false
+      while (k < n && !distinct) {
+        val key = (a: Int) => ((rank(a).toLong << 32) | rank((a + k) % n))
+        order = order.sortBy(key)
+        val next = new Array[Int](n)
+        var r = 0
+        i = 1
+        next(order(0)) = 0
+        while (i < n) {
+          if (key(order(i)) != key(order(i - 1))) r += 1
+          next(order(i)) = r
+          i += 1
+        }
+        rank = next
+        distinct = r == n - 1
+        k <<= 1
       }
-      if (decided) r else a < b
+      order.toIndexedSeq
     }
     val origPtr = idx.indexOf(0)
     o.put(origPtr, 24)

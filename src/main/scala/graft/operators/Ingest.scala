@@ -419,15 +419,37 @@ object Ingest {
     * must divert mid-pipeline, not crash the archive scan. Odd archives
     * per-record-gzipped like the main corpus.
     */
+
+  /** doc_ids grouped into archive-sized buckets WITHOUT an
+    * AQE-coalescible exchange. The id shuffle under `groupByKey` is
+    * KB-scale, so AQE coalesced its ENSURE_REQUIREMENTS exchange to ONE
+    * partition and every expensive per-archive fabrication below ran
+    * single-threaded (measured: the wiki fixture at 2.5 s wall for
+    * 1.4 s of CPU). An explicit numPartitions repartition on the
+    * archive key is USER-SPECIFIED partitioning AQE must respect, and
+    * the groups assemble per partition. At production scale archive
+    * records are MB-grain and coalescing is moot — this keeps the demo
+    * corpora honest about parallel fabrication.
+    */
+  private def archiveGroups(spark: SparkSession, dir: String,
+      perArchive: Int): Dataset[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(parts, (col("doc_id") / perArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_ / perArchive).iterator
+          .map { case (aid, ids) => (aid, ids.sorted) }
+      }
+  }
+
   def pdfArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val pages = (0 until (1 + id % 3).toInt).map(p =>
             s"Doc $id page $p ‘café’\ntokens ${id % 7} — (p$p)")
           // the encrypted lane carries a REAL standard-security file with a
@@ -461,12 +483,9 @@ object Ingest {
   def zstdArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map(zstdRecord)
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map(zstdRecord)
         val dict = if (aid % 2 == 0) Some(zstdDemoDict) else None
         Multimodal.MediaRecord(aid, s"fake://zst/$aid.warc.zst",
           "application/warc", Warc.writeWarcZstd(recs, dict), Map.empty)
@@ -514,12 +533,9 @@ object Ingest {
   def modernPdfArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val pages = (0 until (1 + id % 3).toInt).map(p =>
             s"Doc $id v1.5 page $p ‘€${id % 9}’\nmodern ${id % 7} (p$p)")
           val clean =
@@ -566,12 +582,9 @@ object Ingest {
       docsPerArchive: Int = 16,
       modeOf: Long => String = defaultEncodingMode): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val text = s"payload $id café\n" * (1 + id % 3).toInt
           val mode = modeOf(id)
           Map(
@@ -597,12 +610,9 @@ object Ingest {
   def mboxArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val msgs = it.toSeq.sorted.map(mailMessage)
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val msgs = ids.map(mailMessage)
         Multimodal.MediaRecord(aid, s"fake://mbox/$aid.mbox",
           "application/mbox", Mail.writeMbox(msgs), Map.empty)
       }
@@ -618,12 +628,9 @@ object Ingest {
   def wikiArchives(spark: SparkSession, dir: String,
       pagesPerShard: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / pagesPerShard)
-      .mapGroups { (aid, it) =>
-        val pages = it.toSeq.sorted.map(wikiPage)
+    archiveGroups(spark, dir, pagesPerShard)
+      .map { case (aid, ids) =>
+        val pages = ids.map(wikiPage)
         Multimodal.MediaRecord(aid, s"fake://wiki/shard$aid.xml.bz2",
           "application/x-bzip2",
           Bzip2.compress(MediaWiki.writeDump(pages)), Map.empty)
@@ -657,12 +664,9 @@ object Ingest {
   def attachmentArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val msgs = it.toSeq.sorted.map(attachmentMessage)
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val msgs = ids.map(attachmentMessage)
         Multimodal.MediaRecord(aid, s"fake://attmbox/$aid.mbox",
           "application/mbox", Mail.writeMbox(msgs), Map.empty)
       }
@@ -788,12 +792,9 @@ object Ingest {
   def docArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val body = docBody(id)
           Map(
             "WARC-Type" -> "response",
@@ -885,12 +886,9 @@ object Ingest {
   def statusArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val status = ((id / 20 + id % 20) % 10) match {
             case 6 => 301
             case 7 => 404
@@ -1004,12 +1002,9 @@ object Ingest {
   def boilerplateArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val url = s"http://src${id % 20}.invalid/doc/$id"
           val html = boilerplatePage(id).replace("</h1>", " café</h1>")
           val (body, ct) = (id % 3) match {
@@ -1045,12 +1040,9 @@ object Ingest {
   def mirrorArchives(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val contentId = if (id % 97 < 50) id % 97 else id
           val html = boilerplatePage(contentId)
           Map(
@@ -1232,12 +1224,9 @@ object Ingest {
   def watArchivesFromDocuments(spark: SparkSession, dir: String,
       docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .as[Long]
-      .groupByKey(_ / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sorted.map { id =>
+    archiveGroups(spark, dir, docsPerArchive)
+      .map { case (aid, ids) =>
+        val recs = ids.map { id =>
           val (url, html) = watPage(id)
           Map(
             "WARC-Type" -> "response",
