@@ -4914,7 +4914,8 @@ object SparkEntry {
     // charset/boilerplate/PDF work. The corpus exercises the whole
     // routing table — gzip, spec deflate (zlib), the wild-server RAW
     // deflate under the same token (decode retries unwrapped), identity,
-    // and an unsupported brotli token that DIVERTS with the original
+    // bzip2 (the from-scratch walk, both CRCs verified), and an
+    // unsupported brotli token that DIVERTS with the original
     // bytes kept and the reject named. Decoded text is pinned exactly.
     // Scale shape: per-record scalar decode inside the archive explode's
     // partition — bodies never shuffle to be decoded.
@@ -8363,16 +8364,17 @@ object SparkEntry {
     // named reject and their raw (= plain-text) bytes kept
     "tx_content_encoding" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n,
-        |    CASE doc_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
-        |      WHEN 2 THEN 'deflate' WHEN 3 THEN '' ELSE 'br' END AS encoding
+        |    CASE doc_id % 6 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+        |      WHEN 2 THEN 'deflate' WHEN 3 THEN '' WHEN 4 THEN 'bzip2'
+        |      ELSE 'br' END AS encoding
         |  FROM documents),
         |t2 AS (SELECT doc_id, encoding,
         |    repeat('payload ' || doc_id || ' café' || chr(10), CAST(n AS INT))
         |      AS text
         |  FROM d)
         |SELECT doc_id, encoding,
-        |  doc_id % 5 <> 4 AS clean,
-        |  CASE WHEN doc_id % 5 = 4
+        |  doc_id % 6 <> 5 AS clean,
+        |  CASE WHEN doc_id % 6 = 5
         |    THEN 'http: unsupported content-encoding ''br'''
         |    ELSE '' END AS reason,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

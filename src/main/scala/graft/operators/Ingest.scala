@@ -864,12 +864,13 @@ object Ingest {
     }
   }
 
-  /** The id%5 routing table [[encodedArchives]] uses by default. */
-  def defaultEncodingMode(id: Long): String = (id % 5) match {
+  /** The id%6 routing table [[encodedArchives]] uses by default. */
+  def defaultEncodingMode(id: Long): String = (id % 6) match {
     case 0 => "gzip"
     case 1 => "deflate"
     case 2 => "deflate-raw"
     case 3 => ""
+    case 4 => "bzip2"
     case _ => "br"
   }
 
