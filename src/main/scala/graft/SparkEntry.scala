@@ -4832,6 +4832,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WIKI MULTISTREAM INDEX — the dumps' `multistream-index.txt.bz2`
+    // twin (offset:pageId:title per line) enables RANGED reads: fetch
+    // one bz2 stream's byte range and decode only that page batch,
+    // never the rest of the dump — the CDX analog for wiki dumps. The
+    // query audits the whole byte space: every index entry is replayed
+    // through a genuine ranged read (Bzip2.decompressOne at the index
+    // offset), the page must surface in THAT batch with the indexed
+    // title, and the batch structure (stream rank, batch size) is
+    // arithmetic the oracle predicts. Map-only per shard, like the dump
+    // lane.
+    "tx_wiki_index" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.wikiIndexedArchives(s, dir)
+        .flatMap { r =>
+          val mw = graft.operators.MediaWiki
+          val idxText = new String(graft.operators.Bzip2.decompress(
+            java.util.Base64.getDecoder.decode(r.meta("index_bz2_b64"))),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val entries = mw.parseIndexText(idxText)
+          val offsets = entries.map(_.offset).distinct.sorted
+          val rankOf = offsets.zipWithIndex.toMap
+          val batches = offsets.map(o => o -> mw.pagesAt(r.content, o)).toMap
+          entries.map { e =>
+            val batch = batches(e.offset)
+            val page = batch.find(_.pageId == e.pageId)
+            val ok = page.exists(_.title == e.title)
+            val text = page.map(p => mw.cleanWikitext(p.wikitext)).getOrElse("")
+            (e.pageId, r.media_id, rankOf(e.offset).toLong,
+              batch.size.toLong, e.title, text.length.toLong, ok)
+          }
+        }
+        .toDF("doc_id", "archive_id", "stream_rank", "batch_size",
+          "title", "n_chars", "ranged_ok")
+        .orderBy(col("doc_id"))
+    }),
+
     // MAIL-ATTACHMENT mining — the cross-family capstone list archives
     // demand: mailbox explode → MIME walk → NON-text leaves decoded
     // (base64, filename from Content-Disposition) → magic-routed
@@ -8431,6 +8468,28 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS INTEGER) AS ns,
         |  'User' || (doc_id % 7) AS username, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the multistream-index audit replayed: pages group 4-per-stream in
+    // doc_id order within each 16-page shard, so stream rank and batch
+    // size are pure arithmetic; n_chars reuses the dump lane's text
+    "tx_wiki_index" ->
+      """WITH d AS (SELECT doc_id, doc_id // 16 AS archive_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
+        |      - 1 AS rnk,
+        |    COUNT(*) OVER (PARTITION BY doc_id // 16) AS n,
+        |    'Article ' || doc_id || ' is about subject ' || (doc_id % 7) ||
+        |      '.' || chr(10) ||
+        |    'Body of article ' || doc_id || ' links Plain ' ||
+        |      (doc_id % 5) || ' and notes café.' || chr(10) ||
+        |    'Section ' || (doc_id % 3) || chr(10) ||
+        |    'Final line ' || doc_id || ' — done.' AS text
+        |  FROM documents)
+        |SELECT doc_id, archive_id,
+        |  CAST(rnk // 4 AS BIGINT) AS stream_rank,
+        |  CAST(LEAST(4, n - 4 * (rnk // 4)) AS BIGINT) AS batch_size,
+        |  'Article ' || doc_id AS title,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  TRUE AS ranged_ok
         |FROM d ORDER BY doc_id""".stripMargin,
     // the attachment walk replayed: filename/container by id%4, the
     // shared extraction template's LENGTH, the cover note exact

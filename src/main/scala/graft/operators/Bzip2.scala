@@ -113,17 +113,55 @@ object Bzip2 {
 
   // ------------------------------------------------------------- decoder
 
-  /** Decompress a whole bzip2 stream. `maxOut` bounds the total output
+  /** Decompress a whole bzip2 payload, including MULTISTREAM layouts —
+    * byte-aligned concatenations of independent streams, the layout
+    * Wikipedia `pages-articles-multistream.xml.bz2` dumps ship in and
+    * what canonical `bzip2 -dc` decodes. Each stream's CRC is checked
+    * independently; trailing bytes that are not a `BZh` header are a
+    * named reject. `maxOut` bounds the TOTAL output across all streams
     * (decompression-bomb guard). Throws named
     * `IllegalArgumentException`s for anything out of profile.
     */
   def decompress(b: Array[Byte], maxOut: Int = 256 << 20): Array[Byte] = {
     require(isBzip2(b), "bzip2: missing BZh header")
-    val level = b(3) - '0'
-    val blockCap = level * 100000
-    val in = new BitIn(b)
-    in.pos = 32 // past BZh<level>
     val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < b.length) {
+      require(headerAt(b, off),
+        s"bzip2: trailing garbage after stream end (offset $off)")
+      off = decodeStream(b, off, out, maxOut)
+    }
+    out.toByteArray
+  }
+
+  /** Decode exactly ONE stream starting at byte `offset` of a
+    * multistream payload; returns the stream's bytes plus the offset
+    * just past its footer. This is the ranged-read path a
+    * `multistream-index.txt` enables: fetch [offset, next-offset) and
+    * decode only the shard you need.
+    */
+  def decompressOne(b: Array[Byte], offset: Int,
+      maxOut: Int = 256 << 20): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val end = decodeStream(b, offset, out, maxOut)
+    (out.toByteArray, end)
+  }
+
+  private def headerAt(b: Array[Byte], off: Int): Boolean =
+    off >= 0 && b.length - off >= 4 &&
+      b(off) == 'B' && b(off + 1) == 'Z' && b(off + 2) == 'h' &&
+      b(off + 3) >= '1' && b(off + 3) <= '9'
+
+  /** Decode the single stream at byte `offset` into `out`; returns the
+    * byte offset just past its (byte-padded) footer. `maxOut` caps the
+    * cumulative size of `out`, so multistream callers get a TOTAL cap.
+    */
+  private def decodeStream(b: Array[Byte], offset: Int,
+      out: java.io.ByteArrayOutputStream, maxOut: Int): Int = {
+    require(headerAt(b, offset), s"bzip2: missing BZh header at offset $offset")
+    val blockCap = (b(offset + 3) - '0') * 100000
+    val in = new BitIn(b)
+    in.pos = offset.toLong * 8 + 32 // past BZh<level>
     var combinedCrc = 0
     var done = false
     while (!done) {
@@ -347,7 +385,8 @@ object Bzip2 {
         combinedCrc = ((combinedCrc << 1) | (combinedCrc >>> 31)) ^ crc.value
       }
     }
-    out.toByteArray
+    // a stream ends byte-padded; the next (multistream) header is aligned
+    ((in.pos + 7) >>> 3).toInt
   }
 
   // ------------------------------------------------------------- encoder

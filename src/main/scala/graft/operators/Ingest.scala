@@ -631,9 +631,31 @@ object Ingest {
     archiveGroups(spark, dir, pagesPerShard)
       .map { case (aid, ids) =>
         val pages = ids.map(wikiPage)
+        // GENUINELY multistream (header / 4-page batches / footer as
+        // independent bz2 streams) — the layout the real dumps ship in
+        // and the one a truncating decoder would silently corrupt.
+        val (dump, _) = MediaWiki.writeMultistreamDump(pages)
         Multimodal.MediaRecord(aid, s"fake://wiki/shard$aid.xml.bz2",
-          "application/x-bzip2",
-          Bzip2.compress(MediaWiki.writeDump(pages)), Map.empty)
+          "application/x-bzip2", dump, Map.empty)
+      }
+  }
+
+  /** Multistream shards WITH their `multistream-index.txt.bz2` twin —
+    * the ranged-read contract (`tx_wiki_index`): metadata carries the
+    * index text so the query can replay offset→page-batch access.
+    */
+  def wikiIndexedArchives(spark: SparkSession, dir: String,
+      pagesPerShard: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    archiveGroups(spark, dir, pagesPerShard)
+      .map { case (aid, ids) =>
+        val pages = ids.map(wikiPage)
+        val (dump, index) = MediaWiki.writeMultistreamDump(pages)
+        Multimodal.MediaRecord(aid, s"fake://wiki/shard$aid.xml.bz2",
+          "application/x-bzip2", dump,
+          Map("index_bz2_b64" -> java.util.Base64.getEncoder.encodeToString(
+            Bzip2.compress(MediaWiki.writeIndexText(index)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
       }
   }
 

@@ -128,31 +128,102 @@ object MediaWiki {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  private val headerXml =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<mediawiki version=\"0.10\" xml:lang=\"en\">\n" +
+      "  <siteinfo><sitename>Graftpedia</sitename></siteinfo>\n"
+  private val footerXml = "</mediawiki>\n"
+
+  private def pageXml(p: WikiPage): String = {
+    val sb = new StringBuilder
+    sb.append("  <page>\n")
+    sb.append(s"    <title>${esc(p.title)}</title>\n")
+    sb.append(s"    <ns>${p.ns}</ns>\n")
+    sb.append(s"    <id>${p.pageId}</id>\n")
+    sb.append("    <revision>\n")
+    sb.append(s"      <id>${p.pageId * 10}</id>\n")
+    sb.append(s"      <timestamp>${esc(p.timestamp)}</timestamp>\n")
+    sb.append("      <contributor><username>")
+    sb.append(esc(p.username))
+    sb.append("</username></contributor>\n")
+    sb.append("      <text xml:space=\"preserve\">")
+    sb.append(esc(p.wikitext))
+    sb.append("</text>\n")
+    sb.append("    </revision>\n")
+    sb.append("  </page>\n")
+    sb.toString
+  }
+
   /** Deterministic export-shard writer — the fixture half. */
   def writeDump(pages: Seq[WikiPage]): Array[Byte] = {
     require(pages.nonEmpty, "wiki write: at least one page")
-    val sb = new StringBuilder
-    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-    sb.append("<mediawiki version=\"0.10\" xml:lang=\"en\">\n")
-    sb.append("  <siteinfo><sitename>Graftpedia</sitename></siteinfo>\n")
-    pages.foreach { p =>
-      sb.append("  <page>\n")
-      sb.append(s"    <title>${esc(p.title)}</title>\n")
-      sb.append(s"    <ns>${p.ns}</ns>\n")
-      sb.append(s"    <id>${p.pageId}</id>\n")
-      sb.append("    <revision>\n")
-      sb.append(s"      <id>${p.pageId * 10}</id>\n")
-      sb.append(s"      <timestamp>${esc(p.timestamp)}</timestamp>\n")
-      sb.append("      <contributor><username>")
-      sb.append(esc(p.username))
-      sb.append("</username></contributor>\n")
-      sb.append("      <text xml:space=\"preserve\">")
-      sb.append(esc(p.wikitext))
-      sb.append("</text>\n")
-      sb.append("    </revision>\n")
-      sb.append("  </page>\n")
+    (headerXml + pages.map(pageXml).mkString + footerXml)
+      .getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** One multistream-index line, exactly the published format:
+    * `offset:pageId:title` where offset is the byte position of the
+    * bz2 stream the page lives in.
+    */
+  final case class IndexEntry(offset: Long, pageId: Long, title: String)
+
+  /** The REAL dump layout (`pages-articles-multistream.xml.bz2` +
+    * `…-multistream-index.txt.bz2`): independent bz2 streams
+    * concatenated byte-to-byte — stream 0 carries the header through
+    * `<siteinfo>`, then batches of `pagesPerStream` `<page>` elements
+    * per stream, then a final stream with `</mediawiki>`. The full
+    * concatenation decompresses to EXACTLY [[writeDump]]'s XML, while
+    * the index enables ranged reads of one page batch without touching
+    * the rest of the dump. Returns (dump bytes, index entries).
+    */
+  def writeMultistreamDump(pages: Seq[WikiPage],
+      pagesPerStream: Int = 4): (Array[Byte], Seq[IndexEntry]) = {
+    require(pages.nonEmpty, "wiki write: at least one page")
+    require(pagesPerStream >= 1, "wiki write: pagesPerStream >= 1")
+    val out = new java.io.ByteArrayOutputStream()
+    val index = Seq.newBuilder[IndexEntry]
+    out.write(Bzip2.compress(headerXml.getBytes(StandardCharsets.UTF_8)))
+    pages.grouped(pagesPerStream).foreach { grp =>
+      val off = out.size().toLong
+      grp.foreach(p => index += IndexEntry(off, p.pageId, p.title))
+      out.write(Bzip2.compress(
+        grp.map(pageXml).mkString.getBytes(StandardCharsets.UTF_8)))
     }
-    sb.append("</mediawiki>\n")
-    sb.toString.getBytes(StandardCharsets.UTF_8)
+    out.write(Bzip2.compress(footerXml.getBytes(StandardCharsets.UTF_8)))
+    (out.toByteArray, index.result())
+  }
+
+  /** Render index entries as the shipped `multistream-index.txt` text
+    * (one `offset:pageId:title` line per page).
+    */
+  def writeIndexText(entries: Seq[IndexEntry]): String =
+    entries.map(e => s"${e.offset}:${e.pageId}:${e.title}").mkString("", "\n", "\n")
+
+  /** Parse a `multistream-index.txt`. Titles may contain ':', so split
+    * on the FIRST TWO colons only — the published format's rule.
+    */
+  def parseIndexText(text: String): Seq[IndexEntry] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val c1 = line.indexOf(':')
+      val c2 = line.indexOf(':', c1 + 1)
+      require(c1 > 0 && c2 > c1, s"wiki index: malformed line '$line'")
+      IndexEntry(line.substring(0, c1).toLong,
+        line.substring(c1 + 1, c2).toLong, line.substring(c2 + 1))
+    }.toSeq
+
+  /** Ranged read: decode ONLY the bz2 stream at `offset` of a
+    * multistream dump and parse its `<page>` batch (the page-batch
+    * streams carry bare `<page>` fragments, so wrap them in a root for
+    * the hardened walk). This is the access path the index buys: at
+    * production scale `offset .. next-offset` is the ONLY byte range
+    * fetched.
+    */
+  def pagesAt(dump: Array[Byte], offset: Long): Seq[WikiPage] = {
+    require(offset >= 0 && offset < dump.length, s"wiki: index offset $offset out of range")
+    val (fragment, _) = Bzip2.decompressOne(dump, offset.toInt, MaxDumpBytes)
+    val wrapped = ("<mediawiki>\n" +
+      new String(fragment, StandardCharsets.UTF_8) +
+      "</mediawiki>\n").getBytes(StandardCharsets.UTF_8)
+    parseDump(wrapped)
   }
 }

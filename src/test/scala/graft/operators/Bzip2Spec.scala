@@ -66,16 +66,58 @@ class Bzip2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("cap"))
   }
 
+  private def res(n: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/" + n)
+    assert(in != null, s"missing resource $n")
+    try in.readAllBytes() finally in.close()
+  }
+
   test("decodes CANONICAL bzip2 output (golden interop, text + binary)") {
-    def res(n: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream("/" + n)
-      assert(in != null, s"missing resource $n")
-      try in.readAllBytes() finally in.close()
-    }
     for (base <- Seq("bzip2_golden_text", "bzip2_golden_binary")) {
       val packed = res(s"$base.bz2")
       val plain = res(s"$base.plain")
       assert(Bzip2.decompress(packed).sameElements(plain), base)
     }
+  }
+
+  test("decodes CANONICAL multistream concatenation (the Wikipedia dump layout)") {
+    // three canonical-bzip2 streams at levels 1/9/5 concatenated byte-to-byte
+    // — exactly what `bzip2 -dc` emits in full and what
+    // pages-articles-multistream.xml.bz2 ships as.
+    val packed = res("bzip2_golden_multistream.bz2")
+    val plain = res("bzip2_golden_multistream.plain")
+    assert(Bzip2.decompress(packed).sameElements(plain))
+  }
+
+  test("multistream: self-compressed concatenations round-trip, CRCs per stream") {
+    val parts = Seq(
+      "alpha stream".getBytes(StandardCharsets.US_ASCII),
+      Array.fill(3000)('z'.toByte),
+      "omega".getBytes(StandardCharsets.US_ASCII))
+    val packed = parts.map(p => Bzip2.compress(p)).reduce(_ ++ _)
+    assert(Bzip2.decompress(packed).sameElements(parts.reduce(_ ++ _)))
+    // corrupting the SECOND stream still fails loudly
+    val firstLen = Bzip2.compress(parts.head).length
+    val broken = packed.clone()
+    broken(firstLen + 20) = (broken(firstLen + 20) ^ 0x10).toByte
+    intercept[IllegalArgumentException](Bzip2.decompress(broken))
+  }
+
+  test("multistream: maxOut caps TOTAL output across streams") {
+    val packed = Bzip2.compress(Array.fill(5000)('a'.toByte)) ++
+      Bzip2.compress(Array.fill(5000)('b'.toByte))
+    val e = intercept[IllegalArgumentException](Bzip2.decompress(packed, maxOut = 6000))
+    assert(e.getMessage.contains("cap"))
+  }
+
+  test("multistream: trailing non-BZh bytes are a NAMED reject, not silence") {
+    val packed = Bzip2.compress("clean stream".getBytes(StandardCharsets.US_ASCII))
+    val e = intercept[IllegalArgumentException](
+      Bzip2.decompress(packed ++ "junk after the footer".getBytes))
+    assert(e.getMessage.contains("trailing garbage"))
+    // a short (<4 byte) tail is equally rejected by name
+    val e2 = intercept[IllegalArgumentException](
+      Bzip2.decompress(packed ++ Array[Byte]('B', 'Z')))
+    assert(e2.getMessage.contains("trailing garbage"))
   }
 }

@@ -36,6 +36,38 @@ class MediaWikiSpec extends AnyFunSuite {
     assert(MediaWiki.cleanWikitext("keep<ref>dangling forever") == "keep")
   }
 
+  test("multistream writer: concatenation decompresses to EXACTLY writeDump's XML") {
+    val pages = (0L until 11L).map(Ingest.wikiPage)
+    val (dump, index) = MediaWiki.writeMultistreamDump(pages, pagesPerStream = 4)
+    assert(Bzip2.decompress(dump).sameElements(MediaWiki.writeDump(pages)))
+    assert(MediaWiki.parseDump(Bzip2.decompress(dump)) == pages)
+    // 11 pages / 4 per stream -> header + 3 page streams + footer
+    assert(index.map(_.offset).distinct.size == 3)
+    assert(index.size == 11)
+  }
+
+  test("index round-trip incl. titles carrying ':' (first-two-colons rule)") {
+    val entries = Seq(MediaWiki.IndexEntry(613L, 42L, "Category:Topic: deep"),
+      MediaWiki.IndexEntry(1200L, 43L, "Plain"))
+    assert(MediaWiki.parseIndexText(MediaWiki.writeIndexText(entries)) == entries)
+    intercept[IllegalArgumentException](MediaWiki.parseIndexText("nocolons"))
+  }
+
+  test("ranged read: pagesAt decodes ONLY the indexed stream's batch") {
+    val pages = (0L until 10L).map(Ingest.wikiPage)
+    val (dump, index) = MediaWiki.writeMultistreamDump(pages, pagesPerStream = 4)
+    val byOffset = index.groupBy(_.offset)
+    byOffset.foreach { case (off, entries) =>
+      val batch = MediaWiki.pagesAt(dump, off)
+      assert(batch.map(_.pageId) == entries.map(_.pageId))
+      assert(batch.map(_.title) == entries.map(_.title))
+      assert(batch.size <= 4)
+    }
+    // an offset into the middle of a stream is a named reject, not garbage
+    intercept[IllegalArgumentException](
+      MediaWiki.pagesAt(dump, index.head.offset + 1))
+  }
+
   test("named rejects: malformed XML, wrong root, runaway template nesting") {
     val e1 = intercept[IllegalArgumentException](
       MediaWiki.parseDump("<mediawiki><page>".getBytes("UTF-8")))
