@@ -5202,6 +5202,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CJK PDFs — composite Type0/CID fonts (ISO 32000-1 §9.7) decoded
+    // through their /ToUnicode CMap (§9.10.3): Identity-H 2-byte codes,
+    // bfchar + bfrange blocks genuinely parsed (ASCII rides bfrange,
+    // CJK rides bfchar in the fixture's identity CMap). Scripts rotate
+    // by id%4 (han/hanzi/hangul/kana); every 5th document OMITS the
+    // ToUnicode CMap — the truly-undecodable shape — and must stay the
+    // NAMED reject, so the lane asserts only unmapped fonts divert.
+    // Map-only per-record decode, same shape as every document lane.
+    "tx_pdf_cjk" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .map { id =>
+          val phrase = Seq("漢字処理", "中文文本", "한국어 텍스트",
+            "日本語テキスト")((id % 4).toInt)
+          val pages = (0 until (1 + id % 2).toInt).map(p =>
+            s"文書 $id 頁 $p — $phrase\n行 ${id % 7} 内容 café ($p)")
+          val bytes = graft.operators.PdfCodec.writeCjk(pages,
+            toUnicode = id % 5 != 0)
+          try {
+            val t = graft.operators.PdfCodec.extractText(bytes)
+            (id, "ok", t.nPages.toLong, t.pages.mkString("\n"),
+              t.pages.map(_.length.toLong).sum)
+          } catch {
+            case e: IllegalArgumentException => (id, e.getMessage, 0L, "", 0L)
+          }
+        }
+        .toDF("doc_id", "status", "n_pages", "text", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // HOST HEALTH from fetch outcomes — the feedback loop the politeness
     // surface was missing: per-host HTTP status mix out of the REAL
     // archive walk (statuses rotate per host via the (id div 20 + id%20)
@@ -8559,6 +8589,30 @@ object SparkEntry {
         |  CASE WHEN d.locked THEN 0 ELSE CAST(d.n_pages AS BIGINT) END AS n_pages,
         |  CASE WHEN d.locked THEN 0 ELSE CAST(c.n_chars AS BIGINT) END AS n_chars
         |FROM d JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the ToUnicode walk replayed: script by id%4, page text by exact
+    // arithmetic; id%5==0 omits the CMap and stays the named reject.
+    // n_chars sums PAGE lengths (the page-joining newlines subtract out)
+    "tx_pdf_cjk" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS n_pages,
+        |    CASE doc_id % 4 WHEN 0 THEN '漢字処理' WHEN 1 THEN '中文文本'
+        |      WHEN 2 THEN '한국어 텍스트' ELSE '日本語テキスト' END AS phrase,
+        |    doc_id % 5 = 0 AS nomap
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_pages, nomap, phrase,
+        |    UNNEST(GENERATE_SERIES(0, n_pages - 1)) AS pg FROM d),
+        |t AS (SELECT doc_id, n_pages, nomap,
+        |    STRING_AGG('文書 ' || doc_id || ' 頁 ' || pg || ' — ' || phrase ||
+        |        chr(10) || '行 ' || (doc_id % 7) || ' 内容 café (' || pg || ')',
+        |      chr(10) ORDER BY pg) AS text
+        |  FROM p GROUP BY doc_id, n_pages, nomap)
+        |SELECT doc_id,
+        |  CASE WHEN nomap THEN 'pdf: composite (Type0) font unsupported' ||
+        |      ' — needs a ToUnicode CMap' ELSE 'ok' END AS status,
+        |  CASE WHEN nomap THEN 0 ELSE CAST(n_pages AS BIGINT) END AS n_pages,
+        |  CASE WHEN nomap THEN '' ELSE text END AS text,
+        |  CASE WHEN nomap THEN 0
+        |    ELSE CAST(LENGTH(text) - (n_pages - 1) AS BIGINT) END AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
     "tx_pdf_quarantine" ->
       """SELECT doc_id, 'pdf' AS container,
         |  CASE WHEN doc_id % 5 <> 0 THEN CAST(1 AS BIGINT) END AS n_pages,

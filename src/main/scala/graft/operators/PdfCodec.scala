@@ -39,12 +39,16 @@ import java.nio.charset.StandardCharsets
   *    after `ID` is scanned for the whitespace-delimited `EI` operator,
   *    never parsed as objects (a '(' byte inside pixel data must not
   *    read as a string);
+  *  - composite Type0/CID fonts (ISO 32000-1 §9.7) extract through
+  *    their /ToUnicode CMap (§9.10.3): Identity-H code bytes decode
+  *    2-at-a-time via the parsed bfchar/bfrange map — the CJK class
+  *    every multilingual corpus carries at percent scale. A Type0 font
+  *    WITHOUT /ToUnicode stays the named reject ("pdf: composite
+  *    (Type0) font unsupported" — WinAnsi-decoding its codes would be
+  *    silently wrong), as do non-Identity-H encodings and unmapped CIDs;
   *  - OUT of profile, rejected loudly (divert, don't die): /Encrypt
   *    ("pdf: encrypted"), image-only filters (DCT/JPX/CCITT/JBIG2 —
-  *    pixels, not text), composite Type0/CID fonts ("pdf: composite
-  *    (Type0) font unsupported" — their codes need a ToUnicode CMap,
-  *    and WinAnsi-decoding them would be silently wrong), unterminated
-  *    inline images.
+  *    pixels, not text), unterminated inline images.
   *
   * Scale shape: one PDF is one record; extraction is a map-only
   * per-record walk with zero driver state — identical distribution story
@@ -1019,23 +1023,53 @@ object PdfCodec {
   }
 
   private def extractFrom(doc: Doc, pages: Vector[PDict]): PdfText = {
-    val texts = pages.map { p =>
-      // composite (Type0/CID) fonts carry multi-byte codes that only a
-      // ToUnicode CMap can decode — extracting their strings as WinAnsi
-      // would be silently wrong, so they are a NAMED reject (checked on
-      // the page's EFFECTIVE resources, own or inherited via /Parent)
-      inheritedResources(doc, p) match {
-        case PDict(res) => doc.resolve(res.getOrElse("Font", PNull)) match {
-          case PDict(fonts) => fonts.values.map(doc.resolve).foreach {
-            case PDict(fm) if fm.get("Subtype").contains(PName("Type0")) =>
-              throw new IllegalArgumentException(
-                "pdf: composite (Type0) font unsupported — needs a ToUnicode CMap")
-            case _ => ()
-          }
-          case _ => ()
+    // ToUnicode CMaps are font-grain, shared across pages — parse each
+    // stream once per document (identity-keyed: resolve returns the same
+    // PStream instance for the same object)
+    val cmapCache = new java.util.IdentityHashMap[AnyRef, Array[Byte] => String]()
+    // composite (Type0/CID) fonts carry multi-byte codes that only a
+    // ToUnicode CMap can decode (§9.10.3) — wire the parsed CMap as the
+    // font's string decoder; a Type0 WITHOUT /ToUnicode (or with a
+    // non-Identity-H encoding) is a NAMED reject, because extracting its
+    // strings as WinAnsi would be silently wrong
+    def fontDecoder(fm: Map[String, PVal]): Array[Byte] => String =
+      if (fm.get("Subtype").contains(PName("Type0"))) {
+        doc.resolve(fm.getOrElse("Encoding", PNull)) match {
+          case PName("Identity-H") => ()
+          case PName(other) => throw new IllegalArgumentException(
+            s"pdf: Type0 /Encoding /$other unsupported (Identity-H only)")
+          case _ => throw new IllegalArgumentException(
+            "pdf: Type0 without a named /Encoding")
         }
-        case _ => ()
-      }
+        doc.resolve(fm.getOrElse("ToUnicode", PNull)) match {
+          case ps @ PStream(d, raw) =>
+            val cached = cmapCache.get(ps)
+            if (cached != null) cached
+            else {
+              val dec = parseToUnicode(decodeStream(doc, d, raw))
+              cmapCache.put(ps, dec)
+              dec
+            }
+          case _ => throw new IllegalArgumentException(
+            "pdf: composite (Type0) font unsupported — needs a ToUnicode CMap")
+        }
+      } else winAnsiDecode _
+    val texts = pages.map { p =>
+      // font decoders off the page's EFFECTIVE resources (own or
+      // inherited via /Parent)
+      val fonts: Map[String, Array[Byte] => String] =
+        inheritedResources(doc, p) match {
+          case PDict(res) => doc.resolve(res.getOrElse("Font", PNull)) match {
+            case PDict(fdict) => fdict.map { case (name, fv) =>
+              doc.resolve(fv) match {
+                case PDict(fm) => name -> fontDecoder(fm)
+                case _ => name -> (winAnsiDecode _)
+              }
+            }
+            case _ => Map.empty[String, Array[Byte] => String]
+          }
+          case _ => Map.empty[String, Array[Byte] => String]
+        }
       val content = doc.resolve(p.m.getOrElse("Contents", PNull))
       val streams: Seq[PVal] = content match {
         case PArr(items) => items.map(doc.resolve)
@@ -1052,7 +1086,7 @@ object PdfCodec {
       val joined =
         if (data.isEmpty) Array.empty[Byte]
         else data.reduce((a, b) => a ++ Array[Byte]('\n') ++ b)
-      pageText(joined)
+      pageText(joined, fonts)
     }
     PdfText(texts.length, texts)
   }
@@ -1522,23 +1556,207 @@ object PdfCodec {
     sb.toString
   }
 
+  // ------------------------------------------------- Type0 / ToUnicode
+
+  /** Materialized-CMap bound: a legitimate ToUnicode covers at most the
+    * BMP; a range crafted past this is a bomb, not a font.
+    */
+  final val MaxCMapEntries = 1 << 16
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3; Adobe CMap
+    * syntax) into a decoder for the font's code bytes. The codespace
+    * ranges give the code byte-widths (plus any width seen in a
+    * bfchar/bfrange source, for wild CMaps that omit the ranges);
+    * bfchar pairs map one code to UTF-16BE text, bfrange spans either
+    * increment the destination's LAST UTF-16 unit or list destinations
+    * in an array. Decoding walks the string shortest-width-first and
+    * rejects unmapped codes BY NAME — emitting anything for them would
+    * be the silently-wrong mojibake this profile refuses.
+    */
+  private[operators] def parseToUnicode(bytes: Array[Byte]): Array[Byte] => String = {
+    // --- lean CMap tokenizer: hex strings, [ ], names/words; % comments
+    // and ( ) literals (CIDSystemInfo values) skipped; << >> skipped
+    sealed trait Tok
+    final case class Hex(b: Array[Byte]) extends Tok
+    final case class Word(w: String) extends Tok
+    case object ArrOpen extends Tok
+    case object ArrClose extends Tok
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    val n = bytes.length
+    def ws(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+      c == '\f' || c == 0
+    var i = 0
+    while (i < n) {
+      val c = bytes(i) & 0xFF
+      if (ws(c)) i += 1
+      else if (c == '%') { while (i < n && bytes(i) != '\n' && bytes(i) != '\r') i += 1 }
+      else if (c == '<' && i + 1 < n && (bytes(i + 1) & 0xFF) == '<') i += 2
+      else if (c == '>' && i + 1 < n && (bytes(i + 1) & 0xFF) == '>') i += 2
+      else if (c == '<') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && bytes(i) != '>') {
+          if (!ws(bytes(i) & 0xFF)) sb.append((bytes(i) & 0xFF).toChar)
+          i += 1
+        }
+        require(i < n, "pdf: unterminated hex string in CMap")
+        i += 1
+        require(sb.forall(ch => Character.digit(ch, 16) >= 0),
+          "pdf: bad hex string in CMap")
+        if (sb.length % 2 == 1) sb.append('0')
+        toks += Hex(sb.toString.grouped(2)
+          .map(x => Integer.parseInt(x, 16).toByte).toArray)
+      }
+      else if (c == '[') { toks += ArrOpen; i += 1 }
+      else if (c == ']') { toks += ArrClose; i += 1 }
+      else if (c == '(') {
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val b0 = bytes(i)
+          if (b0 == '\\') i += 1
+          else if (b0 == '(') depth += 1
+          else if (b0 == ')') depth -= 1
+          i += 1
+        }
+      }
+      else {
+        val st = i
+        i += 1 // first char may be '/' (a name) — one token either way
+        while (i < n && !ws(bytes(i) & 0xFF) &&
+          "<>[]()%/".indexOf((bytes(i) & 0xFF).toChar) < 0) i += 1
+        toks += Word(new String(bytes, st, i - st, StandardCharsets.ISO_8859_1))
+      }
+    }
+    // --- walk the block structure
+    val widths = scala.collection.mutable.SortedSet.empty[Int]
+    val map = new java.util.HashMap[Long, String]()
+    def key(len: Int, code: Int): Long = (len.toLong << 32) | (code.toLong & 0xFFFFFFFFL)
+    def codeOf(h: Array[Byte]): Int = {
+      require(h.length >= 1 && h.length <= 4, s"pdf: CMap code ${h.length} bytes wide")
+      var v = 0; h.foreach(b => v = (v << 8) | (b & 0xFF)); v
+    }
+    def utf16(h: Array[Byte]): String = new String(h, StandardCharsets.UTF_16BE)
+    var entries = 0
+    def addEntry(len: Int, code: Int, dst: String): Unit = {
+      entries += 1
+      require(entries <= MaxCMapEntries, "pdf: ToUnicode CMap past the entry cap")
+      widths += len
+      map.put(key(len, code), dst)
+    }
+    var t = 0
+    val tn = toks.length
+    def hexAt(j: Int): Option[Array[Byte]] =
+      if (j < tn) toks(j) match { case Hex(b) => Some(b); case _ => None }
+      else None
+    while (t < tn) {
+      toks(t) match {
+        case Word("begincodespacerange") =>
+          t += 1
+          while (hexAt(t).isDefined && hexAt(t + 1).isDefined) {
+            widths += hexAt(t).get.length
+            t += 2
+          }
+        case Word("beginbfchar") =>
+          t += 1
+          while (hexAt(t).isDefined && hexAt(t + 1).isDefined) {
+            val src = hexAt(t).get
+            addEntry(src.length, codeOf(src), utf16(hexAt(t + 1).get))
+            t += 2
+          }
+        case Word("beginbfrange") =>
+          t += 1
+          var more = true
+          while (more && hexAt(t).isDefined && hexAt(t + 1).isDefined) {
+            val lo = hexAt(t).get
+            val hi = hexAt(t + 1).get
+            require(lo.length == hi.length, "pdf: bfrange endpoints differ in width")
+            val loC = codeOf(lo)
+            val hiC = codeOf(hi)
+            require(hiC >= loC, "pdf: bfrange hi below lo")
+            require(hiC - loC < MaxCMapEntries, "pdf: ToUnicode CMap past the entry cap")
+            (if (t + 2 < tn) toks(t + 2) else Word("")) match {
+              case Hex(dstH) =>
+                val base = utf16(dstH).toCharArray
+                require(base.nonEmpty, "pdf: empty bfrange destination")
+                var c = loC
+                while (c <= hiC) {
+                  val d = base.clone()
+                  d(d.length - 1) = (d(d.length - 1) + (c - loC)).toChar
+                  addEntry(lo.length, c, new String(d))
+                  c += 1
+                }
+                t += 3
+              case ArrOpen =>
+                var c = loC
+                t += 3
+                while (t < tn && toks(t) != ArrClose) {
+                  toks(t) match {
+                    case Hex(dstH) =>
+                      require(c <= hiC, "pdf: bfrange array longer than its range")
+                      addEntry(lo.length, c, utf16(dstH))
+                      c += 1
+                    case _ => throw new IllegalArgumentException(
+                      "pdf: bfrange array holds a non-hex entry")
+                  }
+                  t += 1
+                }
+                require(t < tn, "pdf: unterminated bfrange array")
+                t += 1 // past ]
+              case _ => more = false
+            }
+          }
+        case _ => t += 1
+      }
+    }
+    require(!map.isEmpty, "pdf: ToUnicode CMap has no mappings")
+    val lens = widths.toArray // ascending: shortest match wins, per spec
+    (b: Array[Byte]) => {
+      val sb = new java.lang.StringBuilder(b.length)
+      var p = 0
+      while (p < b.length) {
+        var hit: String = null
+        var used = 0
+        var li = 0
+        while (hit == null && li < lens.length) {
+          val len = lens(li)
+          if (p + len <= b.length) {
+            var code = 0
+            var k = 0
+            while (k < len) { code = (code << 8) | (b(p + k) & 0xFF); k += 1 }
+            val v = map.get(key(len, code))
+            if (v != null) { hit = v; used = len }
+          }
+          li += 1
+        }
+        require(hit != null, s"pdf: CID without ToUnicode mapping at byte $p")
+        sb.append(hit)
+        p += used
+      }
+      sb.toString
+    }
+  }
+
   /** Interpret ONE page's (decoded, concatenated) content stream: text
     * shows inside BT/ET; Td TD T* Tm apostrophe/quote line moves become '\n',
     * TJ gaps below [[TjSpaceThreshold]] become ' '. Graphics operators
     * are skipped by construction (operands are parsed, non-text
     * operators discarded); inline images (`BI … ID <binary> EI`, §8.9.7)
     * are skipped as raw bytes so binary pixel data never reaches the
-    * object lexer. Strings decode as WinAnsiEncoding (simple-font
-    * profile — see the object scaladoc).
+    * object lexer. Strings decode through the CURRENT font's decoder
+    * (tracked via `Tf`): WinAnsiEncoding for simple fonts, the parsed
+    * ToUnicode CMap for Type0 — see the object scaladoc.
     */
-  private[operators] def pageText(content: Array[Byte]): String = {
+  private[operators] def pageText(content: Array[Byte],
+      fonts: Map[String, Array[Byte] => String] = Map.empty): String = {
     val lx = new Lexer(content, 0)
     val sb = new StringBuilder
     var inText = false
     var lineHasText = false
+    var dec: Array[Byte] => String = winAnsiDecode _
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     def str(v: PVal): String = v match {
-      case PStr(b) => winAnsiDecode(b)
+      case PStr(b) => dec(b)
       case _ => ""
     }
     def newline(): Unit = {
@@ -1554,6 +1772,14 @@ object PdfCodec {
           val op = lx.readToken()
           if (op.isEmpty) lx.pos += 1 // defensive: skip an unparseable byte
           else if (op == "BI") lx.pos = skipInlineImage(content, lx.pos)
+          else if (op == "Tf") {
+            // `/Fn size Tf` — switch the string decoder to that font's
+            // (a name not in /Resources keeps the simple-font default)
+            if (operands.length >= 2) operands(operands.length - 2) match {
+              case PName(n) => dec = fonts.getOrElse(n, winAnsiDecode _)
+              case _ => ()
+            }
+          }
           else if (inText) op match {
             case "Tj" => show(str(operands.lastOption.getOrElse(PNull)))
             case "'" =>
@@ -1662,6 +1888,132 @@ object PdfCodec {
       if (filters.length == 1) s" /Filter /${filters.head}"
       else s" /Filter [${filters.map("/" + _).mkString(" ")}]"
     writeBody(pages, info, plain => (encoded(plain), filterArr), version = "1.4")
+  }
+
+  /** Spec-correct Type0/CID writer — the CJK fixture half (ISO 32000-1
+    * §9.7 composite fonts + §9.10.3 ToUnicode): one /Type0 font with
+    * /Encoding /Identity-H and a CIDFontType2 descendant, content
+    * strings as hex-encoded 2-byte codes, and a /ToUnicode CMap built
+    * from the pages' characters with CID = Unicode code point — an
+    * identity map the extractor must still GENUINELY parse (ASCII
+    * digits/letters ride three bfrange blocks, everything else bfchar
+    * pairs, ≤100 entries per block per the CMap convention).
+    * `toUnicode = false` omits the CMap: the truly-undecodable shape
+    * that must quarantine by name. Page text: BMP only (no surrogate
+    * pairs), no control chars, no empty lines — same round-trip
+    * contract as [[write]].
+    */
+  def writeCjk(pages: Seq[String], toUnicode: Boolean = true,
+      info: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(pages.nonEmpty, "pdf write: at least one page")
+    pages.foreach { p =>
+      require(p.forall(c => (!c.isSurrogate && c >= ' ') || c == '\n'),
+        "pdf write: CJK pages must be BMP text without control chars")
+      require(p.isEmpty || p.split("\n", -1).forall(_.nonEmpty),
+        "pdf write: empty lines do not round-trip (see scaladoc)")
+    }
+    info.foreach { case (k, _) =>
+      require(k.nonEmpty && k.forall(_.isLetterOrDigit),
+        s"pdf write: bad /Info key '$k'")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(ascii("%PDF-1.4\n%âãÏÓ\n"))
+    val n = pages.length
+    val nFontObjs = if (toUnicode) 3 else 2 // Type0 + descendant (+ CMap)
+    val firstPage = 3 + nFontObjs
+    val total = 2 + nFontObjs + 2 * n + (if (info.nonEmpty) 1 else 0)
+    val offsets = new Array[Int](total + 1)
+    def obj(num: Int, body: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      out.write(ascii(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(ascii("\nendobj\n"))
+    }
+    def streamObj(num: Int, data: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      out.write(ascii(s"$num 0 obj\n<< /Length ${data.length} >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+    }
+    val kids = (0 until n).map(i => s"${firstPage + 2 * i} 0 R").mkString(" ")
+    obj(1, ascii("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2, ascii(s"<< /Type /Pages /Kids [$kids] /Count $n >>"))
+    val toUniRef = if (toUnicode) " /ToUnicode 5 0 R" else ""
+    obj(3, ascii("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCJK" +
+      s" /Encoding /Identity-H /DescendantFonts [4 0 R]$toUniRef >>"))
+    obj(4, ascii("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCJK" +
+      " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)" +
+      " /Supplement 0 >> /CIDToGIDMap /Identity /DW 1000 >>"))
+    if (toUnicode) streamObj(5, toUnicodeCMapBytes(pages))
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = firstPage + 2 * i
+      obj(pageNum, ascii(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          s" /Resources << /Font << /F1 3 0 R >> >> /Contents ${pageNum + 1} 0 R >>"))
+      streamObj(pageNum + 1, cjkContentOps(text))
+    }
+    if (info.nonEmpty) {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(ascii("<<"))
+      info.foreach { case (k, v) =>
+        bo.write(ascii(s" /$k "))
+        bo.write(textStringBytes(v))
+      }
+      bo.write(ascii(" >>"))
+      obj(total, bo.toByteArray)
+    }
+    val xrefAt = out.size()
+    out.write(ascii(s"xref\n0 ${total + 1}\n"))
+    out.write(ascii("0000000000 65535 f \n"))
+    (1 to total).foreach(i => out.write(ascii(f"${offsets(i)}%010d 00000 n \n")))
+    val infoRef = if (info.nonEmpty) s" /Info $total 0 R" else ""
+    out.write(ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R$infoRef >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Content ops for a Type0 page: Identity-H strings are hex-encoded
+    * 2-byte codes (CID = code point), same line layout as [[contentOps]].
+    */
+  private def cjkContentOps(text: String): Array[Byte] = {
+    val ops = new StringBuilder
+    ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    text.split("\n", -1).zipWithIndex.foreach { case (line, li) =>
+      if (li > 0) ops.append("0 -14 Td\n")
+      ops.append('<')
+      line.foreach(c => ops.append(f"${c.toInt}%04X"))
+      ops.append("> Tj\n")
+    }
+    ops.append("ET")
+    ops.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** The identity ToUnicode CMap over the pages' character set: ASCII
+    * digits and letters via bfrange, the rest via ≤100-entry bfchar
+    * blocks — both constructs present so the parser is exercised end
+    * to end by every fixture.
+    */
+  private def toUnicodeCMapBytes(pages: Seq[String]): Array[Byte] = {
+    def ranged(c: Char): Boolean = (c >= '0' && c <= '9') ||
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    val chars = pages.flatMap(_.filter(_ != '\n')).toSet
+      .filterNot(ranged).toSeq.sorted
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)" +
+      " /Supplement 0 >> def\n")
+    sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    sb.append("3 beginbfrange\n<0030> <0039> <0030>\n<0041> <005A> <0041>\n")
+    sb.append("<0061> <007A> <0061>\nendbfrange\n")
+    chars.grouped(100).foreach { grp =>
+      sb.append(s"${grp.length} beginbfchar\n")
+      grp.foreach(c => sb.append(f"<${c.toInt}%04X> <${c.toInt}%04X>\n"))
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
   private def writeEncoder(filters: Seq[String]): Array[Byte] => Array[Byte] = {
