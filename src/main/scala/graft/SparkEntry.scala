@@ -5171,6 +5171,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("sheet"), col("row"), col("col"))
     }),
 
+    // ENCRYPTED legacy Excel — [MS-OFFCRYPTO] over FILEPASS, the .xls
+    // analog of the encrypted-PDF lane: workbooks ciphered under
+    // Excel's documented default password (VelvetSweatshop, tried
+    // transparently on open) decrypt and extract without any secret;
+    // handlers rotate by id%2 (97/2000 MD5-RC4 / RC4 CryptoAPI SHA-1),
+    // per-1024-byte-block rekeying over the whole Workbook stream.
+    // Every 7th workbook carries a REAL password and stays the named
+    // reject. Map-only per-record decrypt+walk, nothing crosses an
+    // exchange.
+    "tx_xls_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .map { id =>
+          val method = if (id % 2 == 0) "rc4" else "rc4capi"
+          val sheets = Seq("S0" -> Seq(
+            Seq[Any](s"Secret cell $id — café", id * 7),
+            Seq[Any](s"wide 機密 $id", id.toDouble / 2)))
+          val locked = id % 7 == 0
+          val bytes = graft.operators.MsXls.write(sheets, encryption = method,
+            password = if (locked) "actual-secret"
+            else graft.operators.OffCrypto.DefaultXlsPassword)
+          try {
+            val t = graft.operators.MsXls.extract(bytes)
+            (id, method, "ok", t.cells.length.toLong, t.text)
+          } catch {
+            case e: IllegalArgumentException => (id, method, e.getMessage, 0L, "")
+          }
+        }
+        .toDF("doc_id", "method", "status", "n_cells", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ENCRYPTED PDFs — the standard security handler (ISO 32000-1
     // §7.6.3 / 32000-2 §7.6.4) over the dominant wild class: documents
     // whose OWNER password restricts editing but whose USER password is
@@ -8566,6 +8598,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(s AS BIGINT) AS sheet, CAST(row AS BIGINT) AS row,
         |  CAST(col AS BIGINT) AS col, text
         |FROM cells ORDER BY doc_id, sheet, row, col""".stripMargin,
+    // the FILEPASS lane replayed: handler by id%2, default-password
+    // workbooks extract their exact tab/newline-joined cell text
+    // (RK renders integral, NUMBER keeps the .5), every 7th stays the
+    // named reject with 0 cells
+    "tx_xls_encrypted" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'rc4' ELSE 'rc4capi' END AS method,
+        |    doc_id % 7 = 0 AS locked,
+        |    'Secret cell ' || doc_id || ' — café' || chr(9) ||
+        |      (doc_id * 7) || chr(10) || 'wide 機密 ' || doc_id || chr(9) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id // 2 AS VARCHAR)
+        |        ELSE (doc_id // 2) || '.5' END AS text
+        |  FROM documents)
+        |SELECT doc_id, method,
+        |  CASE WHEN locked THEN 'xls: encrypted workbook (password required)'
+        |    ELSE 'ok' END AS status,
+        |  CASE WHEN locked THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(4 AS BIGINT) END AS n_cells,
+        |  CASE WHEN locked THEN '' ELSE text END AS text
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the standard-security handler replayed: ciphers rotate by id%4,
     // every 7th doc is REALLY user-locked (the named reject with 0/0),
     // the rest decrypt with the empty password and their page text is

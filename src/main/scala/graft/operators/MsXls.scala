@@ -16,9 +16,18 @@ import java.nio.charset.StandardCharsets
   *    BOOLERR, MULRK runs; FORMULA results are skipped (cached values
   *    are a fidelity trap — a mining pass wants literal content);
   *  - BIFF5 (`Book` stream, Excel 5.0/95) reads through the same walk
-  *    with inline LABEL byte strings instead of the SST; encrypted
-  *    workbooks (FILEPASS) are NAMED rejects — never silently-wrong
-  *    text;
+  *    with inline LABEL byte strings instead of the SST;
+  *  - encrypted BIFF8 workbooks (FILEPASS, [MS-XLS] §2.2.10) decrypt
+  *    through [MS-OFFCRYPTO]'s RC4 handlers ([[OffCrypto]]) when the
+  *    password is Excel's documented default (`VelvetSweatshop`, tried
+  *    transparently on open — the owner-locked analog of the
+  *    empty-user-password PDF class): both the 97/2000 MD5 handler and
+  *    RC4 CryptoAPI, per-1024-byte-block rekeying, record headers and
+  *    exempt payloads plaintext-but-keystream-advancing, BoundSheet8
+  *    lbPlyPos never encrypted. A real password stays a NAMED reject
+  *    ("password required"), as do XOR obfuscation (§2.3.7 — its data
+  *    transform cannot be validated offline, see [[OffCrypto]]) and
+  *    BIFF5 FILEPASS;
   *  - rich-text runs and ExtRst phonetics are SKIPPED BY LENGTH.
   *
   * The writer is the deterministic oracle half and takes a
@@ -168,10 +177,11 @@ object MsXls {
     val strs = Cfb.streams(bytes)
     // BIFF8 ships in `Workbook`; the Excel 5.0/95 era used `Book` with
     // BIFF5 — same record framing, byte strings instead of the SST
-    val (wb, biff5) = strs.get("Workbook").map((_, false))
+    val (wb0, biff5) = strs.get("Workbook").map((_, false))
       .orElse(strs.get("Book").map((_, true)))
       .getOrElse(throw new IllegalArgumentException(
         "xls: OLE container has no Workbook stream"))
+    val wb = if (biff5) wb0 else decryptIfNeeded(wb0)
     val recs = records(wb)
     require(recs.nonEmpty && recs.head.id == RBof, "xls: Workbook stream has no BOF")
     val bofVer = u16(recs.head.data, 0)
@@ -181,8 +191,10 @@ object MsXls {
     val globalsEnd = recs.indexWhere(_.id == REof)
     require(globalsEnd > 0, "xls: globals substream has no EOF")
     val globals = recs.take(globalsEnd)
-    require(!globals.exists(_.id == RFilePass),
-      "xls: encrypted workbook (FILEPASS) unsupported")
+    // BIFF8 FILEPASS was handled (or named-rejected) by decryptIfNeeded;
+    // the BIFF5-era encryption is out of profile
+    if (biff5) require(!globals.exists(_.id == RFilePass),
+      "xls: encrypted workbook (FILEPASS) unsupported in BIFF5")
     val sheets = globals.filter(_.id == RBoundSheet).map { r =>
       val at = u32(r.data, 0)
       val cch = r.data(6) & 0xff
@@ -263,6 +275,128 @@ object MsXls {
     XlsText(sheets.map(_._1), cells.result())
   }
 
+  // ------------------------------------------------------------ encryption
+
+  /** Records whose payloads are never encrypted ([MS-XLS] §2.2.10):
+    * BOF, FilePass, InterfaceHdr, RRDHead, UsrExcl, FileLock, RRDInfo —
+    * the keystream still advances over them.
+    */
+  private final val PlaintextRecords =
+    Set(RBof, RFilePass, 0x00E1, 0x0138, 0x0194, 0x0195, 0x0196)
+
+  /** If the BIFF8 globals carry a FILEPASS, authenticate Excel's
+    * documented default password and return the DECRYPTED stream;
+    * anything password-gated or out of profile is a named reject.
+    */
+  private def decryptIfNeeded(wb: Array[Byte]): Array[Byte] = {
+    var o = 0
+    var fp: Array[Byte] = null
+    var done = false
+    while (!done && fp == null && o + 4 <= wb.length) {
+      val id = u16(wb, o)
+      val len = u16(wb, o + 2)
+      require(o + 4 + len <= wb.length, f"xls: record 0x$id%04X truncated at $o")
+      if (id == RFilePass) fp = java.util.Arrays.copyOfRange(wb, o + 4, o + 4 + len)
+      if (id == REof) done = true // FILEPASS lives in the globals substream
+      o += 4 + len
+    }
+    if (fp == null) wb else cryptStream(wb, filePassKey(fp))
+  }
+
+  /** Parse a BIFF8 FILEPASS ([MS-XLS] §2.4.117), authenticate the
+    * default password, and return the per-block key function.
+    */
+  private def filePassKey(fp: Array[Byte]): Int => Array[Byte] = {
+    require(fp.length >= 6, "xls: FILEPASS truncated")
+    val pw = OffCrypto.DefaultXlsPassword
+    u16(fp, 0) match {
+      case 0x0000 =>
+        // XOR obfuscation: [MS-OFFCRYPTO] §2.3.7 — see OffCrypto scaladoc
+        throw new IllegalArgumentException(
+          "xls: XOR-obfuscated workbook unsupported (data transform out of profile)")
+      case 0x0001 =>
+        val vMajor = u16(fp, 2)
+        val vMinor = u16(fp, 4)
+        if (vMajor == 1 && vMinor == 1) {
+          // Office binary RC4 (97/2000): salt + MD5 verifier pair
+          require(fp.length >= 54, "xls: RC4 FILEPASS truncated")
+          val salt = java.util.Arrays.copyOfRange(fp, 6, 22)
+          val ev = java.util.Arrays.copyOfRange(fp, 22, 38)
+          val evh = java.util.Arrays.copyOfRange(fp, 38, 54)
+          if (!OffCrypto.binaryRc4Verify(pw, salt, ev, evh))
+            throw new IllegalArgumentException(
+              "xls: encrypted workbook (password required)")
+          b => OffCrypto.binaryRc4Key(pw, salt, b)
+        } else if (vMinor == 2 && vMajor >= 2 && vMajor <= 4) {
+          // RC4 CryptoAPI ([MS-OFFCRYPTO] §2.3.5): Flags(4) HeaderSize(4)
+          // EncryptionHeader EncryptionVerifier
+          require(fp.length >= 14, "xls: CryptoAPI FILEPASS truncated")
+          val hs = u32(fp, 10).toInt
+          val vo = 14 + hs
+          require(hs >= 32 && vo + 60 <= fp.length,
+            "xls: CryptoAPI FILEPASS truncated")
+          val algId = u32(fp, 14 + 8)
+          val algHash = u32(fp, 14 + 12)
+          require(algId == 0x6801L, f"xls: CryptoAPI AlgID 0x$algId%04X is not RC4")
+          require(algHash == 0x8004L, "xls: CryptoAPI hash is not SHA-1")
+          val keyBits = u32(fp, 14 + 16).toInt match {
+            case 0 => 40 // [MS-OFFCRYPTO] §2.3.5.1: zero means 40-bit
+            case k => k
+          }
+          require(u32(fp, vo) == 16L, "xls: CryptoAPI salt size")
+          val salt = java.util.Arrays.copyOfRange(fp, vo + 4, vo + 20)
+          val ev = java.util.Arrays.copyOfRange(fp, vo + 20, vo + 36)
+          require(u32(fp, vo + 36) == 20L, "xls: CryptoAPI verifier hash size")
+          val evh = java.util.Arrays.copyOfRange(fp, vo + 40, vo + 60)
+          if (!OffCrypto.cryptoApiVerify(pw, salt, ev, evh, keyBits))
+            throw new IllegalArgumentException(
+              "xls: encrypted workbook (password required)")
+          b => OffCrypto.cryptoApiKey(pw, salt, b, keyBits)
+        } else throw new IllegalArgumentException(
+          s"xls: FILEPASS version $vMajor.$vMinor unsupported")
+      case other => throw new IllegalArgumentException(
+        f"xls: FILEPASS encryption type 0x$other%04X unsupported")
+    }
+  }
+
+  /** XOR the Workbook stream against the per-1024-byte-block RC4
+    * keystream ([MS-XLS] §2.2.10): a fresh RC4 instance keys each
+    * 1024-byte block of the STREAM's byte space; record headers and
+    * [[PlaintextRecords]] payloads stay plaintext but still advance the
+    * keystream; BoundSheet8 keeps its lbPlyPos (first 4 payload bytes)
+    * plaintext. Symmetric — the writer encrypts with the same walk.
+    */
+  private def cryptStream(wb: Array[Byte],
+      keyForBlock: Int => Array[Byte]): Array[Byte] = {
+    val out = wb.clone()
+    var block = -1
+    var rc4: OffCrypto.Rc4 = null
+    var pos = 0
+    def advance(n: Int, apply: Boolean): Unit = {
+      var i = 0
+      while (i < n) {
+        val b = pos >>> 10
+        if (b != block) { block = b; rc4 = new OffCrypto.Rc4(keyForBlock(b)) }
+        val k = rc4.next()
+        if (apply) out(pos) = (out(pos) ^ k).toByte
+        pos += 1
+        i += 1
+      }
+    }
+    while (pos + 4 <= wb.length) {
+      val id = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      require(pos + 4 + len <= wb.length, f"xls: record 0x$id%04X truncated at $pos")
+      advance(4, apply = false)
+      if (PlaintextRecords(id)) advance(len, apply = false)
+      else if (id == RBoundSheet && len >= 4) {
+        advance(4, apply = false)
+        advance(len - 4, apply = true)
+      } else advance(len, apply = true)
+    }
+    out
+  }
+
   // ----------------------------------------------------------------- writer
 
   /** Deterministic BIFF5 (.xls, Excel 5.0/95 `Book` stream) writer —
@@ -334,10 +468,15 @@ object MsXls {
   /** Deterministic BIFF8 writer — the oracle half. Cells are strings
     * (via SST LABELSST), `Long` (RK), or `Double` (NUMBER) per the
     * runtime class of the value. `maxRecordBytes` (spec: 8224) is a
-    * knob so tests can force SST CONTINUE splits.
+    * knob so tests can force SST CONTINUE splits. `encryption` wires
+    * a FILEPASS + the matching whole-stream RC4 transform: "rc4"
+    * (97/2000 MD5 handler), "rc4capi" (CryptoAPI, SHA-1, 128-bit) —
+    * `password` defaults to Excel's transparent default, the
+    * owner-locked shape [[extract]] reads back without a secret.
     */
   def write(sheets: Seq[(String, Seq[Seq[Any]])],
-      maxRecordBytes: Int = 8224): Array[Byte] = {
+      maxRecordBytes: Int = 8224, encryption: String = "none",
+      password: String = OffCrypto.DefaultXlsPassword): Array[Byte] = {
     require(sheets.nonEmpty, "xls write: at least one sheet")
     require(maxRecordBytes >= 16, "xls write: record cap too small")
     val strings = sheets.flatMap(_._2.flatten).collect { case s: String => s }.distinct
@@ -431,11 +570,43 @@ object MsXls {
         rec(RBoundSheet, le32(at.toLong) ++ Array[Byte](0, 0) ++
           Array(nb.length.toByte, 0.toByte) ++ nb)
       }.reduce(_ ++ _)
-    val globalsLen = bof(0x0005).length + boundSheets(sheets.map(_ => 0)).length +
-      sstRecs.length + 4 // + EOF
+    // ---- optional FILEPASS + whole-stream encryption
+    def md5of(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+    val (filePass, keyForBlock): (Array[Byte], Option[Int => Array[Byte]]) =
+      encryption match {
+        case "none" => (Array.emptyByteArray, None)
+        case "rc4" =>
+          // deterministic salt/verifier so oracles can replay fixtures
+          val salt = md5of(s"graft-xls-salt:rc4:$password")
+          val verifier = md5of(s"graft-xls-verifier:rc4:$password")
+          val (ev, evh) = OffCrypto.binaryRc4MakeVerifier(password, salt, verifier)
+          (rec(RFilePass, le16(1) ++ le16(1) ++ le16(1) ++ salt ++ ev ++ evh),
+            Some(b => OffCrypto.binaryRc4Key(password, salt, b)))
+        case "rc4capi" =>
+          val salt = md5of(s"graft-xls-salt:capi:$password")
+          val verifier = md5of(s"graft-xls-verifier:capi:$password")
+          val keyBits = 128
+          val (ev, evh) =
+            OffCrypto.cryptoApiMakeVerifier(password, salt, verifier, keyBits)
+          val csp = "Microsoft Enhanced Cryptographic Provider v1.0"
+            .getBytes(StandardCharsets.UTF_16LE) ++ Array[Byte](0, 0)
+          val hdr = le32(4L) ++ le32(0L) ++ le32(0x6801L) ++ le32(0x8004L) ++
+            le32(keyBits.toLong) ++ le32(0x18L) ++ le32(0L) ++ le32(0L) ++ csp
+          (rec(RFilePass, le16(1) ++ le16(4) ++ le16(2) ++ le32(4L) ++
+            le32(hdr.length.toLong) ++ hdr ++
+            le32(16L) ++ salt ++ ev ++ le32(20L) ++ evh),
+            Some(b => OffCrypto.cryptoApiKey(password, salt, b, keyBits)))
+        case other => throw new IllegalArgumentException(
+          s"xls write: unknown encryption '$other'")
+      }
+    val globalsLen = bof(0x0005).length + filePass.length +
+      boundSheets(sheets.map(_ => 0)).length + sstRecs.length + 4 // + EOF
     val offsets = sheetBytes.scanLeft(globalsLen)(_ + _.length).init
-    val wb = bof(0x0005) ++ boundSheets(offsets) ++ sstRecs ++
+    val wb = bof(0x0005) ++ filePass ++ boundSheets(offsets) ++ sstRecs ++
       rec(REof, Array.emptyByteArray) ++ sheetBytes.fold(Array.emptyByteArray)(_ ++ _)
-    Cfb.write(Seq("Workbook" -> wb))
+    val stored = keyForBlock.fold(wb)(cryptStream(wb, _))
+    Cfb.write(Seq("Workbook" -> stored))
   }
 }
