@@ -241,11 +241,12 @@ class StreamingArchiveSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val shards = (0L to 1L).map { sid =>
-      val pages = (sid * 4 until sid * 4 + 4).map(Ingest.wikiPage)
+      // genuinely multistream shards (the real dump layout), so the
+      // stream path exercises the concatenated-stream decode too
+      val pages = (sid * 6 until sid * 6 + 6).map(Ingest.wikiPage)
+      val (dump, _) = graft.operators.MediaWiki.writeMultistreamDump(pages)
       Multimodal.MediaRecord(sid, s"t://shard$sid.xml.bz2",
-        "application/x-bzip2",
-        graft.operators.Bzip2.compress(
-          graft.operators.MediaWiki.writeDump(pages)), Map.empty)
+        "application/x-bzip2", dump, Map.empty)
     }
     def mine(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) = ds
       .flatMap { r =>
@@ -264,7 +265,7 @@ class StreamingArchiveSpec extends AnyFunSuite {
         .as[(Long, String, String)].collect().sortBy(_._1)
       val batch = mine(spark.createDataset(shards)).collect().sortBy(_._1)
       assert(streamed.toSeq == batch.toSeq)
-      assert(batch.length == 8 && batch.forall(_._3.nonEmpty))
+      assert(batch.length == 12 && batch.forall(_._3.nonEmpty))
     } finally q.stop()
   }
 }
