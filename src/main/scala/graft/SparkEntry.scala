@@ -4869,6 +4869,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WIKI REDIRECT resolution — the real dumps ship redirect pages
+    // (`<redirect title=.../>`); canonicalizing links needs their
+    // chains FOLLOWED to terminal articles, exactly the HTTP-redirect
+    // problem the crawl seam already solves. The dump explode feeds the
+    // shared Redirects.resolve (one materialized title map, per-hop
+    // shrinkage, early exit): 1-hop and genuine 2-hop chains resolve,
+    // targets absent from the corpus surface as 'dangling' — never a
+    // silent self-resolution. doc_id rides back via a title-keyed join
+    // (both sides page-grain, co-keyed).
+    "tx_wiki_redirects" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      val pages = ing.wikiRedirectArchives(s, dir)
+        .flatMap { r =>
+          graft.operators.MediaWiki.parseDump(
+            graft.operators.Bzip2.decompress(r.content))
+            .map(p => (p.pageId, p.title, p.redirect.isDefined,
+              p.redirect.getOrElse("")))
+        }
+        .toDF("doc_id", "title", "is_redirect", "target")
+      val resolved = graft.operators.Redirects.resolve(
+        pages, "title", "is_redirect", "target")
+      pages.select(col("doc_id"), col("title"))
+        .join(resolved, col("title") === col("url"))
+        .select(col("doc_id"), col("title"), col("status"),
+          col("resolved_url").as("resolved_title"), col("hops"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MAIL-ATTACHMENT mining — the cross-family capstone list archives
     // demand: mailbox explode → MIME walk → NON-text leaves decoded
     // (base64, filename from Content-Disposition) → magic-routed
@@ -8553,6 +8582,29 @@ object SparkEntry {
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
         |  TRUE AS ranged_ok
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the chain walk replayed: id%4==1 one hop, id%4==3 two hops
+    // (through the id-2 redirect), missing targets dangle — directly at
+    // hop 1 for id%20==5, via the chain at hop 2 for id%20==7
+    "tx_wiki_redirects" ->
+      """SELECT doc_id, 'Article ' || doc_id AS title,
+        |  CASE
+        |    WHEN doc_id % 20 = 5 THEN 'dangling'
+        |    WHEN doc_id % 4 = 3 AND doc_id % 20 = 7 THEN 'dangling'
+        |    WHEN doc_id % 4 IN (1, 3) THEN 'resolved'
+        |    ELSE 'final' END AS status,
+        |  CASE
+        |    WHEN doc_id % 20 = 5 THEN 'Missing ' || doc_id
+        |    WHEN doc_id % 4 = 3 AND doc_id % 20 = 7
+        |      THEN 'Missing ' || (doc_id - 2)
+        |    WHEN doc_id % 4 = 1 THEN 'Article ' || (doc_id - 1)
+        |    WHEN doc_id % 4 = 3 THEN 'Article ' || (doc_id - 3)
+        |    ELSE 'Article ' || doc_id END AS resolved_title,
+        |  CAST(CASE
+        |    WHEN doc_id % 20 = 5 THEN 1
+        |    WHEN doc_id % 4 = 1 THEN 1
+        |    WHEN doc_id % 4 = 3 THEN 2
+        |    ELSE 0 END AS BIGINT) AS hops
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the attachment walk replayed: filename/container by id%4, the
     // shared extraction template's LENGTH, the cover note exact
     "tx_mail_attachments" ->

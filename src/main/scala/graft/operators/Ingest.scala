@@ -659,6 +659,40 @@ object Ingest {
       }
   }
 
+  /** Wiki shards where redirect PAGES ride the corpus the way the real
+    * dumps ship them (`<redirect title=.../>` plus `#REDIRECT [[...]]`
+    * wikitext): id%4==1 redirects to the preceding article (1 hop),
+    * id%4==3 to the id-2 redirect (a genuine 2-hop chain), and
+    * id%20==5 targets a title absent from the corpus (the dangling
+    * lane — 5%4==1, so it replaces that redirect's target; via the
+    * chain, id%20==7 dangles at hop 2).
+    */
+  def wikiRedirectArchives(spark: SparkSession, dir: String,
+      pagesPerShard: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    archiveGroups(spark, dir, pagesPerShard)
+      .map { case (aid, ids) =>
+        val (dump, _) = MediaWiki.writeMultistreamDump(ids.map(wikiRedirectPage))
+        Multimodal.MediaRecord(aid, s"fake://wiki/rshard$aid.xml.bz2",
+          "application/x-bzip2", dump, Map.empty)
+      }
+  }
+
+  /** One page of the redirect corpus (see [[wikiRedirectArchives]]). */
+  def wikiRedirectPage(id: Long): MediaWiki.WikiPage = {
+    val target =
+      if (id % 20 == 5) Some(s"Missing $id")
+      else if (id % 4 == 1) Some(s"Article ${id - 1}")
+      else if (id % 4 == 3) Some(s"Article ${id - 2}")
+      else None
+    target match {
+      case Some(t) => MediaWiki.WikiPage(id, s"Article $id", 0,
+        s"User${id % 7}", "2026-01-01T00:00:00Z",
+        s"#REDIRECT [[$t]]", Some(t))
+      case None => wikiPage(id)
+    }
+  }
+
   /** One fabricated export page — shared by the fixture and the oracle
     * comment: the cleaned text is four exact lines by id arithmetic.
     */

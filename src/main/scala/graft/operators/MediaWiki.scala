@@ -30,8 +30,13 @@ object MediaWiki {
   final val MaxPages = 1 << 20
   final val MaxTemplateDepth = 32
 
+  /** `redirect` carries the `<redirect title="..."/>` target the real
+    * dumps ship on redirect pages (their wikitext is `#REDIRECT
+    * [[Target]]`, but the element is the machine-readable field).
+    */
   final case class WikiPage(pageId: Long, title: String, ns: Int,
-      username: String, timestamp: String, wikitext: String)
+      username: String, timestamp: String, wikitext: String,
+      redirect: Option[String] = None)
 
   /** Parse one export shard (raw XML bytes, NOT compressed). */
   def parseDump(xml: Array[Byte]): Seq[WikiPage] = {
@@ -62,7 +67,8 @@ object MediaWiki {
         ns = textOf(child(p, "ns")).trim.toIntOption.getOrElse(0),
         username = textOf(contributor.flatMap(child(_, "username"))),
         timestamp = textOf(rev.flatMap(child(_, "timestamp"))),
-        wikitext = textOf(rev.flatMap(child(_, "text"))))
+        wikitext = textOf(rev.flatMap(child(_, "text"))),
+        redirect = child(p, "redirect").map(_.getAttribute("title")))
     }
   }
 
@@ -140,6 +146,8 @@ object MediaWiki {
     sb.append(s"    <title>${esc(p.title)}</title>\n")
     sb.append(s"    <ns>${p.ns}</ns>\n")
     sb.append(s"    <id>${p.pageId}</id>\n")
+    p.redirect.foreach(t =>
+      sb.append(s"    <redirect title=\"${esc(t).replace("\"", "&quot;")}\" />\n"))
     sb.append("    <revision>\n")
     sb.append(s"      <id>${p.pageId * 10}</id>\n")
     sb.append(s"      <timestamp>${esc(p.timestamp)}</timestamp>\n")

@@ -36,6 +36,20 @@ class MediaWikiSpec extends AnyFunSuite {
     assert(MediaWiki.cleanWikitext("keep<ref>dangling forever") == "keep")
   }
 
+  test("redirect pages round-trip the <redirect title=.../> element") {
+    val pages = Seq(Ingest.wikiRedirectPage(0L), Ingest.wikiRedirectPage(1L),
+      Ingest.wikiRedirectPage(5L),
+      MediaWiki.WikiPage(99L, "Q", 0, "U", "2026-01-01T00:00:00Z",
+        "#REDIRECT [[A \"quoted\" & <odd> title]]",
+        Some("A \"quoted\" & <odd> title")))
+    val back = MediaWiki.parseDump(MediaWiki.writeDump(pages))
+    assert(back == pages)
+    assert(back(0).redirect.isEmpty)
+    assert(back(1).redirect.contains("Article 0"))
+    assert(back(2).redirect.contains("Missing 5")) // the dangling lane
+    assert(back(3).redirect.contains("A \"quoted\" & <odd> title"))
+  }
+
   test("multistream writer: concatenation decompresses to EXACTLY writeDump's XML") {
     val pages = (0L until 11L).map(Ingest.wikiPage)
     val (dump, index) = MediaWiki.writeMultistreamDump(pages, pagesPerStream = 4)
