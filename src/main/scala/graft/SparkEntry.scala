@@ -3479,6 +3479,28 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // .tar.xz source archives — the kernel/source-tarball shape: the
+    // from-scratch xz walk (LZMA2 chunks, every container CRC verified,
+    // block check over the UNCOMPRESSED bytes) feeding the tar member
+    // walk. Check types rotate by archive id (none/crc32/crc64/sha256)
+    // and the query REPORTS the check it read off the stream header, so
+    // the oracle pins both the listing and the container metadata.
+    // Map-only per-record decode, the archive-family shape.
+    "tx_tarxz_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.tarXzArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          val check = graft.operators.Xz.checkName(r.content)
+          graft.operators.Tar.readEntries(graft.operators.Xz.decompress(r.content))
+            .map(e => (r.media_id, check, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "check_type", "name", "size", "payload")
+        .select(col("archive_id"), col("check_type"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
     // zip ingest, completing the archive triple: central-directory walk,
     // store + deflate members (odd archives deflated), CRC-32 verified
     // per member on the way out. Method and uncompressed size are
@@ -7753,6 +7775,16 @@ object SparkEntry {
       """SELECT doc_id // 16 AS archive_id,
         |  source || '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size
+        |FROM documents ORDER BY name""".stripMargin,
+    // the xz container metadata + listing replayed: check by aid%4, the
+    // member payloads pinned through md5 against the source text
+    "tx_tarxz_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  CASE (doc_id // 16) % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'crc32'
+        |    WHEN 2 THEN 'crc64' ELSE 'sha256' END AS check_type,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
         |FROM documents ORDER BY name""".stripMargin,
     "tx_url_canonical" ->
       """SELECT doc_id,

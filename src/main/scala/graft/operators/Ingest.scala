@@ -1385,6 +1385,33 @@ object Ingest {
       }
   }
 
+  /** `.tar.xz` source archives — the kernel/source-tarball corpus
+    * shape: the tar corpus re-wrapped in the from-scratch [[Xz]], check
+    * type rotating by archive id so none/crc32/crc64/sha256 all ride
+    * the contract lane.
+    */
+  def tarXzArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            Tar.TarEntry(s"$source/$id.txt", body.length.toLong, '0', body)
+          }
+          val check = Seq("none", "crc32", "crc64", "sha256")((aid % 4).toInt)
+          Multimodal.MediaRecord(aid, s"fake://tarxz/$aid.tar.xz",
+            "application/x-xz", Xz.compress(Tar.writeTar(entries), check),
+            Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over

@@ -1,0 +1,656 @@
+package graft.operators
+
+/** xz / LZMA2 decode from scratch — the OTHER compression the big
+  * public corpora ship in (kernel/source tarballs as `.tar.xz`,
+  * Wikimedia mirrors, many dataset mirrors). Public formats:
+  *
+  *  - the .xz container ("The .xz File Format", tukaani.org spec):
+  *    stream header (magic, check-type flags, CRC32), blocks (CRC32'd
+  *    variable-size header with a filter chain — this profile supports
+  *    the one real-world chain, a single LZMA2 filter — compressed
+  *    data, 4-byte alignment padding, then a CRC32 / CRC64 / SHA-256 /
+  *    none check of the UNCOMPRESSED bytes), an index of (unpadded,
+  *    uncompressed) size records cross-checked against the blocks
+  *    actually read, and a footer whose backward-size must point back
+  *    at the index. MULTISTREAM concatenations (with 4-aligned null
+  *    stream padding) decode end-to-end like [[Bzip2]]; trailing
+  *    garbage is a named reject.
+  *  - LZMA2 (chunked LZMA1): control byte per chunk — uncompressed
+  *    chunks (0x01/0x02), LZMA chunks (0x80+) carrying reset bits for
+  *    state / props / dictionary; sizes are explicit so no end marker
+  *    is needed.
+  *  - LZMA1 (Pavlov's public-domain LZMA specification): 11-bit
+  *    adaptive binary range coder, literal coder with (lc, lp) context
+  *    and matched-byte mode, length coders, 6-bit position-slot trees +
+  *    reverse-decoded align bits, 4 rep distances, 12-state machine.
+  *
+  * Every CRC (header, index, footer, block check) is verified — a
+  * mismatch is a NAMED reject, as are unsupported filter chains,
+  * truncation, size-record drift, and output past the caller's cap.
+  * The writer half emits valid-but-STORED xz (LZMA2 uncompressed
+  * chunks) — deterministic fixtures any xz implementation decodes —
+  * while canonical-tool goldens pin the real LZMA decode path
+  * (`XzSpec`), the same split the bzip2 codec uses.
+  *
+  * Scale shape: identical to gzip/zstd/bzip2 — one member per record,
+  * bounded per-record decode inside the archive explode, no native
+  * resources, nothing crosses an exchange.
+  */
+object Xz {
+
+  final val Magic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+
+  def isXz(b: Array[Byte]): Boolean =
+    b.length >= 12 && (0 until 6).forall(i => b(i) == Magic(i))
+
+  // ------------------------------------------------------------- CRC64
+
+  /** CRC-64/XZ (ECMA-182 polynomial, reflected, init/final ~0). */
+  private val crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L
+    Array.tabulate(256) { n =>
+      var c = n.toLong
+      var k = 0
+      while (k < 8) { c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1; k += 1 }
+      c
+    }
+  }
+
+  private[operators] def crc64(b: Array[Byte], from: Int, until: Int): Long = {
+    var c = ~0L
+    var i = from
+    while (i < until) { c = crc64Table(((c ^ b(i)) & 0xff).toInt) ^ (c >>> 8); i += 1 }
+    ~c
+  }
+
+  private def crc32(b: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, until - from)
+    c.getValue
+  }
+
+  // ------------------------------------------------------ LZMA1 decoder
+
+  private final val ProbInit: Short = 1024 // (1 << 11) / 2
+
+  /** The binary range decoder (LZMA spec): 32-bit range/code, 11-bit
+    * adaptive probabilities, 5-bit adaptation shift.
+    */
+  private final class RangeDec(b: Array[Byte], var pos: Int, val end: Int) {
+    var range: Int = -1 // 0xFFFFFFFF
+    var code: Int = 0
+    require(end - pos >= 5, "xz: LZMA chunk shorter than the range-coder header")
+    require(b(pos) == 0, "xz: LZMA range coder must start with a zero byte")
+    pos += 1
+    (0 until 4).foreach { _ => code = (code << 8) | (b(pos) & 0xff); pos += 1 }
+    def normalize(): Unit =
+      if ((range & 0xFF000000) == 0) {
+        range <<= 8
+        require(pos < end, "xz: LZMA chunk truncated mid-symbol")
+        code = (code << 8) | (b(pos) & 0xff)
+        pos += 1
+      }
+    def decodeBit(probs: Array[Short], i: Int): Int = {
+      val p = probs(i)
+      val bound = (range >>> 11) * p
+      var bit = 0
+      if (java.lang.Integer.compareUnsigned(code, bound) < 0) {
+        probs(i) = (p + ((2048 - p) >>> 5)).toShort
+        range = bound
+      } else {
+        probs(i) = (p - (p >>> 5)).toShort
+        range -= bound
+        code -= bound
+        bit = 1
+      }
+      normalize()
+      bit
+    }
+    def decodeDirect(n: Int): Int = {
+      var res = 0
+      var i = n
+      while (i > 0) {
+        range = range >>> 1
+        code -= range
+        val t = 0 - (code >>> 31)
+        code += range & t
+        normalize()
+        res = (res << 1) + t + 1
+        i -= 1
+      }
+      res
+    }
+    def bitTree(probs: Array[Short], off: Int, nBits: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < nBits) { m = (m << 1) + decodeBit(probs, off + m); i += 1 }
+      m - (1 << nBits)
+    }
+    def bitTreeReverse(probs: Array[Short], off: Int, nBits: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < nBits) {
+        val bit = decodeBit(probs, off + m)
+        m = (m << 1) + bit
+        sym |= bit << i
+        i += 1
+      }
+      sym
+    }
+    def finishedProperly: Boolean = code == 0
+  }
+
+  /** LZMA decode state that survives across LZMA2 chunks (until a state
+    * reset): probability models, the 12-state machine, rep distances.
+    */
+  private final class LzmaState {
+    var lc = 0
+    var lp = 0
+    var pb = 0
+    var state = 0
+    var rep0 = 0
+    var rep1 = 0
+    var rep2 = 0
+    var rep3 = 0
+    var lit: Array[Short] = null
+    val isMatch = new Array[Short](12 << 4)
+    val isRep = new Array[Short](12)
+    val isRepG0 = new Array[Short](12)
+    val isRepG1 = new Array[Short](12)
+    val isRepG2 = new Array[Short](12)
+    val isRep0Long = new Array[Short](12 << 4)
+    val posSlot = new Array[Short](4 << 6)
+    val specPos = new Array[Short](115)
+    val align = new Array[Short](16)
+    // len coders: [choice, choice2, low 16*8, mid 16*8, high 256]
+    val len = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
+    val repLen = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
+
+    def setProps(prop: Int): Unit = {
+      require(prop < 225, s"xz: bad LZMA props byte $prop")
+      lc = prop % 9
+      val rest = prop / 9
+      lp = rest % 5
+      pb = rest / 5
+      require(lc + lp <= 4, s"xz: LZMA2 requires lc+lp<=4 (lc=$lc lp=$lp)")
+      lit = new Array[Short](0x300 << (lc + lp))
+      resetState()
+    }
+    def resetState(): Unit = {
+      state = 0
+      rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+      java.util.Arrays.fill(isMatch, ProbInit)
+      java.util.Arrays.fill(isRep, ProbInit)
+      java.util.Arrays.fill(isRepG0, ProbInit)
+      java.util.Arrays.fill(isRepG1, ProbInit)
+      java.util.Arrays.fill(isRepG2, ProbInit)
+      java.util.Arrays.fill(isRep0Long, ProbInit)
+      java.util.Arrays.fill(posSlot, ProbInit)
+      java.util.Arrays.fill(specPos, ProbInit)
+      java.util.Arrays.fill(align, ProbInit)
+      java.util.Arrays.fill(len, ProbInit)
+      java.util.Arrays.fill(repLen, ProbInit)
+      if (lit != null) java.util.Arrays.fill(lit, ProbInit)
+    }
+  }
+
+  /** Output window: the whole (bounded) output doubles as the LZMA
+    * dictionary. `dictStart` marks the last dictionary reset — matches
+    * must not reach across it.
+    */
+  private final class OutWindow(maxOut: Int) {
+    val buf = new java.io.ByteArrayOutputStream()
+    private var bytes = new Array[Byte](1 << 16)
+    private var n = 0
+    var dictStart = 0
+    def size: Int = n
+    def put(b: Byte): Unit = {
+      require(n < maxOut, "xz: output past the cap")
+      if (n == bytes.length) bytes = java.util.Arrays.copyOf(bytes, bytes.length * 2)
+      bytes(n) = b
+      n += 1
+    }
+    def byteBack(dist: Int): Byte = {
+      require(dist >= 1 && n - dist >= dictStart, s"xz: match distance $dist past the dictionary")
+      bytes(n - dist)
+    }
+    def copyMatch(dist: Int, len: Int): Unit = {
+      var i = 0
+      while (i < len) { put(byteBack(dist)); i += 1 }
+    }
+    /** Internal buffer (valid through `size`) — lets the container walk
+      * checksum block ranges without copying the whole output per block.
+      */
+    def raw: Array[Byte] = bytes
+    def result(): Array[Byte] = java.util.Arrays.copyOf(bytes, n)
+  }
+
+  private def decodeLen(rc: RangeDec, probs: Array[Short], posState: Int): Int =
+    if (rc.decodeBit(probs, 0) == 0) rc.bitTree(probs, 2 + posState * 8, 3)
+    else if (rc.decodeBit(probs, 1) == 0) 8 + rc.bitTree(probs, 2 + 128 + posState * 8, 3)
+    else 16 + rc.bitTree(probs, 2 + 256, 8)
+
+  /** Decode exactly `unpackSize` bytes of one LZMA2 LZMA chunk. */
+  private def lzmaChunk(b: Array[Byte], from: Int, until: Int,
+      st: LzmaState, out: OutWindow, unpackSize: Int): Unit = {
+    val rc = new RangeDec(b, from, until)
+    val pbMask = (1 << st.pb) - 1
+    val lpMask = (1 << st.lp) - 1
+    var remaining = unpackSize
+    while (remaining > 0) {
+      val total = out.size - out.dictStart
+      val posState = total & pbMask
+      if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
+        // ---- literal
+        val prevByte = if (total == 0) 0 else out.byteBack(1) & 0xff
+        val litState = ((total & lpMask) << st.lc) + (prevByte >>> (8 - st.lc))
+        val off = 0x300 * litState
+        var symbol = 1
+        if (st.state >= 7) {
+          var matchByte = out.byteBack(st.rep0 + 1) & 0xff
+          var break = false
+          while (!break && symbol < 0x100) {
+            val matchBit = (matchByte >> 7) & 1
+            matchByte = (matchByte << 1) & 0xff
+            val bit = rc.decodeBit(st.lit, off + ((1 + matchBit) << 8) + symbol)
+            symbol = (symbol << 1) | bit
+            if (matchBit != bit) break = true
+          }
+        }
+        while (symbol < 0x100) symbol = (symbol << 1) | rc.decodeBit(st.lit, off + symbol)
+        out.put((symbol & 0xff).toByte)
+        remaining -= 1
+        st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3 else st.state - 6
+      } else if (rc.decodeBit(st.isRep, st.state) != 0) {
+        // ---- rep match
+        require(total > 0 || out.size > out.dictStart, "xz: rep match with empty dictionary")
+        if (rc.decodeBit(st.isRepG0, st.state) == 0) {
+          if (rc.decodeBit(st.isRep0Long, (st.state << 4) + posState) == 0) {
+            // short rep: one byte at rep0
+            st.state = if (st.state < 7) 9 else 11
+            out.put(out.byteBack(st.rep0 + 1))
+            remaining -= 1
+          } else {
+            val len = 2 + decodeLen(rc, st.repLen, posState)
+            st.state = if (st.state < 7) 8 else 11
+            require(len <= remaining, "xz: LZMA2 chunk overruns its declared size")
+            out.copyMatch(st.rep0 + 1, len)
+            remaining -= len
+          }
+        } else {
+          val dist =
+            if (rc.decodeBit(st.isRepG1, st.state) == 0) st.rep1
+            else {
+              val d = if (rc.decodeBit(st.isRepG2, st.state) == 0) st.rep2
+              else { val t = st.rep3; st.rep3 = st.rep2; t }
+              st.rep2 = st.rep1
+              d
+            }
+          st.rep1 = st.rep0
+          st.rep0 = dist
+          val len = 2 + decodeLen(rc, st.repLen, posState)
+          st.state = if (st.state < 7) 8 else 11
+          require(len <= remaining, "xz: LZMA2 chunk overruns its declared size")
+          out.copyMatch(st.rep0 + 1, len)
+          remaining -= len
+        }
+      } else {
+        // ---- simple match
+        st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+        val rawLen = decodeLen(rc, st.len, posState)
+        st.state = if (st.state < 7) 7 else 10
+        // distance
+        val lenState = math.min(rawLen, 3)
+        val slot = rc.bitTree(st.posSlot, lenState << 6, 6)
+        val dist =
+          if (slot < 4) slot
+          else {
+            val directBits = (slot >> 1) - 1
+            var d = (2 | (slot & 1)) << directBits
+            if (slot < 14)
+              // spec: PosDecoders + dist - posSlot, indexed from m=1
+              d += rc.bitTreeReverse(st.specPos, d - slot, directBits)
+            else {
+              d += rc.decodeDirect(directBits - 4) << 4
+              d += rc.bitTreeReverse(st.align, 0, 4)
+            }
+            d
+          }
+        require(dist != -1, "xz: LZMA end marker inside a sized LZMA2 chunk")
+        st.rep0 = dist
+        val len = 2 + rawLen
+        require(len <= remaining, "xz: LZMA2 chunk overruns its declared size")
+        out.copyMatch(st.rep0 + 1, len)
+        remaining -= len
+      }
+    }
+    require(rc.pos == until, "xz: LZMA chunk did not consume its declared packed size")
+  }
+
+  // ------------------------------------------------------ LZMA2 walker
+
+  /** Decode one LZMA2 stream (the payload of an xz block). */
+  private def lzma2(b: Array[Byte], from: Int, until: Int, out: OutWindow): Int = {
+    // every xz block is an independent dictionary: matches and the
+    // position counters must never reach into a previous block's output
+    out.dictStart = out.size
+    val st = new LzmaState
+    var havePropsEver = false
+    var p = from
+    var done = false
+    while (!done) {
+      require(p < until, "xz: LZMA2 stream missing its end marker")
+      val control = b(p) & 0xff
+      p += 1
+      if (control == 0x00) done = true
+      else if (control <= 0x02) {
+        // uncompressed chunk; 0x01 resets the dictionary
+        require(p + 2 <= until, "xz: LZMA2 uncompressed chunk header truncated")
+        val size = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+        p += 2
+        require(p + size <= until, "xz: LZMA2 uncompressed chunk truncated")
+        if (control == 0x01) out.dictStart = out.size
+        var i = 0
+        while (i < size) { out.put(b(p + i)); i += 1 }
+        p += size
+        // an uncompressed chunk invalidates LZMA state continuity
+        if (havePropsEver) st.resetState()
+      } else {
+        require(control >= 0x80, f"xz: bad LZMA2 control byte 0x$control%02X")
+        require(p + 4 <= until, "xz: LZMA2 chunk header truncated")
+        val unpack = (((control & 0x1f) << 16) |
+          ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+        val packed = (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 1
+        p += 4
+        val reset = (control >> 5) & 0x3
+        if (reset >= 2) {
+          require(p < until, "xz: LZMA2 props byte truncated")
+          st.setProps(b(p) & 0xff)
+          p += 1
+          havePropsEver = true
+        } else require(havePropsEver,
+          "xz: LZMA2 chunk reuses props before any were set")
+        if (reset == 3) out.dictStart = out.size
+        if (reset >= 1 && reset < 2) st.resetState()
+        require(p + packed <= until, "xz: LZMA2 chunk truncated")
+        lzmaChunk(b, p, p + packed, st, out, unpack)
+        p += packed
+      }
+    }
+    p
+  }
+
+  // -------------------------------------------------------- xz container
+
+  private def varint(b: Array[Byte], at: Int, end: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = at
+    while ({
+      require(p < end && shift < 63, "xz: bad multibyte integer")
+      val x = b(p) & 0xff
+      p += 1
+      v |= (x & 0x7fL) << shift
+      shift += 7
+      (x & 0x80) != 0
+    }) ()
+    (v, p)
+  }
+
+  private final val CheckSizes = Map(0 -> 0, 1 -> 4, 4 -> 8, 10 -> 32)
+  private final val CheckNames = Map(0 -> "none", 1 -> "crc32", 4 -> "crc64", 10 -> "sha256")
+
+  /** The stream's declared check type, read off the header flags — the
+    * observable a listing query reports (and an oracle predicts).
+    */
+  def checkName(b: Array[Byte]): String = {
+    require(isXz(b), "xz: missing stream header magic")
+    CheckNames.getOrElse(b(7) & 0xff, f"0x${b(7) & 0xff}%02X")
+  }
+
+  /** Decompress a whole xz payload (multistream supported; total output
+    * capped at `maxOut`). Named rejects for every out-of-profile shape.
+    */
+  def decompress(b: Array[Byte], maxOut: Int = 256 << 20): Array[Byte] = {
+    require(isXz(b), "xz: missing stream header magic")
+    val out = new OutWindow(maxOut)
+    var p = 0
+    while (p < b.length) {
+      // stream padding between concatenated streams: null bytes, 4-aligned
+      if (b(p) == 0) {
+        val st = p
+        while (p < b.length && b(p) == 0) p += 1
+        require((p - st) % 4 == 0, "xz: stream padding not 4-byte aligned")
+      }
+      if (p < b.length) {
+        require(b.length - p >= 12 && (0 until 6).forall(i => b(p + i) == Magic(i)),
+          s"xz: trailing garbage after stream end (offset $p)")
+        p = decodeStream(b, p, out)
+      }
+    }
+    out.result()
+  }
+
+  /** Decode one xz stream starting at `p`; returns the offset past its
+    * footer. Verifies every CRC, the index against the blocks read, and
+    * the footer's backward pointer.
+    */
+  private def decodeStream(b: Array[Byte], start: Int, out: OutWindow): Int = {
+    var p = start + 6
+    require(b(p) == 0, "xz: reserved stream-flag byte set")
+    val checkType = b(p + 1) & 0xff
+    require(CheckSizes.contains(checkType), f"xz: unsupported check type 0x$checkType%02X")
+    val flagsCrc = crc32(b, p, p + 2)
+    p += 2
+    require(leU32(b, p) == flagsCrc, "xz: stream header CRC mismatch")
+    p += 4
+    // ---- blocks until the index indicator
+    val records = Seq.newBuilder[(Long, Long)]
+    var nBlocks = 0
+    var indexAt = -1
+    while (indexAt < 0) {
+      require(p < b.length, "xz: truncated before the index")
+      val sizeByte = b(p) & 0xff
+      if (sizeByte == 0) indexAt = p
+      else {
+        val blockStart = p
+        val headerSize = (sizeByte + 1) * 4
+        require(p + headerSize <= b.length, "xz: block header truncated")
+        require(crc32(b, p, p + headerSize - 4) == leU32(b, p + headerSize - 4),
+          "xz: block header CRC mismatch")
+        val flags = b(p + 1) & 0xff
+        require((flags & 0x3c) == 0, "xz: reserved block-flag bits set")
+        val numFilters = (flags & 0x03) + 1
+        var q = p + 2
+        var declaredCompressed = -1L
+        var declaredUncompressed = -1L
+        if ((flags & 0x40) != 0) { val (v, np) = varint(b, q, p + headerSize); declaredCompressed = v; q = np }
+        if ((flags & 0x80) != 0) { val (v, np) = varint(b, q, p + headerSize); declaredUncompressed = v; q = np }
+        require(numFilters == 1, s"xz: $numFilters-filter chains unsupported (LZMA2 only)")
+        val (fid, q2) = varint(b, q, p + headerSize)
+        require(fid == 0x21, f"xz: filter id 0x$fid%02X unsupported (LZMA2 only)")
+        val (propsSize, q3) = varint(b, q2, p + headerSize)
+        require(propsSize == 1, s"xz: LZMA2 props size $propsSize")
+        q = q3 + 1 // skip the dict-size byte: output is bounded by maxOut
+        while (q < p + headerSize - 4) {
+          require(b(q) == 0, "xz: nonzero block-header padding")
+          q += 1
+        }
+        p += headerSize
+        // ---- LZMA2 payload
+        val outBefore = out.size
+        val dataEnd = lzma2(b, p, b.length, out)
+        val unpacked = (out.size - outBefore).toLong
+        val compressed = (dataEnd - p).toLong
+        if (declaredCompressed >= 0)
+          require(compressed == declaredCompressed, "xz: compressed-size record drift")
+        if (declaredUncompressed >= 0)
+          require(unpacked == declaredUncompressed, "xz: uncompressed-size record drift")
+        p = dataEnd
+        while ((p - blockStart) % 4 != 0) {
+          require(p < b.length && b(p) == 0, "xz: nonzero block padding")
+          p += 1
+        }
+        // ---- check of the uncompressed bytes
+        val checkSize = CheckSizes(checkType)
+        require(p + checkSize <= b.length, "xz: block check truncated")
+        checkType match {
+          case 0 => ()
+          case 1 =>
+            val c = new java.util.zip.CRC32()
+            c.update(out.raw, outBefore, out.size - outBefore)
+            require(c.getValue == leU32(b, p), "xz: block CRC32 mismatch")
+          case 4 =>
+            val got = crc64(out.raw, outBefore, out.size)
+            require(got == leU64(b, p), "xz: block CRC64 mismatch")
+          case 10 =>
+            val d = java.security.MessageDigest.getInstance("SHA-256")
+            d.update(out.raw, outBefore, out.size - outBefore)
+            require(d.digest().sameElements(
+              java.util.Arrays.copyOfRange(b, p, p + 32)), "xz: block SHA-256 mismatch")
+        }
+        p += checkSize
+        val unpaddedSize = headerSize.toLong + compressed + checkSize
+        records += ((unpaddedSize, unpacked))
+        nBlocks += 1
+        require(nBlocks <= MaxBlocks, "xz: more blocks than the cap")
+      }
+    }
+    // ---- index: must agree with what was just decoded
+    val indexStart = p
+    p += 1
+    val (count, p1) = varint(b, p, b.length)
+    p = p1
+    val recs = records.result()
+    require(count == recs.length, s"xz: index claims $count blocks, read ${recs.length}")
+    recs.foreach { case (unpadded, unpacked) =>
+      val (u1, np1) = varint(b, p, b.length)
+      val (u2, np2) = varint(b, np1, b.length)
+      require(u1 == unpadded && u2 == unpacked, "xz: index record drift")
+      p = np2
+    }
+    while ((p - indexStart) % 4 != 0) {
+      require(p < b.length && b(p) == 0, "xz: nonzero index padding")
+      p += 1
+    }
+    require(crc32(b, indexStart, p) == leU32(b, p), "xz: index CRC mismatch")
+    p += 4
+    val indexSize = p - indexStart
+    // ---- footer
+    require(p + 12 <= b.length, "xz: stream footer truncated")
+    require(crc32(b, p + 4, p + 10) == leU32(b, p), "xz: stream footer CRC mismatch")
+    val backward = (leU32(b, p + 4) + 1) * 4
+    require(backward == indexSize, "xz: footer backward size does not point at the index")
+    require(b(p + 8) == 0 && (b(p + 9) & 0xff) == checkType,
+      "xz: footer stream flags disagree with the header")
+    require(b(p + 10) == 'Y' && b(p + 11) == 'Z', "xz: bad footer magic")
+    p + 12
+  }
+
+  final val MaxBlocks = 1 << 20
+
+  private def crc64Range(b: Array[Byte], from: Int, until: Int): Long =
+    crc64(b, from, until)
+
+  private def leU32(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  private def leU64(b: Array[Byte], at: Int): Long =
+    leU32(b, at) | (leU32(b, at + 4) << 32)
+
+  // --------------------------------------------------------------- writer
+
+  /** Valid-but-STORED xz writer — deterministic fixtures any xz decodes:
+    * one block, a single LZMA2 filter whose data is uncompressed chunks
+    * (dict reset on the first), correct padding, the chosen check, a
+    * faithful index and footer. `check` ∈ none | crc32 | crc64 | sha256.
+    */
+  def compress(data: Array[Byte], check: String = "crc32"): Array[Byte] = {
+    val checkType = check match {
+      case "none" => 0
+      case "crc32" => 1
+      case "crc64" => 4
+      case "sha256" => 10
+      case other => throw new IllegalArgumentException(s"xz write: unknown check '$other'")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    // ---- stream header
+    out.write(Magic)
+    out.write(0)
+    out.write(checkType)
+    u32le(crc32(Array[Byte](0, checkType.toByte), 0, 2))
+    // ---- one block (an EMPTY payload is a zero-block stream, like xz's)
+    var unpadded = -1L
+    if (data.nonEmpty) {
+      val blockStart = out.size()
+      // 12-byte block header: sizeByte=(12/4)-1, flags=one filter/no size
+      // fields, LZMA2 id, 1-byte props (dict byte 16 = 1 MiB — the chunks
+      // are stored, so any dict satisfies every decoder), 3 pad, CRC32
+      val body = Array[Byte](2, 0, 0x21, 1, 16, 0, 0, 0)
+      out.write(body)
+      u32le(crc32(body, 0, body.length))
+      val headerSize = body.length + 4
+      // LZMA2 uncompressed chunks (dict reset on the first)
+      val dataStart = out.size()
+      var off = 0
+      var first = true
+      while (off < data.length) {
+        val take = math.min(1 << 16, data.length - off)
+        out.write(if (first) 0x01 else 0x02)
+        out.write(((take - 1) >> 8) & 0xff)
+        out.write((take - 1) & 0xff)
+        out.write(data, off, take)
+        off += take
+        first = false
+      }
+      out.write(0x00) // LZMA2 end
+      val compressed = out.size() - dataStart
+      while ((out.size() - blockStart) % 4 != 0) out.write(0)
+      checkType match {
+        case 0 => ()
+        case 1 => u32le(crc32(data, 0, data.length))
+        case 4 =>
+          val c = crc64(data, 0, data.length)
+          (0 until 8).foreach(i => out.write(((c >>> (8 * i)) & 0xff).toInt))
+        case 10 =>
+          out.write(java.security.MessageDigest.getInstance("SHA-256").digest(data))
+      }
+      unpadded = headerSize.toLong + compressed + CheckSizes(checkType)
+    }
+    // ---- index
+    def varintBytes(v: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      var x = v
+      while ({ val b7 = (x & 0x7f).toInt; x >>>= 7
+        if (x != 0) o.write(b7 | 0x80) else o.write(b7); x != 0 }) ()
+      o.toByteArray
+    }
+    val idx = new java.io.ByteArrayOutputStream()
+    idx.write(0)
+    if (data.nonEmpty) {
+      idx.write(varintBytes(1L))
+      idx.write(varintBytes(unpadded))
+      idx.write(varintBytes(data.length.toLong))
+    } else idx.write(varintBytes(0L))
+    while (idx.size() % 4 != 0) idx.write(0)
+    val idxb = idx.toByteArray
+    out.write(idxb)
+    u32le(crc32(idxb, 0, idxb.length))
+    val indexSize = idxb.length + 4
+    // ---- footer
+    val tail = new Array[Byte](6)
+    val bw = (indexSize / 4) - 1
+    (0 until 4).foreach(i => tail(i) = ((bw >>> (8 * i)) & 0xff).toByte)
+    tail(4) = 0
+    tail(5) = checkType.toByte
+    u32le(crc32(tail, 0, 6))
+    out.write(tail)
+    out.write('Y')
+    out.write('Z')
+    out.toByteArray
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** xz / LZMA2 walk: canonical interop goldens (presets 0/6/9e, all four
+  * check types, non-default lc/lp/pb, multistream), writer round-trips,
+  * CRC gates, bounds, named rejects.
+  */
+class XzSpec extends AnyFunSuite {
+
+  private def res(n: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/" + n)
+    assert(in != null, s"missing resource $n")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodes CANONICAL xz output (goldens: text -6 crc32, binary -9e " +
+    "sha256, runs -0 crc64, non-default lc=3 lp=1 pb=2)") {
+    for (base <- Seq("xz_golden_text", "xz_golden_binary", "xz_golden_runs",
+      "xz_golden_lcmix")) {
+      assert(Xz.decompress(res(s"$base.xz")).sameElements(res(s"$base.plain")), base)
+    }
+  }
+
+  test("decodes CANONICAL multistream concatenation (three streams, mixed checks)") {
+    assert(Xz.decompress(res("xz_golden_multistream.xz"))
+      .sameElements(res("xz_golden_multistream.plain")))
+  }
+
+  test("multistream: 4-aligned null stream padding between streams decodes") {
+    val a = Xz.compress("first".getBytes(StandardCharsets.US_ASCII))
+    val b = Xz.compress("second".getBytes(StandardCharsets.US_ASCII), "crc64")
+    val glued = a ++ Array.fill(8)(0.toByte) ++ b
+    assert(new String(Xz.decompress(glued), StandardCharsets.US_ASCII) == "firstsecond")
+    // misaligned padding is a named reject
+    val bad = a ++ Array.fill(3)(0.toByte) ++ b
+    val e = intercept[IllegalArgumentException](Xz.decompress(bad))
+    assert(e.getMessage.contains("padding"))
+  }
+
+  test("writer round-trips every check type, incl. the empty payload") {
+    val data = ("stored xz — café 漢字 " * 500).getBytes(StandardCharsets.UTF_8)
+    for (chk <- Seq("none", "crc32", "crc64", "sha256")) {
+      val packed = Xz.compress(data, chk)
+      assert(Xz.isXz(packed))
+      assert(Xz.decompress(packed).sameElements(data), chk)
+    }
+    assert(Xz.decompress(Xz.compress(Array.emptyByteArray)).isEmpty)
+    // payloads past one LZMA2 chunk (64 KiB) split and rejoin
+    val big = Array.tabulate(200000)(i => (i * 31).toByte)
+    assert(Xz.decompress(Xz.compress(big, "crc64")).sameElements(big))
+  }
+
+  test("the system xz (when present) decodes OUR writer's files") {
+    val bin = Seq("/root/miniconda/bin/xz", "/usr/bin/xz", "/bin/xz")
+      .find(p => new java.io.File(p).canExecute)
+    assume(bin.isDefined, "no xz binary on this host")
+    val data = ("round-trip via canonical xz " * 300).getBytes(StandardCharsets.UTF_8)
+    for (chk <- Seq("crc32", "crc64", "sha256")) {
+      val f = java.io.File.createTempFile("graft", ".xz")
+      try {
+        java.nio.file.Files.write(f.toPath, Xz.compress(data, chk))
+        val p = new ProcessBuilder(bin.get, "-dc", f.getAbsolutePath).start()
+        val got = p.getInputStream.readAllBytes()
+        assert(p.waitFor() == 0, s"xz -dc exit for $chk")
+        assert(got.sameElements(data), chk)
+      } finally f.delete()
+    }
+  }
+
+  test("every check is verified, not decorative (flip a payload bit)") {
+    for (chk <- Seq("crc32", "crc64", "sha256")) {
+      val packed = Xz.compress("verify me please, every byte".getBytes, chk)
+      // corrupt one byte inside the stored chunk (past header+block header)
+      val broken = packed.clone()
+      broken(30) = (broken(30) ^ 0x10).toByte
+      val e = intercept[IllegalArgumentException](Xz.decompress(broken))
+      assert(e.getMessage.contains("mismatch"), chk)
+    }
+  }
+
+  test("header/index/footer CRCs and the backward pointer are gated") {
+    val packed = Xz.compress("structural integrity".getBytes)
+    // stream-header CRC
+    val h = packed.clone(); h(8) = (h(8) ^ 1).toByte
+    assert(intercept[IllegalArgumentException](Xz.decompress(h))
+      .getMessage.contains("header CRC"))
+    // footer magic
+    val f = packed.clone(); f(f.length - 1) = 'Q'.toByte
+    assert(intercept[IllegalArgumentException](Xz.decompress(f))
+      .getMessage.contains("footer"))
+  }
+
+  test("named rejects: magic, truncation, trailing garbage, output cap") {
+    intercept[IllegalArgumentException](Xz.decompress("not xz at all".getBytes))
+    val packed = Xz.compress(("x" * 1000).getBytes)
+    intercept[IllegalArgumentException](Xz.decompress(packed.take(40)))
+    val e = intercept[IllegalArgumentException](
+      Xz.decompress(packed ++ "junk".getBytes))
+    assert(e.getMessage.contains("trailing garbage") || e.getMessage.contains("padding"))
+    val e2 = intercept[IllegalArgumentException](Xz.decompress(packed, maxOut = 10))
+    assert(e2.getMessage.contains("cap"))
+  }
+
+  test("unsupported filter chains reject by name (delta+lzma2)") {
+    // canonical xz with a delta filter prepended would carry two filters;
+    // emulate by patching OUR block header's filter id and re-CRCing
+    val packed = Xz.compress("filter probe".getBytes)
+    val broken = packed.clone()
+    broken(14) = 0x03 // filter id: delta
+    // fix the block-header CRC so the filter check itself is what fires
+    val c = new java.util.zip.CRC32()
+    c.update(broken, 12, 8)
+    val v = c.getValue
+    (0 until 4).foreach(i => broken(20 + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    val e = intercept[IllegalArgumentException](Xz.decompress(broken))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("CRC-64/XZ matches the published check vector") {
+    // the standard CRC-64/XZ test vector: "123456789" -> 0x995DC9BBDF1939FA
+    val got = Xz.crc64("123456789".getBytes(StandardCharsets.US_ASCII), 0, 9)
+    assert(got == 0x995DC9BBDF1939FAL)
+  }
+}

@@ -237,6 +237,38 @@ class StreamingArchiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tar.xz member explode matches batch (stateless flatMap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val archives = (0L to 1L).map { aid =>
+      val entries = (aid * 4 until aid * 4 + 4).map { id =>
+        val body = s"member $id — café".getBytes("UTF-8")
+        graft.operators.Tar.TarEntry(s"src/$id.txt", body.length.toLong, '0', body)
+      }
+      Multimodal.MediaRecord(aid, s"t://a$aid.tar.xz", "application/x-xz",
+        graft.operators.Xz.compress(graft.operators.Tar.writeTar(entries),
+          if (aid % 2 == 0) "crc32" else "sha256"), Map.empty)
+    }
+    def mine(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) = ds
+      .flatMap { r =>
+        graft.operators.Tar.readEntries(graft.operators.Xz.decompress(r.content))
+          .map(e => (r.media_id, e.name, e.size))
+      }
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = mine(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tarxz_stream_out").start()
+    try {
+      stream.addData(archives)
+      q.processAllAvailable()
+      val streamed = spark.table("tarxz_stream_out")
+        .as[(Long, String, Long)].collect().sortBy(_._2)
+      val batch = mine(spark.createDataset(archives)).collect().sortBy(_._2)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.length == 8)
+    } finally q.stop()
+  }
+
   test("streaming wiki-dump shard explode matches batch (stateless flatMap)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
