@@ -560,14 +560,266 @@ object Xz {
   private def leU64(b: Array[Byte], at: Int): Long =
     leU32(b, at) | (leU32(b, at + 4) << 32)
 
+  // ------------------------------------------------------ LZMA1 encoder
+
+  /** The carry-correct binary range ENCODER (LZMA SDK semantics): 33-bit
+    * low with byte cache for carry propagation; the initial cache emits
+    * the mandatory leading zero byte of every LZMA stream.
+    */
+  private final class RangeEnc(out: java.io.ByteArrayOutputStream) {
+    private var low = 0L
+    private var range = -1 // 0xFFFFFFFF
+    private var cache = 0
+    private var cacheSize = 1L
+    private def shiftLow(): Unit = {
+      if (low < 0xFF000000L || low > 0xFFFFFFFFL) {
+        var c = cache
+        var n = cacheSize
+        while (n != 0) {
+          out.write(((c + (low >>> 32)) & 0xff).toInt)
+          c = 0xFF
+          n -= 1
+        }
+        cacheSize = 0
+        cache = ((low >>> 24) & 0xff).toInt
+      }
+      cacheSize += 1
+      low = (low << 8) & 0xFFFFFFFFL
+    }
+    def encodeBit(probs: Array[Short], i: Int, bit: Int): Unit = {
+      val p = probs(i)
+      val bound = (range >>> 11) * p
+      if (bit == 0) {
+        range = bound
+        probs(i) = (p + ((2048 - p) >>> 5)).toShort
+      } else {
+        low += bound & 0xFFFFFFFFL
+        range -= bound
+        probs(i) = (p - (p >>> 5)).toShort
+      }
+      while ((range & 0xFF000000) == 0) { range <<= 8; shiftLow() }
+    }
+    def encodeDirect(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        range = range >>> 1
+        if (((v >>> i) & 1) != 0) low += range & 0xFFFFFFFFL
+        while ((range & 0xFF000000) == 0) { range <<= 8; shiftLow() }
+        i -= 1
+      }
+    }
+    def bitTree(probs: Array[Short], off: Int, nBits: Int, sym: Int): Unit = {
+      var m = 1
+      var i = nBits - 1
+      while (i >= 0) {
+        val bit = (sym >>> i) & 1
+        encodeBit(probs, off + m, bit)
+        m = (m << 1) | bit
+        i -= 1
+      }
+    }
+    def bitTreeReverse(probs: Array[Short], off: Int, nBits: Int, sym: Int): Unit = {
+      var m = 1
+      var i = 0
+      while (i < nBits) {
+        val bit = (sym >>> i) & 1
+        encodeBit(probs, off + m, bit)
+        m = (m << 1) + bit
+        i += 1
+      }
+    }
+    def flush(): Unit = (0 until 5).foreach(_ => shiftLow())
+  }
+
+  private def encodeLen(re: RangeEnc, probs: Array[Short], posState: Int,
+      rawLen: Int): Unit =
+    if (rawLen < 8) {
+      re.encodeBit(probs, 0, 0)
+      re.bitTree(probs, 2 + posState * 8, 3, rawLen)
+    } else if (rawLen < 16) {
+      re.encodeBit(probs, 0, 1)
+      re.encodeBit(probs, 1, 0)
+      re.bitTree(probs, 2 + 128 + posState * 8, 3, rawLen - 8)
+    } else {
+      re.encodeBit(probs, 0, 1)
+      re.encodeBit(probs, 1, 1)
+      re.bitTree(probs, 2 + 256, 8, rawLen - 16)
+    }
+
+  /** Greedy LZMA1 encoder over one input segment, mutating the shared
+    * probability/state model (LZMA2 chunks with reset=0 continue it).
+    * Emits literals (matched-byte mode after matches, mirroring the
+    * decoder), rep0 matches for runs, and hash-chain normal matches.
+    */
+  private final class LzmaEnc(data: Array[Byte]) {
+    val st = new LzmaState
+    st.setProps((2 * 5 + 0) * 9 + 3) // lc=3 lp=0 pb=2, the default profile
+    private val pbMask = 3
+    // hash-chain match finder over the WHOLE input (dict continuity
+    // across chunks comes free: positions are absolute)
+    private val hashBits = 16
+    private val head = Array.fill(1 << hashBits)(-1)
+    private val prev = new Array[Int](data.length)
+    private final val MaxTries = 32
+    private final val MaxLen = 273
+    private def hash4(p: Int): Int = {
+      val h = (data(p) & 0xff) * 506832829 + (data(p + 1) & 0xff) * 65599 +
+        (data(p + 2) & 0xff) * 257 + (data(p + 3) & 0xff)
+      (h ^ (h >>> 15)) & ((1 << hashBits) - 1)
+    }
+    private def matchLen(a: Int, b: Int, limit: Int): Int = {
+      var l = 0
+      while (l < limit && data(a + l) == data(b + l)) l += 1
+      l
+    }
+    /** Encode data[from, until) as one LZMA chunk body; returns the
+      * packed bytes (range coder flushed).
+      */
+    def encodeChunk(from: Int, until: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val re = new RangeEnc(out)
+      var pos = from
+      while (pos < until) {
+        val posState = pos & pbMask
+        val lenLimit = math.min(MaxLen, until - pos)
+        // rep0 candidate (cheap, carries runs), then hash-chain search
+        var repLen = 0
+        if (pos > st.rep0 && lenLimit >= 2) {
+          repLen = matchLen(pos - st.rep0 - 1, pos, lenLimit)
+        }
+        var bestLen = 0
+        var bestDist = 0
+        if (lenLimit >= 4 && pos + 4 <= data.length) {
+          val h = hash4(pos)
+          var cand = head(h)
+          var tries = MaxTries
+          while (cand >= 0 && tries > 0) {
+            val l = matchLen(cand, pos, lenLimit)
+            if (l > bestLen) { bestLen = l; bestDist = pos - cand - 1 }
+            cand = prev(cand)
+            tries -= 1
+          }
+          prev(pos) = head(h)
+          head(h) = pos
+        }
+        // choose: rep0 wins ties (cheaper code), normal match needs len>=3
+        if (repLen >= 2 && repLen + 1 >= bestLen) {
+          // rep0 match
+          re.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
+          re.encodeBit(st.isRep, st.state, 1)
+          re.encodeBit(st.isRepG0, st.state, 0)
+          re.encodeBit(st.isRep0Long, (st.state << 4) + posState, 1)
+          encodeLen(re, st.repLen, posState, repLen - 2)
+          st.state = if (st.state < 7) 8 else 11
+          insertHashes(pos, repLen, until)
+          pos += repLen
+        } else if (bestLen >= 3) {
+          re.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
+          re.encodeBit(st.isRep, st.state, 0)
+          val rawLen = bestLen - 2
+          encodeLen(re, st.len, posState, rawLen)
+          st.state = if (st.state < 7) 7 else 10
+          encodeDistance(re, math.min(rawLen, 3), bestDist)
+          st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+          st.rep0 = bestDist
+          insertHashes(pos, bestLen, until)
+          pos += bestLen
+        } else {
+          // literal
+          re.encodeBit(st.isMatch, (st.state << 4) + posState, 0)
+          val prevByte = if (pos == 0) 0 else data(pos - 1) & 0xff
+          val litState = prevByte >>> (8 - st.lc) // lp=0
+          val off = 0x300 * litState
+          val sym = data(pos) & 0xff
+          if (st.state >= 7) {
+            var matchByte = data(pos - st.rep0 - 1) & 0xff
+            var m = 1
+            var i = 7
+            var matched = true
+            while (i >= 0) {
+              val bit = (sym >>> i) & 1
+              if (matched) {
+                val matchBit = (matchByte >> 7) & 1
+                matchByte = (matchByte << 1) & 0xff
+                re.encodeBit(st.lit, off + ((1 + matchBit) << 8) + m, bit)
+                if (matchBit != bit) matched = false
+              } else re.encodeBit(st.lit, off + m, bit)
+              m = (m << 1) | bit
+              i -= 1
+            }
+          } else re.bitTree(st.lit, off, 8, sym)
+          st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3
+          else st.state - 6
+          pos += 1
+        }
+      }
+      re.flush()
+      out.toByteArray
+    }
+    /** Register match-finder hashes for the skipped positions of a match
+      * (position 0 of the span was registered during the search).
+      */
+    private def insertHashes(pos: Int, len: Int, until: Int): Unit = {
+      var p = pos + 1
+      val end = math.min(pos + len, math.min(until, data.length - 3))
+      while (p < end) {
+        val h = hash4(p)
+        prev(p) = head(h)
+        head(h) = p
+        p += 1
+      }
+    }
+    private def encodeDistance(re: RangeEnc, lenState: Int, dist: Int): Unit = {
+      val slot =
+        if (dist < 4) dist
+        else {
+          val nb = 32 - java.lang.Integer.numberOfLeadingZeros(dist)
+          ((nb - 1) << 1) | ((dist >>> (nb - 2)) & 1)
+        }
+      re.bitTree(st.posSlot, lenState << 6, 6, slot)
+      if (slot >= 4) {
+        val directBits = (slot >> 1) - 1
+        val base = (2 | (slot & 1)) << directBits
+        val rem = dist - base
+        if (slot < 14) re.bitTreeReverse(st.specPos, base - slot, directBits, rem)
+        else {
+          re.encodeDirect(rem >>> 4, directBits - 4)
+          re.bitTreeReverse(st.align, 0, 4, rem & 15)
+        }
+      }
+    }
+  }
+
+  /** The dict-size prop byte: smallest spec size ≥ `need` (sizes are
+    * 2^(b/2+12) and 3·2^(b/2+11), per the LZMA2 filter spec).
+    */
+  private def dictByteFor(need: Int): Int = {
+    var b = 0
+    while (b < 40 && {
+      val size = (2L | (b & 1)) << (b / 2 + 11)
+      size < need
+    }) b += 1
+    b
+  }
+
   // --------------------------------------------------------------- writer
 
-  /** Valid-but-STORED xz writer — deterministic fixtures any xz decodes:
-    * one block, a single LZMA2 filter whose data is uncompressed chunks
-    * (dict reset on the first), correct padding, the chosen check, a
+  /** Deterministic xz writer any xz implementation decodes: one block,
+    * a single LZMA2 filter, correct padding, the chosen check, a
     * faithful index and footer. `check` ∈ none | crc32 | crc64 | sha256.
+    * `mode` picks the LZMA2 payload:
+    *
+    *   - `"fast"` (default): REAL greedy LZMA compression — hash-chain
+    *     match finder, rep0 runs, matched-byte literals — chunked with
+    *     reset=0 continuation (one model across the block); a segment
+    *     the encoder cannot shrink falls back to an uncompressed chunk
+    *     (with the state reset LZMA2 requires after one);
+    *   - `"store"`: uncompressed chunks only — the trivially-inspectable
+    *     fixture shape.
     */
-  def compress(data: Array[Byte], check: String = "crc32"): Array[Byte] = {
+  def compress(data: Array[Byte], check: String = "crc32",
+      mode: String = "fast"): Array[Byte] = {
+    require(mode == "fast" || mode == "store", s"xz write: unknown mode '$mode'")
     val checkType = check match {
       case "none" => 0
       case "crc32" => 1
@@ -588,24 +840,68 @@ object Xz {
     if (data.nonEmpty) {
       val blockStart = out.size()
       // 12-byte block header: sizeByte=(12/4)-1, flags=one filter/no size
-      // fields, LZMA2 id, 1-byte props (dict byte 16 = 1 MiB — the chunks
-      // are stored, so any dict satisfies every decoder), 3 pad, CRC32
-      val body = Array[Byte](2, 0, 0x21, 1, 16, 0, 0, 0)
+      // fields, LZMA2 id, 1-byte props (smallest spec dict covering the
+      // payload — match distances never exceed it), 3 pad, CRC32
+      val dictByte = dictByteFor(math.max(4096, math.min(data.length, 1 << 26)))
+      val body = Array[Byte](2, 0, 0x21, 1, dictByte.toByte, 0, 0, 0)
       out.write(body)
       u32le(crc32(body, 0, body.length))
       val headerSize = body.length + 4
-      // LZMA2 uncompressed chunks (dict reset on the first)
       val dataStart = out.size()
-      var off = 0
-      var first = true
-      while (off < data.length) {
-        val take = math.min(1 << 16, data.length - off)
-        out.write(if (first) 0x01 else 0x02)
-        out.write(((take - 1) >> 8) & 0xff)
-        out.write((take - 1) & 0xff)
-        out.write(data, off, take)
-        off += take
-        first = false
+      if (mode == "store") {
+        // uncompressed chunks (dict reset on the first)
+        var off = 0
+        var first = true
+        while (off < data.length) {
+          val take = math.min(1 << 16, data.length - off)
+          out.write(if (first) 0x01 else 0x02)
+          out.write(((take - 1) >> 8) & 0xff)
+          out.write((take - 1) & 0xff)
+          out.write(data, off, take)
+          off += take
+          first = false
+        }
+      } else {
+        // greedy LZMA, one model across the block, stored fallback
+        val enc = new LzmaEnc(data)
+        val Seg = 60000 // stored fallback must fit one uncompressed chunk
+        var off = 0
+        var first = true
+        var propsSent = false
+        var needStateReset = false
+        while (off < data.length) {
+          val until = math.min(off + Seg, data.length)
+          if (needStateReset) enc.st.resetState()
+          val packed = enc.encodeChunk(off, until)
+          val usize = until - off
+          if (packed.length < usize && packed.length <= (1 << 16)) {
+            val reset =
+              if (first) 3 // the block's first chunk resets the dictionary
+              else if (!propsSent) 2 // stored chunks came first: send props
+              else if (needStateReset) 1
+              else 0
+            out.write(0x80 | (reset << 5) | ((usize - 1) >>> 16))
+            out.write(((usize - 1) >>> 8) & 0xff)
+            out.write((usize - 1) & 0xff)
+            out.write(((packed.length - 1) >>> 8) & 0xff)
+            out.write((packed.length - 1) & 0xff)
+            if (reset >= 2) out.write((2 * 5 + 0) * 9 + 3) // lc=3 lp=0 pb=2
+            out.write(packed)
+            propsSent = true
+            needStateReset = false
+          } else {
+            // incompressible segment: store it; LZMA2 requires a state
+            // reset on the next LZMA chunk (and the decoder's model never
+            // saw this trial encoding, so resetting keeps both in sync)
+            out.write(if (first) 0x01 else 0x02)
+            out.write(((usize - 1) >>> 8) & 0xff)
+            out.write((usize - 1) & 0xff)
+            out.write(data, off, usize)
+            needStateReset = true
+          }
+          off = until
+          first = false
+        }
       }
       out.write(0x00) // LZMA2 end
       val compressed = out.size() - dataStart

@@ -39,39 +39,71 @@ class XzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("padding"))
   }
 
-  test("writer round-trips every check type, incl. the empty payload") {
+  test("writer round-trips every check type and both modes, incl. empty") {
     val data = ("stored xz — café 漢字 " * 500).getBytes(StandardCharsets.UTF_8)
-    for (chk <- Seq("none", "crc32", "crc64", "sha256")) {
-      val packed = Xz.compress(data, chk)
+    for (chk <- Seq("none", "crc32", "crc64", "sha256");
+         mode <- Seq("fast", "store")) {
+      val packed = Xz.compress(data, chk, mode)
       assert(Xz.isXz(packed))
-      assert(Xz.decompress(packed).sameElements(data), chk)
+      assert(Xz.decompress(packed).sameElements(data), s"$chk/$mode")
     }
     assert(Xz.decompress(Xz.compress(Array.emptyByteArray)).isEmpty)
-    // payloads past one LZMA2 chunk (64 KiB) split and rejoin
+    // payloads past one chunk split and rejoin in both modes
     val big = Array.tabulate(200000)(i => (i * 31).toByte)
     assert(Xz.decompress(Xz.compress(big, "crc64")).sameElements(big))
+    assert(Xz.decompress(Xz.compress(big, "crc64", "store")).sameElements(big))
+  }
+
+  test("the LZMA encoder genuinely compresses (and rep0 carries runs)") {
+    val text = ("line of shared prefix content with tokens\n" * 2000)
+      .getBytes(StandardCharsets.UTF_8)
+    val packed = Xz.compress(text)
+    assert(packed.length < text.length / 20, s"ratio ${packed.length}/${text.length}")
+    assert(Xz.decompress(packed).sameElements(text))
+    val runs = Array.fill(100000)('a'.toByte)
+    assert(Xz.compress(runs).length < 1000)
+  }
+
+  test("incompressible segments fall back to stored chunks and stay in sync") {
+    // deterministic pseudo-random bytes defeat the greedy matcher; the
+    // compressible tail after the stored fallback exercises the
+    // state-reset-after-uncompressed rule in BOTH the writer and reader
+    val rnd = new java.util.Random(7)
+    val noise = new Array[Byte](61000)
+    rnd.nextBytes(noise)
+    val data = noise ++ ("then a compressible tail " * 4000)
+      .getBytes(StandardCharsets.UTF_8)
+    val packed = Xz.compress(data, "crc64")
+    assert(Xz.decompress(packed).sameElements(data))
+    assert(packed.length < data.length) // the tail still shrinks
   }
 
   test("the system xz (when present) decodes OUR writer's files") {
     val bin = Seq("/root/miniconda/bin/xz", "/usr/bin/xz", "/bin/xz")
       .find(p => new java.io.File(p).canExecute)
     assume(bin.isDefined, "no xz binary on this host")
-    val data = ("round-trip via canonical xz " * 300).getBytes(StandardCharsets.UTF_8)
-    for (chk <- Seq("crc32", "crc64", "sha256")) {
+    val rnd = new java.util.Random(3)
+    val noise = new Array[Byte](61000)
+    rnd.nextBytes(noise)
+    val payloads = Seq(
+      ("round-trip via canonical xz " * 300).getBytes(StandardCharsets.UTF_8),
+      noise ++ ("stored-then-lzma tail " * 2000).getBytes(StandardCharsets.UTF_8))
+    for (data <- payloads; chk <- Seq("crc32", "crc64", "sha256");
+         mode <- Seq("fast", "store")) {
       val f = java.io.File.createTempFile("graft", ".xz")
       try {
-        java.nio.file.Files.write(f.toPath, Xz.compress(data, chk))
+        java.nio.file.Files.write(f.toPath, Xz.compress(data, chk, mode))
         val p = new ProcessBuilder(bin.get, "-dc", f.getAbsolutePath).start()
         val got = p.getInputStream.readAllBytes()
-        assert(p.waitFor() == 0, s"xz -dc exit for $chk")
-        assert(got.sameElements(data), chk)
+        assert(p.waitFor() == 0, s"xz -dc exit for $chk/$mode")
+        assert(got.sameElements(data), s"$chk/$mode")
       } finally f.delete()
     }
   }
 
   test("every check is verified, not decorative (flip a payload bit)") {
     for (chk <- Seq("crc32", "crc64", "sha256")) {
-      val packed = Xz.compress("verify me please, every byte".getBytes, chk)
+      val packed = Xz.compress("verify me please, every byte".getBytes, chk, "store")
       // corrupt one byte inside the stored chunk (past header+block header)
       val broken = packed.clone()
       broken(30) = (broken(30) ^ 0x10).toByte
@@ -81,7 +113,7 @@ class XzSpec extends AnyFunSuite {
   }
 
   test("header/index/footer CRCs and the backward pointer are gated") {
-    val packed = Xz.compress("structural integrity".getBytes)
+    val packed = Xz.compress("structural integrity".getBytes, "crc32", "store")
     // stream-header CRC
     val h = packed.clone(); h(8) = (h(8) ^ 1).toByte
     assert(intercept[IllegalArgumentException](Xz.decompress(h))
@@ -106,7 +138,7 @@ class XzSpec extends AnyFunSuite {
   test("unsupported filter chains reject by name (delta+lzma2)") {
     // canonical xz with a delta filter prepended would carry two filters;
     // emulate by patching OUR block header's filter id and re-CRCing
-    val packed = Xz.compress("filter probe".getBytes)
+    val packed = Xz.compress("filter probe".getBytes, "crc32", "store")
     val broken = packed.clone()
     broken(14) = 0x03 // filter id: delta
     // fix the block-header CRC so the filter check itself is what fires
