@@ -167,13 +167,14 @@ object Xz {
     val len = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
     val repLen = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
 
-    def setProps(prop: Int): Unit = {
+    def setProps(prop: Int, lzma2: Boolean = true): Unit = {
       require(prop < 225, s"xz: bad LZMA props byte $prop")
       lc = prop % 9
       val rest = prop / 9
       lp = rest % 5
       pb = rest / 5
-      require(lc + lp <= 4, s"xz: LZMA2 requires lc+lp<=4 (lc=$lc lp=$lp)")
+      // the lc+lp cap is an LZMA2 rule; the legacy ALONE format allows more
+      if (lzma2) require(lc + lp <= 4, s"xz: LZMA2 requires lc+lp<=4 (lc=$lc lp=$lp)")
       lit = new Array[Short](0x300 << (lc + lp))
       resetState()
     }
@@ -231,14 +232,20 @@ object Xz {
     else if (rc.decodeBit(probs, 1) == 0) 8 + rc.bitTree(probs, 2 + 128 + posState * 8, 3)
     else 16 + rc.bitTree(probs, 2 + 256, 8)
 
-  /** Decode exactly `unpackSize` bytes of one LZMA2 LZMA chunk. */
+  /** Decode one LZMA stream: exactly `unpackSize` bytes (an LZMA2
+    * chunk), or until the end marker when `allowEnd` (the legacy ALONE
+    * format, where `unpackSize` may be Long.MaxValue for size-unknown).
+    * Returns the byte offset just past the consumed input.
+    */
   private def lzmaChunk(b: Array[Byte], from: Int, until: Int,
-      st: LzmaState, out: OutWindow, unpackSize: Int): Unit = {
+      st: LzmaState, out: OutWindow, unpackSize: Long,
+      allowEnd: Boolean = false): Int = {
     val rc = new RangeDec(b, from, until)
     val pbMask = (1 << st.pb) - 1
     val lpMask = (1 << st.lp) - 1
     var remaining = unpackSize
-    while (remaining > 0) {
+    var endHit = false
+    while (!endHit && remaining > 0) {
       val total = out.size - out.dictStart
       val posState = total & pbMask
       if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
@@ -317,15 +324,26 @@ object Xz {
             }
             d
           }
-        require(dist != -1, "xz: LZMA end marker inside a sized LZMA2 chunk")
+        if (dist == -1) {
+          require(allowEnd, "xz: LZMA end marker inside a sized LZMA2 chunk")
+          require(unpackSize == Long.MaxValue || remaining == 0,
+            "lzma: end marker before the declared size")
+          require(rc.finishedProperly, "lzma: range coder not finished at the end marker")
+          endHit = true
+        } else {
         st.rep0 = dist
         val len = 2 + rawLen
         require(len <= remaining, "xz: LZMA2 chunk overruns its declared size")
         out.copyMatch(st.rep0 + 1, len)
         remaining -= len
+        }
       }
     }
-    require(rc.pos == until, "xz: LZMA chunk did not consume its declared packed size")
+    require(endHit || remaining == 0,
+      "lzma: stream ended before the declared size")
+    if (!allowEnd)
+      require(rc.pos == until, "xz: LZMA chunk did not consume its declared packed size")
+    rc.pos
   }
 
   // ------------------------------------------------------ LZMA2 walker
@@ -374,7 +392,7 @@ object Xz {
         if (reset == 3) out.dictStart = out.size
         if (reset >= 1 && reset < 2) st.resetState()
         require(p + packed <= until, "xz: LZMA2 chunk truncated")
-        lzmaChunk(b, p, p + packed, st, out, unpack)
+        lzmaChunk(b, p, p + packed, st, out, unpack.toLong)
         p += packed
       }
     }
@@ -675,7 +693,7 @@ object Xz {
     /** Encode data[from, until) as one LZMA chunk body; returns the
       * packed bytes (range coder flushed).
       */
-    def encodeChunk(from: Int, until: Int): Array[Byte] = {
+    def encodeChunk(from: Int, until: Int, endMark: Boolean = false): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       val re = new RangeEnc(out)
       var pos = from
@@ -753,6 +771,15 @@ object Xz {
           pos += 1
         }
       }
+      if (endMark) {
+        // the LZMA end marker: a normal match with dist 0xFFFFFFFF
+        val posState = until & pbMask
+        re.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
+        re.encodeBit(st.isRep, st.state, 0)
+        encodeLen(re, st.len, posState, 0)
+        st.state = if (st.state < 7) 7 else 10
+        encodeDistance(re, 0, -1)
+      }
       re.flush()
       out.toByteArray
     }
@@ -770,8 +797,9 @@ object Xz {
       }
     }
     private def encodeDistance(re: RangeEnc, lenState: Int, dist: Int): Unit = {
+      // unsigned: the end marker encodes dist 0xFFFFFFFF through slot 63
       val slot =
-        if (dist < 4) dist
+        if (java.lang.Integer.compareUnsigned(dist, 4) < 0) dist
         else {
           val nb = 32 - java.lang.Integer.numberOfLeadingZeros(dist)
           ((nb - 1) << 1) | ((dist >>> (nb - 2)) & 1)
@@ -800,6 +828,47 @@ object Xz {
       size < need
     }) b += 1
     b
+  }
+
+  // ------------------------------------------------- legacy .lzma (ALONE)
+
+  /** Decode the legacy LZMA_ALONE (.lzma) format: 1-byte props, LE32
+    * dictionary size, LE64 uncompressed size (-1 = unknown, terminated
+    * by the end marker — what both `xz --format=lzma` and liblzma
+    * one-shot compression emit). No integrity check exists in this
+    * format (its successor .xz added them); truncation, trailing bytes,
+    * size drift and an unfinished range coder are still named rejects.
+    */
+  def decompressLzmaAlone(b: Array[Byte], maxOut: Int = 256 << 20): Array[Byte] = {
+    require(b.length >= 18, "lzma: header truncated")
+    val out = new OutWindow(maxOut)
+    val st = new LzmaState
+    st.setProps(b(0) & 0xff, lzma2 = false)
+    var size = 0L
+    (0 until 8).foreach(i => size |= (b(5 + i) & 0xffL) << (8 * i))
+    require(size == -1L || (size >= 0 && size <= maxOut),
+      s"lzma: declared size $size past the cap")
+    val end = lzmaChunk(b, 13, b.length, st, out,
+      if (size == -1L) Long.MaxValue else size, allowEnd = true)
+    require(end == b.length, s"lzma: trailing garbage after stream end (offset $end)")
+    require(size == -1L || out.size == size, "lzma: size drift")
+    out.result()
+  }
+
+  /** The ALONE writer: unknown-size header + end marker (the canonical
+    * producers' shape), greedy-LZMA compressed.
+    */
+  def compressLzmaAlone(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((2 * 5 + 0) * 9 + 3) // lc=3 lp=0 pb=2
+    val dictSize = (2L | (dictByteFor(math.max(4096,
+      math.min(data.length, 1 << 26))) & 1)) <<
+      (dictByteFor(math.max(4096, math.min(data.length, 1 << 26))) / 2 + 11)
+    (0 until 4).foreach(i => out.write(((dictSize >>> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(_ => out.write(0xFF)) // size unknown: end marker
+    val enc = new LzmaEnc(data)
+    out.write(enc.encodeChunk(0, data.length, endMark = true))
+    out.toByteArray
   }
 
   // --------------------------------------------------------------- writer

@@ -156,3 +156,55 @@ class XzSpec extends AnyFunSuite {
     assert(got == 0x995DC9BBDF1939FAL)
   }
 }
+
+/** Legacy .lzma (LZMA_ALONE): canonical goldens both producers, writer
+  * interop, named rejects.
+  */
+class LzmaAloneSpec extends AnyFunSuite {
+  private def res(n: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/" + n)
+    assert(in != null, s"missing resource $n")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodes CANONICAL .lzma (xz --format=lzma, liblzma one-shot, " +
+    "and non-default lc=0 lp=2 pb=0)") {
+    for (base <- Seq("lzma_golden_xz", "lzma_golden_py", "lzma_golden_wide")) {
+      assert(Xz.decompressLzmaAlone(res(s"$base.lzma"))
+        .sameElements(res(s"$base.plain")), base)
+    }
+  }
+
+  test("writer round-trips and the system xz (when present) decodes it") {
+    val data = ("alone round-trip — café 漢字 " * 800).getBytes("UTF-8")
+    val packed = Xz.compressLzmaAlone(data)
+    assert(packed.length < data.length / 5)
+    assert(Xz.decompressLzmaAlone(packed).sameElements(data))
+    val bin = Seq("/root/miniconda/bin/xz", "/usr/bin/xz", "/bin/xz")
+      .find(p => new java.io.File(p).canExecute)
+    assume(bin.isDefined, "no xz binary on this host")
+    val f = java.io.File.createTempFile("graft", ".lzma")
+    try {
+      java.nio.file.Files.write(f.toPath, packed)
+      val p = new ProcessBuilder(bin.get, "-dc", "--format=lzma",
+        f.getAbsolutePath).start()
+      val got = p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, "xz -dc --format=lzma exit")
+      assert(got.sameElements(data))
+    } finally f.delete()
+  }
+
+  test("named rejects: truncation, trailing garbage, size cap, bad props") {
+    val packed = Xz.compressLzmaAlone("reject lanes".getBytes)
+    intercept[IllegalArgumentException](Xz.decompressLzmaAlone(packed.take(16)))
+    val e = intercept[IllegalArgumentException](
+      Xz.decompressLzmaAlone(packed ++ Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("trailing garbage"))
+    val big = Xz.compressLzmaAlone(Array.fill(50000)('q'.toByte))
+    val e2 = intercept[IllegalArgumentException](
+      Xz.decompressLzmaAlone(big, maxOut = 100))
+    assert(e2.getMessage.contains("cap"))
+    val bad = packed.clone(); bad(0) = 0xE1.toByte // 225: out of range
+    intercept[IllegalArgumentException](Xz.decompressLzmaAlone(bad))
+  }
+}
