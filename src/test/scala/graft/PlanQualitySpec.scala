@@ -290,4 +290,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"frontier join degraded to a shuffle join:\n$p")
   }
+
+  test("archive-family lanes are map-only before their output projection") {
+    // one fabrication exchange (the fixture's parallelism repartition) is
+    // the ONLY shuffle before the final sort: decode/extract never
+    // crosses an exchange. Holds for the r13 lanes exactly like the
+    // WARC/zip/tar elders.
+    for (name <- Seq("tx_tarxz_members", "tx_wiki_dump", "tx_wiki_index",
+      "tx_pdf_cjk", "tx_xls_encrypted")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+        s"$name joins where none belong:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      // fabrication repartition + the orderBy range exchange — nothing else
+      assert(exchanges <= 3, s"$name has $exchanges exchanges:\n$p")
+    }
+  }
 }
