@@ -552,6 +552,7 @@ object Xz {
       require(p < b.length && b(p) == 0, "xz: nonzero index padding")
       p += 1
     }
+    require(p + 4 <= b.length, "xz: index CRC truncated")
     require(crc32(b, indexStart, p) == leU32(b, p), "xz: index CRC mismatch")
     p += 4
     val indexSize = p - indexStart

@@ -150,6 +150,35 @@ class XzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("fuzz: mutations reject BY NAME or decode to the exact original") {
+    // the committed slice of the 16k-case dev sweep (graft.XzFuzzDev):
+    // single-byte mutations, truncations, and magic-prefixed garbage
+    // must throw IllegalArgumentException (named) or — when the mutated
+    // byte is semantically dead — decode to the ORIGINAL payload. Any
+    // other exception is an unguarded read; any other output is a
+    // silently-wrong acceptance.
+    val rnd = new java.util.Random(99)
+    val want = ("fuzz payload — café " * 200).getBytes(StandardCharsets.UTF_8)
+    val seed = Xz.compress(want, "crc32")
+    def hit(b: Array[Byte]): Unit =
+      try {
+        val got = Xz.decompress(b, maxOut = 1 << 20)
+        assert(got.sameElements(want), "mutated file decoded to DIFFERENT bytes")
+      } catch { case _: IllegalArgumentException => () }
+    (0 until 400).foreach { _ =>
+      val b = seed.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      hit(b)
+    }
+    (0 until 100).foreach(_ => hit(java.util.Arrays.copyOf(seed, rnd.nextInt(seed.length))))
+    (0 until 100).foreach { _ =>
+      val b = new Array[Byte](16 + rnd.nextInt(200))
+      rnd.nextBytes(b)
+      System.arraycopy(Xz.Magic, 0, b, 0, 6)
+      hit(b)
+    }
+  }
+
   test("CRC-64/XZ matches the published check vector") {
     // the standard CRC-64/XZ test vector: "123456789" -> 0x995DC9BBDF1939FA
     val got = Xz.crc64("123456789".getBytes(StandardCharsets.US_ASCII), 0, 9)
