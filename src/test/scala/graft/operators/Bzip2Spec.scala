@@ -110,6 +110,33 @@ class Bzip2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("multistream fuzz: mutations never decode silently wrong") {
+    // the committed slice of the BzFuzzDev sweep: every single-byte
+    // mutation either rejects by name (both CRCs have teeth) or decodes
+    // to the EXACT original; a truncation that still decodes can only
+    // be a stream-boundary cut yielding the exact plain PREFIX — the
+    // same semantics canonical `bzip2 -dc` has on a truncated pipe.
+    val rnd = new java.util.Random(5)
+    val want = ("fuzz corpus — café " * 200).getBytes(StandardCharsets.UTF_8)
+    val packed = Bzip2.compress(want.take(1500)) ++ Bzip2.compress(want.drop(1500))
+    (0 until 400).foreach { _ =>
+      val b = packed.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try assert(Bzip2.decompress(b, maxOut = 1 << 20).sameElements(want),
+        "mutated archive decoded to DIFFERENT bytes")
+      catch { case _: IllegalArgumentException => () }
+    }
+    (0 until 150).foreach { _ =>
+      val n = rnd.nextInt(packed.length)
+      try {
+        val got = Bzip2.decompress(java.util.Arrays.copyOf(packed, n), maxOut = 1 << 20)
+        assert(got.length <= want.length &&
+          got.sameElements(java.util.Arrays.copyOf(want, got.length)),
+          s"truncation at $n decoded to a non-prefix")
+      } catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("multistream: trailing non-BZh bytes are a NAMED reject, not silence") {
     val packed = Bzip2.compress("clean stream".getBytes(StandardCharsets.US_ASCII))
     val e = intercept[IllegalArgumentException](
