@@ -75,6 +75,10 @@ object HttpPayload {
         // a non-registry token some servers emit anyway; both CRCs verify
         TransferDecoded(Bzip2.decompress(body,
           math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
+      case "xz" | "x-xz" =>
+        // same non-registry class as bzip2; every container CRC verifies
+        TransferDecoded(Xz.decompress(body,
+          math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
       case other =>
         TransferDecoded(body, clean = false,
           s"http: unsupported content-encoding '$other'")
@@ -143,6 +147,7 @@ object HttpPayload {
       case "deflate-raw" => ("deflate", deflate(body, nowrap = true))
       case "zstd" => ("zstd", Zstandard.compressFrame(body))
       case "bzip2" => ("bzip2", Bzip2.compress(body))
+      case "xz" => ("xz", Xz.compress(body))
       case other => (other, body)
     }
 

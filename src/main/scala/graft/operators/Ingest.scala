@@ -920,13 +920,14 @@ object Ingest {
     }
   }
 
-  /** The id%6 routing table [[encodedArchives]] uses by default. */
-  def defaultEncodingMode(id: Long): String = (id % 6) match {
+  /** The id%7 routing table [[encodedArchives]] uses by default. */
+  def defaultEncodingMode(id: Long): String = (id % 7) match {
     case 0 => "gzip"
     case 1 => "deflate"
     case 2 => "deflate-raw"
     case 3 => ""
     case 4 => "bzip2"
+    case 6 => "xz"
     case _ => "br"
   }
 

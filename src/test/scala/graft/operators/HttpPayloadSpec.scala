@@ -41,6 +41,19 @@ class HttpPayloadSpec extends AnyFunSuite {
     assert(r.clean && (r.body sameElements raw))
   }
 
+  test("xz roundtrips through the transfer seam (every container CRC live)") {
+    val body = ("xz on the wire — café " * 50).getBytes("UTF-8")
+    val (token, wire) = HttpPayload.encodeTransfer(body, "xz")
+    assert(token == "xz" && Xz.isXz(wire))
+    val d = HttpPayload.decodeTransfer(wire, "xz")
+    assert(d.clean && d.body.sameElements(body))
+    assert(HttpPayload.decodeTransfer(wire, "x-xz").clean)
+    // corrupt wire diverts with the named reason, bytes kept
+    val broken = wire.clone(); broken(20) = (broken(20) ^ 1).toByte
+    val bad = HttpPayload.decodeTransfer(broken, "xz")
+    assert(!bad.clean && bad.reason.contains("xz:"))
+  }
+
   test("unsupported tokens divert with the original bytes kept") {
     for (tok <- Seq("br", "compress", "gzip, br")) {
       val d = HttpPayload.decodeTransfer(raw, tok)
