@@ -93,7 +93,13 @@ object BenchGate {
     }
     val gray = shared.flatMap { case (name, band) =>
       val cal = run(name) / f
-      if (cal > band * grayRatio && cal <= hardLimit(band) && run(name) <= hardLimit(band))
+      // ratio alone drowns the signal on sub-second bands (r13 driver lap:
+      // 52 gray, nearly all 0.2-0.7 s bands off by scheduler jitter) — a
+      // gray entry must ALSO exceed its band by 0.5 s absolute, calibrated,
+      // so only drift worth half a second of wall time surfaces. Hard
+      // limits are untouched.
+      if (cal > band * grayRatio && cal - band > 0.5 &&
+          cal <= hardLimit(band) && run(name) <= hardLimit(band))
         Some(f"$name: ${cal}%.2f s calibrated vs band ${band}%.2f s")
       else None
     }

@@ -152,8 +152,50 @@ object Multimodal {
     private val stub = new StubDecoder
     Multimodal.disableImageIoDiskCache()
 
+    // `ImageIO.read` walks the IIORegistry on EVERY call (getImageReaders →
+    // synchronized ServiceRegistry iteration) — under 32 concurrent tasks the
+    // per-frame video path serializes on that lock (the same shape as the
+    // AudioSystem probe contention fixed in audio decode). Instead: sniff the
+    // container magic, reuse ONE ImageReader per format per decoder instance
+    // (decoder is per-partition, so single-threaded use). Unknown magics fall
+    // back to the registry path, preserving coverage.
+    private val readerCache =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+
+    private def sniffFormat(bytes: Array[Byte]): String = {
+      if (bytes.length < 8) return null
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      if (b0 == 0xff && b1 == 0xd8) "JPEG"
+      else if (b0 == 0x89 && b1 == 0x50 && bytes(2) == 0x4e && bytes(3) == 0x47) "PNG"
+      else if (b0 == 'G' && b1 == 'I' && bytes(2) == 'F' && bytes(3) == '8') "GIF"
+      else if (b0 == 'B' && b1 == 'M') "BMP"
+      else null
+    }
+
+    private def readCached(fmt: String, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val reader = readerCache.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        require(it.hasNext, s"no ImageIO reader for $fmt")
+        it.next()
+      })
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } catch {
+        case e: Throwable =>
+          // a failed decode can leave reader state dirty — rebuild next call
+          readerCache.remove(fmt).foreach(_.dispose())
+          throw e
+      } finally iis.close()
+    }
+
     override def decodeImage(bytes: Array[Byte]): ImageFeatures0 = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val fmt = sniffFormat(bytes)
+      val img =
+        if (fmt != null) readCached(fmt, bytes)
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
@@ -756,9 +798,7 @@ object Multimodal {
         out.setRGB(0, y, nw, 1, dstRow, 0, nw)
         y += 1
       }
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", baos)
-      r.copy(content = baos.toByteArray, media_type = "image/png", meta = withDims)
+      r.copy(content = encodeImage(out, "png"), media_type = "image/png", meta = withDims)
     }
   }
 
@@ -786,6 +826,39 @@ object Multimodal {
     */
   def disableImageIoDiskCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
 
+  /** `ImageIO.write` walks the IIORegistry (a synchronized ServiceRegistry
+    * iteration) on EVERY call — under 32 concurrent fabrication tasks the
+    * per-frame encode serializes on that lock, the writer-side twin of the
+    * `ImageIO.read` contention in [[ImageIoDecoder]]. One cached writer per
+    * (thread, format); output bytes are the same JDK plugin's, unchanged.
+    */
+  private val writerCache =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageWriter]
+    }
+
+  def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    disableImageIoDiskCache()
+    val writer = writerCache.get().getOrElseUpdate(fmt, {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO writer for $fmt")
+      it.next()
+    })
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } catch {
+      case e: Throwable =>
+        // a failed encode can leave writer state dirty — rebuild next call
+        writerCache.get().remove(fmt).foreach(_.dispose())
+        throw e
+    } finally ios.close()
+    baos.toByteArray
+  }
+
   /** Deterministic REAL PNG bytes: dims + pixels derived purely from the
     * seed (no RNG), encoded through the JVM's PNG writer — so decode tests
     * and the image contract query exercise a genuine codec path.
@@ -806,9 +879,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    encodeImage(img, "png")
   }
 
   /** Deterministic REAL 16-bit PCM WAV bytes: every sample derived purely
@@ -885,12 +956,8 @@ object Multimodal {
     * the hash by exactly one bit — the handle the media-dedup contract
     * needs: near-duplicates with a KNOWN hamming distance.
     */
-  def gridPng(seed: Long, flipCells: Seq[Int] = Nil): Array[Byte] = {
-    disableImageIoDiskCache()
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(gridImage(seed, flipCells.toSet), "png", baos)
-    baos.toByteArray
-  }
+  def gridPng(seed: Long, flipCells: Seq[Int] = Nil): Array[Byte] =
+    encodeImage(gridImage(seed, flipCells.toSet), "png")
 
   private def gridImage(seed: Long, flips: Set[Int]): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
@@ -932,11 +999,8 @@ object Multimodal {
   def gridJpegFrames(seed: Long, nFrames: Int): IndexedSeq[Array[Byte]] = {
     disableImageIoDiskCache()
     require(nFrames < 16, s"gridJpegFrames: $nFrames frames exceeds the seed*16 mix")
-    (0 until nFrames).map { f =>
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(gridImage(seed * 16 + f, Set.empty), "jpg", baos)
-      baos.toByteArray
-    }.toIndexedSeq
+    (0 until nFrames).map(f => encodeImage(gridImage(seed * 16 + f, Set.empty), "jpg"))
+      .toIndexedSeq
   }
 
   /** The expected average hash of [[gridPng]] — bit i = cell i bright. */
@@ -1186,7 +1250,7 @@ object Multimodal {
         }
         y += 1
       }
-      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.write(encodeImage(img, "jpg"))
       f += 1
     }
     baos.toByteArray

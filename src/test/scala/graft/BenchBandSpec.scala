@@ -73,6 +73,25 @@ class BenchBandSpec extends AnyFunSuite {
     assert(report.gray.size == 1, s"gray list should be ONLY the drifting query: ${report.gray}")
   }
 
+  test("gate: sub-second band jitter is NOT gray (absolute-excess floor)") {
+    // r13 driver lap: 52 gray entries, nearly all 0.2-0.7 s bands whose
+    // calibrated ratio crossed 1.25x on pure scheduler jitter. With the
+    // 0.5 s absolute-excess floor the same shape must report clean, while
+    // a >0.5 s calibrated excess still warns.
+    val smallBands = names.map(_ -> 0.4).toMap
+    val base = json(smallBands)
+    // every query at 0.4 except q007 at 0.62: raw ratio 1.55x but the
+    // calibrated excess is only 0.22 s — jitter, not drift
+    val jitterRun = names.map(_ -> 0.4).toMap + ("q007" -> 0.62)
+    val r1 = BenchGate.check(base, json(jitterRun))
+    assert(r1.gray.isEmpty, s"0.22 s of sub-second jitter mis-read as drift: ${r1.gray}")
+    // q007 at 1.0: calibrated excess 0.6 s > 0.5 -> gray (and only it)
+    val driftRun = names.map(_ -> 0.4).toMap + ("q007" -> 1.0)
+    val r2 = BenchGate.check(base, json(driftRun))
+    assert(r2.gray.size == 1 && r2.gray.head.startsWith("q007"),
+      s"0.6 s calibrated excess should warn: ${r2.gray}")
+  }
+
   test("gate: ... and a hard out-of-band query FAILS, naming it") {
     val run = names.map(_ -> 2.7).toMap + ("q007" -> 12.0) // raw 6x
     val e = intercept[IllegalArgumentException](BenchGate.check(baseJson, json(run)))
