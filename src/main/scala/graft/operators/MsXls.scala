@@ -592,8 +592,11 @@ object MsXls {
             OffCrypto.cryptoApiMakeVerifier(password, salt, verifier, keyBits)
           val csp = "Microsoft Enhanced Cryptographic Provider v1.0"
             .getBytes(StandardCharsets.UTF_16LE) ++ Array[Byte](0, 0)
+          // ProviderType 0x01 = PROV_RSA_FULL — what real Excel records
+          // for RC4 CryptoAPI ([MS-OFFCRYPTO] §2.3.5.1); 0x18 is the AES
+          // provider and external validators may balk at the mismatch
           val hdr = le32(4L) ++ le32(0L) ++ le32(0x6801L) ++ le32(0x8004L) ++
-            le32(keyBits.toLong) ++ le32(0x18L) ++ le32(0L) ++ le32(0L) ++ csp
+            le32(keyBits.toLong) ++ le32(1L) ++ le32(0L) ++ le32(0L) ++ csp
           (rec(RFilePass, le16(1) ++ le16(4) ++ le16(2) ++ le32(4L) ++
             le32(hdr.length.toLong) ++ hdr ++
             le32(16L) ++ salt ++ ev ++ le32(20L) ++ evh),

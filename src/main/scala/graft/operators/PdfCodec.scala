@@ -1679,6 +1679,11 @@ object PdfCodec {
               case Hex(dstH) =>
                 val base = utf16(dstH).toCharArray
                 require(base.nonEmpty, "pdf: empty bfrange destination")
+                // only the LAST UTF-16 unit increments (Adobe CMap spec);
+                // a range whose destination crosses the BMP boundary would
+                // wrap the Char silently — named reject, not mojibake
+                require(base(base.length - 1) + (hiC - loC) <= 0xFFFF,
+                  "pdf: bfrange destination overflows the BMP")
                 var c = loC
                 while (c <= hiC) {
                   val d = base.clone()
@@ -1754,6 +1759,13 @@ object PdfCodec {
     var inText = false
     var lineHasText = false
     var dec: Array[Byte] => String = winAnsiDecode _
+    // the text font is part of the graphics state (ISO 32000-1 §8.4.2,
+    // Table 52) — q pushes it, Q restores it. Without this, a page that
+    // selects a Type0 font, switches to a simple font inside q…Q, then
+    // shows CID codes after Q would decode 2-byte CIDs through WinAnsi
+    // (silent mojibake). Underflowing Q (wild PDFs do it) leaves the
+    // current font, matching viewer leniency.
+    val gsFonts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte] => String]
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     def str(v: PVal): String = v match {
       case PStr(b) => dec(b)
@@ -1779,6 +1791,10 @@ object PdfCodec {
               case PName(n) => dec = fonts.getOrElse(n, winAnsiDecode _)
               case _ => ()
             }
+          }
+          else if (op == "q") gsFonts += dec
+          else if (op == "Q") {
+            if (gsFonts.nonEmpty) dec = gsFonts.remove(gsFonts.length - 1)
           }
           else if (inText) op match {
             case "Tj" => show(str(operands.lastOption.getOrElse(PNull)))

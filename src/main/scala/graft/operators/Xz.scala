@@ -355,6 +355,10 @@ object Xz {
     out.dictStart = out.size
     val st = new LzmaState
     var havePropsEver = false
+    // liblzma rejects an LZMA chunk with reset=0 right after an
+    // uncompressed chunk (state continuity was broken) — match it,
+    // rather than silently repairing the state ourselves
+    var needsReset = false
     var p = from
     var done = false
     while (!done) {
@@ -374,6 +378,7 @@ object Xz {
         p += size
         // an uncompressed chunk invalidates LZMA state continuity
         if (havePropsEver) st.resetState()
+        needsReset = true
       } else {
         require(control >= 0x80, f"xz: bad LZMA2 control byte 0x$control%02X")
         require(p + 4 <= until, "xz: LZMA2 chunk header truncated")
@@ -382,6 +387,9 @@ object Xz {
         val packed = (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 1
         p += 4
         val reset = (control >> 5) & 0x3
+        require(!needsReset || reset >= 1,
+          "xz: LZMA chunk without state reset after an uncompressed chunk")
+        needsReset = false
         if (reset >= 2) {
           require(p < until, "xz: LZMA2 props byte truncated")
           st.setProps(b(p) & 0xff)
@@ -490,7 +498,10 @@ object Xz {
         require(fid == 0x21, f"xz: filter id 0x$fid%02X unsupported (LZMA2 only)")
         val (propsSize, q3) = varint(b, q2, p + headerSize)
         require(propsSize == 1, s"xz: LZMA2 props size $propsSize")
-        q = q3 + 1 // skip the dict-size byte: output is bounded by maxOut
+        // the value itself is unused (output is bounded by maxOut), but
+        // >40 is invalid per the .xz spec §5.3.1 — reject like liblzma
+        require((b(q3) & 0xff) <= 40, "xz: bad LZMA2 dictionary-size byte")
+        q = q3 + 1
         while (q < p + headerSize - 4) {
           require(b(q) == 0, "xz: nonzero block-header padding")
           q += 1

@@ -76,6 +76,21 @@ class OffCryptoSpec extends AnyFunSuite {
       .contains("second sheet"))
   }
 
+  test("CryptoAPI EncryptionHeader records ProviderType PROV_RSA_FULL (1)") {
+    // real Excel writes 0x01 for RC4 CryptoAPI ([MS-OFFCRYPTO] §2.3.5.1);
+    // 0x18 is the AES provider and external validators balk. The header
+    // sits in the FILEPASS record: find the AlgID 0x6801 LE marker and
+    // read the ProviderType two u32 fields later.
+    val enc = MsXls.write(sheets, encryption = "rc4capi")
+    val algId = Array[Byte](0x01, 0x68, 0, 0)
+    val at = enc.indices.find(i => i + 12 <= enc.length &&
+      algId.indices.forall(j => enc(i + j) == algId(j)))
+    assert(at.isDefined, "AlgID 0x6801 not found in the FILEPASS header")
+    val pt = at.get + 12 // AlgID, AlgIDHash, KeySize, then ProviderType
+    val providerType = (0 until 4).map(j => (enc(pt + j) & 0xffL) << (8 * j)).sum
+    assert(providerType == 1L, s"ProviderType $providerType, want PROV_RSA_FULL")
+  }
+
   test("a REAL password stays the named reject — never a guess") {
     for (m <- Seq("rc4", "rc4capi")) {
       val enc = MsXls.write(sheets, encryption = m, password = "actual-secret")

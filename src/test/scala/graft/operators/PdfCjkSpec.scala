@@ -120,4 +120,46 @@ class PdfCjkSpec extends AnyFunSuite {
     assert(simple.pages == Seq("plain ‘café’"))
     assert(cjk.pages == Seq("複合 font"))
   }
+
+  test("q/Q restores the selected font (ISO 32000-1 §8.4.2 Table 52)") {
+    // F0 is a 2-byte CID decoder, F1 rides the WinAnsi default. After a
+    // q…Q bracket that switched to F1, shown codes MUST decode through F0
+    // again — the un-stacked bug fed 2-byte CIDs to WinAnsi (mojibake).
+    val cid: Array[Byte] => String = b =>
+      b.grouped(2).map(p => (((p(0) & 0xff) << 8) | (p(1) & 0xff)).toChar).mkString
+    val content = ("BT /F0 1 Tf <00580059> Tj ET\n" +
+      "q\nBT /F1 1 Tf (ok) Tj ET\nQ\n" +
+      "BT <005A0057> Tj ET").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.pageText(content, Map("F0" -> cid)) == "XY\nok\nZW")
+    // underflowing Q keeps the current font (viewer leniency, no crash)
+    val under = ("Q\nBT /F0 1 Tf <0041> Tj ET")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.pageText(under, Map("F0" -> cid)) == "A")
+  }
+
+  test("bfrange destination crossing the BMP boundary is a named reject") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0010> <0013> <FFFD>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val e = intercept[IllegalArgumentException](PdfCodec.parseToUnicode(cmap))
+    assert(e.getMessage.contains("overflows the BMP"))
+    // the boundary-exact case (last dst lands ON 0xFFFF) stays legal
+    val ok =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0010> <0012> <FFFD>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val dec = PdfCodec.parseToUnicode(ok)
+    assert(dec(Array[Byte](0, 0x12)) == "￿")
+  }
 }

@@ -150,6 +150,41 @@ class XzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("LZMA2 dictionary-size byte > 40 rejects by name (spec §5.3.1)") {
+    // same patch-and-re-CRC shape as the filter-id test: dict byte is the
+    // props byte at offset 16 of our 12-byte block header
+    def withDictByte(v: Int): Array[Byte] = {
+      val packed = Xz.compress("dict probe".getBytes, "crc32", "store")
+      val out = packed.clone()
+      out(16) = v.toByte
+      val c = new java.util.zip.CRC32()
+      c.update(out, 12, 8)
+      val crc = c.getValue
+      (0 until 4).foreach(i => out(20 + i) = ((crc >>> (8 * i)) & 0xff).toByte)
+      out
+    }
+    val e = intercept[IllegalArgumentException](Xz.decompress(withDictByte(41)))
+    assert(e.getMessage.contains("dictionary-size"))
+    // 40 (the spec maximum, 4 GiB dict) stays decodable — the value is
+    // unused here, only its validity is gated
+    assert(Xz.decompress(withDictByte(40)).sameElements("dict probe".getBytes))
+  }
+
+  test("LZMA chunk without a state reset after an uncompressed chunk " +
+      "rejects by name (liblzma parity)") {
+    val data = "reset probe".getBytes
+    val packed = Xz.compress(data, "crc32", "store")
+    // store mode emits ONE uncompressed chunk (0x01 hi lo data) at the
+    // payload start (offset 24); splice a reset=0 LZMA chunk header right
+    // after it, before the end marker — invalid per spec, and the decoder
+    // must not silently repair the state continuity
+    val insertAt = 24 + 3 + data.length
+    val broken = packed.take(insertAt) ++
+      Array[Byte](0x80.toByte, 0, 0, 0, 0) ++ packed.drop(insertAt)
+    val e = intercept[IllegalArgumentException](Xz.decompress(broken))
+    assert(e.getMessage.contains("without state reset"))
+  }
+
   test("fuzz: mutations reject BY NAME or decode to the exact original") {
     // the committed slice of the 16k-case dev sweep (graft.XzFuzzDev):
     // single-byte mutations, truncations, and magic-prefixed garbage
