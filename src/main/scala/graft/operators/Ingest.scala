@@ -1413,6 +1413,35 @@ object Ingest {
       }
   }
 
+  /** Demo `.tar.lz4` corpus: same 16-docs-per-archive grouping as the
+    * tar.xz corpus, containers rotating by archive id between the modern
+    * frame (even) and the kernel-flavor legacy frame (odd) so the
+    * contract lane exercises both decoders — the Hadoop-ecosystem
+    * sibling of the source-tarball lane.
+    */
+  def tarLz4ArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            Tar.TarEntry(s"$source/$id.txt", body.length.toLong, '0', body)
+          }
+          val tar = Tar.writeTar(entries)
+          val packed =
+            if (aid % 2 == 0) Lz4.compress(tar) else Lz4.compressLegacy(tar)
+          Multimodal.MediaRecord(aid, s"fake://tarlz4/$aid.tar.lz4",
+            "application/x-lz4", packed, Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over
