@@ -97,6 +97,12 @@ object OfficeCodec {
         case Some("ppt") =>
           val texts = MsPpt.extractTexts(bytes)
           return OfficeText("ppt", texts.length, MsPpt.extractText(bytes))
+        case Some("encrypted-ooxml") =>
+          // modern password protection ([MS-OFFCRYPTO] §2.3.4): decrypt
+          // under Office's transparent-open default password and recurse
+          // into the OPC zip; a REAL password stays the named reject
+          // ("ooxml-crypto: password required ...") — never a guess
+          return extractText(OoxmlCrypto.decrypt(bytes))
         case Some(k) => throw new IllegalArgumentException(
           s"office: OLE/CFB container holds '$k' (no extractor yet)")
         case None => throw new IllegalArgumentException(
