@@ -3501,6 +3501,28 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // .tar.lz4 archives — the Hadoop-ecosystem archive flavor, with a
+    // CANONICAL second implementation in the sandbox (the lz4 CLI, which
+    // Lz4Spec interops against both directions). Containers rotate by
+    // archive id between the modern frame (header/content checksums
+    // verified) and the kernel legacy frame; the query REPORTS the
+    // container it read off the magic so the oracle pins both the
+    // listing and the framing. Map-only per-record decode.
+    "tx_tarlz4_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.tarLz4ArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          val container = graft.operators.Lz4.containerName(r.content)
+          graft.operators.Tar.readEntries(graft.operators.Lz4.decompress(r.content))
+            .map(e => (r.media_id, container, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "container", "name", "size", "payload")
+        .select(col("archive_id"), col("container"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
     // zip ingest, completing the archive triple: central-directory walk,
     // store + deflate members (odd archives deflated), CRC-32 verified
     // per member on the way out. Method and uncompressed size are
@@ -4835,22 +4857,26 @@ object SparkEntry {
     // shipping shape: bzip2 export-XML shards (the from-scratch Bzip2
     // walk, both CRCs verified) → hardened XML parse → per-page
     // wikitext cleanup (templates dropped, links unwrapped, refs and
-    // comments removed, heading bars stripped). One shard is one
+    // comments removed, heading bars stripped). The shard's <siteinfo>
+    // namespace map resolves each page's ns id to its NAME (key 0 is
+    // the unnamed article space), like the real dumps. One shard is one
     // record; pages never cross an exchange before the projection.
     "tx_wiki_dump" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
       ing.wikiArchives(s, dir)
         .flatMap { r =>
-          graft.operators.MediaWiki.parseDump(
-            graft.operators.Bzip2.decompress(r.content))
-            .map { p =>
-              val text = graft.operators.MediaWiki.cleanWikitext(p.wikitext)
-              (p.pageId, p.title, p.ns, p.username, text,
-                text.length.toLong)
-            }
+          val (namespaces, pages) =
+            graft.operators.MediaWiki.parseDumpWithSiteinfo(
+              graft.operators.Bzip2.decompress(r.content))
+          pages.map { p =>
+            val text = graft.operators.MediaWiki.cleanWikitext(p.wikitext)
+            (p.pageId, p.title, p.ns,
+              namespaces.getOrElse(p.ns, s"ns${p.ns}"), p.username, text,
+              text.length.toLong)
+          }
         }
-        .toDF("doc_id", "title", "ns", "username", "text", "n_chars")
+        .toDF("doc_id", "title", "ns", "ns_name", "username", "text", "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -5251,6 +5277,42 @@ object SparkEntry {
           }
         }
         .toDF("doc_id", "method", "status", "n_cells", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ENCRYPTED MODERN OFFICE (.docx under [MS-OFFCRYPTO] §2.3.4) — the
+    // largest readable-but-rejected class closed: schemes rotate by id%2
+    // (Standard AES-ECB with the 50k SHA-1 KDF / Agile AES-CBC SHA-512
+    // with the HMAC dataIntegrity gate), packages ciphered under
+    // Office's transparent-open default password decrypt and extract
+    // without any secret; every 7th document carries a REAL password
+    // and stays the named reject. The iterated KDF is cached per
+    // distinct credential (two per corpus), so the per-record cost is
+    // the AES, not the spin. Map-only per-record decrypt + OPC walk.
+    "tx_office_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .map { id =>
+          val scheme = if (id % 2 == 0) "standard" else "agile"
+          val paras = Seq(
+            s"Protected doc $id — café",
+            s"body ${id % 5} 機密 content")
+          val pkg = graft.operators.OfficeCodec.writeDocx(paras)
+          val locked = id % 7 == 0
+          val pw = if (locked) "actual-secret"
+            else graft.operators.OoxmlCrypto.DefaultPassword
+          val bytes =
+            if (scheme == "standard")
+              graft.operators.OoxmlCrypto.writeStandard(pkg, pw)
+            else graft.operators.OoxmlCrypto.writeAgile(pkg, pw)
+          try {
+            val t = graft.operators.OfficeCodec.extractText(bytes)
+            (id, scheme, "ok", t.nParagraphs.toLong, t.text)
+          } catch {
+            case e: IllegalArgumentException => (id, scheme, e.getMessage, 0L, "")
+          }
+        }
+        .toDF("doc_id", "scheme", "status", "n_paragraphs", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -7786,6 +7848,15 @@ object SparkEntry {
         |  strlen(text) AS size,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY name""".stripMargin,
+    // the lz4 lane replayed: container by aid%2 (modern frame / kernel
+    // legacy), member payloads pinned through md5 against the source text
+    "tx_tarlz4_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  CASE WHEN (doc_id // 16) % 2 = 0 THEN 'frame' ELSE 'legacy' END AS container,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
     "tx_url_canonical" ->
       """SELECT doc_id,
         |  CASE doc_id % 6
@@ -8589,6 +8660,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, 'Article ' || doc_id AS title,
         |  CAST(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS INTEGER) AS ns,
+        |  CASE WHEN doc_id % 10 = 9 THEN 'Talk' ELSE '' END AS ns_name,
         |  'User' || (doc_id % 7) AS username, text,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM d ORDER BY doc_id""".stripMargin,
@@ -8700,6 +8772,26 @@ object SparkEntry {
         |    ELSE 'ok' END AS status,
         |  CASE WHEN locked THEN CAST(0 AS BIGINT)
         |    ELSE CAST(4 AS BIGINT) END AS n_cells,
+        |  CASE WHEN locked THEN '' ELSE text END AS text
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the modern-Office encryption lane replayed: scheme by id%2, default-
+    // password documents extract their exact newline-joined paragraphs,
+    // every 7th stays the named reject (message names its scheme's verifier)
+    "tx_office_encrypted" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'standard' ELSE 'agile' END AS scheme,
+        |    doc_id % 7 = 0 AS locked,
+        |    'Protected doc ' || doc_id || ' — café' || chr(10) ||
+        |      'body ' || (doc_id % 5) || ' 機密 content' AS text
+        |  FROM documents)
+        |SELECT doc_id, scheme,
+        |  CASE WHEN NOT locked THEN 'ok'
+        |    WHEN scheme = 'standard'
+        |      THEN 'ooxml-crypto: password required (standard verifier mismatch)'
+        |    ELSE 'ooxml-crypto: password required (agile verifier mismatch)'
+        |  END AS status,
+        |  CASE WHEN locked THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(2 AS BIGINT) END AS n_paragraphs,
         |  CASE WHEN locked THEN '' ELSE text END AS text
         |FROM d ORDER BY doc_id""".stripMargin,
     // the standard-security handler replayed: ciphers rotate by id%4,

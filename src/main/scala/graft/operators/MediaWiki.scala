@@ -39,7 +39,17 @@ object MediaWiki {
       redirect: Option[String] = None)
 
   /** Parse one export shard (raw XML bytes, NOT compressed). */
-  def parseDump(xml: Array[Byte]): Seq[WikiPage] = {
+  def parseDump(xml: Array[Byte]): Seq[WikiPage] =
+    parseDumpWithSiteinfo(xml)._2
+
+  /** The real dumps lead with `<siteinfo>` carrying the namespace
+    * id → name map (`<namespaces><namespace key="1">Talk</namespace>`,
+    * key 0 self-closed = the unnamed article space) — the lookup that
+    * canonicalizes `ns` integers and prefixed titles. Returns it
+    * alongside the pages; a shard without one (ranged mid-dump reads)
+    * yields an empty map.
+    */
+  def parseDumpWithSiteinfo(xml: Array[Byte]): (Map[Int, String], Seq[WikiPage]) = {
     require(xml.length <= MaxDumpBytes, "wiki: dump shard past the cap")
     val doc =
       try XmlWalk.parse(xml)
@@ -48,9 +58,14 @@ object MediaWiki {
       }
     require(doc.getDocumentElement.getTagName == "mediawiki",
       s"wiki: root element '${doc.getDocumentElement.getTagName}' is not <mediawiki>")
+    val nsNodes = doc.getElementsByTagName("namespace")
+    val namespaces = (0 until nsNodes.getLength).flatMap { i =>
+      val e = nsNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      e.getAttribute("key").trim.toIntOption.map(_ -> e.getTextContent)
+    }.toMap
     val pages = doc.getElementsByTagName("page")
     require(pages.getLength <= MaxPages, "wiki: more pages than the cap")
-    (0 until pages.getLength).map { i =>
+    val parsed = (0 until pages.getLength).map { i =>
       val p = pages.item(i).asInstanceOf[org.w3c.dom.Element]
       def child(e: org.w3c.dom.Element, name: String): Option[org.w3c.dom.Element] = {
         val kids = e.getChildNodes
@@ -70,6 +85,7 @@ object MediaWiki {
         wikitext = textOf(rev.flatMap(child(_, "text"))),
         redirect = child(p, "redirect").map(_.getAttribute("title")))
     }
+    (namespaces, parsed)
   }
 
   /** Light deterministic wikitext → plain text (see object doc). */
@@ -137,7 +153,18 @@ object MediaWiki {
   private val headerXml =
     "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
       "<mediawiki version=\"0.10\" xml:lang=\"en\">\n" +
-      "  <siteinfo><sitename>Graftpedia</sitename></siteinfo>\n"
+      "  <siteinfo>\n" +
+      "    <sitename>Graftpedia</sitename>\n" +
+      "    <namespaces>\n" +
+      "      <namespace key=\"-1\" case=\"first-letter\">Special</namespace>\n" +
+      "      <namespace key=\"0\" case=\"first-letter\" />\n" +
+      "      <namespace key=\"1\" case=\"first-letter\">Talk</namespace>\n" +
+      "      <namespace key=\"2\" case=\"first-letter\">User</namespace>\n" +
+      "      <namespace key=\"6\" case=\"first-letter\">File</namespace>\n" +
+      "      <namespace key=\"10\" case=\"first-letter\">Template</namespace>\n" +
+      "      <namespace key=\"14\" case=\"first-letter\">Category</namespace>\n" +
+      "    </namespaces>\n" +
+      "  </siteinfo>\n"
   private val footerXml = "</mediawiki>\n"
 
   private def pageXml(p: WikiPage): String = {

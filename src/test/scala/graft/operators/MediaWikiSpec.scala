@@ -12,6 +12,21 @@ class MediaWikiSpec extends AnyFunSuite {
     assert(back(1).ns == 1) // the talk-namespace lane
   }
 
+  test("<siteinfo> namespaces parse: id -> name, key 0 unnamed, " +
+      "headerless shards yield the empty map") {
+    val pages = Seq(Ingest.wikiPage(3L))
+    val (ns, back) = MediaWiki.parseDumpWithSiteinfo(MediaWiki.writeDump(pages))
+    assert(back == pages)
+    assert(ns(0) == "") // the article space is self-closed/unnamed
+    assert(ns(1) == "Talk" && ns(14) == "Category" && ns(-1) == "Special")
+    // a ranged mid-dump read has no <siteinfo>: empty map, pages intact
+    val bare = ("<mediawiki>" + ("<page><title>T</title><ns>0</ns>" +
+      "<id>7</id><revision><text>x</text></revision></page>") +
+      "</mediawiki>").getBytes("UTF-8")
+    val (ns2, back2) = MediaWiki.parseDumpWithSiteinfo(bare)
+    assert(ns2.isEmpty && back2.length == 1 && back2.head.pageId == 7L)
+  }
+
   test("a bz2 shard decodes end-to-end (the dump's real shipping shape)") {
     val pages = Seq(Ingest.wikiPage(0L), Ingest.wikiPage(1L))
     val shard = Bzip2.compress(MediaWiki.writeDump(pages))
