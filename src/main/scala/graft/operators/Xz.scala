@@ -883,6 +883,123 @@ object Xz {
     out.toByteArray
   }
 
+  // ---------------------------------------------- raw streams (7z coders)
+
+  /** Raw LZMA1 stream as 7z folders carry it: the props byte and the
+    * dictionary size live in the coder attributes, the stream is bare
+    * and normally has NO end marker (the container records both sizes).
+    * Decodes exactly `unpackSize` bytes from `b[from, until)`; an end
+    * marker at exactly the declared size is accepted. The range-coder
+    * flush leaves up to 5 unread tail bytes — more is a named reject.
+    */
+  private[operators] def decodeRawLzma1(b: Array[Byte], from: Int, until: Int,
+      props: Int, unpackSize: Long, maxOut: Int): Array[Byte] = {
+    require(unpackSize >= 0 && unpackSize <= maxOut,
+      s"lzma: declared size $unpackSize past the cap")
+    val out = new OutWindow(maxOut)
+    val st = new LzmaState
+    st.setProps(props, lzma2 = false)
+    val end = lzmaChunk(b, from, until, st, out, unpackSize, allowEnd = true)
+    require(out.size == unpackSize, "lzma: size drift")
+    require(end <= until && until - end <= 5,
+      "lzma: trailing garbage after the declared stream")
+    out.result()
+  }
+
+  /** Raw LZMA2 chunk stream (7z's LZMA2 coder payload — the same walk
+    * as an xz block body, 0x00 end marker included).
+    */
+  private[operators] def decodeRawLzma2(b: Array[Byte], from: Int, until: Int,
+      unpackSize: Long, maxOut: Int): Array[Byte] = {
+    require(unpackSize >= 0 && unpackSize <= maxOut,
+      s"lzma2: declared size $unpackSize past the cap")
+    val out = new OutWindow(maxOut)
+    val end = lzma2(b, from, until, out)
+    require(end == until, "lzma2: trailing garbage after the end marker")
+    require(out.size == unpackSize, "lzma2: size drift")
+    out.result()
+  }
+
+  /** Raw LZMA1 encode (the 7z coder shape): `(propsByte, packed)` with
+    * lc=3 lp=0 pb=2 and no end marker — the container carries the sizes.
+    */
+  private[operators] def compressRawLzma1(data: Array[Byte]): (Int, Array[Byte]) = {
+    val enc = new LzmaEnc(data)
+    ((2 * 5 + 0) * 9 + 3, enc.encodeChunk(0, data.length))
+  }
+
+  /** One LZMA2 chunk stream over `data`, end marker included — an xz
+    * block body, and byte-identically 7z's LZMA2 coder payload. `mode`
+    * as in [[compress]]: `"fast"` greedy LZMA with stored fallback,
+    * `"store"` uncompressed chunks only.
+    */
+  private[operators] def lzma2Payload(data: Array[Byte], mode: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (mode == "store") {
+      // uncompressed chunks (dict reset on the first)
+      var off = 0
+      var first = true
+      while (off < data.length) {
+        val take = math.min(1 << 16, data.length - off)
+        out.write(if (first) 0x01 else 0x02)
+        out.write(((take - 1) >> 8) & 0xff)
+        out.write((take - 1) & 0xff)
+        out.write(data, off, take)
+        off += take
+        first = false
+      }
+    } else {
+      // greedy LZMA, one model across the block, stored fallback
+      val enc = new LzmaEnc(data)
+      val Seg = 60000 // stored fallback must fit one uncompressed chunk
+      var off = 0
+      var first = true
+      var propsSent = false
+      var needStateReset = false
+      while (off < data.length) {
+        val until = math.min(off + Seg, data.length)
+        if (needStateReset) enc.st.resetState()
+        val packed = enc.encodeChunk(off, until)
+        val usize = until - off
+        if (packed.length < usize && packed.length <= (1 << 16)) {
+          val reset =
+            if (first) 3 // the block's first chunk resets the dictionary
+            else if (!propsSent) 2 // stored chunks came first: send props
+            else if (needStateReset) 1
+            else 0
+          out.write(0x80 | (reset << 5) | ((usize - 1) >>> 16))
+          out.write(((usize - 1) >>> 8) & 0xff)
+          out.write((usize - 1) & 0xff)
+          out.write(((packed.length - 1) >>> 8) & 0xff)
+          out.write((packed.length - 1) & 0xff)
+          if (reset >= 2) out.write((2 * 5 + 0) * 9 + 3) // lc=3 lp=0 pb=2
+          out.write(packed)
+          propsSent = true
+          needStateReset = false
+        } else {
+          // incompressible segment: store it; LZMA2 requires a state
+          // reset on the next LZMA chunk (and the decoder's model never
+          // saw this trial encoding, so resetting keeps both in sync)
+          out.write(if (first) 0x01 else 0x02)
+          out.write(((usize - 1) >>> 8) & 0xff)
+          out.write((usize - 1) & 0xff)
+          out.write(data, off, usize)
+          needStateReset = true
+        }
+        off = until
+        first = false
+      }
+    }
+    out.write(0x00) // LZMA2 end
+    out.toByteArray
+  }
+
+  /** The LZMA2 dictionary-size props byte the writers advertise for a
+    * payload of `n` bytes (smallest spec dictionary covering it).
+    */
+  private[operators] def lzma2DictByte(n: Int): Int =
+    dictByteFor(math.max(4096, math.min(n, 1 << 26)))
+
   // --------------------------------------------------------------- writer
 
   /** Deterministic xz writer any xz implementation decodes: one block,
@@ -928,64 +1045,9 @@ object Xz {
       out.write(body)
       u32le(crc32(body, 0, body.length))
       val headerSize = body.length + 4
-      val dataStart = out.size()
-      if (mode == "store") {
-        // uncompressed chunks (dict reset on the first)
-        var off = 0
-        var first = true
-        while (off < data.length) {
-          val take = math.min(1 << 16, data.length - off)
-          out.write(if (first) 0x01 else 0x02)
-          out.write(((take - 1) >> 8) & 0xff)
-          out.write((take - 1) & 0xff)
-          out.write(data, off, take)
-          off += take
-          first = false
-        }
-      } else {
-        // greedy LZMA, one model across the block, stored fallback
-        val enc = new LzmaEnc(data)
-        val Seg = 60000 // stored fallback must fit one uncompressed chunk
-        var off = 0
-        var first = true
-        var propsSent = false
-        var needStateReset = false
-        while (off < data.length) {
-          val until = math.min(off + Seg, data.length)
-          if (needStateReset) enc.st.resetState()
-          val packed = enc.encodeChunk(off, until)
-          val usize = until - off
-          if (packed.length < usize && packed.length <= (1 << 16)) {
-            val reset =
-              if (first) 3 // the block's first chunk resets the dictionary
-              else if (!propsSent) 2 // stored chunks came first: send props
-              else if (needStateReset) 1
-              else 0
-            out.write(0x80 | (reset << 5) | ((usize - 1) >>> 16))
-            out.write(((usize - 1) >>> 8) & 0xff)
-            out.write((usize - 1) & 0xff)
-            out.write(((packed.length - 1) >>> 8) & 0xff)
-            out.write((packed.length - 1) & 0xff)
-            if (reset >= 2) out.write((2 * 5 + 0) * 9 + 3) // lc=3 lp=0 pb=2
-            out.write(packed)
-            propsSent = true
-            needStateReset = false
-          } else {
-            // incompressible segment: store it; LZMA2 requires a state
-            // reset on the next LZMA chunk (and the decoder's model never
-            // saw this trial encoding, so resetting keeps both in sync)
-            out.write(if (first) 0x01 else 0x02)
-            out.write(((usize - 1) >>> 8) & 0xff)
-            out.write((usize - 1) & 0xff)
-            out.write(data, off, usize)
-            needStateReset = true
-          }
-          off = until
-          first = false
-        }
-      }
-      out.write(0x00) // LZMA2 end
-      val compressed = out.size() - dataStart
+      val payload = lzma2Payload(data, mode)
+      out.write(payload)
+      val compressed = payload.length
       while ((out.size() - blockStart) % 4 != 0) out.write(0)
       checkType match {
         case 0 => ()
