@@ -3523,6 +3523,54 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // 7z archives — the LZMA-family container, DECODE-ONLY per the
+    // verification ledger (no canonical 7z producer exists in this
+    // sandbox; the framing is pinned by a spec-literal hand-built
+    // fixture in SevenzSpec and the LZMA payloads ride the xz-interop-
+    // verified core). Coders rotate by aid%3 (copy/lzma/lzma2), layout
+    // by aid%2 (solid/one-folder-per-member), every 5th archive carries
+    // the ENCODED header real 7z writes; the query REPORTS the coder it
+    // read off the header so the oracle pins listing AND framing.
+    // Map-only per-record decode, the archive-family shape.
+    "tx_7z_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.sevenzArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          val coder = graft.operators.Sevenz.coderNames(r.content)
+          graft.operators.Sevenz.readEntries(r.content)
+            .map(e => (r.media_id, coder, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "coder", "name", "size", "payload")
+        .select(col("archive_id"), col("coder"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
+    // .deb packages — the distro-archive corpus shape: ar container
+    // (interop-pinned byte-identical to GNU ar), debian-binary gate,
+    // control.tar parsed into RFC822 fields, data.tar exploded into
+    // members; data compression rotates by package id over the full
+    // deb(5) matrix (xz/gzip/zstd/none) and the query REPORTS the
+    // codec + control fields it read so the oracle pins framing,
+    // metadata AND payloads. dpkg-deb reads our writer's packages live
+    // in DebSpec. Map-only per-record decode.
+    "tx_deb_packages" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.debPackagesFromDocuments(s, dir)
+        .flatMap { r =>
+          val p = graft.operators.Deb.readPackage(r.content)
+          p.dataMembers.filter(_.typeflag == '0').map(e =>
+            (p.control("Package"), p.control("Version"), p.compression,
+              e.name.stripPrefix("./"), e.size, e.payload))
+        }
+        .toDF("package", "version", "compression", "name", "size", "payload")
+        .select(col("package"), col("version"), col("compression"),
+          col("name"), col("size"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
     // zip ingest, completing the archive triple: central-directory walk,
     // store + deflate members (odd archives deflated), CRC-32 verified
     // per member on the way out. Method and uncompressed size are
@@ -7854,6 +7902,28 @@ object SparkEntry {
       """SELECT doc_id // 16 AS archive_id,
         |  CASE WHEN (doc_id // 16) % 2 = 0 THEN 'frame' ELSE 'legacy' END AS container,
         |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the 7z lane replayed: coder by aid%3, member payloads pinned
+    // through md5 against the source text
+    "tx_7z_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  CASE (doc_id // 16) % 3 WHEN 0 THEN 'copy' WHEN 1 THEN 'lzma'
+        |    ELSE 'lzma2' END AS coder,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the deb lane replayed: control fields + data compression by
+    // aid%4, member payloads pinned through md5 against the source text
+    "tx_deb_packages" ->
+      """SELECT 'corpus-' || (doc_id // 16) AS package,
+        |  '1.' || (doc_id // 16) || '-1' AS version,
+        |  CASE (doc_id // 16) % 4 WHEN 0 THEN 'xz' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'zstd' ELSE 'none' END AS compression,
+        |  'usr/share/doc/corpus-' || (doc_id // 16) || '/' || source ||
+        |    '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY name""".stripMargin,

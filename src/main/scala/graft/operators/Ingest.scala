@@ -1442,6 +1442,67 @@ object Ingest {
       }
   }
 
+  /** Demo 7z corpus: same 16-docs-per-archive grouping; coders rotate by
+    * archive id over copy/lzma/lzma2 (the wild population), solid layout
+    * alternates by id%2 and every 5th archive ships the ENCODED
+    * (LZMA2-compressed) header real 7z defaults to — so the contract
+    * lane exercises the whole decode matrix.
+    */
+  def sevenzArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            (s"$source/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val coder = Seq("copy", "lzma", "lzma2")((aid % 3).toInt)
+          val packed = Sevenz.write(entries, coder = coder,
+            solid = aid % 2 == 0, encodedHeader = aid % 5 == 0)
+          Multimodal.MediaRecord(aid, s"fake://7z/$aid.7z",
+            "application/x-7z-compressed", packed, Map.empty)
+        }
+      }
+  }
+
+  /** Demo .deb corpus: same 16-docs-per-archive grouping; data.tar
+    * compression rotates by package id over the four codecs deb(5)
+    * allows and this repo decodes (xz/gzip/zstd/none), so the contract
+    * lane exercises the whole matrix. Control fields derive from the
+    * group so the oracle can replay them.
+    */
+  def debPackagesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val files = docs.sortBy(_._1).map { case (id, source, text) =>
+            (s"usr/share/doc/corpus-$aid/$source/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val comp = Seq("xz", "gzip", "zstd", "none")((aid % 4).toInt)
+          val packed = Deb.write(
+            Map("Package" -> s"corpus-$aid", "Version" -> s"1.$aid-1",
+              "Architecture" -> "all",
+              "Description" -> s"corpus shard $aid\n${docs.length} documents"),
+            files, compression = comp)
+          Multimodal.MediaRecord(aid, s"fake://deb/corpus-$aid.deb",
+            "application/vnd.debian.binary-package", packed, Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over

@@ -294,10 +294,12 @@ class PlanQualitySpec extends AnyFunSuite {
   test("archive-family lanes are map-only before their output projection") {
     // one fabrication exchange (the fixture's parallelism repartition) is
     // the ONLY shuffle before the final sort: decode/extract never
-    // crosses an exchange. Holds for the r13 lanes exactly like the
+    // crosses an exchange. Holds for the r13/r14 lanes exactly like the
     // WARC/zip/tar elders.
     for (name <- Seq("tx_tarxz_members", "tx_wiki_dump", "tx_wiki_index",
-      "tx_pdf_cjk", "tx_xls_encrypted")) {
+      "tx_pdf_cjk", "tx_xls_encrypted",
+      "tx_tarlz4_members", "tx_office_encrypted", "tx_7z_members",
+      "tx_deb_packages")) {
       val p = plan(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
         s"$name joins where none belong:\n$p")
