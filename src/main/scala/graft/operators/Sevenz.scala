@@ -16,6 +16,7 @@ package graft.operators
   *   - LZMA2           (id 21 — dict-size props byte)
   *   - Deflate         (id 04 01 08 — raw deflate)
   *   - BZip2           (id 04 02 02 — a standard bzip2 stream)
+  *   - Zstd            (id 04 F7 11 01 — the 7-Zip-zstd/libarchive id)
   *
   * Everything else stays a NAMED reject: AES-256 encrypted archives,
   * BCJ/BCJ2 branch-filter chains, PPMd, Delta, multi-coder folders,
@@ -23,13 +24,14 @@ package graft.operators
   * every size is cross-checked against the container's declaration and
   * every declared CRC is verified.
   *
-  * VERIFICATION CAVEAT — unlike bzip2/xz/lz4 there is no canonical 7z
-  * producer in this sandbox (no 7z/7za/7zr binary, no py7zr), so the
-  * container framing is verified against a HAND-BUILT byte-literal
-  * fixture written from the spec plus own-writer round-trips; the
-  * compressed payloads inside ride the xz-interop-verified LZMA core
-  * and the bzip2/deflate decoders with their own canonical gates. See
-  * SCALING.md for the deferral ledger entry.
+  * VERIFICATION — canonical interop both directions via libarchive's
+  * `bsdtar --format 7zip` (the sandbox's second implementation, the
+  * same gate the codecs get from bzip2/xz/lz4): committed bsdtar-built
+  * goldens across the full compression matrix (including LZMA1-encoded
+  * headers, which libarchive emits by default) decode byte-identically,
+  * and bsdtar lists/extracts our writer's archives live in SevenzSpec.
+  * A HAND-BUILT byte-literal fixture written straight from 7zFormat.txt
+  * additionally pins the framing independent of any tool.
   *
   * Scale shape: a pure byte-level codec driven per record inside the
   * archive-explode lanes — map-only, bounded by `maxOut`, nothing
@@ -342,6 +344,11 @@ object Sevenz {
           maxOut = maxOut)
         require(dec.length == f.unpackSize, "7z: bzip2 member size drift")
         dec
+      case "04f71101" => // zstd (the 7-Zip-zstd / libarchive extension id)
+        val dec = Zstandard.decompressBounded(
+          java.util.Arrays.copyOfRange(b, from, until), maxOut.toLong, "7z")
+        require(dec.length == f.unpackSize, "7z: zstd member size drift")
+        dec
       case "06f10701" => throw new IllegalArgumentException(
         "7z: encrypted archive (AES-256) unsupported — password-protected archives quarantine by name")
       case id if id.startsWith("0303") => throw new IllegalArgumentException(
@@ -367,6 +374,7 @@ object Sevenz {
       case "21" => "lzma2"
       case "040108" => "deflate"
       case "040202" => "bzip2"
+      case "04f71101" => "zstd"
       case other => other
     }).distinct.sorted.mkString("+")
   }
@@ -569,6 +577,8 @@ object Sevenz {
         (Coder("040108", Array.emptyByteArray), buf.toByteArray)
       case "bzip2" =>
         (Coder("040202", Array.emptyByteArray), Bzip2.compress(data))
+      case "zstd" =>
+        (Coder("04f71101", Array.emptyByteArray), Zstandard.compressFrame(data))
       case other => throw new IllegalArgumentException(s"7z write: unknown coder '$other'")
     }
 

@@ -245,7 +245,20 @@ object Xz {
     val lpMask = (1 << st.lp) - 1
     var remaining = unpackSize
     var endHit = false
-    while (!endHit && remaining > 0) {
+    // Some encoders (liblzma's raw/alone paths — e.g. the LZMA1 streams
+    // inside libarchive-built 7z headers) write an explicit end marker
+    // even when the size is recorded externally. A marker-less stream
+    // leaves at most the 5 range-coder flush bytes unread; more than
+    // that after the declared size means a marker follows — decode
+    // EXACTLY one more symbol and require it to be the marker (any data
+    // symbol trips the guards below as a named reject).
+    var markTries = if (allowEnd) 1 else 0
+    def wantMark: Boolean = {
+      val w = remaining == 0 && markTries > 0 && until - rc.pos > 5
+      if (w) markTries -= 1
+      w
+    }
+    while (!endHit && (remaining > 0 || wantMark)) {
       val total = out.size - out.dictStart
       val posState = total & pbMask
       if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
@@ -266,6 +279,7 @@ object Xz {
           }
         }
         while (symbol < 0x100) symbol = (symbol << 1) | rc.decodeBit(st.lit, off + symbol)
+        require(remaining > 0, "lzma: literal past the declared size")
         out.put((symbol & 0xff).toByte)
         remaining -= 1
         st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3 else st.state - 6
@@ -276,6 +290,7 @@ object Xz {
           if (rc.decodeBit(st.isRep0Long, (st.state << 4) + posState) == 0) {
             // short rep: one byte at rep0
             st.state = if (st.state < 7) 9 else 11
+            require(remaining > 0, "lzma: short rep past the declared size")
             out.put(out.byteBack(st.rep0 + 1))
             remaining -= 1
           } else {

@@ -91,9 +91,53 @@ class SevenzSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("folder CRC"))
   }
 
+  // ---- canonical interop: libarchive bsdtar, both directions ----------
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    require(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  for (comp <- Seq("copy", "deflate", "bzip2", "lzma1", "lzma2", "zstd")) {
+    test(s"decodes the canonical bsdtar 7z golden ($comp)") {
+      // built by `bsdtar --format 7zip --options 7zip:compression=$comp`;
+      // all but copy carry an LZMA1-ENCODED header (libarchive's default)
+      val es = Sevenz.readEntries(res(s"sz_golden_$comp.7z"))
+      assert(es.map(_.name) == Seq("one.txt", "noise.bin", "runs.txt"))
+      assert(es(0).payload.sameElements(res("sz_member_one.txt")))
+      assert(es(1).payload.sameElements(res("sz_member_noise.bin")))
+      assert(es(2).payload.sameElements(res("sz_member_runs.txt")))
+    }
+  }
+
+  test("bsdtar lists and extracts our writer's archives (live interop)") {
+    val bin = new java.io.File("/root/miniconda/bin/bsdtar")
+    assume(bin.canExecute, "bsdtar not present")
+    val in = docs(5)
+    for (coder <- Seq("copy", "lzma", "lzma2", "deflate", "bzip2", "zstd");
+         enc <- Seq(false, true)) {
+      val tmp = java.nio.file.Files.createTempFile("szspec", ".7z")
+      java.nio.file.Files.write(tmp,
+        Sevenz.write(in, coder = coder, solid = true, encodedHeader = enc))
+      val t = new ProcessBuilder(bin.getPath, "-tf", tmp.toString).start()
+      val listing = new String(t.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val terr = new String(t.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(t.waitFor() == 0, s"bsdtar -tf failed for $coder/enc=$enc: $terr")
+      assert(listing.linesIterator.toSeq == in.map(_._1),
+        s"listing drift for $coder/enc=$enc")
+      // extract one member to stdout and compare bytes
+      val x = new ProcessBuilder(bin.getPath, "-xOf", tmp.toString, in(3)._1).start()
+      val body = x.getInputStream.readAllBytes()
+      assert(x.waitFor() == 0 && body.sameElements(in(3)._2),
+        s"extraction drift for $coder/enc=$enc")
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
   // ---- writer round-trips across the coder × layout matrix ------------
 
-  for (coder <- Seq("copy", "lzma", "lzma2", "deflate", "bzip2");
+  for (coder <- Seq("copy", "lzma", "lzma2", "deflate", "bzip2", "zstd");
        solid <- Seq(true, false);
        enc <- Seq(false, true)) {
     test(s"round-trip: coder=$coder solid=$solid encodedHeader=$enc") {
