@@ -19,6 +19,9 @@ package graft.operators
   *    bounded;
   *  - `zstd`: RFC 9659 / RFC 8878 via [[Zstandard.decompressBounded]]
   *    (concatenated frames allowed, skippable frames skipped, bounded);
+  *  - `bzip2` / `xz` / `lz4` (+ `x-` forms): non-registry tokens some
+  *    servers emit anyway — each rides its in-house canonical-interop
+  *    decoder with every declared checksum verified, bounded;
   *  - anything else (`br`, chains like `gzip, br`) and any
   *    truncated / corrupt / over-cap stream: DIVERT, don't die — the
   *    original stored bytes come back with `clean = false` and a reason
@@ -78,6 +81,11 @@ object HttpPayload {
       case "xz" | "x-xz" =>
         // same non-registry class as bzip2; every container CRC verifies
         TransferDecoded(Xz.decompress(body,
+          math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
+      case "lz4" | "x-lz4" =>
+        // same non-registry class; frame checksums verify (Lz4Spec
+        // interops the decoder against the canonical CLI both ways)
+        TransferDecoded(Lz4.decompress(body,
           math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
       case other =>
         TransferDecoded(body, clean = false,
@@ -148,6 +156,7 @@ object HttpPayload {
       case "zstd" => ("zstd", Zstandard.compressFrame(body))
       case "bzip2" => ("bzip2", Bzip2.compress(body))
       case "xz" => ("xz", Xz.compress(body))
+      case "lz4" => ("lz4", Lz4.compress(body))
       case other => (other, body)
     }
 

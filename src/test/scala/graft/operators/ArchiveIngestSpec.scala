@@ -335,6 +335,24 @@ class ArchiveIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unparseable size"))
   }
 
+  test("warc: a SECOND implementation's archive parses exactly (bsdtar golden)") {
+    // committed golden written by libarchive's `bsdtar --format warc` —
+    // cross-tool verification of the reader against bytes this repo's
+    // writer never produced: warcinfo lead record + one resource record
+    // per file, CRLF framing throughout
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      require(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val recs = Warc.readRecords(res("warc_golden_bsdtar.warc"))
+    assert(recs.map(_.warcType) == Seq("warcinfo", "resource", "resource"))
+    assert(recs(0).content.containsSlice("libarchive".getBytes))
+    assert(recs(1).targetUri == "file://r1.txt" && recs(2).targetUri == "file://r2.txt")
+    assert(recs(1).content.sameElements(res("warc_member_r1.txt")))
+    assert(recs(2).content.sameElements(res("warc_member_r2.txt")))
+  }
+
   test("tar: prefix field reassembles long paths on read") {
     // hand-build a header using the prefix field (writer keeps names <= 100)
     val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))

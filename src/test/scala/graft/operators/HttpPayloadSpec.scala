@@ -54,6 +54,20 @@ class HttpPayloadSpec extends AnyFunSuite {
     assert(!bad.clean && bad.reason.contains("xz:"))
   }
 
+  test("lz4 roundtrips through the transfer seam (frame checksums live)") {
+    val body = ("lz4 on the wire — café " * 50).getBytes("UTF-8")
+    val (token, wire) = HttpPayload.encodeTransfer(body, "lz4")
+    assert(token == "lz4" && Lz4.isLz4(wire))
+    val d = HttpPayload.decodeTransfer(wire, "lz4")
+    assert(d.clean && d.body.sameElements(body))
+    assert(HttpPayload.decodeTransfer(wire, "x-lz4").clean)
+    // corrupt wire diverts with the named reason, bytes kept
+    val broken = wire.clone(); broken(20) = (broken(20) ^ 1).toByte
+    val bad = HttpPayload.decodeTransfer(broken, "lz4")
+    assert(!bad.clean && bad.reason.contains("lz4"), bad.reason)
+    assert(bad.body.sameElements(broken))
+  }
+
   test("unsupported tokens divert with the original bytes kept") {
     for (tok <- Seq("br", "compress", "gzip, br")) {
       val d = HttpPayload.decodeTransfer(raw, tok)
