@@ -3523,11 +3523,11 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
-    // 7z archives — the LZMA-family container, DECODE-ONLY per the
-    // verification ledger (no canonical 7z producer exists in this
-    // sandbox; the framing is pinned by a spec-literal hand-built
-    // fixture in SevenzSpec and the LZMA payloads ride the xz-interop-
-    // verified core). Coders rotate by aid%3 (copy/lzma/lzma2), layout
+    // 7z archives — the LZMA-family container, canonical interop both
+    // directions via libarchive (bsdtar-built goldens decode exactly;
+    // bsdtar lists/extracts our archives live in SevenzSpec; a
+    // spec-literal hand-built fixture pins the framing besides).
+    // Coders rotate by aid%3 (copy/lzma/lzma2), layout
     // by aid%2 (solid/one-folder-per-member), every 5th archive carries
     // the ENCODED header real 7z writes; the query REPORTS the coder it
     // read off the header so the oracle pins listing AND framing.
@@ -3568,6 +3568,51 @@ object SparkEntry {
         .toDF("package", "version", "compression", "name", "size", "payload")
         .select(col("package"), col("version"), col("compression"),
           col("name"), col("size"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
+    // cpio archives — the initramfs / RPM-payload container: formats
+    // rotate by aid%3 (newc / crc-with-verified-sums / odc) and the
+    // query REPORTS the format read off the magic, so the oracle pins
+    // listing AND framing. bsdcpio interop both directions in CpioSpec.
+    // Map-only per-record decode, the archive-family shape.
+    "tx_cpio_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.cpioArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          val fmt = new String(r.content, 0, 6,
+            java.nio.charset.StandardCharsets.US_ASCII) match {
+            case "070701" => "newc"
+            case "070702" => "crc"
+            case "070707" => "odc"
+            case other => other
+          }
+          graft.operators.Cpio.readEntries(r.content)
+            .map(e => (r.media_id, fmt, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "format", "name", "size", "payload")
+        .select(col("archive_id"), col("format"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
+    // ISO 9660 disc images — the optical-media preservation shape:
+    // volume-descriptor walk, recursive directory records with both-
+    // endian fields cross-checked, Rock Ridge names. bsdtar interop
+    // both directions in Iso9660Spec (goldens across RR/plain/Joliet).
+    // Map-only per-record decode, the archive-family shape.
+    "tx_iso_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.isoImagesFromDocuments(s, dir)
+        .flatMap { r =>
+          graft.operators.Iso9660.readEntries(r.content)
+            .map(e => (r.media_id, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "name", "size", "payload")
+        .select(col("archive_id"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
         .orderBy(col("name"))
     }),
 
@@ -7911,6 +7956,23 @@ object SparkEntry {
       """SELECT doc_id // 16 AS archive_id,
         |  CASE (doc_id // 16) % 3 WHEN 0 THEN 'copy' WHEN 1 THEN 'lzma'
         |    ELSE 'lzma2' END AS coder,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the iso lane replayed: member payloads pinned through md5
+    "tx_iso_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the cpio lane replayed: format by aid%3, member payloads pinned
+    // through md5 against the source text
+    "tx_cpio_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  CASE (doc_id // 16) % 3 WHEN 0 THEN 'newc' WHEN 1 THEN 'crc'
+        |    ELSE 'odc' END AS format,
         |  source || '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size,
         |  md5(text) AS payload_md5

@@ -1503,6 +1503,55 @@ object Ingest {
       }
   }
 
+  /** Demo cpio corpus: same 16-docs-per-archive grouping; formats rotate
+    * by archive id over newc / crc / odc so the contract lane exercises
+    * all three layouts (and the crc variant's verified data sums).
+    */
+  def cpioArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            (s"$source/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val fmt = Seq("newc", "crc", "odc")((aid % 3).toInt)
+          Multimodal.MediaRecord(aid, s"fake://cpio/$aid.cpio",
+            "application/x-cpio", Cpio.writeCpio(entries, format = fmt), Map.empty)
+        }
+      }
+  }
+
+  /** Demo ISO 9660 corpus: same 16-docs-per-archive grouping; each image
+    * carries its documents as Rock-Ridge-named files under per-source
+    * directories — the disc-image preservation shape.
+    */
+  def isoImagesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            (s"$source/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          Multimodal.MediaRecord(aid, s"fake://iso/$aid.iso",
+            "application/x-iso9660-image", Iso9660.write(entries), Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over
