@@ -16,9 +16,11 @@ package graft.operators
   *
   * Per member: local-header signature cross-checked, payload inflated
   * (method 8) or sliced (method 0), CRC-32 and uncompressed size both
-  * verified against the central directory. Encryption, zip64, and exotic
-  * compression methods reject loudly — a listing that silently
-  * misreports members is worse than a dead task.
+  * verified against the central directory. Zip64 reads natively (the
+  * EOCD locator/record walk and the 0x0001 extra field — the
+  * >65535-member and >4 GB shapes big corpora ship); encryption,
+  * multi-disk and exotic compression methods reject loudly — a listing
+  * that silently misreports members is worse than a dead task.
   *
   * Format reference: PKWARE APPNOTE.TXT (public; mirrored in every zip
   * implementation and in RFC 1951 for the deflate payloads).
@@ -36,6 +38,8 @@ object Zip {
   private final val LocalSig = 0x04034b50L
   private final val CentralSig = 0x02014b50L
   private final val EocdSig = 0x06054b50L
+  private final val Zip64EocdSig = 0x06064b50L
+  private final val Zip64LocatorSig = 0x07064b50L
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -43,6 +47,85 @@ object Zip {
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u64(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** EOCD → (total entries, cd offset, cd size), following the zip64
+    * locator when any classic field carries its 0xFFFF/0xFFFFFFFF
+    * sentinel (APPNOTE 4.3.14/4.3.15) — the >65535-member and >4 GB
+    * shapes large corpora actually ship. Multi-disk stays rejected.
+    */
+  private def directoryBounds(b: Array[Byte], eocd: Int): (Long, Long, Long) = {
+    require(u16(b, eocd + 4) == 0 && u16(b, eocd + 6) == 0,
+      "zip: multi-disk archives not supported")
+    val total16 = u16(b, eocd + 10)
+    require(u16(b, eocd + 8) == total16, "zip: this-disk entry count != total entry count")
+    val cdSize32 = u32(b, eocd + 12)
+    val cdOff32 = u32(b, eocd + 16)
+    if (total16 != 0xffff && cdSize32 != 0xffffffffL && cdOff32 != 0xffffffffL)
+      (total16.toLong, cdOff32, cdSize32)
+    else {
+      // the 20-byte zip64 EOCD locator sits directly before the EOCD
+      require(eocd >= 20 && u32(b, eocd - 20) == Zip64LocatorSig,
+        "zip: zip64 sentinel without a zip64 EOCD locator")
+      require(u32(b, eocd - 16) == 0 && u32(b, eocd - 4) == 1,
+        "zip: multi-disk zip64 archives not supported")
+      val z = u64(b, eocd - 12)
+      require(z >= 0 && z + 56 <= eocd - 20 && u32(b, z.toInt) == Zip64EocdSig,
+        "zip: zip64 EOCD record missing at its declared offset")
+      val zp = z.toInt
+      require(u32(b, zp + 16) == 0 && u32(b, zp + 20) == 0,
+        "zip: multi-disk zip64 archives not supported")
+      val onDisk = u64(b, zp + 24)
+      val total = u64(b, zp + 32)
+      require(onDisk == total, "zip: zip64 this-disk entry count != total entry count")
+      require(total >= 0 && total <= Int.MaxValue, "zip: zip64 entry count past the cap")
+      require(total16 == 0xffff || total16.toLong == total,
+        "zip: EOCD and zip64 EOCD disagree on the entry count")
+      (total, u64(b, zp + 48), u64(b, zp + 40))
+    }
+  }
+
+  /** Resolve a central-directory entry's (csize, usize, local-header
+    * offset), reading the zip64 extra field (id 0x0001) for any field
+    * that carries its 32-bit sentinel — fields appear there in spec
+    * order, only the masked ones present.
+    */
+  private def entryBounds(b: Array[Byte], p: Int, nameLen: Int, extraLen: Int,
+      csize0: Long, usize0: Long, lho0: Long): (Long, Long, Long) = {
+    if (csize0 != 0xffffffffL && usize0 != 0xffffffffL && lho0 != 0xffffffffL)
+      return (csize0, usize0, lho0)
+    var csize = csize0
+    var usize = usize0
+    var lho = lho0
+    var q = p + 46 + nameLen
+    val qEnd = q + extraLen
+    var found = false
+    while (!found && q + 4 <= qEnd) {
+      val id = u16(b, q)
+      val sz = u16(b, q + 2)
+      require(q + 4 + sz <= qEnd, "zip: extra field overruns its region")
+      if (id == 0x0001) {
+        var r = q + 4
+        def take8(what: String): Long = {
+          require(r + 8 <= q + 4 + sz, s"zip: zip64 extra field missing the $what")
+          val v = u64(b, r); r += 8; v
+        }
+        if (usize == 0xffffffffL) usize = take8("uncompressed size")
+        if (csize == 0xffffffffL) csize = take8("compressed size")
+        if (lho == 0xffffffffL) lho = take8("local header offset")
+        found = true
+      }
+      q += 4 + sz
+    }
+    require(found, "zip: zip64 sentinel without a zip64 extra field")
+    (csize, usize, lho)
+  }
 
   /** True iff the buffer starts with a local-file-header signature (or is
     * an empty archive: a bare EOCD). Header-only — pair with
@@ -95,9 +178,8 @@ object Zip {
   /** Walk the central directory and return every member, decompressed and
     * verified (CRC-32 + size against the directory entry, local-header
     * signature at the recorded offset). Strict: any inconsistency —
-    * truncation, encryption, data-descriptor streaming, zip64, an
-    * unsupported method, a CRC mismatch — is an error, never a silently
-    * short or wrong listing.
+    * truncation, encryption, an unsupported method, a CRC mismatch — is
+    * an error, never a silently short or wrong listing.
     */
   /** Per-member decompressed-size cap: the central directory's claimed
     * `usize` drives the output allocation, so a few-KB hostile archive
@@ -122,18 +204,12 @@ object Zip {
     */
   def memberNames(bytes: Array[Byte]): Seq[String] = {
     val eocd = findEocd(bytes)
-    require(u16(bytes, eocd + 4) == 0 && u16(bytes, eocd + 6) == 0,
-      "zip: multi-disk archives not supported")
-    val total = u16(bytes, eocd + 10)
-    val cdSize = u32(bytes, eocd + 12)
-    val cdOff = u32(bytes, eocd + 16)
-    require(total != 0xffff && cdSize != 0xffffffffL && cdOff != 0xffffffffL,
-      "zip: zip64 archives not supported")
+    val (total, cdOff, cdSize) = directoryBounds(bytes, eocd)
     require(cdOff + cdSize <= eocd, "zip: central directory overruns the EOCD record")
     val cdEnd = (cdOff + cdSize).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = cdOff.toInt
-    var i = 0
+    var i = 0L
     while (i < total) {
       require(p + 46 <= cdEnd && u32(bytes, p) == CentralSig,
         s"zip: bad central-directory entry $i at byte $p")
@@ -151,19 +227,12 @@ object Zip {
 
   def readMembers(bytes: Array[Byte], maxMemberBytes: Long): Seq[ZipMember] = {
     val eocd = findEocd(bytes)
-    require(u16(bytes, eocd + 4) == 0 && u16(bytes, eocd + 6) == 0,
-      "zip: multi-disk archives not supported")
-    val total = u16(bytes, eocd + 10)
-    require(u16(bytes, eocd + 8) == total, "zip: this-disk entry count != total entry count")
-    val cdSize = u32(bytes, eocd + 12)
-    val cdOff = u32(bytes, eocd + 16)
-    require(total != 0xffff && cdSize != 0xffffffffL && cdOff != 0xffffffffL,
-      "zip: zip64 archives not supported")
+    val (total, cdOff, cdSize) = directoryBounds(bytes, eocd)
     require(cdOff + cdSize <= eocd, "zip: central directory overruns the EOCD record")
     val cdEnd = (cdOff + cdSize).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
     var p = cdOff.toInt
-    var i = 0
+    var i = 0L
     while (i < total) {
       require(p + 46 <= cdEnd && u32(bytes, p) == CentralSig,
         s"zip: bad central-directory entry $i at byte $p")
@@ -175,11 +244,6 @@ object Zip {
       // them. (JDK ZipOutputStream sets the bit on every deflated entry.)
       val method = u16(bytes, p + 10)
       val crc = u32(bytes, p + 16)
-      val csize = u32(bytes, p + 20)
-      val usize = u32(bytes, p + 24)
-      require(csize != 0xffffffffL && usize != 0xffffffffL, s"zip: entry $i is zip64 — not supported")
-      require(usize <= maxMemberBytes && usize <= Int.MaxValue - 8,
-        s"zip: entry $i claims $usize uncompressed bytes — past the $maxMemberBytes-byte member cap")
       val nameLen = u16(bytes, p + 28)
       val extraLen = u16(bytes, p + 30)
       val commentLen = u16(bytes, p + 32)
@@ -188,7 +252,10 @@ object Zip {
       // (silently wrong listing) or index past the buffer
       require(p + 46 + nameLen + extraLen + commentLen <= cdEnd,
         s"zip: entry $i variable-length fields overrun the central directory")
-      val lho = u32(bytes, p + 42)
+      val (csize, usize, lho) = entryBounds(bytes, p, nameLen, extraLen,
+        u32(bytes, p + 20), u32(bytes, p + 24), u32(bytes, p + 42))
+      require(usize >= 0 && usize <= maxMemberBytes && usize <= Int.MaxValue - 8,
+        s"zip: entry $i claims $usize uncompressed bytes — past the $maxMemberBytes-byte member cap")
       val name = new String(bytes, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
       require(name.nonEmpty, s"zip: entry $i has an empty name")
       require(lho + 30 <= bytes.length && u32(bytes, lho.toInt) == LocalSig,
@@ -231,6 +298,7 @@ object Zip {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
+    require(members.length <= 0xfffe, "zip writer: zip64 member counts not emitted")
     case class Written(name: Array[Byte], method: Int, crc: Long, csize: Int, usize: Int, off: Int)
     val written = members.map { case (name, payload) =>
       val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)

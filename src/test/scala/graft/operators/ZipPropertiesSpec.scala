@@ -37,6 +37,74 @@ class ZipPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("a THIRD implementation's archive parses exactly (Info-ZIP golden)") {
+    // committed golden from `zip -X` — cross-tool bytes beyond the JDK
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      require(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val ms = Zip.readMembers(res("zip_golden_infozip.zip"))
+    assert(ms.map(_.name) == Seq("one.txt", "sub/two.bin"))
+    assert(ms(0).payload.sameElements(res("zip_member_one.txt")))
+    assert(ms(1).payload.sameElements(res("zip_member_two.bin")))
+  }
+
+  test("Info-ZIP unzip verifies our archives (live interop, both methods)") {
+    val bin = new java.io.File("/usr/bin/unzip")
+    assume(bin.canExecute, "unzip not present")
+    for (deflate <- Seq(false, true)) {
+      val tmp = java.nio.file.Files.createTempFile("zipspec", ".zip")
+      java.nio.file.Files.write(tmp, Zip.writeZip(corpus, deflate))
+      // -t decompresses every member and checks its CRC
+      val p = new ProcessBuilder("/usr/bin/unzip", "-t", tmp.toString).start()
+      val outp = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"unzip -t failed (deflate=$deflate): $outp")
+      assert(outp.contains("No errors detected"), outp)
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
+  test("zip64: a 70,000-member archive walks through the zip64 EOCD") {
+    // python-zipfile golden (committed xz-compressed): EOCD counts carry
+    // the 0xFFFF sentinel, the locator + zip64 EOCD hold the real bounds
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      require(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val b = Xz.decompress(res("zip64_golden_many.zip.xz"), maxOut = 32 << 20)
+    val names = Zip.memberNames(b)
+    assert(names.length == 70000)
+    assert(names.head == "m/00000.txt" && names.last == "m/69999.txt")
+    val ms = Zip.readMembers(b)
+    assert(ms.length == 70000)
+    assert(new String(ms(12345).payload, "UTF-8") == "member 12345\n")
+    assert(new String(ms.last.payload, "UTF-8") == "member 69999\n")
+  }
+
+  test("zip64: forced per-entry zip64 extras and 8-byte descriptors read") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      require(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val ms = Zip.readMembers(res("zip64_golden_force.zip"))
+    assert(ms.map(_.name) == Seq("forced.txt", "plain.txt"))
+    assert(new String(ms(0).payload, "UTF-8") == "zip64-forced payload — café\n")
+    assert(new String(ms(1).payload, "UTF-8") == "ordinary member\n")
+  }
+
+  test("zip64: a sentinel without the promised structures rejects by name") {
+    // EOCD claiming 0xFFFF entries but no locator before it
+    val bytes = Zip.writeZip(corpus.take(2), deflate = false).clone()
+    val eocdAt = bytes.length - 22
+    bytes(eocdAt + 8) = 0xff.toByte; bytes(eocdAt + 9) = 0xff.toByte
+    bytes(eocdAt + 10) = 0xff.toByte; bytes(eocdAt + 11) = 0xff.toByte
+    val e = intercept[IllegalArgumentException](Zip.readMembers(bytes))
+    assert(e.getMessage.contains("zip64"), e.getMessage)
+  }
+
   test("JDK ZipInputStream reads our archives (both methods)") {
     for (deflate <- Seq(false, true)) {
       val in = new java.util.zip.ZipInputStream(
