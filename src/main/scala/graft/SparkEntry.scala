@@ -3616,6 +3616,24 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // xar packages — the macOS installer shape: zlib TOC walked with
+    // the hardened XML parser, TOC checksum + both per-member checksums
+    // verified on every record. bsdtar interop both directions in
+    // XarSpec. Map-only per-record decode, the archive-family shape.
+    "tx_xar_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.xarArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          graft.operators.Xar.readEntries(r.content)
+            .map(e => (r.media_id, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "name", "size", "payload")
+        .select(col("archive_id"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
     // zip ingest, completing the archive triple: central-directory walk,
     // store + deflate members (odd archives deflated), CRC-32 verified
     // per member on the way out. Method and uncompressed size are
@@ -7956,6 +7974,13 @@ object SparkEntry {
       """SELECT doc_id // 16 AS archive_id,
         |  CASE (doc_id // 16) % 3 WHEN 0 THEN 'copy' WHEN 1 THEN 'lzma'
         |    ELSE 'lzma2' END AS coder,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the xar lane replayed: member payloads pinned through md5
+    "tx_xar_members" ->
+      """SELECT doc_id // 16 AS archive_id,
         |  source || '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size,
         |  md5(text) AS payload_md5

@@ -1552,6 +1552,30 @@ object Ingest {
       }
   }
 
+  /** Demo xar corpus: same 16-docs-per-archive grouping; documents ride
+    * zlib-encoded under per-source directories — the macOS package
+    * shape, both member checksums present.
+    */
+  def xarArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            (s"$source/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          Multimodal.MediaRecord(aid, s"fake://xar/$aid.xar",
+            "application/x-xar", Xar.write(entries), Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over

@@ -299,7 +299,8 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("tx_tarxz_members", "tx_wiki_dump", "tx_wiki_index",
       "tx_pdf_cjk", "tx_xls_encrypted",
       "tx_tarlz4_members", "tx_office_encrypted", "tx_7z_members",
-      "tx_deb_packages", "tx_cpio_members", "tx_iso_members")) {
+      "tx_deb_packages", "tx_cpio_members", "tx_iso_members",
+      "tx_xar_members")) {
       val p = plan(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
         s"$name joins where none belong:\n$p")

@@ -353,6 +353,37 @@ class ArchiveIngestSpec extends AnyFunSuite {
     assert(recs(2).content.sameElements(res("warc_member_r2.txt")))
   }
 
+  test("tar: a SECOND implementation's archive parses exactly (GNU tar golden)") {
+    // committed golden from `tar --format=ustar` with a 170-char path, so
+    // the prefix-field reassembly is exercised against REAL tool bytes
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      require(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val es = Tar.readEntries(res("tar_golden_ustar.tar"))
+    val files = es.filter(_.typeflag == '0')
+    val longPath = ("component-eleven-bytes/" * 6) + "blob-with-a-fairly-long-name.bin"
+    assert(files.map(_.name) == Seq("a.txt", longPath))
+    assert(files(0).payload.sameElements(res("tar_member_a.txt")))
+    assert(files(1).payload.sameElements(res("tar_member_blob.bin")))
+  }
+
+  test("tar: the system tar lists our writer's archives (live interop)") {
+    val bin = new java.io.File("/usr/bin/tar")
+    assume(bin.canExecute, "system tar not present")
+    val bytes = Tar.writeTar(Seq(
+      Tar.TarEntry("plain.txt", 4, '0', utf8("data")),
+      Tar.TarEntry("dir/inner-member.bin", 3, '0', Array[Byte](1, 2, 3))))
+    val tmp = java.nio.file.Files.createTempFile("tarspec", ".tar")
+    java.nio.file.Files.write(tmp, bytes)
+    val p = new ProcessBuilder("/usr/bin/tar", "-tf", tmp.toString).start()
+    val listing = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, "tar -tf exit")
+    assert(listing.linesIterator.toSeq == Seq("plain.txt", "dir/inner-member.bin"))
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("tar: prefix field reassembles long paths on read") {
     // hand-build a header using the prefix field (writer keeps names <= 100)
     val e = Tar.TarEntry("x.txt", 2, '0', utf8("hi"))
