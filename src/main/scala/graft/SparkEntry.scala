@@ -3634,6 +3634,26 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // .tar.Z archives — the FTP/Usenet-era LZW flavor, canonical
+    // interop both directions (bsdtar-written golden vs gzip -dc;
+    // gzip/bsdcat decode our streams — LzwSpec). The query REPORTS the
+    // max code width read off the flags byte so the oracle pins the
+    // framing. Map-only per-record decode, the archive-family shape.
+    "tx_tarz_members" -> ((s, dir) => {
+      import s.implicits._
+      val ing = graft.operators.Ingest
+      ing.tarZArchivesFromDocuments(s, dir)
+        .flatMap { r =>
+          val maxBits = (r.content(2) & 0x1F).toLong
+          graft.operators.Tar.readEntries(graft.operators.Lzw.decompressZ(r.content))
+            .map(e => (r.media_id, maxBits, e.name, e.size, e.payload))
+        }
+        .toDF("archive_id", "max_bits", "name", "size", "payload")
+        .select(col("archive_id"), col("max_bits"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("name"))
+    }),
+
     // zip ingest, completing the archive triple: central-directory walk,
     // store + deflate members (odd archives deflated), CRC-32 verified
     // per member on the way out. Method and uncompressed size are
@@ -7974,6 +7994,15 @@ object SparkEntry {
       """SELECT doc_id // 16 AS archive_id,
         |  CASE (doc_id // 16) % 3 WHEN 0 THEN 'copy' WHEN 1 THEN 'lzma'
         |    ELSE 'lzma2' END AS coder,
+        |  source || '/' || doc_id || '.txt' AS name,
+        |  strlen(text) AS size,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
+    // the tar.Z lane replayed: fixed block-mode 16-bit framing, member
+    // payloads pinned through md5
+    "tx_tarz_members" ->
+      """SELECT doc_id // 16 AS archive_id,
+        |  CAST(16 AS BIGINT) AS max_bits,
         |  source || '/' || doc_id || '.txt' AS name,
         |  strlen(text) AS size,
         |  md5(text) AS payload_md5

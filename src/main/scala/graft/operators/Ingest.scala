@@ -1576,6 +1576,29 @@ object Ingest {
       }
   }
 
+  /** Demo `.tar.Z` corpus: same 16-docs-per-archive grouping, LZW
+    * block-mode compressed — the FTP-era source-archive flavor.
+    */
+  def tarZArchivesFromDocuments(spark: SparkSession, dir: String,
+      docsPerArchive: Int = 16): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .repartition(parts, (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          val entries = docs.sortBy(_._1).map { case (id, source, text) =>
+            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            Tar.TarEntry(s"$source/$id.txt", body.length.toLong, '0', body)
+          }
+          Multimodal.MediaRecord(aid, s"fake://tarz/$aid.tar.Z",
+            "application/x-compress", Lzw.compressZ(Tar.writeTar(entries)), Map.empty)
+        }
+      }
+  }
+
   /** Demo zip corpus: same 16-docs-per-archive grouping and member names
     * as the tar corpus; odd archives are deflate-compressed so the
     * contract query exercises both methods (and the CRC verify runs over

@@ -300,7 +300,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_pdf_cjk", "tx_xls_encrypted",
       "tx_tarlz4_members", "tx_office_encrypted", "tx_7z_members",
       "tx_deb_packages", "tx_cpio_members", "tx_iso_members",
-      "tx_xar_members")) {
+      "tx_xar_members", "tx_tarz_members")) {
       val p = plan(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
         s"$name joins where none belong:\n$p")
