@@ -8781,17 +8781,18 @@ object SparkEntry {
     // named reject and their raw (= plain-text) bytes kept
     "tx_content_encoding" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n,
-        |    CASE doc_id % 7 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+        |    CASE doc_id % 9 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
         |      WHEN 2 THEN 'deflate' WHEN 3 THEN '' WHEN 4 THEN 'bzip2'
-        |      WHEN 6 THEN 'xz' ELSE 'br' END AS encoding
+        |      WHEN 6 THEN 'xz' WHEN 7 THEN 'lz4' WHEN 8 THEN 'compress'
+        |      ELSE 'br' END AS encoding
         |  FROM documents),
         |t2 AS (SELECT doc_id, encoding,
         |    repeat('payload ' || doc_id || ' café' || chr(10), CAST(n AS INT))
         |      AS text
         |  FROM d)
         |SELECT doc_id, encoding,
-        |  doc_id % 7 <> 5 AS clean,
-        |  CASE WHEN doc_id % 7 = 5
+        |  doc_id % 9 <> 5 AS clean,
+        |  CASE WHEN doc_id % 9 = 5
         |    THEN 'http: unsupported content-encoding ''br'''
         |    ELSE '' END AS reason,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

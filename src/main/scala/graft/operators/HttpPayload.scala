@@ -19,6 +19,8 @@ package graft.operators
   *    bounded;
   *  - `zstd`: RFC 9659 / RFC 8878 via [[Zstandard.decompressBounded]]
   *    (concatenated frames allowed, skippable frames skipped, bounded);
+  *  - `compress` / `x-compress`: the REGISTERED HTTP/1.0-era LZW coding
+  *    (RFC 9110 §8.4.1.1) — ancient-server captures still carry it;
   *  - `bzip2` / `xz` / `lz4` (+ `x-` forms): non-registry tokens some
   *    servers emit anyway — each rides its in-house canonical-interop
   *    decoder with every declared checksum verified, bounded;
@@ -86,6 +88,11 @@ object HttpPayload {
         // same non-registry class; frame checksums verify (Lz4Spec
         // interops the decoder against the canonical CLI both ways)
         TransferDecoded(Lz4.decompress(body,
+          math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
+      case "compress" | "x-compress" =>
+        // a REGISTERED coding since HTTP/1.0 (RFC 9110 §8.4.1.1) that
+        // predates integrity checks; ancient-server captures carry it
+        TransferDecoded(Lzw.decompressZ(body,
           math.min(maxOut, Int.MaxValue.toLong).toInt), clean = true, "")
       case other =>
         TransferDecoded(body, clean = false,
@@ -157,6 +164,7 @@ object HttpPayload {
       case "bzip2" => ("bzip2", Bzip2.compress(body))
       case "xz" => ("xz", Xz.compress(body))
       case "lz4" => ("lz4", Lz4.compress(body))
+      case "compress" => ("compress", Lzw.compressZ(body))
       case other => (other, body)
     }
 

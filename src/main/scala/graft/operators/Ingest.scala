@@ -921,14 +921,16 @@ object Ingest {
   }
 
   /** The id%7 routing table [[encodedArchives]] uses by default. */
-  def defaultEncodingMode(id: Long): String = (id % 7) match {
+  def defaultEncodingMode(id: Long): String = (id % 9) match {
     case 0 => "gzip"
     case 1 => "deflate"
     case 2 => "deflate-raw"
     case 3 => ""
     case 4 => "bzip2"
     case 6 => "xz"
-    case _ => "br"
+    case 7 => "lz4"
+    case 8 => "compress"
+    case _ => "br" // the documented deferral: diverts, bytes kept
   }
 
   /** Demo WARC corpus for the host-health seam (`tx_host_health`): one

@@ -68,8 +68,22 @@ class HttpPayloadSpec extends AnyFunSuite {
     assert(bad.body.sameElements(broken))
   }
 
+  test("compress (LZW) roundtrips through the transfer seam") {
+    val body = ("compress on the wire " * 60).getBytes("UTF-8")
+    val (token, wire) = HttpPayload.encodeTransfer(body, "compress")
+    assert(token == "compress" && Lzw.isZ(wire))
+    val d = HttpPayload.decodeTransfer(wire, "compress")
+    assert(d.clean && d.body.sameElements(body))
+    assert(HttpPayload.decodeTransfer(wire, "x-compress").clean)
+    // structural damage diverts with the named reason, bytes kept
+    val broken = wire.clone(); broken(2) = (broken(2) | 0x40).toByte
+    val bad = HttpPayload.decodeTransfer(broken, "compress")
+    assert(!bad.clean && bad.reason.contains("lzw"), bad.reason)
+  }
+
   test("unsupported tokens divert with the original bytes kept") {
-    for (tok <- Seq("br", "compress", "gzip, br")) {
+    // ("compress" left this list in r14 — it decodes via Lzw now)
+    for (tok <- Seq("br", "sdch", "gzip, br")) {
       val d = HttpPayload.decodeTransfer(raw, tok)
       assert(!d.clean && (d.body sameElements raw))
       assert(d.reason.contains("unsupported content-encoding"))
