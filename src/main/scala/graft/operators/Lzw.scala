@@ -8,10 +8,12 @@ package graft.operators
   * codes whose width grows 9 → maxbits — with the infamous GROUP
   * ALIGNMENT: codes travel in groups of eight (n_bits bytes each), and
   * on every width change or CLEAR the stream skips to the next group
-  * boundary, remainder discarded. After a CLEAR the dictionary restarts
-  * with the next free slot at 256 (the wasted CLEAR slot is written and
-  * never read) — the counter drives the width-bump points, so this
-  * wart is wire-visible and reproduced exactly.
+  * boundary (measured from the PREVIOUS boundary), remainder discarded.
+  * After a CLEAR the free counter re-seeds at 256 — unreachable as a
+  * code (256 IS clear) yet counted toward the width-bump points — and
+  * the pairing chain continues across the boundary (oldcode survives,
+  * so the first post-clear entry pairs pre-clear context). Both warts
+  * are wire-visible; the gzip-refereed CLEAR cases in LzwSpec pin them.
   *
   * Canonical interop both directions: the committed `.tar.Z` golden is
   * written by `bsdtar -cZf` (libarchive's own LZW encoder) and must
@@ -100,8 +102,12 @@ object Lzw {
         roundToGroup()
         nBits = 9
         maxcode = maxcodeFor(nBits)
-        free = Clear // entries re-seed at the wasted 256 slot, like unlzw
-        oldcode = -1
+        // unlzw semantics, gzip-refereed: free_ent re-seeds at 256 (the
+        // slot is unreachable as a code — 256 IS CLEAR — but it still
+        // counts toward the width-bump points) and oldcode is NOT
+        // reset: the first post-clear entry pairs the pre-clear oldcode
+        // with the next code's first character
+        free = Clear
       } else {
         val incode = code
         var sp = 0

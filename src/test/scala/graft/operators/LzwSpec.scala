@@ -73,6 +73,64 @@ class LzwSpec extends AnyFunSuite {
     }
   }
 
+  test("CLEAR-code streams decode exactly as gzip decodes them (referee)") {
+    // our encoder never emits CLEAR, so pin the post-CLEAR semantics
+    // (group-pad with the OLD width, free re-seeding at the wasted 256
+    // slot) against the canonical decoder: hand-pack code streams with
+    // CLEARs and require byte-identical output from gzip -dc and us
+    val gz = new java.io.File("/usr/bin/gzip")
+    assume(gz.canExecute, "gzip not present")
+    def pack(segments: Seq[Seq[Int]]): Array[Byte] = {
+      // 9-bit codes throughout (all cases stay under 255 entries);
+      // a CLEAR (256) ends each non-final segment, then pad to the
+      // 72-bit group boundary measured from the segment origin
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x1F); out.write(0x9D); out.write(0x80 | 16)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var emitted = 0
+      def put(c: Int): Unit = {
+        bitBuf |= c.toLong << bitCnt; bitCnt += 9; emitted += 9
+        while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      def pad(): Unit = {
+        val rem = emitted % 72
+        if (rem != 0) {
+          var padBits = 72 - rem
+          if (bitCnt > 0) { out.write((bitBuf & 0xff).toInt); padBits -= 8 - bitCnt; bitBuf = 0; bitCnt = 0 }
+          while (padBits > 0) { out.write(0); padBits -= 8 }
+        }
+        emitted = 0
+      }
+      segments.init.foreach { seg => seg.foreach(put); put(256); pad() }
+      segments.last.foreach(put)
+      if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+      out.toByteArray
+    }
+    val cases: Seq[Seq[Seq[Int]]] = Seq(
+      // plain restart
+      Seq(Seq('h', 'e', 'l', 'l', 'o'), Seq('w', 'o', 'r', 'l', 'd')),
+      // post-clear dictionary USE: 'a','b','a' seeds 256(wasted)+257; 257="ba"
+      Seq(Seq('x', 'y'), Seq('a', 'b', 'a', 257, 'c')),
+      // two clears in a row, then use
+      Seq(Seq('q'), Seq('r'), Seq('s', 't', 's', 257)),
+      // clear exactly at a group boundary (8 codes -> rem 0, no pad)
+      Seq(Seq('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h'), Seq('z')))
+    cases.zipWithIndex.foreach { case (segs, i) =>
+      val z = pack(segs)
+      val tmp = java.nio.file.Files.createTempFile("lzwclear", ".Z")
+      java.nio.file.Files.write(tmp, z)
+      val p = new ProcessBuilder("/usr/bin/gzip", "-dc", tmp.toString).start()
+      val want = p.getInputStream.readAllBytes()
+      val err = new String(p.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(p.waitFor() == 0, s"gzip rejected referee case $i: $err")
+      val got = Lzw.decompressZ(z)
+      assert(got.sameElements(want),
+        s"case $i drift: ours='${new String(got)}' gzip='${new String(want)}'")
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
   test("damage rejects by name, truncation yields only clean prefixes") {
     val data = ("prefix safety " * 1000).getBytes(StandardCharsets.UTF_8)
     val z = Lzw.compressZ(data)
