@@ -44,8 +44,8 @@ object LinkGraph {
     * after the final iteration.
     */
   def rankHosts(edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame =
-    rankedFrom(edges0, srcCol, dstCol, iters, warm = None)
+      iters: Int = 3, smallGraphLimit: Long = 1000000L): DataFrame =
+    rankedFrom(edges0, srcCol, dstCol, iters, warm = None, smallGraphLimit)
 
   /** Incremental maintenance of [[rankHosts]] — the daily-crawl shape: a
     * new epoch contributes DELTA edges, and recomputing from the cold
@@ -77,10 +77,11 @@ object LinkGraph {
     */
   def rankDelta(prevRank: DataFrame, hostCol: String, rankCol: String,
       edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame =
+      iters: Int = 3, smallGraphLimit: Long = 1000000L): DataFrame =
     rankedFrom(edges0, srcCol, dstCol, iters,
       warm = Some(prevRank.select(
-        col(hostCol).as("host"), col(rankCol).cast("long").as("prev_rank"))))
+        col(hostCol).as("host"), col(rankCol).cast("long").as("prev_rank"))),
+      smallGraphLimit)
 
   /** Fold an edge delta into a stored edge set: adds are unioned (dedup),
     * removes are anti-joined, all on (src, dst). At 100 TB this is the
@@ -95,8 +96,21 @@ object LinkGraph {
       .join(norm(removes), Seq(srcCol, dstCol), "left_anti")
   }
 
+  /** Driver/distributed crossover in EDGES (`smallGraphLimit`), the
+    * [[graft.operators.Dedup]] `connectedComponents` pattern (r14, guide
+    * §1.2 "the distributed algorithm"): below the limit, `iters` rounds of
+    * damped contribution passing cost more in per-round scheduling (2-3
+    * exchanges + a lineage checkpoint every second round, each an AQE
+    * stage job) than the whole graph costs to collect once — the measured
+    * r14 profile had `tx_link_rank_delta` at 88 jobs / 3.6 s wall for 20
+    * hosts. The driver path replays the IDENTICAL integer arithmetic
+    * (bit-equality asserted against the distributed path in
+    * LinkGraphSpec), so results are indistinguishable. At 10^8 hosts the
+    * edge count blows the limit and the distributed path below is what
+    * runs — the same honest bound as the union-find hybrid.
+    */
   private def rankedFrom(edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, warm: Option[DataFrame]): DataFrame = {
+      iters: Int, warm: Option[DataFrame], smallGraphLimit: Long): DataFrame = {
     require(iters >= 1 && iters <= 64, s"rankHosts: iters in [1,64], got $iters")
     // the graph every stage shares: dedup + self-loop drop, materialized
     // once (every iteration and both degree counts re-read it)
@@ -105,6 +119,8 @@ object LinkGraph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    if (edges.count() <= smallGraphLimit)
+      return rankedOnDriver(edges, iters, warm)
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     val nodes = edges.select(col("src").as("host"))
@@ -146,6 +162,50 @@ object LinkGraph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         col("rank"))
+  }
+
+  /** The small-graph driver path: the same dedup'd edge set, the same
+    * integer damped-contribution iteration, computed in one collect. Kept
+    * EXACTLY parallel to the distributed plan above — every divergence
+    * would be a silent wrong answer, so: integer division is plain Long `/`
+    * (operands are nonnegative by construction, matching SQL `div`),
+    * dangling hosts take BaseRank once contribution passing starts, warm
+    * hosts not in the current node set drop, new hosts seed at
+    * [[InitialRank]].
+    */
+  private def rankedOnDriver(edges: DataFrame, iters: Int,
+      warm: Option[DataFrame]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(String, String)].collect()
+    val outDeg = scala.collection.mutable.HashMap.empty[String, Long]
+    val inDeg = scala.collection.mutable.HashMap.empty[String, Long]
+    es.foreach { case (s, d) =>
+      outDeg.update(s, outDeg.getOrElse(s, 0L) + 1L)
+      inDeg.update(d, inDeg.getOrElse(d, 0L) + 1L)
+    }
+    val nodes: Array[String] = (outDeg.keysIterator ++ inDeg.keysIterator)
+      .toSet.toArray
+    val warmMap: Map[String, Long] = warm match {
+      case None => Map.empty
+      case Some(prev) => prev.as[(String, Long)].collect().toMap
+    }
+    var rank: scala.collection.Map[String, Long] =
+      nodes.iterator.map(h => h -> warmMap.getOrElse(h, InitialRank)).toMap
+    var i = 0
+    while (i < iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[String, Long]
+      es.foreach { case (s, d) =>
+        val c = rank(s) * 17L / 20L / outDeg(s)
+        contrib.update(d, contrib.getOrElse(d, 0L) + c)
+      }
+      rank = nodes.iterator
+        .map(h => h -> (BaseRank + contrib.getOrElse(h, 0L))).toMap
+      i += 1
+    }
+    val out = nodes.sorted.toSeq.map(h =>
+      (h, outDeg.getOrElse(h, 0L), inDeg.getOrElse(h, 0L), rank(h)))
+    spark.createDataset(out).toDF("host", "out_deg", "in_deg", "rank")
   }
 
   /** Host-grain edges from page-level outlink pairs: (page_url, dst_url) ->

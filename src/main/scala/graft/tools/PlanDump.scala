@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named queries into files — the r14
+  * optimization-round evidence trail (plans/r14/<query>_<tag>.txt).
+  * Usage: runMain graft.tools.PlanDump <tag> <q1>[,<q2>...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tag = args(0)
+    val names = args(1).split(",").toSeq
+    val outDir = java.nio.file.Paths.get("plans/r14")
+    java.nio.file.Files.createDirectories(outDir)
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), txt)
+      println(s"PLANDUMP wrote ${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

@@ -253,6 +253,38 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warm == rebuild)
   }
 
+  test("driver small-graph path is bit-identical to the distributed path") {
+    // the r14 crossover (connectedComponents precedent): smallGraphLimit=0
+    // forces the distributed plan on the same graph; every (host, out_deg,
+    // in_deg, rank) must agree exactly, cold and warm
+    def fam(pairs: (Long => Long)*): Seq[(String, String)] =
+      for (k <- 0L until 20L; f <- pairs; t = f(k); if t != k)
+        yield (s"src$k", s"src$t")
+    val pairs = fam(k => (3 * k + 5) % 20, k => (7 * k + 3) % 20, k => (k + 11) % 20)
+    val e = edges(pairs.distinct: _*)
+    for (iters <- Seq(1, 3, 8)) {
+      val driver = LinkGraph.rankHosts(e, "src_host", "dst_host", iters)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val dist = LinkGraph.rankHosts(e, "src_host", "dst_host", iters,
+          smallGraphLimit = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(driver == dist, s"iters=$iters")
+    }
+    // warm path: prev from a cold run, then a delta graph both ways
+    val deltaPairs = (0L until 20L).filter(_ % 5 == 0)
+      .map(k => (s"src$k", s"src${(k + 13) % 20}"))
+    val mergedE = edges((pairs ++ deltaPairs).distinct: _*)
+    val prev = LinkGraph.rankHosts(e, "src_host", "dst_host", iters = 8)
+      .select("host", "rank")
+    val driverWarm = LinkGraph.rankDelta(prev, "host", "rank", mergedE,
+        "src_host", "dst_host", iters = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val distWarm = LinkGraph.rankDelta(prev, "host", "rank", mergedE,
+        "src_host", "dst_host", iters = 6, smallGraphLimit = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(driverWarm == distWarm)
+  }
+
   private def capped(rows: (String, Long, Long, Long)*) = {
     val sp = spark
     import sp.implicits._
