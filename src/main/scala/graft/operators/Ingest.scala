@@ -264,6 +264,13 @@ object Ingest {
         val changes = (1 to epoch).count(e => (id + e) % 3 == 0)
         (id, source, s"$text|$changes")
       }
+      // groupByKey (AQE-coalesced, effectively serial) ON PURPOSE: these
+      // archives are ungzipped string concatenation — ~0.2 s of CPU for
+      // the whole corpus. The r14 A/B measured the parallel repartition
+      // variant SLOWER lane-wide (tx_recrawl_priority 1.50 -> 2.58 s):
+      // 32-task stages of sub-ms work pay more in per-task fixed cost
+      // than the serial fabrication costs outright. The gzip/parse-heavy
+      // builders (warcArchivesFromDocuments etc.) use the parallel shape.
       .groupByKey(_._1 / docsPerArchive)
       .mapGroups { (aid, it) =>
         warcFromDocs(aid, it.toSeq.sortBy(_._1), gzipped = false)
@@ -819,6 +826,8 @@ object Ingest {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
       .as[Long]
+      // groupByKey on purpose (r14 A/B): 20 small feeds, trivial CPU —
+      // the parallel repartition variant measured slower
       .groupByKey(_ % 20)
       .mapGroups { (k, it) =>
         val entries = it.toSeq.sorted.flatMap { id =>
@@ -1207,9 +1216,15 @@ object Ingest {
       .select(col("archive_id"), col("uri"), col("pos"), col("record_id"),
         col("headers"), col("content"), col("verdict"), col("refers_to"))
       .as[(Long, String, Int, String, Map[String, String], Array[Byte], String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (aid, it) =>
-        val rs = it.toSeq.sortBy(_._3)
+      // archiveGroups discipline: explicit repartition so the per-archive
+      // rewrite below runs across the executor threads, not on the one
+      // AQE-coalesced partition
+      .repartition(math.max(2,
+          archives.sparkSession.sparkContext.defaultParallelism),
+        col("archive_id"))
+      .mapPartitions(partIt => partIt.toSeq.groupBy(_._1).iterator.map {
+        case (aid, rsUnsorted) =>
+        val rs = rsUnsorted.sortBy(_._3)
         val uri = rs.head._2
         val recs = rs.map { case (_, _, _, recordId, headers, content, verdict, refersTo) =>
           if (verdict == "revisit") {
@@ -1250,7 +1265,7 @@ object Ingest {
         }
         Multimodal.MediaRecord(aid, uri + ".dedup", "application/warc",
           Warc.writeWarc(recs, gzipped = false), Map.empty)
-      }
+      })
   }
 
   def watPage(id: Long): (String, String) = {
@@ -1323,9 +1338,16 @@ object Ingest {
         if (bodyV2Every > 0 && id % bodyV2Every == 0) (id, source, text + " v2")
         else (id, source, text)
       }
-      .groupByKey(_._1 / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        warcFromDocs(aid, it.toSeq.sortBy(_._1), gzipped = aid % 2 == 1)
+      // explicit-numPartitions repartition, not groupByKey (archiveGroups
+      // discipline): the whole WARC family fabricated through here ran
+      // single-threaded on the AQE-coalesced exchange (r14 profile:
+      // tx_warc_cdx 0.97 s on one task of 1.99 s total CPU)
+      .repartition(math.max(2, spark.sparkContext.defaultParallelism),
+        (col("_1") / docsPerArchive).cast("long"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+          warcFromDocs(aid, docs.sortBy(_._1), gzipped = aid % 2 == 1)
+        }
       }
   }
 
@@ -1377,6 +1399,9 @@ object Ingest {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
+      // groupByKey on purpose (r14 A/B): tar fabrication is pure byte
+      // copying (~0.1 s CPU total) — the parallel repartition variant
+      // measured slower (+0.2 s) from per-task fixed costs alone
       .groupByKey(_._1 / docsPerArchive)
       .mapGroups { (aid, it) =>
         val entries = it.toSeq.sortBy(_._1).map { case (id, source, text) =>
@@ -1612,6 +1637,9 @@ object Ingest {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
+      // groupByKey on purpose (r14 A/B): the corpus deflates at most ~1 MB
+      // total — parallel repartition measured slower (+0.12 s) than the
+      // serial fabrication it replaces
       .groupByKey(_._1 / docsPerArchive)
       .mapGroups { (aid, it) =>
         val members = it.toSeq.sortBy(_._1).map { case (id, source, text) =>
@@ -1637,9 +1665,12 @@ object Ingest {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .groupByKey(_._1 / docsPerArchive)
-      .mapGroups { (aid, it) =>
-        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+      // archiveGroups discipline: explicit repartition, parallel fabrication
+      .repartition(math.max(2, spark.sparkContext.defaultParallelism),
+        (col("doc_id") / docsPerArchive).cast("long"))
+      .mapPartitions { partIt =>
+        partIt.toSeq.groupBy(_._1 / docsPerArchive).iterator.map { case (aid, docs) =>
+        val recs = docs.sortBy(_._1).map { case (id, text) =>
           val path = (id % 5) match {
             case 0 => s"/public/$id"
             case 1 => s"/private/$id"
@@ -1668,6 +1699,7 @@ object Ingest {
         }
         Multimodal.MediaRecord(aid, s"fake://refine/$aid.warc", "application/warc",
           Warc.writeWarc(recs, gzipped = aid % 2 == 1), Map.empty)
+        }
       }
   }
 }
