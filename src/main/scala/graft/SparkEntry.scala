@@ -506,7 +506,16 @@ object SparkEntry {
     "q_profile_deep" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val relErr = 0.01
-      val prof = graft.operators.Profile.profileDeep(o,
+      // the demo file is one row group, so the sketch-building partial agg
+      // fused to the scan runs on ONE task (r14 profile: 1.06 s of the
+      // query's 1.62 s CPU on a single task); hash-spreading by the unique
+      // key parallelizes it. Result-identical: HLL registers are
+      // max-merged, MG is exact in the capacity >= distinct regime with a
+      // unique top value at every SF, GK emits rank-bound booleans the
+      // theorem guarantees under ANY merge order, min/max/counts exact.
+      val oSpread = o.repartition(
+        math.max(2, s.sparkContext.defaultParallelism), col("o_orderkey"))
+      val prof = graft.operators.Profile.profileDeep(oSpread,
           numeric = Seq("o_totalprice"),
           categorical = Seq("o_orderstatus", "o_orderpriority"),
           k = 1 << 16, relErr = relErr, topCapacity = 64)
@@ -561,8 +570,14 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val cs = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderstatus")
-      // k=2^16 keeps every column in the linear-counting regime at sf0.01
-      val prof = graft.operators.Profile.profile(o, cs, k = 1 << 16)
+      // k=2^16 keeps every column in the linear-counting regime at sf0.01.
+      // Hash-spread before the 5-column HLL pass (one-row-group demo file
+      // scans as ONE task — q_profile_deep's comment has the full
+      // argument); HLL registers max-merge identically under any
+      // partitioning.
+      val prof = graft.operators.Profile.profile(
+        o.repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("o_orderkey")), cs, k = 1 << 16)
       // Exact verify side: one pruned single-column scan per column (a
       // columnar read proportional to that column), NEVER N count_distincts
       // in one agg — Catalyst plans that as Expand xN, multiplying the scan
@@ -1559,7 +1574,13 @@ object SparkEntry {
     // maintain (and merge) their own copy of the full value map.
     "q_percentiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
+      // hash-spread the exact-percentile partial aggregation (3 groups,
+      // one-row-group scan = one task otherwise; the value-count maps
+      // merge commutatively so the interpolated result is
+      // partitioning-independent)
+      li.repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("_p"))
         .select(col("l_returnflag"),
           round(col("_p").getItem(0), 4).as("p50"),
@@ -2097,7 +2118,14 @@ object SparkEntry {
     // newline-joined text to the operator. Per-doc stats only cross the
     // wire — clean_text is reduced to its length before the final sort.
     "dd_line_dedup" -> ((s, dir) => {
+      // hash-spread before the chunking transform + line explode: the
+      // one-row-group scan is a single task, and the whole
+      // split/sequence/slice pipeline fused to it ran serially (r14
+      // profile: 0.61 s max task of 1.4 s CPU). Counts/reassembly are
+      // per-doc exact, partitioning-independent.
       val d = t(s, dir, "documents")
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("doc_id"))
       val chunked = d.selectExpr("doc_id",
         """array_join(transform(
           |  sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
@@ -2901,7 +2929,13 @@ object SparkEntry {
     // pair of the word table, same tie-break); roundtrip/compression/
     // determinism are hard Spark-side invariants, sim_ivf_refit-style.
     "tx_bpe_tokenize" -> ((s, dir) => {
+      // hash-spread: both train passes' word explode and the per-doc BPE
+      // encode are fused to the one-row-group scan otherwise (r14 profile:
+      // 0.89 s max task of 1.13 s CPU); word counts and the encode
+      // roundtrip aggregate are exact integers, partitioning-independent
       val d = t(s, dir, "documents")
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("doc_id"))
       // nMerges=50 stays safely below vocabulary exhaustion (the synthetic
       // corpus builds from a bounded word list and fully merges at ~89
       // rules), so the merge count is the constant the oracle predicts;
@@ -3135,7 +3169,13 @@ object SparkEntry {
     // contamination audit: doc-vs-doc substring overlap between two source
     // partitions of the corpus (deterministic; self-pairs excluded by side)
     "tx_contamination" -> ((s, dir) => {
+      // hash-spread: the winnowing fingerprint pass is fused to the
+      // one-row-group scan otherwise (r14 profile: 0.52 s max task);
+      // posting caps, totals and overlap counts are exact integers,
+      // partitioning-independent
       val d = t(s, dir, "documents")
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("doc_id"))
       val a = d.filter(col("source").isin("src0", "src1"))
       val b = d.filter(col("source").isin("src2", "src3"))
       // audit summary (always >= 1 row): contaminated pairs at several
@@ -3155,7 +3195,13 @@ object SparkEntry {
     // only the A fingerprints that might exist in B. The shared golden
     // oracle IS the equivalence check, driver-verified.
     "tx_contamination_pruned" -> ((s, dir) => {
+      // hash-spread: the winnowing fingerprint pass is fused to the
+      // one-row-group scan otherwise (r14 profile: 0.52 s max task);
+      // posting caps, totals and overlap counts are exact integers,
+      // partitioning-independent
       val d = t(s, dir, "documents")
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("doc_id"))
       val a = d.filter(col("source").isin("src0", "src1"))
       val b = d.filter(col("source").isin("src2", "src3"))
       val pairs = graft.operators.Contamination.overlapPruned(
@@ -3418,9 +3464,13 @@ object SparkEntry {
         if (r.media_id < 1000000000L && r.media_id % 7 == 0)
           r.copy(content = java.util.Arrays.copyOf(r.content, 8))
         else r)
-      val safe = mm.resizeImagesSafe(corpus, maxDim = 16)
+      // both checkpointed (r14): `safe` feeds the decode AND the
+      // error-status projection, `feats` feeds the dedup AND the resize
+      // audit — without them the fabricate+resize and the decode each ran
+      // twice (the r14 profile measured 38 s of task CPU here)
+      val safe = mm.resizeImagesSafe(corpus, maxDim = 16).localCheckpoint()
       val feats = mm.decodeImages(mm.keptRecords(safe),
-        () => new mm.ImageIoDecoder).toDF()
+        () => new mm.ImageIoDecoder).toDF().localCheckpoint()
       val deduped = graft.operators.Dedup.perceptualDedup(
         feats, "ahash", "media_id", maxHamming = 3)
       safe.toDF().select(col("media_id"), col("error"))
@@ -4061,7 +4111,12 @@ object SparkEntry {
     // change twice (e=1,4), the rest once.
     "tx_recrawl_rate" -> ((s, dir) => {
       val ing = graft.operators.Ingest
-      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      // epochs 1-3 are each consumed twice (current side of round e, prev
+      // side of round e+1): checkpoint so each epoch fabricates once (r14)
+      val epochs = (0 to 4).map { e =>
+        val a = ing.recrawlArchives(s, dir, e)
+        if (e >= 1 && e <= 3) a.localCheckpoint() else a
+      }
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))
@@ -4088,7 +4143,12 @@ object SparkEntry {
     "tx_recrawl_priority" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
-      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      // epochs 1-3 are each consumed twice (current side of round e, prev
+      // side of round e+1): checkpoint so each epoch fabricates once (r14)
+      val epochs = (0 to 4).map { e =>
+        val a = ing.recrawlArchives(s, dir, e)
+        if (e >= 1 && e <= 3) a.localCheckpoint() else a
+      }
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))
@@ -4149,7 +4209,12 @@ object SparkEntry {
     "tx_fetch_order" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
-      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
+      // epochs 1-3 are each consumed twice (current side of round e, prev
+      // side of round e+1): checkpoint so each epoch fabricates once (r14)
+      val epochs = (0 to 4).map { e =>
+        val a = ing.recrawlArchives(s, dir, e)
+        if (e >= 1 && e <= 3) a.localCheckpoint() else a
+      }
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))
@@ -5068,6 +5133,9 @@ object SparkEntry {
               p.redirect.getOrElse("")))
         }
         .toDF("doc_id", "title", "is_redirect", "target")
+        // checkpointed (r14): consumed by the resolver AND the join back —
+        // the bzip2 compress+decompress fabrication otherwise runs twice
+        .localCheckpoint()
       val resolved = graft.operators.Redirects.resolve(
         pages, "title", "is_redirect", "target")
       pages.select(col("doc_id"), col("title"))
@@ -5700,8 +5768,10 @@ object SparkEntry {
         if (r.media_id % 7 == 0) r.copy(content = java.util.Arrays.copyOf(r.content, 8)) else r)
       val corruptWav = mm.wavMediaFromDocuments(s, dir).map(r =>
         if (r.media_id % 7 == 0) r.copy(content = java.util.Arrays.copyOf(r.content, 10)) else r)
-      val imgOut = mm.resizeImagesSafe(corruptPng, maxDim = 16)
-      val audOut = mm.resampleAudioSafe(corruptWav, targetRate = 16000)
+      // checkpointed (r14): each outcome feeds the survivor re-decode AND
+      // the status aggregate — fabricate+resize/resample once, not twice
+      val imgOut = mm.resizeImagesSafe(corruptPng, maxDim = 16).localCheckpoint()
+      val audOut = mm.resampleAudioSafe(corruptWav, targetRate = 16000).localCheckpoint()
       val imgOk = mm.decodeImages(mm.keptRecords(imgOut), dec).toDF()
         .select(col("media_id"), (greatest(col("width"), col("height")) <= 16).as("ok"))
       val audOk = mm.decodeAudioFeatures(mm.keptRecords(audOut), dec).toDF()

@@ -95,7 +95,10 @@ object Dedup {
       .distinct()
 
     // exact verification on hashed shingle sets: sorted long arrays +
-    // merge-count Jaccard (native expression — the per-candidate hot path)
+    // merge-count Jaccard (native expression — the per-candidate hot path).
+    // NOT checkpointed (r14 A/B): materializing it measured slower
+    // (dd_neardedup_keep +0.26 s) — the broadcast-join verify recomputes
+    // the shingles cheaper than the checkpoint costs here.
     val sh = df.select(col(idCol).as("vid"),
       shingleHashes(col(textCol), shingleSize).as("sh"))
     candidates
@@ -376,9 +379,17 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val pairs = hashNearDupPairs(df, hashCol, idCol, maxHamming, maxBucket)
+    // (id, hash) is 16 bytes/row — checkpoint the projection so the
+    // expensive upstream (the media DECODE that produced the hashes) runs
+    // once. Before (r14 profile) the pair blocking and the membership join
+    // each recomputed the full decode lineage; this makes the scaladoc's
+    // "the hash column is all that moves" literally true in the plan.
+    val hashes = df.select(col(idCol).cast("long").as(idCol),
+        col(hashCol).as(hashCol))
+      .localCheckpoint()
+    val pairs = hashNearDupPairs(hashes, hashCol, idCol, maxHamming, maxBucket)
     val clusters = connectedComponents(pairs)
-    df.select(col(idCol).cast("long").as("id"))
+    hashes.select(col(idCol).cast("long").as("id"))
       .join(clusters.withColumnRenamed("cluster", "_cl"), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("_cl"), col("id")).as("cluster"),
@@ -459,9 +470,14 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3,
       freqOrder: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // materialized once (r14): the shingle arrays feed the token explode,
+    // BOTH sides of the prefix self-join, and BOTH verify joins — without
+    // the checkpoint Catalyst recomputes the shingling per consumer (the
+    // r14 profile measured ~4x the shingle CPU in dd_jaccard_join)
     val docs = df.select(col(idCol).as("_id"),
         shingleHashes(col(textCol), shingleSize).as("_sh")) // sorted distinct
       .filter(size(col("_sh")) > 0)
+      .localCheckpoint()
     def prefLen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
     val pref =
@@ -504,10 +520,14 @@ object Dedup {
       corpusB: DataFrame, bId: String, bText: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // checkpointed like jaccardSelfJoin's docs: each side feeds its token
+    // explode, its prefix cut, and its verify join — one shingle pass per
+    // side instead of three
     def docs(df: DataFrame, id: String, text: String) =
       df.select(col(id).as("_id"),
           shingleHashes(col(text), shingleSize).as("_sh"))
         .filter(size(col("_sh")) > 0)
+        .localCheckpoint()
     val da = docs(corpusA, aId, aText)
     val db = docs(corpusB, bId, bText)
     def toks(d: DataFrame) = d.select(col("_id"), explode(col("_sh")).as("_tk"))

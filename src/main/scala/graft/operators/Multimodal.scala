@@ -867,6 +867,9 @@ object Multimodal {
     disableImageIoDiskCache()
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // direct raster fill — pixel-identical to setRGB for INT_RGB (r14)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
       var x = 0
@@ -874,7 +877,7 @@ object Multimodal {
         val r = (x * 31 + y * 17 + seed) & 0xff
         val g = (x * 13 + y * 29 + seed * 7) & 0xff
         val b = (x * 7 + y * 11 + seed * 3) & 0xff
-        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+        px(y * width + x) = ((r << 16) | (g << 8) | b).toInt
         x += 1
       }
       y += 1
@@ -962,6 +965,11 @@ object Multimodal {
   private def gridImage(seed: Long, flips: Set[Int]): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // direct raster fill (r14): TYPE_INT_RGB stores the bare 0xRRGGBB word,
+    // so writing the DataBufferInt is pixel-identical to setRGB (values
+    // here never carry high bits) without the per-call ColorModel hop
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var cell = 0
     while (cell < 64) {
       val base =
@@ -980,7 +988,7 @@ object Multimodal {
       var y = cy
       while (y < cy + 4) {
         var x = cx
-        while (x < cx + 4) { img.setRGB(x, y, rgb); x += 1 }
+        while (x < cx + 4) { px(y * 32 + x) = rgb; x += 1 }
         y += 1
       }
       cell += 1
@@ -1237,6 +1245,9 @@ object Multimodal {
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // direct raster fill — pixel-identical to setRGB for INT_RGB (r14)
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
@@ -1245,7 +1256,7 @@ object Multimodal {
           val r = (x * 31 + y * 17 + fs) & 0xff
           val g = (x * 13 + y * 29 + fs * 7) & 0xff
           val b = (x * 7 + y * 11 + fs * 3) & 0xff
-          img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+          px(y * width + x) = ((r << 16) | (g << 8) | b).toInt
           x += 1
         }
         y += 1

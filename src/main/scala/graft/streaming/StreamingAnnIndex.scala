@@ -142,23 +142,34 @@ object StreamingAnnIndex {
     StoreSwap.recover(spark, paths.centroids)
     StoreSwap.recover(spark, paths.stats)
     val b = batch.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
-    if (b.isEmpty) { logRow(spark, paths, batchId, "empty", 0L, Nil); return Nil }
 
     if (!StoreSwap.exists(spark, paths.centroids)) {
+      if (b.isEmpty) { logRow(spark, paths, batchId, "empty", 0L, Nil); return Nil }
       // bootstrap: fit the initial table on this batch's bounded sample
       val cents = Similarity.fitCentroids(b, vecCol, idCol, cfg.nlist, cfg.sampleSize, cfg.iters)
       writeCentroids(spark, cents, paths.centroids)
       val assigned = assign(b, idCol, vecCol, cents).localCheckpoint()
       assigned.drop("fit").write.partitionBy("bucket")
         .mode("append").parquet(paths.corpus)
-      StoreSwap.swapIn(statsOf(assigned), paths.stats)
-      logRow(spark, paths, batchId, "bootstrap", assigned.count(), Nil)
+      // one stats aggregate, collected: the store swap-in writes the
+      // driver-side rows back out and the log row's count is their sum —
+      // the separate assigned.count() job (r14) folded away
+      val bootStats = collectStats(statsOf(assigned))
+      import spark.implicits._
+      StoreSwap.swapIn(bootStats.toSeq.map { case (k, (n, f)) => (k, n, f) }
+        .sortBy(_._1).toDF("bucket", "n", "fit_sum").coalesce(1), paths.stats)
+      logRow(spark, paths, batchId, "bootstrap", bootStats.values.map(_._1).sum, Nil)
       return Nil
     }
 
     val cents = readCentroids(spark, paths)
     val assigned = assign(b, idCol, vecCol, cents).localCheckpoint()
     val batchStats = collectStats(statsOf(assigned))
+    // empty-batch detection from the collected stats — no separate isEmpty
+    // job (the checkpoint + nlist-row aggregate above are the same scans)
+    if (batchStats.isEmpty) {
+      logRow(spark, paths, batchId, "empty", 0L, Nil); return Nil
+    }
     val corpusStats = collectStats(spark.read.parquet(paths.stats))
 
     // Drift decision at nlist grain, driver-side (both maps are <= nlist
@@ -209,7 +220,9 @@ object StreamingAnnIndex {
       }
       import spark.implicits._
       StoreSwap.swapIn(merged.toDF("bucket", "n", "fit_sum").coalesce(1), paths.stats)
-      logRow(spark, paths, batchId, "append", assigned.count(), Nil)
+      // the batch row count is the stats sum — no recount job (r14)
+      logRow(spark, paths, batchId, "append",
+        batchStats.values.map(_._1).sum, Nil)
       return Nil
     }
 
@@ -260,7 +273,9 @@ object StreamingAnnIndex {
     }
     import spark.implicits._
     StoreSwap.swapIn(merged.toDF("bucket", "n", "fit_sum").coalesce(1), paths.stats)
-    logRow(spark, paths, batchId, "refit", reassigned.count(), refit)
+    // reassignment is row-preserving: the batch count is the stats sum
+    logRow(spark, paths, batchId, "refit",
+      batchStats.values.map(_._1).sum, refit)
     refit
   }
 
