@@ -64,6 +64,24 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Parallelism-guarded hash spread (r15, guide §2.1/§2.5): repartition
+    * `df` by `key` ONLY when its scan actually arrives narrower than the
+    * session's core count. The demo parquet is one row group, so every
+    * scan is ONE task and the heavy scan-fused work downstream serializes
+    * — the spread fixes that for the price of one shuffle. At production
+    * scale the scan is already thousands of tasks, and an unconditional
+    * repartition would insert a full raw-row shuffle AHEAD of the
+    * size-reducing partial aggregates it feeds — guide §2.1's first rule
+    * inverted — so the guard turns it off. The partition probe plans the
+    * (scan-only) input; it runs no job.
+    */
+  private def spreadIfNarrow(
+      df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** The documents id list REPARTITIONED for fabrication parallelism:
     * the small parquet scans as ONE partition, so every
     * fabricate-and-extract fixture downstream would run single-threaded
@@ -72,13 +90,17 @@ object SparkEntry {
     * user-specified, so AQE must respect it — spreads the expensive
     * per-id work across the executor threads for the price of shuffling
     * 8-byte ids. At production scale inputs arrive multi-partition and
-    * this exchange is the one you would DELETE; in the demo corpus the
-    * fabrication cost is the honest workload being parallelized.
+    * the exchange deletes itself: the repartition is guarded on the
+    * scan's actual parallelism (r15), same rule as [[spreadIfNarrow]];
+    * in the demo corpus the fabrication cost is the honest workload
+    * being parallelized.
     */
   private def docIds(s: SparkSession, dir: String): Dataset[Long] = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
-      .repartition(math.max(2, s.sparkContext.defaultParallelism))
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val target = math.max(2, s.sparkContext.defaultParallelism)
+    if (ids.queryExecution.toRdd.getNumPartitions >= target) ids.as[Long]
+    else ids.as[Long].repartition(target)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -414,7 +436,17 @@ object SparkEntry {
     // 16× and the fact side salted by row hash — the manual fallback when
     // AQE's skew split can't apply. Result must equal the plain join.
     "q_salted_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // project BEFORE the salt (guide §2.3): saltedJoin hashes a struct of
+      // every big-side column, so handing it full lineitem rows forced a
+      // 16-column ReadSchema and xxhash64 over all of them — the r14
+      // profile's 0.87 s single fat task. Only the join key and the
+      // aggregated measure survive downstream; the salt stays deterministic
+      // per row and the join/aggregate result is salt-independent. The
+      // guarded spread parallelizes the one-row-group demo scan (no-op at
+      // scale, see spreadIfNarrow) — keyed by the ROW hash, not l_partkey:
+      // hash-partitioning by the join key would re-serialize exactly the
+      // hot key the salt exists to spread.
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
       val p = t(s, dir, "part")
       graft.operators.SkewTools.saltedJoin(li, p, "l_partkey", "p_partkey", 16)
         .groupBy(col("p_brand"))
@@ -513,8 +545,7 @@ object SparkEntry {
       // max-merged, MG is exact in the capacity >= distinct regime with a
       // unique top value at every SF, GK emits rank-bound booleans the
       // theorem guarantees under ANY merge order, min/max/counts exact.
-      val oSpread = o.repartition(
-        math.max(2, s.sparkContext.defaultParallelism), col("o_orderkey"))
+      val oSpread = spreadIfNarrow(o, col("o_orderkey"))
       val prof = graft.operators.Profile.profileDeep(oSpread,
           numeric = Seq("o_totalprice"),
           categorical = Seq("o_orderstatus", "o_orderpriority"),
@@ -576,8 +607,7 @@ object SparkEntry {
       // argument); HLL registers max-merge identically under any
       // partitioning.
       val prof = graft.operators.Profile.profile(
-        o.repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("o_orderkey")), cs, k = 1 << 16)
+        spreadIfNarrow(o, col("o_orderkey")), cs, k = 1 << 16)
       // Exact verify side: one pruned single-column scan per column (a
       // columnar read proportional to that column), NEVER N count_distincts
       // in one agg — Catalyst plans that as Expand xN, multiplying the scan
@@ -1578,8 +1608,7 @@ object SparkEntry {
       // one-row-group scan = one task otherwise; the value-count maps
       // merge commutatively so the interpolated result is
       // partitioning-independent)
-      li.repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("l_orderkey"))
+      spreadIfNarrow(li, col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("_p"))
         .select(col("l_returnflag"),
@@ -2123,9 +2152,7 @@ object SparkEntry {
       // split/sequence/slice pipeline fused to it ran serially (r14
       // profile: 0.61 s max task of 1.4 s CPU). Counts/reassembly are
       // per-doc exact, partitioning-independent.
-      val d = t(s, dir, "documents")
-        .repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("doc_id"))
+      val d = spreadIfNarrow(t(s, dir, "documents"), col("doc_id"))
       val chunked = d.selectExpr("doc_id",
         """array_join(transform(
           |  sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
@@ -2933,9 +2960,7 @@ object SparkEntry {
       // encode are fused to the one-row-group scan otherwise (r14 profile:
       // 0.89 s max task of 1.13 s CPU); word counts and the encode
       // roundtrip aggregate are exact integers, partitioning-independent
-      val d = t(s, dir, "documents")
-        .repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("doc_id"))
+      val d = spreadIfNarrow(t(s, dir, "documents"), col("doc_id"))
       // nMerges=50 stays safely below vocabulary exhaustion (the synthetic
       // corpus builds from a bounded word list and fully merges at ~89
       // rules), so the merge count is the constant the oracle predicts;
@@ -3173,9 +3198,7 @@ object SparkEntry {
       // one-row-group scan otherwise (r14 profile: 0.52 s max task);
       // posting caps, totals and overlap counts are exact integers,
       // partitioning-independent
-      val d = t(s, dir, "documents")
-        .repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("doc_id"))
+      val d = spreadIfNarrow(t(s, dir, "documents"), col("doc_id"))
       val a = d.filter(col("source").isin("src0", "src1"))
       val b = d.filter(col("source").isin("src2", "src3"))
       // audit summary (always >= 1 row): contaminated pairs at several
@@ -3199,9 +3222,7 @@ object SparkEntry {
       // one-row-group scan otherwise (r14 profile: 0.52 s max task);
       // posting caps, totals and overlap counts are exact integers,
       // partitioning-independent
-      val d = t(s, dir, "documents")
-        .repartition(math.max(2, s.sparkContext.defaultParallelism),
-          col("doc_id"))
+      val d = spreadIfNarrow(t(s, dir, "documents"), col("doc_id"))
       val a = d.filter(col("source").isin("src0", "src1"))
       val b = d.filter(col("source").isin("src2", "src3"))
       val pairs = graft.operators.Contamination.overlapPruned(
@@ -4112,11 +4133,12 @@ object SparkEntry {
     "tx_recrawl_rate" -> ((s, dir) => {
       val ing = graft.operators.Ingest
       // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1): checkpoint so each epoch fabricates once (r14)
-      val epochs = (0 to 4).map { e =>
-        val a = ing.recrawlArchives(s, dir, e)
-        if (e >= 1 && e <= 3) a.localCheckpoint() else a
-      }
+      // side of round e+1). The r14 eager localCheckpoint (fabricate-once)
+      // measured SLOWER on both recrawl lanes (r14 final lap: 1.55 vs the
+      // 1.23 round-open) — storing the fabricated archive blobs costs more
+      // than re-fabricating them inside one wide job — so r15 reverts it
+      // (A/B numbers in OPTIMIZATION_r15.md).
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))
@@ -4144,11 +4166,9 @@ object SparkEntry {
       import s.implicits._
       val ing = graft.operators.Ingest
       // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1): checkpoint so each epoch fabricates once (r14)
-      val epochs = (0 to 4).map { e =>
-        val a = ing.recrawlArchives(s, dir, e)
-        if (e >= 1 && e <= 3) a.localCheckpoint() else a
-      }
+      // side of round e+1); NOT checkpointed — the r14 eager checkpoint
+      // regressed this lane (2.16 vs 1.50 round-open), see tx_recrawl_rate
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))
@@ -4210,11 +4230,10 @@ object SparkEntry {
       import s.implicits._
       val ing = graft.operators.Ingest
       // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1): checkpoint so each epoch fabricates once (r14)
-      val epochs = (0 to 4).map { e =>
-        val a = ing.recrawlArchives(s, dir, e)
-        if (e >= 1 && e <= 3) a.localCheckpoint() else a
-      }
+      // side of round e+1); NOT checkpointed — same r15 A/B as
+      // tx_recrawl_rate (storing the fabricated blobs beat re-fabricating
+      // on neither lane)
+      val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
       val verdicts = (1 to 4).map { e =>
         ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
             ing.revisitIndex(epochs(e - 1)))

@@ -20,12 +20,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name)))
+      if (only.forall(_.contains(name))) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // drop blocks pinned by this query's localCheckpoints — the full
+        // 257-query dump otherwise accumulates them for the whole JVM
+        // (same leak the bench cleanup fixes; keeps the oracle dump's
+        // memory flat so it never slows toward the driver's timeout)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -162,7 +162,12 @@ object StreamingQuarantine {
       .write.mode("append").parquet(outPath)
     val remaining = routed.filter(!col("readmitted")).drop("readmitted")
       .join(broadcast(rescored), Seq(groupCol), "left") // keep the fresh score
-    if (remaining.isEmpty) fs.delete(quarP, true)
+    // `remaining` is empty iff every source readmitted — already known in
+    // the checkpointed sources-sized summary, so probe THAT instead of
+    // recomputing the quarantine-scan join (r15: the isEmpty job re-ran
+    // the full routed pipeline just to test for rows)
+    val anyRemaining = !summary.filter(!col("readmitted")).isEmpty
+    if (!anyRemaining) fs.delete(quarP, true)
     else StoreSwap.swapIn(remaining, quarantinePath)
     spark.catalog.refreshByPath(quarantinePath)
     summary

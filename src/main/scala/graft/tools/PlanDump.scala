@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump `.explain("formatted")` for named queries into files — the r14
-  * optimization-round evidence trail (plans/r14/<query>_<tag>.txt).
+/** Dump `.explain("formatted")` for named queries into files — the
+  * optimization-round evidence trail (plans/<round>/<query>_<tag>.txt).
   * Usage: runMain graft.tools.PlanDump <tag> <q1>[,<q2>...]
+  * Round dir via SPARK_GRAFT_PLANDIR (default plans/r15).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -19,7 +20,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     val tag = args(0)
     val names = args(1).split(",").toSeq
-    val outDir = java.nio.file.Paths.get("plans/r14")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANDIR", "plans/r15"))
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
