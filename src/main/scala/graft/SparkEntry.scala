@@ -2069,7 +2069,9 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val pairs = Dedup.jaccardSelfJoin(d, "doc_id", "text", 0.3)
         .select(col("id1"), col("id2")).localCheckpoint()
-      val clusters = Dedup.connectedComponents(pairs)
+      // pairs is pinned above (the audit join reuses it) — skip the
+      // operator's internal re-materialization job (r15)
+      val clusters = Dedup.connectedComponents(pairs, materialized = true)
       val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       val split = Sampling.leakageSafeSplit(d, "doc_id", clusters, fr)
         .withColumn("naive", Sampling.portableSplit(col("doc_id"), fr))

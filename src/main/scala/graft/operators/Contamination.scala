@@ -109,9 +109,12 @@ object Contamination {
       fpp: Double = 0.01): DataFrame = {
     val bCapped = cappedIndex(corpusB, bId, bText, "b_id", kGram, window, maxPostings)
       .localCheckpoint()
-    // string-cast to match mightContain's probe-side coercion
+    // string-cast to match mightContain's probe-side coercion. No
+    // distinct(): Bloom insertion is idempotent (same value sets the same
+    // bits), so deduping first costs a full exchange of the fingerprint
+    // index and changes not one bit of the filter (r15).
     val bloom = BloomTools.buildFilter(
-      bCapped.select(col("f").cast("string").as("f")).distinct(),
+      bCapped.select(col("f").cast("string").as("f")),
       "f", expectedBFingerprints, fpp)
     val aPruned = cappedA(corpusA, aId, aText, kGram, window, maxPostings)
       .filter(BloomTools.mightContain(col("f"), bloom))

@@ -240,11 +240,17 @@ object Dedup {
   /** @param smallGraphLimit driver/distributed crossover in edges; the
     *        default keeps the collect under ~16 MB. Tests lower it to force
     *        the distributed path on small fixtures.
+    * @param materialized caller promises `pairs` is already pinned
+    *        (localCheckpoint/persist), so the internal materialization —
+    *        which would copy the blocks through one more job — is skipped.
+    *        The size probe and collect/iteration still read the caller's
+    *        blocks, never the expensive pair-generation lineage.
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = 10,
-      smallGraphLimit: Long = 1000000L): DataFrame = {
+      smallGraphLimit: Long = 1000000L,
+      materialized: Boolean = false): DataFrame = {
     // Hybrid: near-dup pair graphs are tiny relative to the corpus (pairs ~=
     // number of duplicates). Up to `smallGraphLimit` edges, a driver-side
     // union-find in one collect beats N rounds of distributed jobs; past it,
@@ -255,8 +261,8 @@ object Dedup {
     // expensive upstream, and both the size probe and the collect/iteration
     // below would otherwise recompute it. A global limit+collect would be
     // worse still — it forces the pipeline into one partition.
-    val mat = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-      .localCheckpoint(true)
+    val sel = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+    val mat = if (materialized) sel else sel.localCheckpoint(true)
     val edgeCount = mat.count()
     if (edgeCount <= smallGraphLimit) {
       val es = mat.as[(Long, Long)].collect()

@@ -64,6 +64,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(partFilter.findFirstIn(plan("q_partition_pruning")).isDefined)
   }
 
+  test("demo-scan spread deletes itself when the scan is already parallel") {
+    // guard contract (r15): the one-row-group demo parquet scans as ONE
+    // task, so the spread's user-forced repartition is present…
+    val p1 = plan("q_percentiles")
+    assert(p1.contains("REPARTITION_BY_NUM"),
+      s"expected the narrow-scan spread exchange:\n$p1")
+    // …but when the scan already arrives at >= core-count partitions (the
+    // 100 TB shape, simulated by shrinking the split size), the same query
+    // plans with NO spread exchange — no unconditional raw-row shuffle
+    // ahead of the partial aggregate.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val p2 = plan("q_percentiles")
+      assert(!p2.contains("REPARTITION_BY_NUM"),
+        s"spread exchange survived a parallel scan:\n$p2")
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("MERGE hint overrides the broadcast choice the tiny side would win") {
     val p = plan("q_join_hints")
     assert(p.contains("SortMergeJoin"), s"MERGE hint ignored:\n$p")

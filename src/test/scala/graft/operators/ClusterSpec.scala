@@ -32,6 +32,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(cc.size == 21)
   }
 
+  test("materialized=true over a pinned edge list matches the default path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val expected = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pinned = pairs.localCheckpoint()
+    val viaPinned = Dedup.connectedComponents(pinned, materialized = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPinned == expected)
+    // and on the distributed path too (limit 0 forces it)
+    val viaPinnedDist = Dedup.connectedComponents(pinned,
+        smallGraphLimit = 0L, materialized = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPinnedDist == expected)
+  }
+
   test("distributed min-label path equals driver union-find on random graphs") {
     import spark.implicits._
     // the >smallGraphLimit path must agree with the collect-based
