@@ -1853,6 +1853,11 @@ object SparkEntry {
     // the oracle brute-forces every pair, so the gate proves 100% recall,
     // not an LSH probability.
     "dd_jaccard_join" -> ((s, dir) => {
+      // NOT spread (r15 A/B): hash-spreading the scan before the shingle
+      // pass parallelized the 0.76 s serialized shingle task but inflated
+      // task CPU 3-6x (per-task overhead across the pipeline's many
+      // broadcast-probe stages) for flat-to-worse wall on every jaccard
+      // lane — measured and rejected, numbers in OPTIMIZATION_r15.md.
       val d = t(s, dir, "documents")
       graft.operators.Dedup.jaccardSelfJoin(d, "doc_id", "text", 0.3)
         .orderBy(col("id1"), col("id2"))
@@ -1863,6 +1868,7 @@ object SparkEntry {
     // with ONE frequency table over both sides, candidates between sides
     // only. Brute-force oracle proves exact recall.
     "dd_jaccard_cross" -> ((s, dir) => {
+      // NOT spread — see dd_jaccard_join's r15 A/B note
       val d = t(s, dir, "documents")
       graft.operators.Dedup.jaccardCrossJoin(
           d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
@@ -2066,6 +2072,7 @@ object SparkEntry {
 
     "dd_leakage_split" -> ((s, dir) => {
       import graft.operators.{Dedup, Sampling}
+      // NOT spread — see dd_jaccard_join's r15 A/B note
       val d = t(s, dir, "documents")
       val pairs = Dedup.jaccardSelfJoin(d, "doc_id", "text", 0.3)
         .select(col("id1"), col("id2")).localCheckpoint()
@@ -2109,6 +2116,7 @@ object SparkEntry {
     // finds exactly the full recompute's cross pairs.
     "dd_incremental_snapshot" -> ((s, dir) => {
       import graft.operators.{Dedup, Upsert}
+      // NOT spread — see dd_jaccard_join's r15 A/B note
       val d = t(s, dir, "documents")
       val v1 = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
       val v2 = d.select(col("doc_id"),
@@ -4135,17 +4143,14 @@ object SparkEntry {
     "tx_recrawl_rate" -> ((s, dir) => {
       val ing = graft.operators.Ingest
       // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1). The r14 eager localCheckpoint (fabricate-once)
-      // measured SLOWER on both recrawl lanes (r14 final lap: 1.55 vs the
-      // 1.23 round-open) — storing the fabricated archive blobs costs more
-      // than re-fabricating them inside one wide job — so r15 reverts it
-      // (A/B numbers in OPTIMIZATION_r15.md).
+      // side of round e+1). r14 tried an eager localCheckpoint (fabricate
+      // once, store the blobs) — measured SLOWER; r15 instead derives all
+      // four rounds from ONE epoch-stamped digest pass + a lag window
+      // (revisitVerdictsOverEpochs): 5 archive passes instead of 8, one
+      // digest exchange instead of 4 index joins, nothing stored.
       val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
-      val verdicts = (1 to 4).map { e =>
-        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
-            ing.revisitIndex(epochs(e - 1)))
-          .select(col("url"), col("verdict"))
-      }.reduce(_ unionByName _)
+      val verdicts = ing.revisitVerdictsOverEpochs(epochs)
+        .select(col("url"), col("verdict"))
       ing.changeRate(verdicts, epochs = 4)
         .withColumn("doc_id", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
         .select(col("doc_id"), col("changed_count"),
@@ -4167,15 +4172,10 @@ object SparkEntry {
     "tx_recrawl_priority" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
-      // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1); NOT checkpointed — the r14 eager checkpoint
-      // regressed this lane (2.16 vs 1.50 round-open), see tx_recrawl_rate
+      // single-pass multi-epoch verdicts — see tx_recrawl_rate (r15)
       val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
-      val verdicts = (1 to 4).map { e =>
-        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
-            ing.revisitIndex(epochs(e - 1)))
-          .select(col("url"), col("verdict"))
-      }.reduce(_ unionByName _)
+      val verdicts = ing.revisitVerdictsOverEpochs(epochs)
+        .select(col("url"), col("verdict"))
       val rates = ing.changeRate(verdicts, epochs = 4)
       val maps = t(s, dir, "documents").select(col("source"), col("doc_id"))
         .as[(String, Long)]
@@ -4231,16 +4231,10 @@ object SparkEntry {
     "tx_fetch_order" -> ((s, dir) => {
       import s.implicits._
       val ing = graft.operators.Ingest
-      // epochs 1-3 are each consumed twice (current side of round e, prev
-      // side of round e+1); NOT checkpointed — same r15 A/B as
-      // tx_recrawl_rate (storing the fabricated blobs beat re-fabricating
-      // on neither lane)
+      // single-pass multi-epoch verdicts — see tx_recrawl_rate (r15)
       val epochs = (0 to 4).map(e => ing.recrawlArchives(s, dir, e))
-      val verdicts = (1 to 4).map { e =>
-        ing.revisitVerdicts(ing.ingestWarc(epochs(e)),
-            ing.revisitIndex(epochs(e - 1)))
-          .select(col("url"), col("verdict"))
-      }.reduce(_ unionByName _)
+      val verdicts = ing.revisitVerdictsOverEpochs(epochs)
+        .select(col("url"), col("verdict"))
       val rates = ing.changeRate(verdicts, epochs = 4)
         .select(regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
           .as("doc_id"), col("interval_days"))

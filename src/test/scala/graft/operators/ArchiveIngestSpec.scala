@@ -199,6 +199,52 @@ class ArchiveIngestSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("revisitVerdictsOverEpochs matches the pairwise union, gaps included") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // 4 epochs over 5 urls: url 1 changes at epochs 1 and 3, url 2 at
+      // epoch 2, url 4 is MISSING from epoch 1 entirely (coverage gap:
+      // its epoch-2 verdict must be 'new', not a lag back to epoch 0)
+      def crawl(epoch: Int): graft.operators.Multimodal.MediaRecord = {
+        val recs = (0L until 5L)
+          .filter(id => !(id == 4L && epoch == 1))
+          .map { id =>
+            val changes = Seq.tabulate(epoch + 1)(e =>
+              (id == 1L && (e == 1 || e == 3)) || (id == 2L && e == 2))
+              .count(identity)
+            Map("WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"http://h.invalid/p/$id",
+              "WARC-Record-ID" -> s"<urn:t:me:$epoch:$id>",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "application/http;msgtype=response") ->
+              Warc.httpResponse(200, "text/plain",
+                s"body $id v$changes".getBytes("UTF-8"))
+          }
+        graft.operators.Multimodal.MediaRecord(epoch.toLong, s"t://e$epoch.warc",
+          "application/warc", Warc.writeWarc(recs), Map.empty)
+      }
+      val epochs = (0 to 3).map(e => spark.createDataset(Seq(crawl(e))))
+      val pairwise = (1 to 3).map { e =>
+        Ingest.revisitVerdicts(Ingest.ingestWarc(epochs(e)),
+            Ingest.revisitIndex(epochs(e - 1)))
+          .select(col("url"),
+            org.apache.spark.sql.functions.lit(e).as("epoch"), col("verdict"))
+      }.reduce(_ unionByName _)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+      val onepass = Ingest.revisitVerdictsOverEpochs(epochs)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+      assert(onepass == pairwise)
+      // the gap really exercised 'new'
+      assert(onepass(("http://h.invalid/p/4", 2)) == "new")
+      assert(onepass(("http://h.invalid/p/1", 1)) == "response")
+      assert(onepass(("http://h.invalid/p/0", 3)) == "revisit")
+    } finally spark.stop()
+  }
+
   test("self-dedup rewrite: one stored body per digest, dups become revisit, order kept") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.sql.shuffle.partitions", "2")
